@@ -24,6 +24,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify for stable sorting/hashing across engines
     def cell(v):
+        # normalize date-valued cells: pandas renders duckdb DATE as a
+        # midnight Timestamp while spark parquet yields datetime.date
+        if isinstance(v, pd.Timestamp) and v.tz is None and v == v.normalize():
+            return v.date().isoformat()
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
         if isinstance(v, float):
             return f"{v:.9g}"
         if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):

@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.CoreQueries.queries, graft.queries.CoreQueries.oracle),
-      (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracle)
+      (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracle),
+      (graft.queries.SubsetQueries.queries, graft.queries.SubsetQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

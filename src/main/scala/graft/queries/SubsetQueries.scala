@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.FkEdge
+import graft.subset.Subset
+
+/** Subset / join / sampling queries (SURVEY §2.3, §2.4).
+  *
+  * FK edges of the driver testdata (FIXTURES.md §B):
+  * lineitem.l_orderkey → orders.o_orderkey → … → region.r_regionkey.
+  */
+object SubsetQueries {
+
+  val testdataEdges: Seq[FkEdge] = Seq(
+    FkEdge("public", "lineitem", "l_orderkey", "public", "orders", "o_orderkey"),
+    FkEdge("public", "orders", "o_custkey", "public", "customer", "c_custkey"),
+    FkEdge("public", "customer", "c_nationkey", "public", "nation", "n_nationkey"),
+    FkEdge("public", "nation", "n_regionkey", "public", "region", "r_regionkey"))
+
+  /** Per-table row counts as one DataFrame (one Spark job, no collect). */
+  private def summary(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: deterministic systematic sampling at 30% → modulo 3
+    // (reference list_percent_of_insert_into_rows, subset/src/postgres.rs:305-331).
+    "a1_systematic_sample" -> ((s, dir) =>
+      Subset.systematicSample(Tables.orders(s, dir), "o_orderkey", 30.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // J2: the per-row nested-loop lookup of the reference
+    // (subset/src/postgres.rs:142-169) as a single hash semi-join.
+    "j2_semi_join_lookup" -> ((s, dir) => {
+      val sample = Subset.systematicSample(Tables.customer(s, dir), "c_custkey", 20.0)
+      Tables.orders(s, dir)
+        .join(sample, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    // J1: full FK closure from a 10% lineitem seed up to region; output
+    // is the per-table selected-row counts.
+    "j1_fk_closure" -> ((s, dir) => {
+      val load = (t: String) => Tables.load(s, dir, t)
+      val seed = Subset.systematicSample(Tables.lineitem(s, dir), "l_orderkey", 10.0)
+      val closed = Subset.fkClosure(load, testdataEdges, Map("lineitem" -> seed))
+      summary(Seq("lineitem", "orders", "customer", "nation", "region").map(t => t -> closed(t)))
+    }),
+
+    // J3: exact dedup with canonical representative (reference's
+    // md5-seen-set dedup, subset/src/dedup.rs:9-63, as a groupBy).
+    "j3_dedup_exact" -> ((s, dir) =>
+      Subset.dedupByKey(Tables.documents(s, dir), col("text"), "doc_id")),
+
+    // J4: subset run with a passthrough table copied 100%
+    // (subset/src/postgres.rs:119-131,270-281).
+    "j4_passthrough_union" -> ((s, dir) => {
+      val load = (t: String) => Tables.load(s, dir, t)
+      val result = Subset.run(load, testdataEdges, "orders", "o_orderkey", 25.0,
+        passthrough = Seq("supplier"))
+      summary(Seq("orders", "customer", "nation", "region", "supplier").map(t => t -> result(t)))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_systematic_sample" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
+    "j2_semi_join_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"),
+    "j1_fk_closure" ->
+      ("""WITH seed AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+         | o AS (SELECT * FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM seed)),
+         | c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         | n AS (SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
+         | r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+         |SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows FROM seed
+         |UNION ALL SELECT 'orders', COUNT(*) FROM o
+         |UNION ALL SELECT 'customer', COUNT(*) FROM c
+         |UNION ALL SELECT 'nation', COUNT(*) FROM n
+         |UNION ALL SELECT 'region', COUNT(*) FROM r""".stripMargin),
+    "j3_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "j4_passthrough_union" ->
+      ("""WITH seed AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+         | c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM seed)),
+         | n AS (SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
+         | r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+         |SELECT 'orders' AS table_name, COUNT(*) AS n_rows FROM seed
+         |UNION ALL SELECT 'customer', COUNT(*) FROM c
+         |UNION ALL SELECT 'nation', COUNT(*) FROM n
+         |UNION ALL SELECT 'region', COUNT(*) FROM r
+         |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier""".stripMargin)
+  )
+}

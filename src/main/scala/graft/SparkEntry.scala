@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (graft.queries.CoreQueries.queries, graft.queries.CoreQueries.oracle),
       (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracle),
-      (graft.queries.SubsetQueries.queries, graft.queries.SubsetQueries.oracle)
+      (graft.queries.SubsetQueries.queries, graft.queries.SubsetQueries.oracle),
+      (graft.queries.IngestQueries.queries, graft.queries.IngestQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,51 @@
+package graft.ingest
+
+import graft.model.FkEdge
+
+/** S9/S10: DDL extraction — CREATE TABLE column lists (schema bootstrap)
+  * and ALTER TABLE foreign keys (the subset engine's edge list).
+  */
+object Ddl {
+
+  /** S9: column names of a CREATE TABLE statement — first word of each
+    * top-level comma group in the parenthesized body (reference
+    * `dump-parser/src/postgres/mod.rs:782-814`). Constraint clauses
+    * (PRIMARY KEY …, CONSTRAINT …) are skipped.
+    */
+  private val constraintKeywords = Set(
+    "PRIMARY", "FOREIGN", "UNIQUE", "CONSTRAINT", "CHECK", "KEY", "INDEX", "EXCLUDE")
+
+  def createTableColumns(stmt: String): Vector[String] = {
+    val open = stmt.indexOf('(')
+    if (open < 0) return Vector.empty
+    val close = stmt.lastIndexOf(')')
+    if (close <= open) return Vector.empty
+    InsertParser.splitTop(stmt.substring(open + 1, close)).flatMap { group =>
+      group.trim.split("\\s+", 2).headOption
+        .filter(w => w.nonEmpty && !constraintKeywords.contains(w.toUpperCase))
+        .map(StatementSplitter.unquoteIdent)
+    }
+  }
+
+  private val FkPattern =
+    ("""(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w"`.]+)\s+.*?FOREIGN\s+KEY\s*\(([^)]+)\)""" +
+      """\s*REFERENCES\s+([\w"`.]+)\s*\(([^)]+)\)""").r
+
+  /** S10: FK edge of an `ALTER TABLE … ADD CONSTRAINT … FOREIGN KEY (c)
+    * REFERENCES t(c)` statement — reference
+    * `get_alter_table_foreign_key`, `subset/src/postgres.rs:662-734`.
+    */
+  def foreignKey(stmt: String): Option[FkEdge] =
+    FkPattern.findFirstMatchIn(stmt).map { m =>
+      val (fromDb, fromTable) = splitQualified(m.group(1))
+      val (toDb, toTable) = splitQualified(m.group(3))
+      FkEdge(
+        fromDb, fromTable, StatementSplitter.unquoteIdent(m.group(2).trim),
+        toDb, toTable, StatementSplitter.unquoteIdent(m.group(4).trim))
+    }
+
+  private def splitQualified(name: String): (String, String) = {
+    val parts = name.split('.').map(StatementSplitter.unquoteIdent)
+    if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
+  }
+}

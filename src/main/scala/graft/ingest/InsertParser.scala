@@ -1,0 +1,171 @@
+package graft.ingest
+
+/** S6/S8: tokenizing parser for `INSERT INTO … (cols) VALUES (…)` plus
+  * statement re-synthesis.
+  *
+  * Clean-room equivalent of the reference's tokenizer + extraction
+  * (`dump-parser/src/postgres/mod.rs:241-780`, MySQL twin at
+  * `mysql/mod.rs:231-750`) restricted to what dumps actually contain:
+  * literal values (single-quoted strings with `''`/`\'` escapes, signed
+  * integers and decimals, floats, hex `0x…`, booleans, NULL). Values the
+  * grammar doesn't recognize are preserved verbatim as raw strings so a
+  * parse→resynthesize pass is lossless.
+  *
+  * Type model mirrors `replibyte/src/types.rs:32-40`: the reference
+  * holds i128 numbers; integral literals wider than Long are kept as
+  * `SqlDecimal` (→ Spark `DecimalType(38,0)`, SURVEY §1.2).
+  */
+object InsertParser {
+
+  sealed trait SqlValue { def render: String }
+  final case class SqlString(v: String) extends SqlValue {
+    // '' escaping on output — reference `to_query`, source/postgres.rs:499-546
+    def render: String = "'" + v.replace("'", "''") + "'"
+  }
+  final case class SqlLong(v: Long) extends SqlValue { def render: String = v.toString }
+  final case class SqlDecimal(v: BigDecimal) extends SqlValue { def render: String = v.toString }
+  final case class SqlDouble(v: Double) extends SqlValue { def render: String = v.toString }
+  final case class SqlBool(v: Boolean) extends SqlValue { def render: String = v.toString }
+  case object SqlNull extends SqlValue { def render: String = "NULL" }
+  /** Unrecognized literal kept verbatim (e.g. `now()`, casts). */
+  final case class SqlRaw(v: String) extends SqlValue { def render: String = v }
+
+  final case class Insert(
+      database: String,
+      table: String,
+      columns: Vector[String],
+      values: Vector[SqlValue])
+
+  /** Parse one INSERT statement; None if the statement is not a
+    * column-list INSERT.
+    */
+  def parse(stmt: String): Option[Insert] = {
+    StatementSplitter.tableRef(stmt).flatMap { case (db, table) =>
+      val openCols = stmt.indexOf('(')
+      if (openCols < 0) return None
+      val closeCols = matchingParen(stmt, openCols)
+      if (closeCols < 0) return None
+      val cols = splitTop(stmt.substring(openCols + 1, closeCols))
+        .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector
+      val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", closeCols)
+      if (valuesKw < 0) return None
+      val openVals = stmt.indexOf('(', valuesKw)
+      if (openVals < 0) return None
+      val closeVals = matchingParen(stmt, openVals)
+      if (closeVals < 0) return None
+      val vals = splitTop(stmt.substring(openVals + 1, closeVals))
+        .map(v => parseValue(v.trim)).toVector
+      if (cols.length != vals.length) None
+      else Some(Insert(db, table, cols, vals))
+    }
+  }
+
+  def parseValue(tok: String): SqlValue = {
+    if (tok.isEmpty) SqlRaw(tok)
+    else if (tok.equalsIgnoreCase("NULL")) SqlNull
+    else if (tok.equalsIgnoreCase("true")) SqlBool(true)
+    else if (tok.equalsIgnoreCase("false")) SqlBool(false)
+    else if (tok.head == '\'' && tok.last == '\'' && tok.length >= 2)
+      SqlString(unescape(tok.substring(1, tok.length - 1)))
+    else if (tok.startsWith("0x") || tok.startsWith("0X")) SqlRaw(tok)
+    else {
+      val isNumeric = tok.matches("[+-]?\\d+") // integral
+      if (isNumeric) {
+        // i128-wide integers survive as decimal (types.rs:34 → SURVEY §1.2)
+        try SqlLong(tok.toLong)
+        catch { case _: NumberFormatException => SqlDecimal(BigDecimal(tok)) }
+      } else if (tok.matches("[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?")) {
+        SqlDouble(tok.toDouble)
+      } else SqlRaw(tok)
+    }
+  }
+
+  private def unescape(body: String): String =
+    body.replace("''", "'").replace("\\'", "'")
+
+  /** Re-synthesize the INSERT — reference `to_query`
+    * (`source/postgres.rs:499-546`): `INSERT INTO db.table (cols) VALUES
+    * (vals);` with `'` → `''` escaping.
+    */
+  def toQuery(ins: Insert): String = {
+    val cols = ins.columns.mkString(", ")
+    val vals = ins.values.map(_.render).mkString(", ")
+    s"INSERT INTO ${ins.database}.${ins.table} ($cols) VALUES ($vals);"
+  }
+
+  /** Split a comma-separated list at the top nesting level (commas inside
+    * strings or parens don't split).
+    */
+  def splitTop(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 // '' stays in
+          else if (s.charAt(i - 1) == '\\') ()             // \' stays in
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i)
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (start < n) out += s.substring(start, n)
+    out.result()
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var inQuote = false
+    var i = open
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1
+          else if (s.charAt(i - 1) == '\\') ()
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfWordIgnoreCase(s: String, word: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val n = s.length
+    val w = word.length
+    var inQuote = false
+    while (i + w <= n) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else if (c == '\'') inQuote = true
+      else if (s.regionMatches(true, i, word, 0, w) &&
+        (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+        (i + w == n || !s.charAt(i + w).isLetterOrDigit)) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,181 @@
+package graft.ingest
+
+import graft.model.StatementKind
+
+/** S5: statement splitter — reassembles SQL statements from raw dump
+  * text regardless of line breaks.
+  *
+  * Clean-room state machine with the same observable behavior as the
+  * reference's `list_statements` (`dump-parser/src/utils.rs:161-302`):
+  *   - single-quoted strings; `''` acts as close+reopen (net effect:
+  *     escaped quote), `\'` inside a string does not close it;
+  *   - parenthesis balance tracked outside strings; unbalanced
+  *     statements are flagged invalid rather than dropped;
+  *   - `--` starts a full-line comment only between statements (after
+  *     whitespace); inside a statement it blanks the rest of the line
+  *     (a `;` inside such a partial comment does not end the statement);
+  *   - a statement ends at `;` outside strings and comments.
+  *
+  * The reference warns this path runs "thousands of times per second"
+  * (`utils.rs:157-161`) — here it runs inside `flatMap` on executors, so
+  * it is also the per-row hot path: one pass, no regex, no allocation
+  * beyond the output slices.
+  */
+object StatementSplitter {
+
+  final case class Raw(kind: String, text: String, valid: Boolean)
+
+  def split(text: String): Vector[Raw] = {
+    val out = Vector.newBuilder[Raw]
+    var inQuote = false
+    var parenDepth = 0
+    var unbalanced = false
+    var commentLine = false    // full-line comment (between statements)
+    var partialComment = false // -- inside a statement
+    var statementComplete = true
+    var prevWhitespace = true
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (commentLine) {
+        if (c == '\n') {
+          emit(out, StatementKind.CommentLine, text.substring(start, i), valid = true)
+          start = i + 1
+          commentLine = false
+          statementComplete = true
+          prevWhitespace = true
+        }
+      } else if (c == '\'' && !partialComment) {
+        if (inQuote && i > 0 && text.charAt(i - 1) == '\\') {
+          // backslash-escaped quote inside a string: stays open
+        } else {
+          inQuote = !inQuote
+        }
+        statementComplete = false
+        prevWhitespace = false
+      } else if (inQuote) {
+        // any char inside a string is literal (including ; - and newline)
+        ()
+      } else if (partialComment) {
+        if (c == '\n') { partialComment = false; prevWhitespace = true }
+      } else if (c == '(') {
+        parenDepth += 1; statementComplete = false; prevWhitespace = false
+      } else if (c == ')') {
+        if (parenDepth > 0) parenDepth -= 1 else unbalanced = true
+        statementComplete = false; prevWhitespace = false
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        if (statementComplete && prevWhitespace) {
+          commentLine = true
+          start = i
+        } else {
+          partialComment = true
+        }
+        prevWhitespace = false
+      } else if (c == ';') {
+        emit(out, StatementKind.Other, text.substring(start, i + 1),
+          valid = parenDepth == 0 && !unbalanced)
+        start = i + 1
+        parenDepth = 0; unbalanced = false
+        statementComplete = true
+        prevWhitespace = false
+      } else if (c == '\n' || c == ' ' || c == '\t' || c == '\r') {
+        prevWhitespace = true
+      } else {
+        prevWhitespace = false
+        statementComplete = false
+      }
+      i += 1
+    }
+    if (start < n) {
+      val tail = text.substring(start, n)
+      if (commentLine) emit(out, StatementKind.CommentLine, tail, valid = true)
+      else if (!statementComplete)
+        emit(out, StatementKind.Other, tail, valid = parenDepth == 0 && !unbalanced && !inQuote)
+      // trailing whitespace-only → nothing
+    }
+    out.result()
+  }
+
+  private def emit(
+      b: scala.collection.mutable.Builder[Raw, Vector[Raw]],
+      kind: String,
+      text: String,
+      valid: Boolean): Unit = {
+    val trimmed = text.trim
+    if (trimmed.nonEmpty) {
+      val k =
+        if (kind == StatementKind.CommentLine) kind
+        else classify(trimmed)
+      b += Raw(k, trimmed, valid)
+    }
+  }
+
+  /** S7: row classifier — reference `get_row_type`
+    * (`replibyte/src/source/postgres.rs:448-497`), including the
+    * `ALTER TABLE ONLY` offset handling.
+    */
+  def classify(stmt: String): String = {
+    val upper = firstWords(stmt, 3).map(_.toUpperCase)
+    upper match {
+      case Seq("INSERT", "INTO", _*) => StatementKind.InsertInto
+      case Seq("CREATE", "TABLE", _*) => StatementKind.CreateTable
+      case Seq("ALTER", "TABLE", _*) => StatementKind.AlterTable
+      case _ if stmt.startsWith("--") => StatementKind.CommentLine
+      case _ => StatementKind.Other
+    }
+  }
+
+  /** Extract the `(database, table)` of an INSERT/CREATE/ALTER statement;
+    * unqualified names default to schema "public" (reference keys its
+    * transformer map `db.table.column`, `source/postgres.rs:229-237`).
+    */
+  def tableRef(stmt: String): Option[(String, String)] = {
+    val words = firstWords(stmt, 6)
+    val upper = words.map(_.toUpperCase)
+    val nameIdx = upper match {
+      case Seq("INSERT", "INTO", _*) => Some(2)
+      case Seq("CREATE", "TABLE", "IF", "NOT", "EXISTS", _*) => Some(5)
+      case Seq("CREATE", "TABLE", _*) => Some(2)
+      case Seq("ALTER", "TABLE", "ONLY", _*) => Some(3)
+      case Seq("ALTER", "TABLE", _*) => Some(2)
+      case _ => None
+    }
+    nameIdx.flatMap(words.lift).map { raw =>
+      val name = raw.takeWhile(ch => ch != '(' && ch != ';')
+      val parts = name.split('.').map(unquoteIdent)
+      if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
+    }
+  }
+
+  def unquoteIdent(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '`' && t.last == '`')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def firstWords(s: String, k: Int): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var i = 0
+    var count = 0
+    val n = s.length
+    while (i < n && count < k) {
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      val start = i
+      // a quoted identifier counts as one word even with inner spaces
+      if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '`')) {
+        val q = s.charAt(i); i += 1
+        while (i < n && s.charAt(i) != q) i += 1
+        if (i < n) i += 1
+        // swallow trailing non-space chars (e.g. `.table`)
+        while (i < n && !s.charAt(i).isWhitespace) i += 1
+      } else {
+        while (i < n && !s.charAt(i).isWhitespace) i += 1
+      }
+      if (i > start) { b += s.substring(start, i); count += 1 }
+    }
+    b.result()
+  }
+}

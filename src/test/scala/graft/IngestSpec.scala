@@ -1,0 +1,144 @@
+package graft
+
+import graft.ingest.{Ddl, InsertParser, StatementSplitter}
+import graft.model.StatementKind
+
+/** Splitter/parser tests covering the edge cases the reference's inline
+  * tests treat as the spec (`dump-parser/src/utils.rs:304-949`,
+  * `postgres/mod.rs:842-1065`) — fixtures written fresh here.
+  */
+class IngestSpec extends SparkSpec {
+
+  private val dump =
+    """-- PostgreSQL database dump
+      |CREATE TABLE public.customers (
+      |    customer_id bpchar NOT NULL,
+      |    company_name character varying(40),
+      |    notes text
+      |);
+      |INSERT INTO public.customers (customer_id, company_name, notes) VALUES ('ALFKI', 'Alfreds Futterkiste', 'line one
+      |line two');
+      |INSERT INTO public.customers (customer_id, company_name, notes) VALUES ('ANATR', 'Ana''s Emparedados', NULL);
+      |INSERT INTO public.customers (customer_id, company_name, notes) VALUES ('SEMI', 'has ; semicolon and -- dashes', 'x');
+      |
+      |-- a comment between statements
+      |INSERT INTO public.orders (order_id, freight, shipped) VALUES (10248, 32.38, true);
+      |INSERT INTO public.orders (order_id, freight, shipped) VALUES (10249, 11.61, false);
+      |ALTER TABLE ONLY public.orders
+      |    ADD CONSTRAINT fk_orders_customers FOREIGN KEY (customer_id) REFERENCES public.customers(customer_id);
+      |""".stripMargin
+
+  test("splitter: statements spanning lines, quoted semicolons, comments") {
+    val stmts = StatementSplitter.split(dump)
+    val kinds = stmts.map(_.kind)
+    assert(kinds.count(_ == StatementKind.InsertInto) == 5)
+    assert(kinds.count(_ == StatementKind.CreateTable) == 1)
+    assert(kinds.count(_ == StatementKind.AlterTable) == 1)
+    assert(kinds.count(_ == StatementKind.CommentLine) == 2)
+    // multi-line string stayed one statement
+    val multi = stmts.find(_.text.contains("line one")).get
+    assert(multi.text.contains("line two"))
+    // ; inside a string literal did not split
+    val semi = stmts.find(_.text.contains("SEMI")).get
+    assert(semi.text.contains("has ; semicolon"))
+    assert(stmts.forall(_.valid))
+  }
+
+  test("splitter: partial -- comment inside a statement hides the ;") {
+    val s = "INSERT INTO t (a) -- trailing comment; not an end\nVALUES (1);"
+    val stmts = StatementSplitter.split(s)
+    assert(stmts.length == 1)
+    assert(stmts.head.text.endsWith("VALUES (1);"))
+  }
+
+  test("splitter: backslash-escaped quote stays inside the string") {
+    val s = "INSERT INTO t (a) VALUES ('it\\'s; fine');"
+    val stmts = StatementSplitter.split(s)
+    assert(stmts.length == 1)
+    assert(stmts.head.kind == StatementKind.InsertInto)
+  }
+
+  test("splitter: unbalanced parens flagged invalid, still emitted") {
+    val stmts = StatementSplitter.split("INSERT INTO t (a VALUES (1;")
+    assert(stmts.length == 1)
+    assert(!stmts.head.valid)
+  }
+
+  test("tableRef: qualified, unqualified, quoted, ALTER ONLY") {
+    assert(StatementSplitter.tableRef("INSERT INTO public.orders (a) VALUES (1);")
+      .contains(("public", "orders")))
+    assert(StatementSplitter.tableRef("INSERT INTO orders (a) VALUES (1);")
+      .contains(("public", "orders")))
+    assert(StatementSplitter.tableRef("INSERT INTO \"mySchema\".\"myTable\" (a) VALUES (1);")
+      .contains(("mySchema", "myTable")))
+    assert(StatementSplitter.tableRef("ALTER TABLE ONLY public.orders ADD CONSTRAINT x;")
+      .contains(("public", "orders")))
+    assert(StatementSplitter.tableRef("CREATE TABLE IF NOT EXISTS t (a int);")
+      .contains(("public", "t")))
+  }
+
+  test("insert parser: typed values incl escapes, numbers, bool, null") {
+    val ins = InsertParser.parse(
+      "INSERT INTO public.t (s, i, f, b, n, big) VALUES " +
+        "('Ana''s, (cafe)', -42, 3.14, true, NULL, 170141183460469231731687303715884105727);").get
+    assert(ins.columns == Vector("s", "i", "f", "b", "n", "big"))
+    assert(ins.values(0) == InsertParser.SqlString("Ana's, (cafe)"))
+    assert(ins.values(1) == InsertParser.SqlLong(-42))
+    assert(ins.values(2) == InsertParser.SqlDouble(3.14))
+    assert(ins.values(3) == InsertParser.SqlBool(true))
+    assert(ins.values(4) == InsertParser.SqlNull)
+    // i128-wide integer survives as decimal (reference types.rs:34)
+    assert(ins.values(5) == InsertParser.SqlDecimal(BigDecimal("170141183460469231731687303715884105727")))
+  }
+
+  test("re-synthesis roundtrip: parse(toQuery(x)) == x, '' escaping") {
+    val stmt = "INSERT INTO public.t (a, b) VALUES ('it''s', 7);"
+    val ins = InsertParser.parse(stmt).get
+    assert(InsertParser.toQuery(ins) == stmt)
+    assert(InsertParser.parse(InsertParser.toQuery(ins)).get == ins)
+  }
+
+  test("ddl: create-table column extraction skips constraints") {
+    val cols = Ddl.createTableColumns(
+      """CREATE TABLE public.orders (
+        |  order_id smallint NOT NULL,
+        |  "customerId" bpchar,
+        |  freight real,
+        |  CONSTRAINT pk_orders PRIMARY KEY (order_id)
+        |);""".stripMargin)
+    assert(cols == Vector("order_id", "customerId", "freight"))
+  }
+
+  test("ddl: foreign key extraction (reference subset/src/postgres.rs:662-734)") {
+    val fk = Ddl.foreignKey(
+      "ALTER TABLE ONLY public.orders ADD CONSTRAINT fk FOREIGN KEY (customer_id) " +
+        "REFERENCES public.customers(customer_id);").get
+    assert(fk.fromTable == "orders" && fk.fromCol == "customer_id")
+    assert(fk.toTable == "customers" && fk.toCol == "customer_id")
+  }
+
+  test("dump end-to-end: statements → stats, header/footer, fks, typed table") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(dump).toDS())
+    val stats = DumpReader.tableStats(stmts).collect()
+    val custStats = stats.find(_.getString(1) == "customers").get
+    assert(custStats.getLong(2) == 3)
+    val fks = DumpReader.foreignKeys(stmts)
+    assert(fks.exists(e => e.fromTable == "orders" && e.toTable == "customers"))
+    val (header, footer) = DumpReader.headerFooter(stmts)
+    assert(header.filter($"kind" === StatementKind.InsertInto).count() == 0)
+    assert(footer.filter($"kind" === StatementKind.InsertInto).count() == 0)
+    val orders = DumpReader.tableFromDump(stmts, "public", "orders")
+    assert(orders.schema.map(_.name) == Seq("order_id", "freight", "shipped"))
+    assert(orders.schema("order_id").dataType.typeName == "long")
+    assert(orders.schema("freight").dataType.typeName == "double")
+    assert(orders.schema("shipped").dataType.typeName == "boolean")
+    val rows = orders.orderBy($"order_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10248L, 10249L))
+    assert(rows(0).getBoolean(2))
+    val cust = DumpReader.tableFromDump(stmts, "public", "customers")
+    assert(cust.filter($"company_name" === "Ana's Emparedados").count() == 1)
+    assert(cust.filter($"notes".isNull).count() == 1)
+  }
+}

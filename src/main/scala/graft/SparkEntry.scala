@@ -15,7 +15,8 @@ object SparkEntry {
       (graft.queries.CoreQueries.queries, graft.queries.CoreQueries.oracle),
       (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracle),
       (graft.queries.SubsetQueries.queries, graft.queries.SubsetQueries.oracle),
-      (graft.queries.IngestQueries.queries, graft.queries.IngestQueries.oracle)
+      (graft.queries.IngestQueries.queries, graft.queries.IngestQueries.oracle),
+      (graft.queries.OpsQueries.queries, graft.queries.OpsQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * fingerprint (near-exact), n-gram Jaccard (exact similarity), and
+  * MinHash+LSH / SimHash (approximate, the 100 TB path).
+  *
+  * Scale design notes:
+  *   - everything is joins/groupBys on shuffle keys derived from content
+  *     (gram, signature band, bucket) — no driver-side sets;
+  *   - the Jaccard gram join caps per-gram fan-out with an optional
+  *     document-frequency filter (hot shingles like "of the and" would
+  *     otherwise quadratically explode the candidate pairs);
+  *   - MinHash banding turns all-pairs similarity into an equi-join on
+  *     (band, band-signature) — the canonical shuffle-friendly LSH.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per duplicated key with its count
+    * and canonical (min) representative id.
+    */
+  def exactDupGroups(df: DataFrame, key: Column, id: String): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as("dup_count"), min(col(id)).as("canonical_id"))
+      .filter(col("dup_count") > 1)
+
+  /** Near-exact dedup on the whitespace/case-normalized fingerprint. */
+  def fingerprintDedup(df: DataFrame, text: Column, id: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similar pairs: explode distinct word n-grams,
+    * self-join on the gram, count the intersection, derive the union
+    * from per-doc gram counts. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * @param maxDocFreq drop grams appearing in more than this many docs
+    *                   (skew guard; 0 disables)
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val grams = df
+      .select(col(id).as("doc"), explode(array_distinct(TextAnalysis.wordNgrams(text, n))).as("gram"))
+    val filtered =
+      if (maxDocFreq <= 0) grams
+      else {
+        val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("gram"))
+        grams.join(hot, Seq("gram"), "left_anti")
+      }
+    val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val pairs = filtered.as("l").join(filtered.as("r"), Seq("gram"))
+      .filter(col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_grams", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_grams", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature of the document's n-gram set: `numHashes`
+    * independent functions simulated as `xxhash64(i, gram)`; element i
+    * of the signature is the min over grams. Deterministic (xxhash64 is
+    * seeded with the literal index column).
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val grams = array_distinct(TextAnalysis.wordNgrams(text, n))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(grams, g => xxhash64(i, g))))
+  }
+
+  /** LSH banding: (band index, hash of the signature slice) bucket keys.
+    * Docs sharing any band bucket are candidate pairs — all-pairs
+    * similarity becomes an equi-join.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))).as("bucket")))
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified with the
+    * signature-level Jaccard estimate (fraction of agreeing minhashes).
+    * Returns (id_a, id_b, est_jaccard >= threshold).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigs = df
+      .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
+      .filter(size(array_distinct(TextAnalysis.wordNgrams(text, n))) > 0)
+    val buckets = sigs.select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bk"))
+      .select(col("doc"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id_a"), col("l.sig").as("sig_a"),
+        col("r.doc").as("id_b"), col("r.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
+    * the token-hash bits. Near-dups have small Hamming distance.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(
+        acc,
+        sequence(lit(0), lit(63)),
+        (v, b) => v + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within `maxDistance`, bucketed by the
+    * high 16 bits to avoid the full cross join (docs differing only in
+    * low bits still collide; standard rotate-and-rebucket extensions
+    * are config, not code changes).
+    */
+  def simhashPairs(df: DataFrame, id: String, text: Column, maxDistance: Int): DataFrame = {
+    val sigs = df.select(col(id).as("doc"), simhash64(text).as("sh"))
+    val buckets = sigs.withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+    buckets.as("l").join(buckets.as("r"), Seq("bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .withColumn("hamming", hamming64(col("l.sh"), col("r.sh")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions (codegen'd, no UDF) with exact SQL
+  * mirrors for the DuckDB oracle. Per-row double arithmetic (no
+  * aggregation) is bit-reproducible across engines as long as the
+  * formula is written identically — which the paired `*Sql` builders
+  * guarantee.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  def tokenCountSql(x: String): String =
+    s"len(regexp_split_to_array(trim($x), '\\s+'))"
+
+  /** Punctuation chars (explicit class so Java regex and RE2 agree). */
+  private val PunctClass = """[.,;:!?"()\[\]{}_-]"""
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  def punctCountSql(x: String): String =
+    s"length($x) - length(regexp_replace($x, '[.,;:!?\"()\\[\\]{}_-]', '', 'g'))"
+
+  /** Tiny fixed stopword lists per language — the n-gram-heuristic
+    * language ID signal. Deliberately small: the operator shape (HOF
+    * filter over split tokens) is what matters, the lists are config.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(split(lower(text), "\\s+"), t => array_contains(arr, t)))
+  }
+
+  def stopwordHitsSql(x: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(regexp_split_to_array(lower($x), '\\s+'), t -> list_contains($list, t)))"
+  }
+
+  /** Stopword ratio (English list) — a classic quality signal. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, stopwords("en")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def stopwordRatioSql(x: String): String =
+    s"CAST(${stopwordHitsSql(x, stopwords("en"))} AS DOUBLE) / " +
+      s"CAST(greatest(${tokenCountSql(x)}, 1) AS DOUBLE)"
+
+  /** Language ID: argmax of per-language stopword hits; "und"
+    * (undetermined) when no list scores.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, stopwords("en"))
+    val de = stopwordHits(text, stopwords("de"))
+    val fr = stopwordHits(text, stopwords("fr"))
+    when(greatest(en, de, fr) === 0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  def langIdSql(x: String): String = {
+    val en = stopwordHitsSql(x, stopwords("en"))
+    val de = stopwordHitsSql(x, stopwords("de"))
+    val fr = stopwordHitsSql(x, stopwords("fr"))
+    s"CASE WHEN greatest($en, $de, $fr) = 0 THEN 'und' " +
+      s"WHEN $en >= $de AND $en >= $fr THEN 'en' " +
+      s"WHEN $de >= $fr THEN 'de' ELSE 'fr' END"
+  }
+
+  /** Quality score in [0,1]: average-token-length band + stopword ratio
+    * + punctuation sanity. Same integer/double operation order on both
+    * engines → bit-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    val avgTokLen = length(text).cast("double") / nTok
+    val lenOk = when(avgTokLen >= 3.0 && avgTokLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(
+      punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double") < 0.2,
+      lit(1.0)).otherwise(lit(0.0))
+    (lenOk * lit(0.4)) + (stopwordRatio(text) * lit(0.4)) + (punctOk * lit(0.2))
+  }
+
+  def qualityScoreSql(x: String): String = {
+    val nTok = s"CAST(greatest(${tokenCountSql(x)}, 1) AS DOUBLE)"
+    val avgTokLen = s"(CAST(length($x) AS DOUBLE) / $nTok)"
+    val lenOk = s"(CASE WHEN $avgTokLen >= 3.0 AND $avgTokLen <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    val punctOk = s"(CASE WHEN CAST(${punctCountSql(x)} AS DOUBLE) / " +
+      s"CAST(greatest(length($x), 1) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.0 END)"
+    s"($lenOk * 0.4) + (${stopwordRatioSql(x)} * 0.4) + ($punctOk * 0.2)"
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercased
+    * text — canonical near-exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  def fingerprintSql(x: String): String =
+    s"md5(regexp_replace(lower(trim($x)), '\\s+', ' ', 'g'))"
+
+  /** Word n-grams as an array column (shingles for Jaccard/MinHash). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  def wordNgramsSql(x: String, n: Int): String = {
+    val toks = s"regexp_split_to_array(lower(trim($x)), '\\s+')"
+    // DuckDB: 1-based list_slice; range(a,b) is end-exclusive
+    s"CASE WHEN len($toks) < $n THEN [] ELSE " +
+      s"[array_to_string(list_slice($toks, i, i + ${n - 1}), ' ') " +
+      s"FOR i IN range(1, len($toks) - ${n - 2})] END"
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** LLM-data-pipeline operator queries over `documents`/`embeddings`.
+  *
+  * Hash-based ops (MinHash-LSH, SimHash, hyperplane LSH) have no
+  * DuckDB-expressible oracle (xxhash64 differs) → no `oracle` entry, the
+  * driver records a rows-only check; their correctness is covered by
+  * OpsSpec (recall vs the exact operators, which ARE oracle-checked).
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))),
+
+    "x_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"))),
+
+    "x_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))),
+
+    "x_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+
+    "x_fingerprint_dedup" -> ((s, dir) =>
+      Dedup.fingerprintDedup(Tables.documents(s, dir), col("text"), "doc_id")),
+
+    // exact n-gram Jaccard near-dup pairs (threshold 0.8, word 3-grams)
+    "x_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8)
+        .select(col("id_a"), col("id_b"),
+          // stabilize the double for cross-engine hashing
+          round(col("jaccard"), 6).as("jaccard"))),
+
+    // MinHash+LSH (no oracle — validated against x_ngram_jaccard in OpsSpec)
+    "x_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", col("text"))
+        .select(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (no oracle)
+    "x_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", col("text"), maxDistance = 8)),
+
+    // exact cosine top-5 per query vector (every 100th vector queries)
+    "x_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+    }),
+
+    // hyperplane-LSH ANN (no oracle — recall vs brute force in OpsSpec)
+    "x_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+    }),
+
+    // multimodal plumbing: binary column → batched stub decode
+    "x_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("checksum"), col("width"), col("height"))
+    })
+  )
+
+  private def jaccardSql(threshold: Double): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] ELSE
+         |  [array_to_string(list_slice(t, i, i+2), ' ') FOR i IN range(1, len(t)-1)] END) AS gs FROM toks),
+         |eg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY doc_id),
+         |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+         |  FROM eg l JOIN eg r USING (gram) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE) >= $threshold""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_token_count" ->
+      s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_lang_id" ->
+      s"SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents",
+    "x_quality_score" ->
+      s"SELECT doc_id, ${TA.qualityScoreSql("text")} AS quality FROM documents",
+    "x_fingerprint" ->
+      s"SELECT doc_id, ${TA.fingerprintSql("text")} AS fp FROM documents",
+    "x_fingerprint_dedup" ->
+      (s"SELECT ${TA.fingerprintSql("text")} AS fp, MIN(doc_id) AS doc_id, " +
+        "COUNT(*) AS n_copies FROM documents GROUP BY 1"),
+    "x_ngram_jaccard" -> jaccardSql(0.8),
+    "x_ann_bruteforce" ->
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |  list_cosine_similarity(qv, e.embedding) AS sim FROM q, embeddings e WHERE e.vec_id != query_id)
+           |SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |FROM scored QUALIFY rnk <= 5""".stripMargin,
+    "x_multimodal_features" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS checksum, " +
+        "(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64) + 1 AS width, " +
+        "(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64) + 1 AS height " +
+        "FROM documents")
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("tokenCount / fingerprint basics") {
+    val df = Seq((1L, "The quick  brown fox"), (2L, "the QUICK brown   fox "), (3L, "x")).toDF("doc_id", "text")
+    val tc = df.select(TA.tokenCount($"text")).as[Int].collect()
+    assert(tc.toSeq == Seq(4, 4, 1))
+    // fingerprint is whitespace/case insensitive → 1 and 2 collide
+    val fps = df.select(TA.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      "the cat and the dog is in that house with food",
+      "der hund und die katze ist nicht ein problem mit",
+      "le chat et la maison est un animal dans une ville",
+      "zzz qqq www").toDF("text")
+    val langs = df.select(TA.langId($"text")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("ngramJaccardPairs finds the planted near-dups symmetric and thresholded") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // near-dup of 1
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", $"text", 3, 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH recall vs exact jaccard on real documents") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", $"text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup documents")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, pairs found") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+    val d12 = sh.as("l").join(sh.as("r"), $"l.doc_id" === 1 && $"r.doc_id" === 2)
+      .select(Dedup.hamming64($"l.sh", $"r.sh")).as[Long].head()
+    val d13 = sh.as("l").join(sh.as("r"), $"l.doc_id" === 1 && $"r.doc_id" === 3)
+      .select(Dedup.hamming64($"l.sh", $"r.sh")).as[Long].head()
+    assert(d12 < d13, s"near-dup hamming $d12 should be < unrelated $d13")
+    val same = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(same, "doc_id", $"text", 0).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Number]("hamming").longValue == 0L)
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("ANN LSH recall vs brute force on real embeddings") {
+    // sf0.01 for a stable measurement (500 vectors, 10 queries); the
+    // testdata embeddings are near-random (top-1 cosine ≈ 0.4), the
+    // hardest regime for LSH — multi-probe + 4 tables is the config
+    // that holds recall there.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = e.filter(pmod($"vec_id", lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, queries, "vec_id", "embedding", 5,
+      numPlanes = 4, dim = 64, seeds = Seq(42L, 43L, 44L, 45L))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low — LSH candidate generation is broken")
+  }
+
+  test("multimodal: batched stub decode preserves ids, deterministic features") {
+    val media = Multimodal.packText(docs, $"doc_id", $"text", "text/plain")
+    val feats = Multimodal.decodeFeatures(media, batchSize = 7)
+    assert(feats.count() == docs.count())
+    val row = feats.filter($"media_id" === 0L).head()
+    assert(row.getAs[String]("media_type") == "text/plain")
+    assert(row.getAs[Long]("n_bytes") > 0)
+    assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("width") <= 64)
+    assert(row.getSeq[Double](row.fieldIndex("feature")).length == 8)
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(media, batchSize = 7).filter($"media_id" === 0L).head()
+    assert(again.getAs[String]("checksum") == row.getAs[String]("checksum"))
+    assert(again.getSeq[Double](again.fieldIndex("feature")).toSeq ==
+      row.getSeq[Double](row.fieldIndex("feature")).toSeq)
+  }
+}

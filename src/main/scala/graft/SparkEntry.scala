@@ -16,7 +16,9 @@ object SparkEntry {
       (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracle),
       (graft.queries.SubsetQueries.queries, graft.queries.SubsetQueries.oracle),
       (graft.queries.IngestQueries.queries, graft.queries.IngestQueries.oracle),
-      (graft.queries.OpsQueries.queries, graft.queries.OpsQueries.oracle)
+      (graft.queries.OpsQueries.queries, graft.queries.OpsQueries.oracle),
+      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracle),
+      (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -93,6 +93,7 @@ final case class TransformerBinding(
 final case class SubsetConfig(
     database: String,
     table: String,
+    seedKey: String,
     percent: Double,
     passthroughTables: Seq[String] = Nil)
 

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.{DumpReader, DumpSink}
+import graft.model.{SourceFilters, SubsetConfig, TableRef, TransformerBinding}
+import graft.store.Datastore
+import graft.subset.Subset
+import graft.transform.Transformers
+import graft.model.FkEdge
+
+/** The end-to-end jobs — the Spark re-expression of the reference's
+  * `FullDumpTask`/`FullRestoreTask` (`replibyte/src/tasks/full_dump.rs`,
+  * `full_restore.rs`).
+  *
+  * dump:    tables → skip/only filters (F1/F2) → optional FK subset →
+  *          per-column transformers → statement re-synthesis → chunked
+  *          compressed/encrypted datastore write + catalog entry.
+  * restore: datastore read → statement parse → per-table DataFrames →
+  *          caller-chosen writer (parquet/JDBC/console).
+  *
+  * The reference's producer/consumer threads with a depth-1 channel
+  * (`tasks/full_dump.rs:47-70`) exist to overlap parse and upload under
+  * a memory bound — in Spark that's the scheduler's job: each partition
+  * parses and uploads within one task, memory bounded by chunk size ×
+  * task slots.
+  */
+object Pipeline {
+
+  final case class DumpJobConfig(
+      tables: Seq[String],
+      database: String = "public",
+      filters: SourceFilters = SourceFilters(),
+      bindings: Seq[TransformerBinding] = Nil,
+      subset: Option[SubsetConfig] = None,
+      fkEdges: Seq[FkEdge] = Nil,
+      compressed: Boolean = true,
+      encryptionKey: Option[String] = None)
+
+  /** F1/F2: source-level table pruning — tables the filter excludes are
+    * never scanned (the Spark analog of pushing `--ignore-table` /
+    * `--table` into the dump tool, `source/mysql.rs:128-136`,
+    * `source/postgres.rs:132-139`).
+    */
+  def selectTables(all: Seq[String], database: String, filters: SourceFilters): Seq[String] = {
+    val skip = filters.skipTables.collect { case TableRef(d, t) if d == database => t }.toSet
+    val only = filters.onlyTables.collect { case TableRef(d, t) if d == database => t }.toSet
+    all.filter(t => !skip.contains(t) && (only.isEmpty || only.contains(t)))
+  }
+
+  /** Build the transformed per-table DataFrames of a dump job (the
+    * logical plan; nothing executes until a sink runs).
+    */
+  def dumpPlan(
+      load: String => DataFrame,
+      config: DumpJobConfig): Map[String, DataFrame] = {
+    val tables = selectTables(config.tables, config.database, config.filters)
+    val base: Map[String, DataFrame] = config.subset match {
+      case Some(sc) =>
+        val subsetted = Subset.run(
+          load, config.fkEdges, sc.table, sc.seedKey, sc.percent, sc.passthroughTables)
+        tables.map(t => t -> subsetted.getOrElse(t, load(t))).toMap
+      case None => tables.map(t => t -> load(t)).toMap
+    }
+    base.map { case (t, df) =>
+      val bindings = config.bindings.filter(b => b.database == config.database && b.table == t)
+      t -> Transformers.applyBindings(df, bindings)
+    }
+  }
+
+  /** Run a dump job into the datastore as re-synthesized statements. */
+  def dump(
+      spark: SparkSession,
+      load: String => DataFrame,
+      store: Datastore,
+      dumpName: String,
+      config: DumpJobConfig): Unit = {
+    val plan = dumpPlan(load, config)
+    val statements = plan.map { case (t, df) =>
+      DumpSink.toInsertStatements(df, config.database, t)
+    }.reduce(_.unionByName(_))
+    store.write(dumpName, statements, config.compressed, config.encryptionKey)
+  }
+
+  /** Restore: read a dump from the datastore into per-table DataFrames. */
+  def restore(
+      spark: SparkSession,
+      store: Datastore,
+      dumpName: String,
+      encryptionKey: Option[String] = None): Map[String, DataFrame] = {
+    import spark.implicits._
+    val stmts = DumpReader.statementsFromStrings(spark, store.read(dumpName, encryptionKey))
+    val tables = stmts.filter(s => s.kind == graft.model.StatementKind.InsertInto)
+      .map(s => (s.database, s.table)).distinct().collect()
+    tables.map { case (db, t) => t -> DumpReader.tableFromDump(stmts, db, t) }.toMap
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.model.TransformerBinding
+import graft.transform.Transformers
+
+/** Structured-Streaming analog of the reference's bounded pipeline
+  * (SURVEY §2.10): the reference's producer/consumer chunking
+  * (`tasks/full_dump.rs:47-110`) maps to micro-batches; backpressure
+  * (its depth-1 channel) maps to one in-flight batch per trigger.
+  *
+  * The reference has no watermarks/windows/state — `transformStream` is
+  * a stateless per-row pipeline, exactly like its transformer pass.
+  * `eventCounts` goes beyond the reference (watermarked tumbling-window
+  * aggregation over the `events` table's schema) because a continuous
+  * ingestion pipeline at scale needs at least that much state handling.
+  */
+object StreamingPipeline {
+
+  /** Continuously transform statements/rows arriving as files in a
+    * directory — same bindings, same expressions as the batch path.
+    */
+  def transformStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bindings: Seq[TransformerBinding]): DataFrame = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    Transformers.applyBindings(in, bindings)
+  }
+
+  /** Watermarked tumbling-window event counts (the canonical stateful
+    * op a training-data ingestion stream needs: late data tolerated up
+    * to the watermark, state bounded).
+    */
+  def eventCounts(events: DataFrame, window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Write a transformed stream to parquet in availableNow mode —
+    * processes everything present, then stops: the exact semantic of
+    * the reference's bounded one-pass dump (bounded input, streaming
+    * execution, backpressured chunks).
+    */
+  def sinkAvailableNow(df: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+}

@@ -74,12 +74,12 @@ object Dedup {
     * of the signature is the min over grams. Deterministic (xxhash64 is
     * seeded with the literal index column).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val grams = array_distinct(TextAnalysis.wordNgrams(text, n))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(grams, g => xxhash64(i, g))))
-  }
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    TextAnalysis.bound(array_distinct(TextAnalysis.wordNgrams(text, n))) { grams =>
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(grams, g => xxhash64(i, g))))
+    }
 
   /** LSH banding: (band index, hash of the signature slice) bucket keys.
     * Docs sharing any band bucket are candidate pairs — all-pairs
@@ -105,9 +105,16 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // Materialize signatures behind a shuffle boundary: without it the
+    // 64-hash signature expression is re-evaluated for every exploded
+    // band row and again on each side of the self-join (measured 30×+
+    // slowdown at sf0.1). Map side computes each signature exactly
+    // once; the identical subplan on both join sides then becomes a
+    // ReusedExchange.
     val sigs = df
       .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
-      .filter(size(array_distinct(TextAnalysis.wordNgrams(text, n))) > 0)
+      .filter(col("sig").getItem(0).isNotNull) // docs with < n tokens have all-null signatures
+      .repartition(col("doc"))
     val buckets = sigs.select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.band"), col("bk.bucket"))
     val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))

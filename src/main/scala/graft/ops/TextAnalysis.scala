@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Evaluate `e` once per row and bind it as a lambda variable in `f`.
+    *
+    * Catalyst's CollapseProject inlines a projected expression into
+    * every downstream reference — including references inside a
+    * higher-order-function lambda, where one static reference is
+    * evaluated once per *element*. Wrapping `e` as the single element
+    * of an array and applying `f` via `transform` forces exactly one
+    * evaluation per row regardless of how the plan collapses (measured
+    * 60×+ on the MinHash signature at sf0.1, where the n-gram array
+    * was otherwise rebuilt for each of 64 hash functions).
+    */
+  def bound(e: Column)(f: Column => Column): Column =
+    get(transform(array(e), f), lit(0))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
@@ -114,13 +128,13 @@ object TextAnalysis {
     s"md5(regexp_replace(lower(trim($x)), '\\s+', ' ', 'g'))"
 
   /** Word n-grams as an array column (shingles for Jaccard/MinHash). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array())
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    bound(split(lower(trim(text)), "\\s+")) { toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    }
 
   def wordNgramsSql(x: String, n: Int): String = {
     val toks = s"regexp_split_to_array(lower(trim($x)), '\\s+')"

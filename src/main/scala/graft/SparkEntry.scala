@@ -18,6 +18,7 @@ object SparkEntry {
       (graft.queries.IngestQueries.queries, graft.queries.IngestQueries.oracle),
       (graft.queries.OpsQueries.queries, graft.queries.OpsQueries.oracle),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracle),
+      (graft.queries.StoreQueries.queries, graft.queries.StoreQueries.oracle),
       (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracle)
     )
 

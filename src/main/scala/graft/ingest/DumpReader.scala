@@ -21,20 +21,40 @@ import graft.model.{FkEdge, Statement, StatementKind}
   */
 object DumpReader {
 
+  /** Number of low idx bits reserved for the within-chunk statement
+    * position; the high bits carry the chunk (file/partition) rank, so
+    * `idx` is globally monotonic in dump order without any coordination
+    * between tasks. 2^40 statements per 100 MB chunk is unreachable.
+    */
+  private val ChunkShift = 40
+
   /** Read dump file(s) into a Dataset of classified statements.
-    * `idx` is the statement position (per file, files ordered by name —
-    * matching the reference's part-enumeration order on restore,
-    * `datastore/local_disk.rs:183-207`).
+    * `idx` is globally monotonic in dump order: high bits are the rank
+    * of the file in name order — matching the reference's
+    * part-enumeration order on restore
+    * (`datastore/local_disk.rs:183-207`) — low bits the statement
+    * position within the file. Ranking is a driver-side listing of file
+    * *names* only; no data is read for it.
     */
   def statements(spark: SparkSession, path: String): Dataset[Statement] = {
     import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+      else Array(status.getPath.toString)
+    val rank = spark.sparkContext.broadcast(files.zipWithIndex.toMap)
     spark.read.option("wholetext", "true").text(path)
-      .as[String]
-      .flatMap { blob =>
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, blob) =>
+        val base = rank.value.getOrElse(file, 0).toLong << ChunkShift
         StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
           val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
           else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
-          Statement(i.toLong, raw.kind, db, table, raw.text)
+          Statement(base | i.toLong, raw.kind, db, table, raw.text)
         }
       }
   }
@@ -44,16 +64,25 @@ object DumpReader {
     */
   def statementsFromStrings(spark: SparkSession, stmts: Dataset[String]): Dataset[Statement] = {
     import spark.implicits._
-    stmts.mapPartitions { it =>
+    // mapPartitionsWithIndex on the RDD, not TaskContext.getPartitionId
+    // in a Dataset mapPartitions: a downstream coalesce() merges
+    // partitions into one task, and the *task* id would rebase every
+    // chunk to 0 — the RDD split index survives coalescing because the
+    // merged task iterates parent partitions with their original ids.
+    val parsed = stmts.rdd.mapPartitionsWithIndex { (pid, it) =>
       // join the partition back into one blob so the splitter (not the
-      // upstream row boundaries) decides statement boundaries
+      // upstream row boundaries) decides statement boundaries; the
+      // partition id in the high idx bits keeps idx globally monotonic
+      // (union/file order = partition order)
+      val base = pid.toLong << ChunkShift
       val blob = it.mkString("\n")
       StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
         val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
         else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
-        Statement(i.toLong, raw.kind, db, table, raw.text)
+        Statement(base | i.toLong, raw.kind, db, table, raw.text)
       }
     }
+    spark.createDataset(parsed)
   }
 
   /** G1 over a dump: per-table stats in one distributed pass — reference
@@ -145,6 +174,27 @@ object DumpReader {
       typed.as(name)
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** G4: order-sensitive CRC64-ECMA per (database, table), over each
+    * statement's bytes in idx order — reference recomputes
+    * `crc64::checksum_ecma` per rewritten Mongo collection
+    * (`dump-parser/src/mongodb/mod.rs:213-233`). CRC is sequential, so
+    * each group's statements are gathered and folded in sort order; a
+    * "collection" here is one table's statement stream, bounded like the
+    * reference's in-memory archive — not a 100 TB fact table.
+    */
+  def collectionCrc64(stmts: Dataset[Statement]): DataFrame = {
+    val crcOfOrdered = udf { sqls: Seq[String] =>
+      sqls.foldLeft(0L)((acc, s) =>
+        graft.store.Crc64.update(acc, (s + "\n").getBytes("UTF-8")))
+    }
+    stmts.toDF()
+      .filter(col("kind") === StatementKind.InsertInto)
+      .groupBy(col("database"), col("table"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("sql")))).as("ordered"))
+      .select(col("database"), col("table"),
+        crcOfOrdered(col("ordered.sql")).as("crc64"))
   }
 
   private val TagNull = 0

@@ -46,8 +46,14 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
-    val grams = df
-      .select(col(id).as("doc"), explode(array_distinct(TextAnalysis.wordNgrams(text, n))).as("gram"))
+    // One gram-array row per doc behind a shuffle boundary: the array is
+    // computed exactly once, the exchange is reused by every consumer
+    // (join sides + sizes), and the shuffle moves compact arrays instead
+    // of exploded rows.
+    val gramArrays = df
+      .select(col(id).as("doc"), array_distinct(TextAnalysis.wordNgrams(text, n)).as("grams"))
+      .repartition(col("doc"))
+    val grams = gramArrays.select(col("doc"), explode(col("grams")).as("gram"))
     val filtered =
       if (maxDocFreq <= 0) grams
       else {
@@ -55,7 +61,7 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select(col("gram"))
         grams.join(hot, Seq("gram"), "left_anti")
       }
-    val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val sizes = gramArrays.select(col("doc"), size(col("grams")).cast("long").as("n_grams"))
     val pairs = filtered.as("l").join(filtered.as("r"), Seq("gram"))
       .filter(col("l.doc") < col("r.doc"))
       .groupBy(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
@@ -159,7 +165,11 @@ object Dedup {
     * are config, not code changes).
     */
   def simhashPairs(df: DataFrame, id: String, text: Column, maxDistance: Int): DataFrame = {
+    // Shuffle boundary: the simhash is computed once per doc; the
+    // identical bucketed subplan on both self-join sides becomes a
+    // ReusedExchange instead of two signature passes.
     val sigs = df.select(col(id).as("doc"), simhash64(text).as("sh"))
+      .repartition(col("doc"))
     val buckets = sigs.withColumn("bucket", shiftrightunsigned(col("sh"), 48))
     buckets.as("l").join(buckets.as("r"), Seq("bucket"))
       .filter(col("l.doc") < col("r.doc"))

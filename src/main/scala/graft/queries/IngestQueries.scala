@@ -1,12 +1,14 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ingest.{DumpReader, DumpSink}
+import graft.ingest.{Ddl, DumpReader, DumpSink}
+import graft.model.{Statement, StatementKind}
 
-/** Dump-pipeline queries (SURVEY §2.1 sources + §2.6 re-synthesis).
+/** Dump-pipeline queries (SURVEY §2.1 sources, §2.4 slices, §2.5 G4,
+  * §2.6 re-synthesis).
   *
   * `s5_dump_roundtrip` is the flagship ingestion proof: a parquet table
   * is re-synthesized into INSERT statements (sink path), the statements
@@ -14,8 +16,31 @@ import graft.ingest.{DumpReader, DumpSink}
   * (source path), and the result must hash-match the original table.
   * Everything runs on executors; the only driver work is schema
   * inference over a bounded sample.
+  *
+  * The `nationDump` queries exercise the full dump *shape* — DDL header,
+  * INSERT body, ALTER TABLE footer — the way the reference's subset
+  * engine sees it (`dump_header`/`dump_footer`,
+  * `subset/src/postgres.rs:431-497`).
   */
 object IngestQueries {
+
+  private val NationDdl =
+    "CREATE TABLE public.nation (n_nationkey bigint NOT NULL, n_name text, n_regionkey bigint);"
+  private val NationFk =
+    "ALTER TABLE ONLY public.nation ADD CONSTRAINT nation_region_fkey " +
+      "FOREIGN KEY (n_regionkey) REFERENCES public.region (r_regionkey);"
+
+  /** A complete synthetic dump of `nation`: header DDL, one INSERT per
+    * row, FK footer — ordered like a real `pg_dump` stream.
+    */
+  private def nationDump(s: SparkSession, dir: String): Dataset[Statement] = {
+    import s.implicits._
+    val inserts = DumpSink.toInsertStatements(
+      Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      "public", "nation")
+    DumpReader.statementsFromStrings(
+      s, Seq(NationDdl).toDS().union(inserts).union(Seq(NationFk).toDS()))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_dump_roundtrip" -> ((s, dir) => {
@@ -36,7 +61,58 @@ object IngestQueries {
       val parsed = DumpReader.statementsFromStrings(s, stmts)
       DumpReader.tableStats(parsed)
         .select(col("database"), col("table"), col("total_rows"))
-    })
+    }),
+
+    // S7: statement classification by kind over a full dump
+    // (reference get_row_type, source/postgres.rs:448-497).
+    "s7_row_classifier" -> ((s, dir) =>
+      nationDump(s, dir).toDF().groupBy(col("kind")).agg(count(lit(1)).as("n"))),
+
+    // A2: dump header — everything before the first INSERT
+    // (subset/src/postgres.rs:431-439,454-476).
+    "a2_dump_header" -> ((s, dir) =>
+      DumpReader.headerFooter(nationDump(s, dir))._1.select(col("kind"), col("table"))),
+
+    // A3: dump footer — everything after the last INSERT
+    // (subset/src/postgres.rs:442-450,478-497).
+    "a3_dump_footer" -> ((s, dir) =>
+      DumpReader.headerFooter(nationDump(s, dir))._2.select(col("kind"), col("table"))),
+
+    // A5: the ordered header+rows+footer concatenation — first/last
+    // statement kind by position proves the stream order survives
+    // distribution (subset/src/postgres.rs:223-293).
+    "a5_ordered_concat" -> ((s, dir) =>
+      nationDump(s, dir).toDF().agg(
+        count(lit(1)).as("n_total"),
+        expr("min_by(kind, idx)").as("first_kind"),
+        expr("max_by(kind, idx)").as("last_kind"))),
+
+    // S10: FK extraction from the ALTER TABLE footer
+    // (subset/src/postgres.rs:662-734). DDL-only driver collect.
+    "s10_fk_edges" -> ((s, dir) => {
+      import s.implicits._
+      DumpReader.foreignKeys(nationDump(s, dir)).toDF()
+    }),
+
+    // S11: schema explain — table/column/ordinal from the CREATE TABLE
+    // header (source/postgres.rs:78-111 + dump-parser create-table
+    // column extraction, postgres/mod.rs:782-814).
+    "s11_schema_explain" -> ((s, dir) => {
+      import s.implicits._
+      val ddl = nationDump(s, dir)
+        .filter(_.kind == StatementKind.CreateTable)
+        .map(st => (st.table, st.sql)).collect()
+      ddl.toSeq.flatMap { case (t, sql) =>
+        Ddl.createTableColumns(sql).zipWithIndex.map { case (c, i) => (t, c, i.toLong) }
+      }.toDF("table_name", "column_name", "ordinal")
+    }),
+
+    // G4: order-sensitive CRC64-ECMA per table statement stream
+    // (dump-parser/src/mongodb/mod.rs:213-233). No SQL oracle (DuckDB
+    // has no CRC64) → rows-only check; the algorithm's check value is
+    // asserted in StoreSpec.
+    "g4_crc64" -> ((s, dir) =>
+      DumpReader.collectionCrc64(nationDump(s, dir)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -44,6 +120,26 @@ object IngestQueries {
       ("SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey, " +
         "c_acctbal, c_mktsegment FROM customer"),
     "s5_dump_stats" ->
-      "SELECT 'public' AS database, 'orders' AS \"table\", COUNT(*) AS total_rows FROM orders"
+      "SELECT 'public' AS database, 'orders' AS \"table\", COUNT(*) AS total_rows FROM orders",
+    "s7_row_classifier" ->
+      ("SELECT 'create_table' AS kind, CAST(1 AS BIGINT) AS n " +
+        "UNION ALL SELECT 'insert_into', COUNT(*) FROM nation " +
+        "UNION ALL SELECT 'alter_table', CAST(1 AS BIGINT)"),
+    "a2_dump_header" ->
+      "SELECT 'create_table' AS kind, 'nation' AS \"table\"",
+    "a3_dump_footer" ->
+      "SELECT 'alter_table' AS kind, 'nation' AS \"table\"",
+    "a5_ordered_concat" ->
+      ("SELECT (SELECT COUNT(*) FROM nation) + 2 AS n_total, " +
+        "'create_table' AS first_kind, 'alter_table' AS last_kind"),
+    "s10_fk_edges" ->
+      ("SELECT 'public' AS fromDatabase, 'nation' AS fromTable, 'n_regionkey' AS fromCol, " +
+        "'public' AS toDatabase, 'region' AS toTable, 'r_regionkey' AS toCol"),
+    "s11_schema_explain" ->
+      ("SELECT * FROM (VALUES " +
+        "('nation', 'n_nationkey', CAST(0 AS BIGINT)), " +
+        "('nation', 'n_name', CAST(1 AS BIGINT)), " +
+        "('nation', 'n_regionkey', CAST(2 AS BIGINT))) " +
+        "AS t(table_name, column_name, ordinal)")
   )
 }

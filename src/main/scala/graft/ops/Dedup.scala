@@ -138,8 +138,14 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
     * the token-hash bits. Near-dups have small Hamming distance.
+    * Dispatches to the native codegen'd `SimHash64Expr` (registered via
+    * `GraftExtensions`); `simhash64Hof` is the pure-HOF reference
+    * formulation the expression is parity-tested against.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash64", text)
+
+  private[graft] def simhash64Hof(text: Column): Column = {
     val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
     val votes = aggregate(
       hashes,

@@ -62,6 +62,19 @@ object TransformQueries {
           redacted(col("c_name")).as("c_name_red"),
           redacted(col("c_mktsegment"), '#', 4).as("c_seg_red"))),
 
+    // T9: custom transformer plugin, the Spark analog of the WASM
+    // extension point — registers the reference's own example
+    // (reverse-string, `examples/wasm/`) and applies it through a
+    // binding like any built-in.
+    "t9_custom_plugin" -> ((s, dir) => {
+      import graft.model.TransformerBinding
+      graft.transform.Transformers.registerCustom("reverse-string", c => reverse(c))
+      graft.transform.Transformers.applyBindings(
+        Tables.customer(s, dir),
+        Seq(TransformerBinding("public", "customer", "c_name", "reverse-string")))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
     "t10_random_date" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), randomDate(col("o_orderkey")).as("o_fake_date"))),
@@ -101,6 +114,8 @@ object TransformQueries {
     "t8_redacted" ->
       (s"SELECT c_custkey, ${redactedSql("c_name")} AS c_name_red, " +
         s"${redactedSql("c_mktsegment", '#', 4)} AS c_seg_red FROM customer"),
+    "t9_custom_plugin" ->
+      "SELECT c_custkey, reverse(c_name) AS c_name FROM customer",
     "t10_random_date" ->
       s"SELECT o_orderkey, ${randomDateSql("o_orderkey")} AS o_fake_date FROM orders",
     "t_pipeline_bindings" ->

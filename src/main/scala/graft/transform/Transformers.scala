@@ -161,6 +161,19 @@ object Transformers {
     s"DATE '2000-01-01' + ((ascii(substr($h,1,1)) * 100 + ascii(substr($h,2,1))) % 3650)"
   }
 
+  /** T9 extension point: user-registered transformers, the Spark
+    * equivalent of the reference's WASM transformer
+    * (`transformer/custom_wasm.rs:28-99`) — instead of piping every
+    * cell through a WASM process, a plugin contributes a `Column`
+    * expression factory under an id and binds it like any built-in, so
+    * the user logic stays inside codegen. Process-boundary UDFs remain
+    * possible (an `udf()` is a valid factory) but are opt-in.
+    */
+  private val custom =
+    new scala.collection.concurrent.TrieMap[String, Column => Column]()
+
+  def registerCustom(id: String, fn: Column => Column): Unit = custom.put(id, fn)
+
   /** Registry: transformer id → expression factory, mirroring
     * `transformers()` `replibyte/src/transformer/mod.rs:25-37`.
     */
@@ -177,7 +190,8 @@ object Transformers {
       val w = options.getOrElse("width", "10").toInt
       redacted(_, ch, w)
     case "random-date" => randomDate
-    case other => throw new IllegalArgumentException(s"unknown transformer id: $other")
+    case other => custom.getOrElse(other,
+      throw new IllegalArgumentException(s"unknown transformer id: $other"))
   }
 
   /** Apply bindings to a table DataFrame, dispatching on column type the
@@ -208,6 +222,9 @@ object Transformers {
       case ("keep-first-char", ByteType | ShortType | IntegerType | LongType) => keepFirstDigit(c)
       case ("keep-first-char", _) => c
       case ("random-date", DateType | TimestampType) => randomDate(c)
+      // registered custom transformers see every type — the reference's
+      // WASM transformer also receives all 5 value variants
+      case (id, _) if custom.contains(id) => custom(id)(c)
       case (id, _: StringType) => byId(id, b.options)(c)
       case ("transient", _) => c
       case _ => c // type mismatch → pass through, reference semantics

@@ -66,6 +66,16 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0).getAs[Number]("hamming").longValue == 0L)
   }
 
+  test("simhash: native expression bit-identical to the HOF formulation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text")
+      .union(Seq("", "   ", "one", "Mixed CASE  spacing\ttabs").toDF("text"))
+    val cmp = docs.select(
+      Dedup.simhash64($"text").as("native"),
+      Dedup.simhash64Hof($"text").as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

@@ -84,6 +84,16 @@ class TransformersSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("t9: custom plugin transformer — involution (reference custom_wasm.rs:190-221)") {
+    Transformers.registerCustom("reverse-string", c => reverse(c))
+    val df = Seq("hello world", "", "ab").toDF("v")
+    val twice = Transformers.applyBindings(
+      Transformers.applyBindings(df, Seq(TransformerBinding("db", "t", "v", "reverse-string"))),
+      Seq(TransformerBinding("db", "t", "v", "reverse-string")))
+    assert(twice.except(df).count() == 0 && df.except(twice).count() == 0)
+    assert(one("abc", Transformers.byId("reverse-string")) == "cba")
+  }
+
   test("applyBindings: only bound columns change, type mismatch passes through") {
     val df = Tables.customer(spark, sfDir)
     val bound = Transformers.applyBindings(

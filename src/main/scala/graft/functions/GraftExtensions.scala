@@ -16,5 +16,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -78,9 +78,16 @@ object Dedup {
   /** MinHash signature of the document's n-gram set: `numHashes`
     * independent functions simulated as `xxhash64(i, gram)`; element i
     * of the signature is the min over grams. Deterministic (xxhash64 is
-    * seeded with the literal index column).
+    * seeded with the literal index column). Dispatches to the native
+    * codegen'd `MinHashSigExpr` (registered via `GraftExtensions`),
+    * which is NULL for docs with fewer than `n` tokens;
+    * `minhashSignatureHof` is the pure-HOF reference formulation it is
+    * parity-tested against.
     */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    call_function("graft_minhash_sig", text, lit(n), lit(numHashes))
+
+  private[graft] def minhashSignatureHof(text: Column, n: Int, numHashes: Int): Column =
     TextAnalysis.bound(array_distinct(TextAnalysis.wordNgrams(text, n))) { grams =>
       transform(
         sequence(lit(0), lit(numHashes - 1)),
@@ -119,7 +126,7 @@ object Dedup {
     // ReusedExchange.
     val sigs = df
       .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
-      .filter(col("sig").getItem(0).isNotNull) // docs with < n tokens have all-null signatures
+      .filter(col("sig").isNotNull) // docs with < n tokens have no signature
       .repartition(col("doc"))
     val buckets = sigs.select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.band"), col("bk.bucket"))

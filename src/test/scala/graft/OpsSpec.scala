@@ -66,6 +66,19 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0).getAs[Number]("hamming").longValue == 0L)
   }
 
+  test("minhash: native signature value-identical to the HOF formulation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text")
+      .union(Seq("", "one two", "one two three", "A  b\tC d").toDF("text"))
+    val cmp = docs.select(
+      Dedup.minhashSignature($"text", 3, 64).as("native"),
+      Dedup.minhashSignatureHof($"text", 3, 64).as("hof"))
+    // HOF yields an all-null array where native yields NULL; both mark
+    // docs with < n tokens. Where defined, values must agree exactly.
+    assert(cmp.filter($"native".isNull =!= $"hof".getItem(0).isNull).count() == 0)
+    assert(cmp.filter($"native".isNotNull && !($"native" <=> $"hof")).count() == 0)
+  }
+
   test("simhash: native expression bit-identical to the HOF formulation") {
     val docs = Tables.documents(spark, sfDir)
       .select($"text")

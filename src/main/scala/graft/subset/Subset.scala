@@ -78,9 +78,14 @@ object Subset {
         val merged = next.get(e.toTable).map(_.unionByName(hit)).getOrElse(hit)
         next(e.toTable) = merged
       }
-      // materialize the new frontier per table; empty frontiers drop out
+      // Materialize each level's frontier with localCheckpoint: it
+      // truncates lineage (otherwise every level nests the whole prior
+      // join tree into the plan — at BFS depth d the un-truncated plan
+      // is O(edges^d)) and computes the frontier exactly once for the
+      // emptiness probe, the next level's joins, and the final
+      // consumers. Empty frontiers drop out.
       val pruned = next.toMap
-        .map { case (t, df) => t -> df.dropDuplicates() }
+        .map { case (t, df) => t -> df.dropDuplicates().localCheckpoint(true) }
         .filter { case (_, df) => !df.isEmpty }
       selected = pruned.foldLeft(selected) { case (acc, (t, df)) =>
         acc + (t -> acc.get(t).map(_.unionByName(df).dropDuplicates()).getOrElse(df))

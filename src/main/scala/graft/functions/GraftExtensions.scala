@@ -24,5 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children.head,
         children(1).eval().asInstanceOf[Number].intValue,
         children(2).eval().asInstanceOf[Number].intValue)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineExpr(children.head, children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => LshBucketExpr(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue,
+        children(3).eval().asInstanceOf[Number].longValue)))
   }
 }

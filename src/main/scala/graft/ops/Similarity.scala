@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two `array<float/double>` columns (computed in
-    * double, sequential fold in index order).
+    * double, sequential fold in index order). Dispatches to the native
+    * codegen'd `CosineExpr` (registered via `GraftExtensions`);
+    * `cosineHof` is the pure-HOF reference formulation it is
+    * parity-tested against.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -55,8 +61,17 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Bit-signature bucket id for a vector under the given planes. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+  /** Bit-signature bucket id for a vector under deterministic planes —
+    * native codegen'd `LshBucketExpr`, which derives the same
+    * `Random(seed).nextGaussian` planes as [[hyperplanes]].
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
+    call_function("graft_lsh_bucket", vec, lit(numPlanes), lit(dim), lit(seed))
+
+  /** Pure-HOF bucket formulation over explicit planes — the reference
+    * the native expression is parity-tested against.
+    */
+  private[graft] def lshBucketHof(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.map(lit): _*)
       val dot = aggregate(zip_with(vec, planeArr, (x, y) => x.cast("double") * y),
@@ -85,10 +100,9 @@ object Similarity {
       multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val candidates = seeds.map { seed =>
-      val planes = hyperplanes(numPlanes, dim, seed)
       val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-        lshBucket(col(vec), planes).as("bucket"))
-      val exact = lshBucket(col(vec), planes)
+        lshBucket(col(vec), numPlanes, dim, seed).as("bucket"))
+      val exact = lshBucket(col(vec), numPlanes, dim, seed)
       val probes =
         if (!multiProbe) array(exact)
         else array(exact +: (0 until numPlanes).map(i =>

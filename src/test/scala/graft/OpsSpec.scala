@@ -89,6 +89,20 @@ class OpsSpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("vector natives: cosine and lsh bucket match the HOF formulations") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val pairs = emb.as("l").crossJoin(emb.as("r").limit(5))
+    val ccmp = pairs.select(
+      Similarity.cosine($"l.embedding", $"r.embedding").as("native"),
+      Similarity.cosineHof($"l.embedding", $"r.embedding").as("hof"))
+    assert(ccmp.filter(!($"native" <=> $"hof")).count() == 0)
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val bcmp = emb.select(
+      Similarity.lshBucket($"embedding", 8, 64, 42L).as("native"),
+      Similarity.lshBucketHof($"embedding", planes).as("hof"))
+    assert(bcmp.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

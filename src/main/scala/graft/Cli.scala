@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.GraftConfig
+import graft.pipeline.Pipeline
+import graft.store.Datastore
+
+/** CLI mirroring the reference's command tree (`replibyte/src/cli.rs:
+  * 20-134`, dispatch `main.rs:167-199`):
+  *
+  *   graft -c conf.yaml dump create [name]
+  *   graft -c conf.yaml dump list
+  *   graft -c conf.yaml dump delete <name> | --older-than <days> | --keep-last <n>
+  *   graft -c conf.yaml dump restore <name|latest>
+  *   graft -c conf.yaml source schema
+  *   graft -c conf.yaml transformer list
+  *
+  * Run via `sbt "runMain graft.Cli -c conf.yaml dump create"` or a
+  * spark-submit of the assembled jar.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    try {
+      val code = run(args.toSeq, spark, Console.out.println(_: String))
+      if (code != 0) sys.exit(code)
+    } finally spark.stop()
+  }
+
+  /** Testable entry: returns an exit code, prints through `out`. */
+  def run(args: Seq[String], spark: SparkSession, out: String => Unit): Int = {
+    val (confPath, rest) = args match {
+      case Seq("-c", p, tail @ _*) => (Some(p), tail)
+      case other => (None, other)
+    }
+    def config: GraftConfig = GraftConfig.load(confPath.getOrElse(
+      throw new IllegalArgumentException("missing -c <config.yaml>")))
+
+    rest match {
+      case Seq("transformer", "list") =>
+        // reference `transformer list` (`commands/transformer.rs`)
+        graft.transform.Transformers.ids.foreach(out)
+        0
+
+      case Seq("source", "schema") =>
+        // reference `source schema` (`commands/source.rs:10-56`)
+        val c = config
+        tableNames(c).foreach { t =>
+          out(s"table: ${c.sourceConf.db}.$t")
+          out(Tables.load(spark, c.tablesDir, t).schema.treeString)
+        }
+        0
+
+      case Seq("dump", "create", nameArgs @ _*) =>
+        val c = config
+        val name = nameArgs.headOption.getOrElse(s"dump-${System.currentTimeMillis()}")
+        val store = new Datastore(c.datastore.map(_.rootUri).getOrElse(
+          throw new IllegalArgumentException("config requires a datastore section")), spark)
+        val job = Pipeline.DumpJobConfig(
+          tables = tableNames(c),
+          database = c.sourceConf.db,
+          filters = c.filters,
+          bindings = c.bindings,
+          subset = c.subsetConfig,
+          fkEdges = Nil,
+          compressed = c.datastore.flatMap(_.compression).getOrElse(true),
+          encryptionKey = c.encryptionKey)
+        Pipeline.dump(spark, t => Tables.load(spark, c.tablesDir, t), store, name, job)
+        out(s"dump created: $name")
+        0
+
+      case Seq("dump", "list") =>
+        // reference `dump list` sorts most-recent-first (`commands/dump.rs:37-65`)
+        val store = new Datastore(config.datastore.get.rootUri, spark)
+        store.catalogOps.list().foreach { d =>
+          out(s"${d.directoryName}\t${d.size}\t${d.createdAt}\t" +
+            s"compressed=${d.compressed}\tencrypted=${d.encrypted}")
+        }
+        0
+
+      case Seq("dump", "delete", "--older-than", days) =>
+        val store = new Datastore(config.datastore.get.rootUri, spark)
+        val threshold = System.currentTimeMillis() - days.toLong * 24L * 3600 * 1000
+        store.catalogOps.deleteOlderThan(threshold).foreach(n => out(s"deleted: $n"))
+        0
+
+      case Seq("dump", "delete", "--keep-last", n) =>
+        val store = new Datastore(config.datastore.get.rootUri, spark)
+        store.catalogOps.keepLast(n.toInt).foreach(x => out(s"deleted: $x"))
+        0
+
+      case Seq("dump", "delete", name) =>
+        val store = new Datastore(config.datastore.get.rootUri, spark)
+        store.catalogOps.delete(name)
+        out(s"deleted: $name")
+        0
+
+      case Seq("dump", "restore", nameArg) =>
+        val c = config
+        val store = new Datastore(c.datastore.get.rootUri, spark)
+        val name =
+          if (nameArg == "latest")
+            store.catalogOps.latest().map(_.directoryName).getOrElse {
+              out("no dumps in catalog"); return 1
+            }
+          else nameArg
+        val dest = c.destination.getOrElse(
+          throw new IllegalArgumentException("config requires a destination section"))
+        val outDir = dest.output_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+          throw new IllegalArgumentException("destination.output_dir is required"))
+        val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
+        tables.foreach { case (t, df) =>
+          dest.format.getOrElse("parquet") match {
+            case "parquet" => df.write.mode("overwrite").parquet(s"$outDir/$t")
+            case "console" => df.show(20, truncate = false) // D5 stdout sink
+            case f => throw new IllegalArgumentException(s"unsupported destination format: $f")
+          }
+          out(s"restored: $t")
+        }
+        0
+
+      case other =>
+        out(s"unknown command: ${other.mkString(" ")}")
+        out("usage: graft -c conf.yaml " +
+          "(dump create [name] | dump list | dump delete <name|--older-than d|--keep-last n> | " +
+          "dump restore <name|latest> | source schema | transformer list)")
+        1
+    }
+  }
+
+  private def tableNames(c: GraftConfig): Seq[String] =
+    c.sourceConf.tables.getOrElse {
+      // list parquet subdirs of tables_dir (driver-side file listing)
+      val dir = new java.io.File(c.tablesDir)
+      val entries = Option(dir.list()).map(_.toSeq).getOrElse(Nil)
+      entries.filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+    }
+}

@@ -1,0 +1,145 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.model.{SourceFilters, SubsetConfig, TableRef, TransformerBinding}
+
+/** YAML job configuration — the Spark-first analog of the reference's
+  * `Config` (`replibyte/src/config.rs:17-296`): same overall shape
+  * (source / transformers / skip / only / subset / datastore /
+  * destination / encryption_key), with connection URIs replaced by
+  * table locations a Spark job reads (parquet dir today, JDBC later).
+  *
+  * All fields deserialize as Options so a partial YAML stays valid;
+  * accessors apply the defaults.
+  */
+final case class ColumnTransformerConf(
+    name: Option[String],
+    transformer_name: Option[String],
+    options: Option[Map[String, String]])
+
+final case class TableTransformerConf(
+    database: Option[String],
+    table: Option[String],
+    columns: Option[Seq[ColumnTransformerConf]])
+
+final case class SourceConf(
+    tables_dir: Option[String],
+    tables: Option[Seq[String]],
+    database: Option[String],
+    skip_tables: Option[Seq[String]],
+    only_tables: Option[Seq[String]],
+    transformers: Option[Seq[TableTransformerConf]]) {
+  def db: String = database.getOrElse("public")
+}
+
+final case class SubsetConf(
+    database: Option[String],
+    table: Option[String],
+    seed_key: Option[String],
+    percent: Option[Double],
+    passthrough_tables: Option[Seq[String]])
+
+final case class LocalDiskConf(dir: Option[String])
+
+final case class DatastoreConf(
+    local_disk: Option[LocalDiskConf],
+    bucket: Option[String],
+    compression: Option[Boolean]) {
+  /** Hadoop FS URI of the datastore root: a local dir or an `s3a://`
+    * bucket (the reference's S3/GCS clients are Hadoop connectors here,
+    * SURVEY §2.9 X5).
+    */
+  def rootUri: String =
+    local_disk.flatMap(_.dir).map(GraftConfig.substituteEnvVar)
+      .orElse(bucket.map(b => s"s3a://${GraftConfig.substituteEnvVar(b)}"))
+      .getOrElse(throw new IllegalArgumentException(
+        "datastore requires local_disk.dir or bucket"))
+}
+
+final case class DestinationConf(
+    output_dir: Option[String],
+    format: Option[String],
+    wipe: Option[Boolean])
+
+final case class GraftConfig(
+    source: Option[SourceConf],
+    datastore: Option[DatastoreConf],
+    destination: Option[DestinationConf],
+    subset: Option[SubsetConf],
+    encryption_key: Option[String]) {
+
+  def sourceConf: SourceConf =
+    source.getOrElse(throw new IllegalArgumentException("config requires a source section"))
+
+  def encryptionKey: Option[String] = encryption_key.map(GraftConfig.substituteEnvVar)
+
+  def tablesDir: String =
+    sourceConf.tables_dir.map(GraftConfig.substituteEnvVar)
+      .getOrElse(throw new IllegalArgumentException("source.tables_dir is required"))
+
+  /** skip/only as TableRefs ("table" or "db.table" accepted). */
+  def filters: SourceFilters = {
+    def refs(xs: Option[Seq[String]]) = xs.getOrElse(Nil).map { s =>
+      s.split('.') match {
+        case Array(d, t) => TableRef(d, t)
+        case Array(t) => TableRef(sourceConf.db, t)
+        case _ => throw new IllegalArgumentException(s"bad table ref: $s")
+      }
+    }
+    SourceFilters(refs(sourceConf.skip_tables), refs(sourceConf.only_tables))
+  }
+
+  /** Flattened per-column transformer bindings, mirroring the
+    * reference's `(db, table, column) -> transformer` map
+    * (`config.rs:267-296`).
+    */
+  def bindings: Seq[TransformerBinding] =
+    for {
+      t <- sourceConf.transformers.getOrElse(Nil)
+      c <- t.columns.getOrElse(Nil)
+    } yield TransformerBinding(
+      t.database.getOrElse(sourceConf.db),
+      t.table.getOrElse(throw new IllegalArgumentException("transformer requires table")),
+      c.name.getOrElse(throw new IllegalArgumentException("transformer column requires name")),
+      c.transformer_name.getOrElse(
+        throw new IllegalArgumentException("transformer column requires transformer_name")),
+      c.options.getOrElse(Map.empty))
+
+  def subsetConfig: Option[SubsetConfig] = subset.map { s =>
+    SubsetConfig(
+      s.database.getOrElse(sourceConf.db),
+      s.table.getOrElse(throw new IllegalArgumentException("subset requires table")),
+      s.seed_key.getOrElse(throw new IllegalArgumentException("subset requires seed_key")),
+      s.percent.getOrElse(100.0),
+      s.passthrough_tables.getOrElse(Nil))
+  }
+}
+
+object GraftConfig {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  /** Whole-value `$KEY` env substitution — reference
+    * `substitute_env_var` (`config.rs:511-528`): a value starting with
+    * `$` resolves from the environment, missing var is an error,
+    * anything else passes through.
+    */
+  def substituteEnvVar(value: String): String =
+    if (value.startsWith("$") && value.length > 1) {
+      val key = value.substring(1)
+      sys.env.getOrElse(key,
+        throw new IllegalArgumentException(s"environment variable '$key' is missing"))
+    } else value
+
+  def fromYaml(text: String): GraftConfig =
+    mapper.readValue(text, classOf[GraftConfig])
+
+  def load(path: String): GraftConfig =
+    fromYaml(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+}

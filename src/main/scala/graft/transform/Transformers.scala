@@ -174,6 +174,15 @@ object Transformers {
 
   def registerCustom(id: String, fn: Column => Column): Unit = custom.put(id, fn)
 
+  /** Built-in transformer ids plus registered customs — the
+    * `transformer list` surface (`transformers()`,
+    * `replibyte/src/transformer/mod.rs:25-37`).
+    */
+  def ids: Seq[String] =
+    (Seq("email", "first-name", "phone-number", "credit-card", "random",
+      "keep-first-char", "transient", "redacted", "random-date") ++
+      custom.keys.toSeq.sorted)
+
   /** Registry: transformer id → expression factory, mirroring
     * `transformers()` `replibyte/src/transformer/mod.rs:25-37`.
     */

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config.GraftConfig
+
+/** End-to-end CLI coverage: YAML config → dump create → list →
+  * restore → retention, mirroring the reference's command surface
+  * (`replibyte/src/cli.rs:20-134`).
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeConf(storeDir: String, restoreDir: String): String = {
+    val yaml =
+      s"""source:
+         |  tables_dir: $sfDir
+         |  tables: [customer, nation]
+         |  skip_tables: [public.nation]
+         |  transformers:
+         |    - database: public
+         |      table: customer
+         |      columns:
+         |        - name: c_name
+         |          transformer_name: email
+         |datastore:
+         |  local_disk:
+         |    dir: $storeDir
+         |  compression: true
+         |destination:
+         |  output_dir: $restoreDir
+         |encryption_key: $$GRAFT_TEST_MISSING_FALLBACK
+         |""".stripMargin
+    // encryption key via env substitution must error when missing — so
+    // drop it for the happy-path config
+    val conf = Files.createTempFile("graft-conf-", ".yaml")
+    Files.writeString(conf, yaml.linesIterator.filterNot(_.startsWith("encryption_key")).mkString("\n"))
+    conf.toString
+  }
+
+  test("config: env substitution errors on missing var, passes values through") {
+    assert(GraftConfig.substituteEnvVar("plain") == "plain")
+    assert(GraftConfig.substituteEnvVar("$PATH") == sys.env("PATH"))
+    intercept[IllegalArgumentException] {
+      GraftConfig.substituteEnvVar("$GRAFT_SURELY_NOT_SET_12345")
+    }
+  }
+
+  test("cli: dump create -> list -> restore roundtrip with skip + transformer") {
+    val store = Files.createTempDirectory("graft-cli-store-").toString
+    val restore = Files.createTempDirectory("graft-cli-restore-").toString
+    val conf = writeConf(store, restore)
+    val printed = collection.mutable.Buffer[String]()
+
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "cli-test"), spark, printed += _) == 0)
+    assert(printed.exists(_.contains("dump created: cli-test")))
+
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "list"), spark, printed += _) == 0)
+    assert(printed.exists(_.startsWith("cli-test")))
+
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "restore", "latest"), spark, printed += _) == 0)
+    // nation was skipped: only customer restored
+    assert(printed.count(_.startsWith("restored:")) == 1)
+
+    val restored = spark.read.parquet(s"$restore/customer")
+    val orig = Tables.customer(spark, sfDir)
+    assert(restored.count() == orig.count())
+    // transformer applied: every c_name anonymized
+    assert(restored.filter($"c_name".endsWith("@example.com")).count() == orig.count())
+
+    // retention: keep-last 0 deletes everything
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "delete", "--keep-last", "0"), spark, printed += _) == 0)
+    assert(Cli.run(Seq("-c", conf, "dump", "list"), spark, printed += _) == 0)
+    assert(!printed.exists(_.startsWith("cli-test")))
+  }
+
+  test("cli: transformer list and unknown command exit codes") {
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("transformer", "list"), spark, printed += _) == 0)
+    assert(printed.contains("email") && printed.contains("redacted"))
+    assert(Cli.run(Seq("bogus"), spark, printed += _) == 1)
+  }
+}

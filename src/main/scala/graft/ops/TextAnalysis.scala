@@ -35,6 +35,19 @@ object TextAnalysis {
   def tokenCountSql(x: String): String =
     s"len(regexp_split_to_array(trim($x), '\\s+'))"
 
+  /** BPE-ish sub-word token count: letter runs, single digits, and
+    * single non-alphanumeric marks — the GPT-2-style pre-tokenizer
+    * shape reduced to explicit ASCII classes so Java regex and RE2
+    * (DuckDB) agree match-for-match.
+    */
+  private val BpeClass = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeClass), lit(0)))
+
+  def bpeTokenCountSql(x: String): String =
+    s"len(regexp_extract_all($x, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+
   /** Punctuation chars (explicit class so Java regex and RE2 agree). */
   private val PunctClass = """[.,;:!?"()\[\]{}_-]"""
 

@@ -20,6 +20,10 @@ object OpsQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))),
 
+    "x_bpe_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
     "x_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"))),
@@ -89,6 +93,8 @@ object OpsQueries {
   val oracle: Map[String, String] = Map(
     "x_token_count" ->
       s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_bpe_token_count" ->
+      s"SELECT doc_id, ${TA.bpeTokenCountSql("text")} AS n_bpe_tokens FROM documents",
     "x_lang_id" ->
       s"SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents",
     "x_quality_score" ->

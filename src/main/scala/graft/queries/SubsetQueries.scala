@@ -51,6 +51,20 @@ object SubsetQueries {
       summary(Seq("lineitem", "orders", "customer", "nation", "region").map(t => t -> closed(t)))
     }),
 
+    // J5 (scale): salted equi-join — result identical to the plain
+    // join (the oracle IS the plain join), distribution spread over 8
+    // sub-keys per key for the hot-key case AQE can't split.
+    "j5_salted_join" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val small = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Joins.saltedEquiJoin(
+        big, small, "l_orderkey",
+        struct(col("l_orderkey"), col("l_linenumber")), 8)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    }),
+
     // J3: exact dedup with canonical representative (reference's
     // md5-seen-set dedup, subset/src/dedup.rs:9-63, as a groupBy).
     "j3_dedup_exact" -> ((s, dir) =>
@@ -83,6 +97,9 @@ object SubsetQueries {
          |UNION ALL SELECT 'customer', COUNT(*) FROM c
          |UNION ALL SELECT 'nation', COUNT(*) FROM n
          |UNION ALL SELECT 'region', COUNT(*) FROM r""".stripMargin),
+    "j5_salted_join" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
     "j3_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "j4_passthrough_union" ->

@@ -28,6 +28,26 @@ class IngestSpec extends SparkSpec {
       |    ADD CONSTRAINT fk_orders_customers FOREIGN KEY (customer_id) REFERENCES public.customers(customer_id);
       |""".stripMargin
 
+  test("mysql dialect: backtick idents, table-only names, hex-ish strings") {
+    // mirrors the reference's MySQL tokenizer quirks: backtick idents
+    // (`dump-parser/src/mysql/mod.rs:317`), no schema prefix
+    // (`source/mysql.rs:170-177`)
+    val stmt = "INSERT INTO `world`.`city` (`ID`, `Name`, `Population`) " +
+      "VALUES (1, 'Kabul''s center', 1780000);"
+    assert(StatementSplitter.tableRef(stmt).contains(("world", "city")))
+    val ins = InsertParser.parse(stmt).get
+    assert(ins.columns == Vector("ID", "Name", "Population"))
+    assert(ins.values(1) == InsertParser.SqlString("Kabul's center"))
+    assert(ins.values(2) == InsertParser.SqlLong(1780000L))
+    val bare = "INSERT INTO `city` (`ID`) VALUES (2);"
+    assert(StatementSplitter.tableRef(bare).contains(("public", "city")))
+    assert(Ddl.foreignKey(
+      "ALTER TABLE `city` ADD CONSTRAINT fk FOREIGN KEY (`CountryCode`) " +
+        "REFERENCES `country` (`Code`);").exists(e =>
+      e.fromTable == "city" && e.fromCol == "CountryCode" &&
+        e.toTable == "country" && e.toCol == "Code"))
+  }
+
   test("splitter: statements spanning lines, quoted semicolons, comments") {
     val stmts = StatementSplitter.split(dump)
     val kinds = stmts.map(_.kind)

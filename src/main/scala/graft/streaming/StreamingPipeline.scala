@@ -1,11 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, Trigger}
 
 import graft.model.TransformerBinding
 import graft.transform.Transformers
+
+/** Running per-user progress state — the reference's G2 progress
+  * aggregation (`subset/src/lib.rs:15-30`) as continuous keyed state.
+  */
+final case class UserProgress(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming analog of the reference's bounded pipeline
   * (SURVEY §2.10): the reference's producer/consumer chunking
@@ -41,6 +46,35 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Custom keyed state via `mapGroupsWithState`: a running
+    * (n_events, total_value) per user, updated each micro-batch — the
+    * reference emits the same running totals through its progress
+    * callbacks (`subset/src/postgres.rs:241-267`). State size is
+    * O(distinct users), not O(events); add a `GroupStateTimeout` to
+    * bound it when users churn.
+    *
+    * Works on a batch OR streaming Dataset (Spark runs the same
+    * operator either way — the batch form is what the DuckDB oracle
+    * can check).
+    */
+  def progressByUser(events: DataFrame): Dataset[UserProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), coalesce(col("value"), lit(0.0)))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserProgress, UserProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[(Long, Double)], state: GroupState[UserProgress]) =>
+          var n = state.getOption.map(_.n_events).getOrElse(0L)
+          var total = state.getOption.map(_.total_value).getOrElse(0.0)
+          batch.foreach { case (_, v) => n += 1; total += v }
+          val updated = UserProgress(uid, n, total)
+          state.update(updated)
+          updated
+      }
+  }
 
   /** Write a transformed stream to parquet in availableNow mode —
     * processes everything present, then stops: the exact semantic of

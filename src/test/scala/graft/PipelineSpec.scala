@@ -66,6 +66,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.join(batch, Seq("c_custkey"), "left_anti").count() == 0)
   }
 
+  test("streaming: mapGroupsWithState running progress matches batch groupBy") {
+    import graft.streaming.StreamingPipeline
+    val events = Tables.events(spark, sfDir)
+    val stateful = StreamingPipeline.progressByUser(events).toDF()
+    val batch = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum(coalesce($"value", lit(0.0))).as("total_value"))
+    val joined = stateful.as("s").join(batch.as("b"), Seq("user_id"))
+    assert(stateful.count() == batch.count())
+    assert(joined.filter($"s.n_events" =!= $"b.n_events").count() == 0)
+    // double-sum fold order differs between keyed-state iteration and
+    // hash-aggregate partials — equal up to fp reassociation
+    assert(joined.filter(abs($"s.total_value" - $"b.total_value") > 1e-6).count() == 0)
+
+    // and as a real stream: update-mode memory sink over the same rows
+    val inDir = java.nio.file.Files.createTempDirectory("graft-state-in").toString
+    events.select("user_id", "value").write.mode("overwrite").parquet(inDir)
+    val src = spark.readStream
+      .schema(events.select("user_id", "value").schema).parquet(inDir)
+    val q = StreamingPipeline.progressByUser(src).writeStream
+      .format("memory").queryName("progress_state").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val last = spark.table("progress_state")
+      .groupBy($"user_id").agg(max($"n_events").as("n_events"))
+    assert(last.join(batch, Seq("user_id"))
+      .filter(last("n_events") =!= batch("n_events")).count() == 0)
+  }
+
   test("streaming: watermarked windowed event counts plan is valid") {
     import graft.streaming.StreamingPipeline
     // batch DataFrame through the same aggregation validates the logic

@@ -47,7 +47,7 @@ object Cli {
       case Seq("source", "schema") =>
         // reference `source schema` (`commands/source.rs:10-56`)
         val c = config
-        tableNames(c).foreach { t =>
+        tableNames(c, spark).foreach { t =>
           out(s"table: ${c.sourceConf.db}.$t")
           out(Tables.load(spark, c.tablesDir, t).schema.treeString)
         }
@@ -56,10 +56,9 @@ object Cli {
       case Seq("dump", "create", nameArgs @ _*) =>
         val c = config
         val name = nameArgs.headOption.getOrElse(s"dump-${System.currentTimeMillis()}")
-        val store = new Datastore(c.datastore.map(_.rootUri).getOrElse(
-          throw new IllegalArgumentException("config requires a datastore section")), spark)
+        val store = new Datastore(datastoreUri(c), spark)
         val job = Pipeline.DumpJobConfig(
-          tables = tableNames(c),
+          tables = tableNames(c, spark),
           database = c.sourceConf.db,
           filters = c.filters,
           bindings = c.bindings,
@@ -73,7 +72,7 @@ object Cli {
 
       case Seq("dump", "list") =>
         // reference `dump list` sorts most-recent-first (`commands/dump.rs:37-65`)
-        val store = new Datastore(config.datastore.get.rootUri, spark)
+        val store = new Datastore(datastoreUri(config), spark)
         store.catalogOps.list().foreach { d =>
           out(s"${d.directoryName}\t${d.size}\t${d.createdAt}\t" +
             s"compressed=${d.compressed}\tencrypted=${d.encrypted}")
@@ -81,25 +80,25 @@ object Cli {
         0
 
       case Seq("dump", "delete", "--older-than", days) =>
-        val store = new Datastore(config.datastore.get.rootUri, spark)
+        val store = new Datastore(datastoreUri(config), spark)
         val threshold = System.currentTimeMillis() - days.toLong * 24L * 3600 * 1000
         store.catalogOps.deleteOlderThan(threshold).foreach(n => out(s"deleted: $n"))
         0
 
       case Seq("dump", "delete", "--keep-last", n) =>
-        val store = new Datastore(config.datastore.get.rootUri, spark)
+        val store = new Datastore(datastoreUri(config), spark)
         store.catalogOps.keepLast(n.toInt).foreach(x => out(s"deleted: $x"))
         0
 
       case Seq("dump", "delete", name) =>
-        val store = new Datastore(config.datastore.get.rootUri, spark)
+        val store = new Datastore(datastoreUri(config), spark)
         store.catalogOps.delete(name)
         out(s"deleted: $name")
         0
 
       case Seq("dump", "restore", nameArg) =>
         val c = config
-        val store = new Datastore(c.datastore.get.rootUri, spark)
+        val store = new Datastore(datastoreUri(c), spark)
         val name =
           if (nameArg == "latest")
             store.catalogOps.latest().map(_.directoryName).getOrElse {
@@ -130,11 +129,17 @@ object Cli {
     }
   }
 
-  private def tableNames(c: GraftConfig): Seq[String] =
+  private def datastoreUri(c: GraftConfig): String =
+    c.datastore.map(_.rootUri).getOrElse(
+      throw new IllegalArgumentException("config requires a datastore section"))
+
+  private def tableNames(c: GraftConfig, spark: SparkSession): Seq[String] =
     c.sourceConf.tables.getOrElse {
-      // list parquet subdirs of tables_dir (driver-side file listing)
-      val dir = new java.io.File(c.tablesDir)
-      val entries = Option(dir.list()).map(_.toSeq).getOrElse(Nil)
-      entries.filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+      // driver-side *name* listing via the Hadoop FS API, so tables_dir
+      // may be local, s3a://, or gs:// alike
+      val p = new org.apache.hadoop.fs.Path(c.tablesDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSeq
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
     }
 }

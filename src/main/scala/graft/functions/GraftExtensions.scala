@@ -11,6 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def literal(fn: String, args: Seq[Expression], i: Int, what: String): Number = {
+    if (args.length <= i)
+      throw new IllegalArgumentException(
+        s"$fn requires ${i + 1}+ arguments ($what missing)")
+    val e = args(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} ($what) must be a literal, got: ${e.sql}")
+    e.eval().asInstanceOf[Number]
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
@@ -22,8 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(
         children.head,
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue)))
+        literal("graft_minhash_sig", children, 1, "n").intValue,
+        literal("graft_minhash_sig", children, 2, "numHashes").intValue)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
@@ -35,8 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucketExpr(
         children.head,
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue,
-        children(3).eval().asInstanceOf[Number].longValue)))
+        literal("graft_lsh_bucket", children, 1, "numPlanes").intValue,
+        literal("graft_lsh_bucket", children, 2, "dim").intValue,
+        literal("graft_lsh_bucket", children, 3, "seed").longValue)))
   }
 }

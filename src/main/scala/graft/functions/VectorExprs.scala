@@ -46,6 +46,7 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on dim mismatch / null elements
   override def prettyName: String = "graft_cosine"
 
   private lazy val leftIsFloat = VectorExprs.isFloatArray(left.dataType)
@@ -57,8 +58,12 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
       b.asInstanceOf[ArrayData], rightIsFloat)
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineExpr.compute($a, $leftIsFloat, $b, $rightIsFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.CosineExpr.compute($a, $leftIsFloat, $b, $rightIsFloat);
+      ${ev.isNull} = ${ev.value}_r == null;
+      ${ev.value} = ${ev.isNull} ? -1.0 : ${ev.value}_r.doubleValue();
+    """)
 
   protected override def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpr =
@@ -66,31 +71,31 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object CosineExpr {
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    // zip_with semantics: the zipped length is the longer input, the
-    // shorter side reads as null -> the HOF's product of a null is null,
-    // dropped by the fold (x + null = null propagates...). The HOF form
-    // requires equal dims for a defined result; vectors here always
-    // match, so fold over the common length like the zipped product of
-    // equal-length arrays.
-    val len = math.min(a.numElements(), b.numElements())
+  /** Boxed Double; null mirrors the HOF formulation's NULL: zip_with
+    * pads a length mismatch with null and any null product nullifies
+    * the whole aggregate fold, so a dim mismatch or a null element in
+    * either array yields NULL (not a similarity over a silent-zero or
+    * truncated vector).
+    */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
     var i = 0
-    while (i < len) {
-      dot += VectorExprs.elem(a, i, aFloat) * VectorExprs.elem(b, i, bFloat)
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = VectorExprs.elem(a, i, aFloat)
+      val y = VectorExprs.elem(b, i, bFloat)
+      dot += x * y
       i += 1
     }
-    var na = 0.0
     i = 0
-    while (i < a.numElements()) {
-      val v = VectorExprs.elem(a, i, aFloat); na += v * v; i += 1
-    }
-    var nb = 0.0
+    while (i < n) { val v = VectorExprs.elem(a, i, aFloat); na += v * v; i += 1 }
     i = 0
-    while (i < b.numElements()) {
-      val v = VectorExprs.elem(b, i, bFloat); nb += v * v; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < n) { val v = VectorExprs.elem(b, i, bFloat); nb += v * v; i += 1 }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
@@ -127,26 +132,35 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, dim: Int, seed: Long
 
 object LshBucketExpr {
 
-  // planes are deterministic in (numPlanes, dim, seed); cache per task
+  // planes are deterministic in (numPlanes, dim, seed); bounded cache
+  // per executor (a seed sweep must not accumulate matrices forever)
+  private val MaxCachedPlaneSets = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
 
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    if (planeCache.size > MaxCachedPlaneSets) planeCache.clear()
     planeCache.computeIfAbsent((numPlanes, dim, seed), { key =>
       val rnd = new scala.util.Random(key._3)
       Array.fill(key._1, key._2)(rnd.nextGaussian())
     })
+  }
 
   def compute(v: ArrayData, vFloat: Boolean, numPlanes: Int, dim: Int, seed: Long): Long = {
+    // HOF semantics: a dim mismatch or null element nullifies every
+    // plane's dot, and `when(null > 0, bit).otherwise(0)` leaves all
+    // bits unset -> bucket 0
+    if (v.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return 0L; i += 1 }
     val ps = planes(numPlanes, dim, seed)
     var out = 0L
     var p = 0
     while (p < numPlanes) {
       val plane = ps(p)
-      val len = math.min(v.numElements(), plane.length)
       var dot = 0.0
-      var i = 0
-      while (i < len) {
+      i = 0
+      while (i < dim) {
         dot += VectorExprs.elem(v, i, vFloat) * plane(i)
         i += 1
       }

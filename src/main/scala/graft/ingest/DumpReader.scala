@@ -40,17 +40,30 @@ object DumpReader {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val status = fs.getFileStatus(p)
-    val files =
-      if (status.isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
-      else Array(status.getPath.toString)
+    // globStatus handles plain files, directories, AND glob patterns
+    // (getFileStatus would throw on '/dumps/*.sql')
+    val matched = Option(fs.globStatus(p)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no files match: $path"))
+    // Rank keys are the *decoded path component*: input_file_name()
+    // returns a url-encoded URI (possibly with a different
+    // scheme/authority spelling, file:/// vs file:/), while the listing
+    // yields Paths — java.net.URI.getPath decodes both to the same
+    // string, so names with spaces/%-chars rank correctly and a
+    // mismatch fails loudly instead of silently rebasing to 0.
+    val files = matched
+      .flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st))
+      .map(_.getPath.toUri.getPath).sorted
     val rank = spark.sparkContext.broadcast(files.zipWithIndex.toMap)
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
       .flatMap { case (file, blob) =>
-        val base = rank.value.getOrElse(file, 0).toLong << ChunkShift
+        val key = new java.net.URI(file).getPath
+        val r = rank.value.getOrElse(key,
+          throw new IllegalStateException(s"input file missing from rank listing: $file"))
+        val base = r.toLong << ChunkShift
         StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
           val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
           else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))

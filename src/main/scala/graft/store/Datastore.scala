@@ -87,6 +87,11 @@ class Datastore(rootUri: String, spark: SparkSession) {
     spark.read.format("binaryFile")
       .load(s"$rootUri/$dumpName/*.dump")
       .select("path", "content")
+      // binaryFile sorts its splits by SIZE (bin-packing), not name —
+      // the range sort restores part order so downstream consumers that
+      // derive statement positions from partition order (DumpReader
+      // .statementsFromStrings) see chunks in dump order
+      .orderBy("path")
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
         val raw = Codecs.decode(bytes, compressed, encryptionKey)

@@ -62,6 +62,9 @@ object StreamingPipeline {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // progress is per known user; a null key would fail primitive
+      // tuple decoding, and "unknown user" has no running total
+      .filter(col("user_id").isNotNull)
       .select(col("user_id").cast("long"), coalesce(col("value"), lit(0.0)))
       .as[(Long, Double)]
       .groupByKey(_._1)

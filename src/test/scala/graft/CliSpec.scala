@@ -29,12 +29,9 @@ class CliSpec extends SparkSpec {
          |  compression: true
          |destination:
          |  output_dir: $restoreDir
-         |encryption_key: $$GRAFT_TEST_MISSING_FALLBACK
          |""".stripMargin
-    // encryption key via env substitution must error when missing — so
-    // drop it for the happy-path config
     val conf = Files.createTempFile("graft-conf-", ".yaml")
-    Files.writeString(conf, yaml.linesIterator.filterNot(_.startsWith("encryption_key")).mkString("\n"))
+    Files.writeString(conf, yaml)
     conf.toString
   }
 
@@ -44,6 +41,11 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftConfig.substituteEnvVar("$GRAFT_SURELY_NOT_SET_12345")
     }
+    // and through config loading: a missing env var in encryption_key
+    // must fail when the key is used
+    val c = GraftConfig.fromYaml(
+      "source:\n  tables_dir: /tmp\nencryption_key: $GRAFT_SURELY_NOT_SET_12345\n")
+    intercept[IllegalArgumentException] { c.encryptionKey }
   }
 
   test("cli: dump create -> list -> restore roundtrip with skip + transformer") {

@@ -28,6 +28,39 @@ class IngestSpec extends SparkSpec {
       |    ADD CONSTRAINT fk_orders_customers FOREIGN KEY (customer_id) REFERENCES public.customers(customer_id);
       |""".stripMargin
 
+  test("file ranking: url-encodable names and glob paths keep dump order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-files-")
+    java.nio.file.Files.writeString(
+      dir.resolve("a part 1.sql"), "INSERT INTO public.t (a) VALUES (1);")
+    java.nio.file.Files.writeString(
+      dir.resolve("b.sql"), "INSERT INTO public.t (a) VALUES (2);")
+    val stmts = graft.ingest.DumpReader.statements(spark, dir.toString)
+      .collect().sortBy(_.idx)
+    // name order: "a part 1.sql" (with a space → url-encoded by
+    // input_file_name) ranks before "b.sql"
+    assert(stmts.map(_.sql).toSeq == Seq(
+      "INSERT INTO public.t (a) VALUES (1);",
+      "INSERT INTO public.t (a) VALUES (2);"))
+    assert(graft.ingest.DumpReader.statements(spark, dir.toString + "/*.sql").count() == 2)
+  }
+
+  test("datastore read: part order is name order even when sizes differ") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-order-").toString
+    val store = new graft.store.Datastore("file://" + dir, spark)
+    // partition 0 tiny, partition 1 large — binaryFile's size-sorted
+    // splits would visit the large part first without the path sort
+    val src = spark.sparkContext.parallelize(Seq(0, 1), 2).flatMap {
+      case 0 => Seq("INSERT INTO public.t (a) VALUES (-1);")
+      case _ => (1000 until 1400).map(i => s"INSERT INTO public.t (a) VALUES ($i);")
+    }
+    store.write("order-test", spark.createDataset(src))
+    val back = graft.ingest.DumpReader.statementsFromStrings(spark, store.read("order-test"))
+      .collect().sortBy(_.idx)
+    assert(back.length == 401)
+    assert(back.head.sql == "INSERT INTO public.t (a) VALUES (-1);")
+  }
+
   test("mysql dialect: backtick idents, table-only names, hex-ish strings") {
     // mirrors the reference's MySQL tokenizer quirks: backtick idents
     // (`dump-parser/src/mysql/mod.rs:317`), no schema prefix

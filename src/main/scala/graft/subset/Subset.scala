@@ -42,7 +42,15 @@ object Subset {
     df.filter(pmod(col(key), lit(modulo)) === 0)
   }
 
-  /** J1+J2: FK-closure via per-level semi-joins.
+  /** J1+J2: FK-closure via semi-joins.
+    *
+    * Acyclic FK graphs (the overwhelmingly common schema shape) take a
+    * single-pass topological traversal that builds ONE declarative plan
+    * — no per-level materialization, no emptiness probes, and Catalyst
+    * sees the whole chain (ReuseExchange dedups shared prefixes when
+    * several consumers count the closure). Cyclic graphs fall back to
+    * the level-wise BFS loop whose anti-join visited guard guarantees
+    * termination.
     *
     * @param load   table name → full DataFrame (lazy; a table is only
     *               scanned if an edge reaches it)
@@ -54,6 +62,65 @@ object Subset {
     *               reference's `visits`)
     */
   def fkClosure(
+      load: String => DataFrame,
+      edges: Seq[FkEdge],
+      seed: Map[String, DataFrame]): Map[String, DataFrame] =
+    topoOrder(edges) match {
+      case Some(order) => fkClosureDag(load, edges, seed, order)
+      case None        => fkClosureIterative(load, edges, seed)
+    }
+
+  /** Kahn topological order of the table graph (edge = child→parent);
+    * None when the FK graph is cyclic.
+    */
+  private[graft] def topoOrder(edges: Seq[FkEdge]): Option[Seq[String]] = {
+    val nodes = edges.flatMap(e => Seq(e.fromTable, e.toTable)).distinct
+    val inDeg = scala.collection.mutable.Map(nodes.map(_ -> 0): _*)
+    for (e <- edges) inDeg(e.toTable) += 1
+    val queue = scala.collection.mutable.Queue(nodes.filter(inDeg(_) == 0): _*)
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    while (queue.nonEmpty) {
+      val t = queue.dequeue()
+      order += t
+      for (e <- edges if e.fromTable == t) {
+        inDeg(e.toTable) -= 1
+        if (inDeg(e.toTable) == 0) queue += e.toTable
+      }
+    }
+    if (order.size == nodes.size) Some(order.toSeq) else None
+  }
+
+  /** Single-pass closure for acyclic graphs: visiting tables children
+    * first, a table's final selection is `seed ∪ (one left-semi join per
+    * in-edge)`, deduplicated only when several contributions meet.
+    */
+  private[graft] def fkClosureDag(
+      load: String => DataFrame,
+      edges: Seq[FkEdge],
+      seed: Map[String, DataFrame],
+      order: Seq[String]): Map[String, DataFrame] = {
+    val selected = scala.collection.mutable.Map[String, DataFrame]() ++ seed
+    for (t <- order) {
+      val contributions =
+        seed.get(t).toSeq ++
+          edges.filter(_.toTable == t).flatMap { e =>
+            selected.get(e.fromTable).map { src =>
+              val keys = src.select(col(e.fromCol).as(e.toCol)).distinct()
+              load(t).join(keys, Seq(e.toCol), "left_semi")
+            }
+          }
+      if (contributions.nonEmpty) {
+        val merged =
+          if (contributions.size == 1) contributions.head
+          else contributions.reduce(_.unionByName(_)).dropDuplicates()
+        selected(t) = merged
+      }
+    }
+    selected.toMap
+  }
+
+  /** Level-wise BFS closure — the cyclic-graph path. */
+  private[graft] def fkClosureIterative(
       load: String => DataFrame,
       edges: Seq[FkEdge],
       seed: Map[String, DataFrame]): Map[String, DataFrame] = {

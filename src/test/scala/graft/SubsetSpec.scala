@@ -50,6 +50,29 @@ class SubsetSpec extends SparkSpec {
     assert(closed("b").as[(Long, Long)].collect().toSet == Set((10L, 1L)))
   }
 
+  test("fkClosure: DAG fast path agrees with the iterative BFS path") {
+    val edges = SubsetQueries.testdataEdges
+    assert(Subset.topoOrder(edges).isDefined)
+    val seed = Subset.systematicSample(load("orders"), "o_orderkey", 20.0)
+    val dag = Subset.fkClosureDag(load _, edges, Map("orders" -> seed), Subset.topoOrder(edges).get)
+    val iter = Subset.fkClosureIterative(load _, edges, Map("orders" -> seed))
+    assert(dag.keySet == iter.keySet)
+    for (t <- dag.keySet) {
+      assert(dag(t).exceptAll(iter(t)).isEmpty && iter(t).exceptAll(dag(t)).isEmpty, s"table $t differs")
+    }
+  }
+
+  test("topoOrder: None on cyclic graphs, children before parents on DAGs") {
+    val cyc = Seq(
+      FkEdge("db", "a", "bid", "db", "b", "id"),
+      FkEdge("db", "b", "aid", "db", "a", "id"))
+    assert(Subset.topoOrder(cyc).isEmpty)
+    val order = Subset.topoOrder(SubsetQueries.testdataEdges).get
+    assert(order.indexOf("lineitem") < order.indexOf("orders"))
+    assert(order.indexOf("orders") < order.indexOf("customer"))
+    assert(order.indexOf("nation") < order.indexOf("region"))
+  }
+
   test("dedupByKey: one row per key, min representative") {
     val df = Seq(("x", 5L), ("x", 3L), ("y", 7L)).toDF("text", "doc_id")
     val out = Subset.dedupByKey(df, col("text"), "doc_id").as[(String, Long)].collect().toSet

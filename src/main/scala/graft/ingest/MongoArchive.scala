@@ -1,0 +1,251 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.ingest.Bson._
+import graft.store.Crc64
+
+/** mongodump `--archive` container codec + Spark bridge — the S3/N3/D3
+  * analogs of SURVEY §2.1 "Archive" / §2.7 N3 / §2.8 D3.
+  *
+  * Wire layout (public mongo-tools archive format; reference layout doc
+  * `dump-parser/src/mongodb/mod.rs:53-91`, parse loop `:100-164`,
+  * re-serialization with CRC fix-up `:173-248`):
+  *
+  *   magic (4 bytes, LE 0x8199e26d) ·
+  *   header BSON {concurrent_collections, version, server_version,
+  *   tool_version} ·
+  *   one metadata BSON per collection {db, collection, metadata, size,
+  *   type} · separator (0xFFFFFFFF) ·
+  *   per collection: namespace BSON {db, collection, EOF:false, CRC:0} ·
+  *   body documents · separator · and a closing namespace BSON
+  *   {db, collection, EOF:true, CRC: crc64-ecma of the body bytes} ·
+  *   separator.
+  *
+  * Scale posture: the archive is by definition ONE sequential
+  * bytestream (the reference also holds it fully in memory,
+  * `dump-parser/src/mongodb/mod.rs:92-98`). The engine therefore treats
+  * it purely as an edge format: `read` explodes it into per-collection
+  * DataFrames at the boundary, all heavy processing happens on those
+  * distributed frames, and `write` re-serializes at the end. Big data
+  * belongs in parquet datastores (D6/D7); this codec exists for
+  * interchange with mongodump/mongorestore tooling.
+  */
+object MongoArchive {
+
+  private val Magic = Array[Byte](0x6d.toByte, 0xe2.toByte, 0x99.toByte, 0x81.toByte)
+  private val Separator = 0xFFFFFFFF
+
+  final case class Header(
+      concurrentCollections: Int,
+      version: String,
+      serverVersion: String,
+      toolVersion: String)
+
+  final case class CollectionMeta(
+      db: String,
+      collection: String,
+      metadata: String,
+      size: Int,
+      collectionType: String) {
+    def prefix: String = s"$db.$collection"
+  }
+
+  /** Parsed archive: header + per-collection metadata + documents (in
+    * block order) + the CRC64 read from each EOF namespace.
+    */
+  final case class Archive(
+      header: Header,
+      metas: Seq[CollectionMeta],
+      collections: Map[String, Vector[BDoc]],
+      crcs: Map[String, Long])
+
+  // ---- read ----
+
+  /** Parse and CRC-verify an archive bytestream. */
+  def read(bytes: Array[Byte]): Archive = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(magic.sameElements(Magic), "not a mongodump archive (bad magic)")
+
+    val headerDoc = Bson.decode(buf)
+    val header = Header(
+      headerDoc.getInt("concurrent_collections").getOrElse(1),
+      headerDoc.getStr("version").getOrElse(""),
+      headerDoc.getStr("server_version").getOrElse(""),
+      headerDoc.getStr("tool_version").getOrElse(""))
+
+    // metadata docs until the first separator
+    val metas = Seq.newBuilder[CollectionMeta]
+    while (peekInt(buf) != Separator) {
+      val d = Bson.decode(buf)
+      metas += CollectionMeta(
+        d.getStr("db").getOrElse(""),
+        d.getStr("collection").getOrElse(""),
+        d.getStr("metadata").getOrElse(""),
+        d.getInt("size").getOrElse(0),
+        d.getStr("type").getOrElse("collection"))
+    }
+    buf.getInt // consume separator
+
+    val collections = scala.collection.mutable.LinkedHashMap[String, Vector[BDoc]]()
+    val crcs = scala.collection.mutable.Map[String, Long]()
+    val metaList = metas.result()
+    var eofSeen = 0
+    while (eofSeen < metaList.size && buf.hasRemaining) {
+      val ns = Bson.decode(buf)
+      val prefix = s"${ns.getStr("db").getOrElse("")}.${ns.getStr("collection").getOrElse("")}"
+      val isEof = ns.getBool("EOF").getOrElse(false)
+      val docs = Vector.newBuilder[BDoc]
+      while (peekInt(buf) != Separator) docs += Bson.decode(buf)
+      buf.getInt // consume separator
+      if (isEof) {
+        eofSeen += 1
+        crcs(prefix) = ns.getLong("CRC").getOrElse(0L)
+      } else {
+        collections(prefix) = docs.result()
+      }
+    }
+
+    val archive = Archive(header, metaList, collections.toMap, crcs.toMap)
+    for ((prefix, docs) <- archive.collections; expected <- archive.crcs.get(prefix)) {
+      val actual = bodyCrc(docs)
+      require(actual == expected,
+        f"CRC mismatch for $prefix: archive declares 0x$expected%016x, body is 0x$actual%016x")
+    }
+    archive
+  }
+
+  private def peekInt(buf: ByteBuffer): Int =
+    if (buf.remaining() < 4) Separator else buf.getInt(buf.position())
+
+  private def bodyCrc(docs: Seq[BDoc]): Long = {
+    val out = new ByteArrayOutputStream()
+    docs.foreach(d => out.write(Bson.encode(d)))
+    Crc64.of(out.toByteArray)
+  }
+
+  // ---- write ----
+
+  /** Serialize an archive, recomputing every collection's CRC64 from
+    * its (possibly transformed) documents — the N3 fix-up the reference
+    * performs in `Archive::into_bytes`.
+    */
+  def write(archive: Archive): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    out.write(Bson.encode(BDoc(
+      "concurrent_collections" -> BInt32(archive.header.concurrentCollections),
+      "version" -> BStr(archive.header.version),
+      "server_version" -> BStr(archive.header.serverVersion),
+      "tool_version" -> BStr(archive.header.toolVersion))))
+    for (m <- archive.metas) {
+      out.write(Bson.encode(BDoc(
+        "db" -> BStr(m.db),
+        "collection" -> BStr(m.collection),
+        "metadata" -> BStr(m.metadata),
+        "size" -> BInt32(m.size),
+        "type" -> BStr(m.collectionType))))
+    }
+    writeSeparator(out)
+    for (m <- archive.metas) {
+      val docs = archive.collections.getOrElse(m.prefix, Vector.empty)
+      out.write(nsDoc(m.db, m.collection, eof = false, crc = 0L))
+      val body = new ByteArrayOutputStream()
+      docs.foreach(d => body.write(Bson.encode(d)))
+      body.writeTo(out)
+      writeSeparator(out)
+      out.write(nsDoc(m.db, m.collection, eof = true, crc = Crc64.of(body.toByteArray)))
+      writeSeparator(out)
+    }
+    out.toByteArray
+  }
+
+  private def nsDoc(db: String, coll: String, eof: Boolean, crc: Long): Array[Byte] =
+    Bson.encode(BDoc(
+      "db" -> BStr(db), "collection" -> BStr(coll),
+      "EOF" -> BBool(eof), "CRC" -> BInt64(crc)))
+
+  private def writeSeparator(out: ByteArrayOutputStream): Unit = {
+    out.write(0xFF); out.write(0xFF); out.write(0xFF); out.write(0xFF)
+  }
+
+  // ---- Spark bridge ----
+
+  /** BDoc documents → DataFrame under an explicit schema (S3: archive →
+    * per-collection frames). Fields absent from a document become null.
+    */
+  def toDataFrame(spark: SparkSession, docs: Seq[BDoc], schema: StructType): DataFrame = {
+    val rows = docs.map(d => docToRow(d, schema))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 10000 + 1)), schema)
+  }
+
+  private def docToRow(doc: BDoc, schema: StructType): Row =
+    Row.fromSeq(schema.fields.toSeq.map(f => fromBson(doc.get(f.name).getOrElse(BNull), f.dataType)))
+
+  private def fromBson(v: BVal, dt: DataType): Any = (v, dt) match {
+    case (BNull, _)                       => null
+    case (BInt64(l), LongType)            => l
+    case (BInt32(i), IntegerType)         => i
+    case (BInt32(i), LongType)            => i.toLong
+    case (BDouble(d), DoubleType)         => d
+    case (BStr(s), StringType)            => s
+    case (BBool(b), BooleanType)          => b
+    case (BBin(_, b), BinaryType)         => b
+    case (BDateTime(ms), TimestampType)   => new java.sql.Timestamp(ms)
+    case (BDateTime(ms), DateType)        => new java.sql.Date(ms)
+    case (BArr(items), ArrayType(et, _))  => items.map(fromBson(_, et))
+    case (d: BDoc, st: StructType)        => docToRow(d, st)
+    case (other, t) => throw new IllegalArgumentException(s"cannot map BSON $other to Spark $t")
+  }
+
+  /** One Row → one BSON document under the frame's schema. */
+  def rowToDoc(row: Row, schema: StructType): BDoc =
+    BDoc(schema.fields.toVector.map(f => f.name -> toBson(row.get(schema.fieldIndex(f.name)), f.dataType)))
+
+  private def toBson(v: Any, dt: DataType): BVal = (v, dt) match {
+    case (null, _)                        => BNull
+    case (l: Long, LongType)              => BInt64(l)
+    case (i: Integer, IntegerType)        => BInt32(i)
+    case (d: java.lang.Double, DoubleType) => BDouble(d)
+    case (s: String, StringType)          => BStr(s)
+    case (b: java.lang.Boolean, BooleanType) => BBool(b)
+    case (b: Array[Byte], BinaryType)     => BBin(0x00, b)
+    case (t: java.sql.Timestamp, TimestampType) => BDateTime(t.getTime)
+    case (d: java.sql.Date, DateType)     => BDateTime(d.getTime)
+    case (s: Seq[_], ArrayType(et, _))    => BArr(s.toVector.map(toBson(_, et)))
+    case (r: Row, st: StructType)         => rowToDoc(r, st)
+    case (other, t) => throw new IllegalArgumentException(s"cannot map Spark $other: $t to BSON")
+  }
+
+  /** Build an archive from DataFrames (D6-style dump of tables into the
+    * mongorestore-compatible container). Collection order follows the
+    * input sequence; document order is the frames' current ordering, so
+    * callers wanting determinism should `orderBy` first. Collects each
+    * collection to the driver — see the scale-posture note above.
+    */
+  def fromTables(db: String, tables: Seq[(String, DataFrame)], toolVersion: String = "graft"): Archive = {
+    val colls = tables.map { case (name, df) =>
+      val schema = df.schema
+      s"$db.$name" -> df.collect().toVector.map(rowToDoc(_, schema))
+    }.toMap
+    val metas = tables.map { case (name, df) =>
+      CollectionMeta(db, name, s"""{"collectionName":"$name"}""", 0, "collection")
+    }
+    Archive(Header(1, "0.1", "n/a", toolVersion), metas, colls,
+      colls.map { case (p, docs) => p -> bodyCrc(docs) })
+  }
+
+  /** D3 analog (`mongorestore --archive`): explode an archive into
+    * per-collection DataFrames, ready for any engine sink (JDBC D1/D2,
+    * parquet datastore D6).
+    */
+  def restore(spark: SparkSession, archive: Archive, schemas: Map[String, StructType]): Map[String, DataFrame] =
+    archive.collections.map { case (prefix, docs) =>
+      prefix -> toDataFrame(spark, docs, schemas(prefix))
+    }
+}

@@ -112,7 +112,35 @@ object IngestQueries {
     // has no CRC64) → rows-only check; the algorithm's check value is
     // asserted in StoreSpec.
     "g4_crc64" -> ((s, dir) =>
-      DumpReader.collectionCrc64(nationDump(s, dir)))
+      DumpReader.collectionCrc64(nationDump(s, dir))),
+
+    // S3+N3+D3: full mongodump-archive cycle — table → BSON documents →
+    // archive bytestream (CRC64 per collection) → parse+CRC-verify →
+    // per-collection DataFrame (the mongorestore analog). Hash-matching
+    // the source table proves the BSON codec and container layout
+    // roundtrip (reference dump-parser/src/mongodb/mod.rs:100-248).
+    "s3_mongo_archive_roundtrip" -> ((s, dir) => {
+      import graft.ingest.MongoArchive
+      val src = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+      val bytes = MongoArchive.write(MongoArchive.fromTables("graft", Seq("customer" -> src)))
+      val back = MongoArchive.read(bytes)
+      MongoArchive.restore(s, back, Map("graft.customer" -> src.schema))("graft.customer")
+    }),
+
+    // N3: per-collection CRC64 as declared in the rewritten archive's
+    // EOF namespaces (no DuckDB CRC64 → rows-only check; check value
+    // asserted in MongoArchiveSpec).
+    "n3_archive_crc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ingest.MongoArchive
+      val src = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name")).orderBy(col("n_nationkey"))
+      val archive = MongoArchive.read(
+        MongoArchive.write(MongoArchive.fromTables("graft", Seq("nation" -> src))))
+      archive.crcs.toSeq.sortBy(_._1).toDF("prefix", "crc64")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +168,8 @@ object IngestQueries {
         "('nation', 'n_nationkey', CAST(0 AS BIGINT)), " +
         "('nation', 'n_name', CAST(1 AS BIGINT)), " +
         "('nation', 'n_regionkey', CAST(2 AS BIGINT))) " +
-        "AS t(table_name, column_name, ordinal)")
+        "AS t(table_name, column_name, ordinal)"),
+    "s3_mongo_archive_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.types._
+
+import graft.ingest.Bson._
+import graft.ingest.{Bson, MongoArchive}
+import graft.store.Crc64
+
+class MongoArchiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BSON encode matches the spec byte layout for {a: 1}") {
+    // bsonspec.org: int32 size LE, 0x10 'a'\0 int32(1), trailing 0x00
+    val bytes = Bson.encode(BDoc("a" -> BInt32(1)))
+    assert(bytes.toSeq == Seq[Byte](0x0c, 0, 0, 0, 0x10, 'a'.toByte, 0, 1, 0, 0, 0, 0))
+  }
+
+  test("BSON encode matches the spec byte layout for {s: \"hi\"}") {
+    // string: int32 len-with-NUL, bytes, NUL
+    val bytes = Bson.encode(BDoc("s" -> BStr("hi")))
+    assert(bytes.toSeq == Seq[Byte](
+      0x0f, 0, 0, 0, 0x02, 's'.toByte, 0, 3, 0, 0, 0, 'h'.toByte, 'i'.toByte, 0, 0))
+  }
+
+  test("BSON roundtrips every supported element type") {
+    val doc = BDoc(
+      "d" -> BDouble(3.25),
+      "s" -> BStr("héllo"),
+      "doc" -> BDoc("inner" -> BInt64(7L)),
+      "arr" -> BArr(Vector(BInt32(1), BStr("two"), BNull)),
+      "bin" -> BBin(0x00, Array[Byte](1, 2, 3)),
+      "oid" -> BObjectId(Array.tabulate(12)(_.toByte)),
+      "b" -> BBool(true),
+      "ts" -> BTimestamp(123456789L),
+      "dt" -> BDateTime(1700000000000L),
+      "nul" -> BNull,
+      "i32" -> BInt32(-42),
+      "i64" -> BInt64(Long.MinValue + 1))
+    val back = Bson.decode(Bson.encode(doc))
+    // Array[Byte] equality is reference-based; compare re-encodings
+    assert(Bson.encode(back).toSeq == Bson.encode(doc).toSeq)
+    assert(back.getStr("s").contains("héllo"))
+    assert(back.getLong("i64").contains(Long.MinValue + 1))
+  }
+
+  test("BSON decode rejects unknown element types and size lies") {
+    val unknown = Array[Byte](0x0b, 0, 0, 0, 0x7f, 'x', 0, 1, 0, 0, 0)
+    intercept[IllegalArgumentException](Bson.decode(unknown))
+    val sizeLie = Bson.encode(BDoc("a" -> BInt32(1)))
+    sizeLie(0) = (sizeLie(0) + 4).toByte
+    intercept[IllegalArgumentException](Bson.decode(ByteBuffer.wrap(sizeLie ++ Array[Byte](0, 0, 0, 0))))
+  }
+
+  test("archive write → read → write is byte-exact and CRC-verified") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "score")
+    val archive = MongoArchive.fromTables("testdb", Seq("things" -> df))
+    val bytes = MongoArchive.write(archive)
+    // magic bytes of the public mongodump archive format
+    assert((bytes(0) & 0xff) == 0x6d && (bytes(1) & 0xff) == 0xe2 &&
+      (bytes(2) & 0xff) == 0x99 && (bytes(3) & 0xff) == 0x81)
+    val back = MongoArchive.read(bytes)
+    assert(back.header.toolVersion == "graft")
+    assert(back.collections("testdb.things").size == 2)
+    assert(MongoArchive.write(back).toSeq == bytes.toSeq)
+  }
+
+  test("archive read fails loudly on a corrupted document body") {
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val bytes = MongoArchive.write(MongoArchive.fromTables("testdb", Seq("t" -> df)))
+    // flip a byte inside the first body document ('alpha' string content):
+    // the declared CRC no longer matches the body
+    val idx = bytes.indexOfSlice("alpha".getBytes("UTF-8"))
+    assert(idx > 0)
+    val tampered = bytes.clone()
+    tampered(idx) = 'X'.toByte
+    val err = intercept[IllegalArgumentException](MongoArchive.read(tampered))
+    assert(err.getMessage.contains("CRC mismatch"))
+  }
+
+  test("archive declared CRC equals CRC64-ECMA of the body bytes") {
+    val df = Seq((7L, "x")).toDF("id", "name")
+    val archive = MongoArchive.fromTables("db", Seq("c" -> df))
+    val bodyBytes = archive.collections("db.c").flatMap(d => Bson.encode(d).toSeq).toArray
+    assert(archive.crcs("db.c") == Crc64.of(bodyBytes))
+  }
+
+  test("restore reproduces the source frame under its schema, nulls intact") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a", 0.5, true),
+      org.apache.spark.sql.Row(2L, null, null, false))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val archive = MongoArchive.fromTables("db", Seq("t" -> df))
+    val back = MongoArchive.restore(
+      spark, MongoArchive.read(MongoArchive.write(archive)), Map("db.t" -> schema))("db.t")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+}

@@ -31,13 +31,25 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard similar pairs: explode distinct word n-grams,
-    * self-join on the gram, count the intersection, derive the union
-    * from per-doc gram counts. Returns (id_a, id_b, jaccard) with
+  /** Exact n-gram Jaccard similar pairs: (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold.
     *
+    * Candidate generation uses PPJoin-style prefix filtering (Bayardo
+    * et al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et
+    * al., PPJoin): with each doc's distinct grams sorted under one
+    * global total order, two docs with Jaccard >= t MUST share a gram
+    * within their first `|g| - ceil(t*|g|) + 1` grams — if all common
+    * grams sat in a's suffix, the intersection would be at most
+    * `ceil(t*|g_a|) - 1 < t*|g_a| <= t*|g_a ∪ g_b|`. So only prefixes
+    * are exploded into the self-join, which shrinks the exploded rows
+    * ~1/(1-t)× and the hot-gram quadratic fan-out ~1/(1-t)²×, while the
+    * final `array_intersect` on the full gram arrays keeps the result
+    * EXACT (verified pairs only, no false negatives by the bound above).
+    *
     * @param maxDocFreq drop grams appearing in more than this many docs
-    *                   (skew guard; 0 disables)
+    *                   (skew guard; 0 disables). NOTE: unlike the prefix
+    *                   filter this changes semantics (pairs only similar
+    *                   through dropped hot grams are lost).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -46,31 +58,62 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
-    // One gram-array row per doc behind a shuffle boundary: the array is
-    // computed exactly once, the exchange is reused by every consumer
-    // (join sides + sizes), and the shuffle moves compact arrays instead
-    // of exploded rows.
+    // Guard every ceil(t·x) against binary-float overshoot (0.8×5 =
+    // 4.000…0002 would ceil to 5, silently shortening prefixes /
+    // tightening bounds → FALSE NEGATIVES). Subtracting a sub-unit
+    // epsilon can only relax the filters, never break exactness.
+    val eps = 1e-9
+    // One sorted-gram-array row per doc behind a shuffle boundary: the
+    // array is computed exactly once and the exchange is reused by the
+    // prefix sides and the verification joins.
     val gramArrays = df
-      .select(col(id).as("doc"), array_distinct(TextAnalysis.wordNgrams(text, n)).as("grams"))
+      .select(col(id).as("doc"),
+        array_sort(array_distinct(TextAnalysis.wordNgrams(text, n))).as("grams"))
       .repartition(col("doc"))
-    val grams = gramArrays.select(col("doc"), explode(col("grams")).as("gram"))
+    // prefix length |g| - ceil(t*|g|) + 1 (empty gram set -> no prefix)
+    val nGrams = size(col("grams"))
+    val prefixLen = (nGrams - ceil(lit(threshold) * nGrams - lit(eps)) + 1).cast("int")
+    val prefixes = gramArrays.select(
+      col("doc"), nGrams.as("n"),
+      posexplode(slice(col("grams"), lit(1), greatest(prefixLen, lit(0)))).as(Seq("pos", "gram")))
     val filtered =
-      if (maxDocFreq <= 0) grams
+      if (maxDocFreq <= 0) prefixes
       else {
-        val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        val hot = gramArrays.select(explode(col("grams")).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("gram"))
-        grams.join(hot, Seq("gram"), "left_anti")
+        prefixes.join(hot, Seq("gram"), "left_anti")
       }
-    val sizes = gramArrays.select(col("doc"), size(col("grams")).cast("long").as("n_grams"))
-    val pairs = filtered.as("l").join(filtered.as("r"), Seq("gram"))
-      .filter(col("l.doc") < col("r.doc"))
-      .groupBy(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_grams", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_grams", "nb"), Seq("id_b"))
+    val l = filtered.select(col("gram"), col("doc").as("id_a"), col("n").as("na"), col("pos").as("pa"))
+    val r = filtered.select(col("gram"), col("doc").as("id_b"), col("n").as("nb"), col("pos").as("pb"))
+    // Candidate pruning (both filters are necessary conditions of
+    // J >= t, so pruning stays exact):
+    //   size filter  — |a∩b| <= min and |a∪b| >= max force
+    //                  min(na,nb) >= ceil(t·max(na,nb));
+    //   positional   — common grams all sort at/after the smallest
+    //                  shared one (positions pa/pb), so the overlap is
+    //                  at most min(na-pa, nb-pb), which must reach the
+    //                  Jaccard-equivalent overlap ceil(t/(1+t)·(na+nb)).
+    val candidates = l.join(r, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(eps)))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps)))
+      .select(col("id_a"), col("id_b"))
+    // Verification: after pruning the candidate set is tiny relative to
+    // the corpus, so broadcast it and STREAM the gram arrays — the big
+    // arrays are never shuffled.
+    broadcast(candidates)
+      .join(gramArrays.select(col("doc").as("id_a"), col("grams").as("ga")), Seq("id_a"))
+      .join(gramArrays.select(col("doc").as("id_b"), col("grams").as("gb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        col("inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -81,6 +81,148 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
+    * pair with cosine >= threshold. Inherently quadratic — run it over a
+    * bounded sample or partition (the verifier role); the full-corpus
+    * path is [[cosineNearDupPairsLsh]]. The smaller side is broadcast,
+    * so the corpus side streams through a nested-loop join without a
+    * shuffle.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val l = df.select(col(id).as("id_a"), col(vec).as("va"))
+    val r = df.select(col(id).as("id_b"), col(vec).as("vb"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
+    * bucketing turns the all-pairs cross join into per-bucket
+    * self-joins (an equi-join shuffle on bucket keys), then the exact
+    * cosine filter keeps precision at 1.0 — only recall is approximate.
+    * A pair at cosine c collides per table with probability
+    * (1 - arccos(c)/π)^numPlanes, so recall rises with fewer planes /
+    * more seeds; the defaults (4 planes × 4 tables) hold usable recall
+    * down to c ≈ 0.3, while true near-dup thresholds (c ≥ 0.9) collide
+    * at ≥ 77% per table.
+    */
+  def cosineNearDupPairsLsh(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L)): DataFrame = {
+    val pairs = seeds.map { seed =>
+      val b = df.select(col(id).as("doc"), col(vec).as("v"),
+        lshBucket(col(vec), numPlanes, dim, seed).as("bucket"))
+        .repartition(col("bucket"))
+      b.as("l").join(b.as("r"), Seq("bucket"))
+        .filter(col("l.doc") < col("r.doc"))
+        .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"),
+          col("l.v").as("va"), col("r.v").as("vb"))
+    }.reduce(_.unionByName(_)).dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Deterministic driver-side spherical k-means over a collected
+    * sample: init = first k sample vectors (id order), `iters` Lloyd
+    * rounds with cosine assignment and L2-normalized mean update.
+    * Training data is a bounded sample (k·dim doubles of state); only
+    * assignment runs distributed.
+    */
+  private[graft] def trainCentroids(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"need at least $k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var centroids = sample.take(k).map(normalize)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      for (v <- sample) {
+        val nv = normalize(v)
+        val best = centroids.indices.maxBy(c => dot(centroids(c), nv))
+        counts(best) += 1
+        for (d <- 0 until dim) sums(best)(d) += nv(d)
+      }
+      centroids = centroids.indices.toArray.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }
+    }
+    centroids
+  }
+
+  /** Per-row similarity to each centroid as an array column (centroids
+    * enter the plan as literals — k·dim doubles, folded by Catalyst).
+    */
+  private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val centroidsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    transform(centroidsLit, c =>
+      aggregate(zip_with(vec, c, (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v))
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    * to their nearest coarse centroid once; each query probes the
+    * `nProbe` nearest centroid cells and exact cosine re-ranks inside
+    * them. The scale shape: candidate generation is an equi-join on
+    * cell ids, the centroid table is tiny driver state, and recall is
+    * tuned by nProbe/nCentroids without touching the stored assignment.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      sampleMod: Int = 10,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = corpus
+      .filter(pmod(col(id), lit(sampleMod)) === 0)
+      .orderBy(col(id))
+      .select(col(vec))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val centroids = trainCentroids(sample, nCentroids, iters)
+    val sims = centroidSims(col(vec), centroids)
+    // corpus: one cell per vector (argmax over centroid sims)
+    val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
+    val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"), cell.as("cell"))
+      .repartition(col("cell"))
+    // queries: nProbe nearest cells, best first (sort (-sim, idx) structs)
+    val ranked = array_sort(zip_with(sims, sequence(lit(0), lit(nCentroids - 1)),
+      (s, i) => struct((-s).as("neg"), i.as("idx"))))
+    val probes = transform(slice(ranked, 1, nProbe), x => x.getField("idx").cast("int"))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), col(vec).as("qv"), explode(probes).as("cell")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Approximate top-k: bucket by hyperplane signature, exact cosine
     * re-rank within buckets. Multi-probe: each query also probes the
     * buckets at Hamming distance ≤ 1 from its own (query-side explode

@@ -69,6 +69,29 @@ object OpsQueries {
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
     }),
 
+    // embedding-cosine near-dup pairs, exact over the vec_id%10 sample
+    // (the quadratic verifier; threshold 0.3 per the testdata's cosine
+    // distribution — no planted near-dups, max pairwise cosine ~0.5)
+    "x_embed_near_dup" -> ((s, dir) => {
+      val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+      Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3)
+    }),
+
+    // embedding near-dup over the FULL corpus via LSH blocking + exact
+    // cosine filter (no oracle — precision-1 subset of the exact pairs,
+    // verified in OpsSpec)
+    "x_embed_near_dup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
+    // IVF ANN: coarse k-means cells + nProbe probing (no oracle —
+    // recall vs brute force in OpsSpec)
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+    }),
+
     // multimodal plumbing: binary column → batched stub decode
     "x_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
@@ -105,6 +128,11 @@ object OpsQueries {
       (s"SELECT ${TA.fingerprintSql("text")} AS fp, MIN(doc_id) AS doc_id, " +
         "COUNT(*) AS n_copies FROM documents GROUP BY 1"),
     "x_ngram_jaccard" -> jaccardSql(0.8),
+    "x_embed_near_dup" ->
+      ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
     "x_ann_bruteforce" ->
       raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (SELECT query_id, e.vec_id AS neighbor_id,

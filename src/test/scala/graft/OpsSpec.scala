@@ -128,6 +128,59 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall too low — LSH candidate generation is broken")
   }
 
+  test("embedding near-dup: LSH-blocked pairs are a precision-1 subset of exact") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high — test data has no pairs, nothing verified")
+    assert(lsh.subsetOf(exact), s"LSH emitted false positives: ${lsh.diff(exact)}")
+  }
+
+  test("embedding near-dup: LSH recall on planted near-duplicates at threshold 0.9") {
+    // the sf testdata has no real near-dups (max pairwise cosine ~0.5),
+    // so plant them: 40 base vectors + a lightly-perturbed copy of each
+    // (cosine ≈ 0.99) — the regime near-dup dedup actually targets.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i.toLong + 1000L, dup))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 35, s"planting failed: only ${exact.size} exact pairs")
+    val lsh = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall too low at the 0.9-cosine regime")
+  }
+
+  test("IVF ANN: deterministic, and recall vs brute force holds") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = e.filter(pmod($"vec_id", lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = run()
+    assert(ivf == run(), "ivfTopK is not deterministic across runs")
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low — cell assignment or probing is broken")
+  }
+
+  test("spherical k-means: centroids are unit-norm and stable on a fixed sample") {
+    val sample = Array.tabulate(20)(i => Array.tabulate(4)(d => ((i * 7 + d * 3) % 10 + 1).toDouble))
+    val c1 = Similarity.trainCentroids(sample, 3, 3)
+    val c2 = Similarity.trainCentroids(sample, 3, 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    for (c <- c1) assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic features") {
     val media = Multimodal.packText(docs, $"doc_id", $"text", "text/plain")
     val feats = Multimodal.decodeFeatures(media, batchSize = 7)

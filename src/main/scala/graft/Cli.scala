@@ -22,6 +22,8 @@ import graft.store.Datastore
 object Cli {
 
   def main(args: Array[String]): Unit = {
+    // X6: local-only, default-off usage telemetry
+    sys.env.get("GRAFT_TELEMETRY_FILE").foreach(Telemetry.enable)
     val spark = GraftSession.get()
     try {
       val code = run(args.toSeq, spark, Console.out.println(_: String))
@@ -38,6 +40,7 @@ object Cli {
     def config: GraftConfig = GraftConfig.load(confPath.getOrElse(
       throw new IllegalArgumentException("missing -c <config.yaml>")))
 
+    Telemetry.capture("cli_command", Map("command" -> rest.take(2).mkString(" ")))
     rest match {
       case Seq("transformer", "list") =>
         // reference `transformer list` (`commands/transformer.rs`)
@@ -94,6 +97,34 @@ object Cli {
         val store = new Datastore(datastoreUri(config), spark)
         store.catalogOps.delete(name)
         out(s"deleted: $name")
+        0
+
+      // D4 analog: the reference spins up an ephemeral dockerized
+      // database, restores into it, and tears it down on Ctrl-C
+      // (`destination/docker.rs:1-150`, `commands/dump.rs:233-412`).
+      // Containers aren't part of a Spark engine's surface; the same
+      // developer loop — "give me a scratch database with this dump
+      // loaded" — is served with an embedded Derby instance: created on
+      // the spot, loaded over plain JDBC (exercising the D1/D2 sink),
+      // gone when the directory is deleted.
+      case Seq("dump", "restore", "ephemeral", nameArg) =>
+        val c = config
+        val store = new Datastore(datastoreUri(c), spark)
+        val name =
+          if (nameArg == "latest")
+            store.catalogOps.latest().map(_.directoryName).getOrElse {
+              out("no dumps in catalog"); return 1
+            }
+          else nameArg
+        val dbDir = java.nio.file.Files.createTempDirectory("graft-ephemeral-").resolve("db")
+        val url = s"jdbc:derby:$dbDir;create=true"
+        val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
+        tables.foreach { case (t, df) =>
+          graft.ingest.Jdbc.writeTable(df, url, t)
+          out(s"restored: $t (${df.count()} rows)")
+        }
+        out(s"ephemeral database ready: $url")
+        out(s"teardown: delete $dbDir")
         0
 
       case Seq("dump", "restore", nameArg) =>

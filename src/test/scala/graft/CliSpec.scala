@@ -85,4 +85,40 @@ class CliSpec extends SparkSpec {
     assert(printed.contains("email") && printed.contains("redacted"))
     assert(Cli.run(Seq("bogus"), spark, printed += _) == 1)
   }
+
+  test("cli: ephemeral restore loads the dump into a scratch Derby database (D4 analog)") {
+    val store = Files.createTempDirectory("graft-cli-store-").toString
+    val restore = Files.createTempDirectory("graft-cli-restore-").toString
+    val conf = writeConf(store, restore)
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "eph-test"), spark, printed += _) == 0)
+
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "restore", "ephemeral", "latest"), spark, printed += _) == 0)
+    val url = printed.find(_.startsWith("ephemeral database ready: "))
+      .map(_.stripPrefix("ephemeral database ready: "))
+      .getOrElse(fail("no ephemeral database URL printed"))
+    val back = graft.ingest.Jdbc.readTable(spark, url, "customer")
+    assert(back.count() == Tables.customer(spark, sfDir).count())
+    assert(back.filter($"c_name".endsWith("@example.com")).count() == back.count())
+  }
+
+  test("telemetry: off by default, local JSONL capture when enabled, never throws") {
+    assert(!Telemetry.isEnabled)
+    Telemetry.capture("ignored") // no sink — must be a no-op
+    val f = Files.createTempFile("graft-telemetry-", ".jsonl")
+    try {
+      Telemetry.enable(f.toString)
+      Telemetry.capture("cli_command", Map("command" -> "dump create", "quote" -> "a\"b"))
+      val lines = Files.readAllLines(f)
+      assert(lines.size() == 1)
+      assert(lines.get(0).contains("\"event\":\"cli_command\""))
+      assert(lines.get(0).contains("\"command\":\"dump create\""))
+      assert(lines.get(0).contains("\"quote\":\"a\\\"b\""))
+    } finally {
+      Telemetry.disable()
+      Files.deleteIfExists(f)
+    }
+    assert(!Telemetry.isEnabled)
+  }
 }

@@ -52,8 +52,10 @@ object SubsetQueries {
     }),
 
     // J5 (scale): salted equi-join — result identical to the plain
-    // join (the oracle IS the plain join), distribution spread over 8
-    // sub-keys per key for the hot-key case AQE can't split.
+    // join (the oracle IS the plain join), distribution spread over 4
+    // sub-keys per key for the hot-key case AQE can't split (salts
+    // sized to the skew being split, not maximized: each salt
+    // replicates the build side once).
     "j5_salted_join" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -61,7 +63,7 @@ object SubsetQueries {
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
       graft.ops.Joins.saltedEquiJoin(
         big, small, "l_orderkey",
-        struct(col("l_orderkey"), col("l_linenumber")), 8)
+        struct(col("l_orderkey"), col("l_linenumber")), 4)
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     }),
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Automated plan assertions — the scale contract, checked per build:
+  * filters/projections reach the parquet scan, joins pick the intended
+  * physical strategy, aggregations are map-side partial, and the hot
+  * paths stay inside whole-stage codegen. These are the properties that
+  * decide whether a plan survives a 100×  scale-up, so they are tests,
+  * not a manual `.explain` ritual (that's `graft.PlanCheck`).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("scans push filters and prune columns (F3/S1 — parquet pushdown)") {
+    val p = plan("f3_equi_filter")
+    assert(p.contains("PushedFilters: ["), "equi-filter did not reach the parquet scan")
+    assert(!p.contains("PushedFilters: []"), "pushed-filter list is empty")
+    val proj = plan("s1_scan_project")
+    // the documents table carries text+media columns; a projecting scan
+    // must not read them
+    assert(proj.contains("ReadSchema"), "no parquet read schema recorded")
+    assert(!proj.contains("o_comment"), "column pruning failed: unprojected column read")
+  }
+
+  test("semi-join lookup plans a hash semi-join, never a cartesian (J2)") {
+    val p = plan("j2_semi_join_lookup")
+    assert(p.contains("LeftSemi"), "expected a left-semi join")
+    assert(!p.contains("CartesianProduct"), "cartesian product in an equi-join plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in an equi-join plan")
+  }
+
+  test("acyclic FK closure is one declarative semi-join chain (J1)") {
+    val p = plan("j1_fk_closure")
+    assert(p.contains("LeftSemi"))
+    // the DAG path must not materialize levels through localCheckpoint
+    // (which would show up as ExistingRDD scans cutting the lineage)
+    assert(!p.contains("ExistingRDD"), "FK closure materialized a level — DAG fast path regressed")
+  }
+
+  test("aggregations are map-side partial and codegen'd (Q1/G1)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation: map-side combine missing")
+    assert(p.contains("partial_"), "no partial_ aggregate functions in the map stage")
+    // AQE finalizes the physical plan only on execution; collect() runs
+    // this exact queryExecution, after which codegen'd operators render
+    // with a "*(n)" stage marker in the final plan
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), "AQE plan did not finalize")
+    assert(finalPlan.contains("*("), "aggregation fell out of whole-stage codegen")
+  }
+
+  test("salted join stays an equi-join; brute-force ANN broadcasts the query side") {
+    val p = plan("j5_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salted join degenerated to a non-equi strategy")
+    val ann = plan("x_ann_bruteforce")
+    assert(ann.contains("BroadcastNestedLoopJoin") || ann.contains("BroadcastExchange"),
+      "brute-force ANN should broadcast the small query side")
+  }
+
+  test("dedup and near-dup joins shuffle on derived keys, no cross joins") {
+    for (name <- Seq("x_minhash_lsh", "x_simhash", "x_embed_near_dup_lsh", "x_ngram_jaccard")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}

@@ -79,6 +79,21 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact dedup — J3 as a continuous operator: duplicates
+    * arriving within the watermark horizon of the first copy are
+    * dropped; state is bounded by the horizon (eviction at watermark),
+    * so it runs forever on unbounded input. The batch J3
+    * (`Subset.dedupByKey`) remains the semantics oracle over any
+    * bounded slice.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Write a transformed stream to parquet in availableNow mode —
     * processes everything present, then stops: the exact semantic of
     * the reference's bounded one-pass dump (bounded input, streaming

@@ -66,6 +66,28 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.join(batch, Seq("c_custkey"), "left_anti").count() == 0)
   }
 
+  test("streaming: watermarked dedup drops in-horizon duplicates, matches batch J3 counts") {
+    import graft.streaming.StreamingPipeline
+    val inDir = Files.createTempDirectory("graft-dedup-in").toString
+    val outDir = Files.createTempDirectory("graft-dedup-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString + "/ckpt"
+    // duplicated doc payloads with event-time: each text appears 1-3
+    // times within minutes of the first copy (inside the horizon)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"text-${i % 100}", new java.sql.Timestamp(base.getTime + i * 60000L))
+    }
+    rows.toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(inDir)
+    val in = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val deduped = StreamingPipeline.dedupStream(in, Seq("text"), "ts", "6 hours")
+    assert(deduped.isStreaming)
+    StreamingPipeline.sinkAvailableNow(deduped, outDir, ckpt).start().awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.count() == 100)
+    assert(streamed.select("text").distinct().count() == 100)
+  }
+
   test("streaming: mapGroupsWithState running progress matches batch groupBy") {
     import graft.streaming.StreamingPipeline
     val events = Tables.events(spark, sfDir)

@@ -14,17 +14,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics (value-identical to the HOF formulation, asserted in
   * OpsSpec): tokens = `split(lower(trim(text)), "\\s+")`; grams = the
-  * distinct space-joined n-token windows; element i of the signature is
-  * `min over grams of xxhash64(i, gram)` with Spark's two-argument hash
-  * fold (`hashInt(i, seed=42)` seeding the gram-bytes hash). Documents
-  * with fewer than `n` tokens have no grams: the HOF version yields an
-  * all-null signature, this one yields SQL NULL — both are dropped by
-  * the caller's null filter before banding.
+  * distinct space-joined n-token windows; the i-th hash family member
+  * is the double-hashing combination `h1(g) XOR rotl(h2(g), i)` with
+  * `h1 = xxhash64(g)` and `h2 = xxhash64(1L, g)` (XOR-rotate instead
+  * of the additive Kirsch–Mitzenmacher form because ANSI SQL Long
+  * arithmetic traps on wrap; each member is still a bijection of the
+  * (h1, h2) pair), and element i of the signature is its min over
+  * grams. Two real hash evaluations per gram simulate all `numHashes`
+  * families — recall vs exact Jaccard is pinned in OpsSpec.
+  * Documents with fewer than `n` tokens have no grams: the HOF version
+  * yields an all-null signature, this one yields SQL NULL — both are
+  * dropped by the caller's null filter before banding.
   *
   * Why a custom `Expression`: the HOF version re-walks the gram array
   * once per hash function through interpreted lambdas and allocates a
-  * UTF8String array per walk; this is one static call that hashes each
-  * gram's bytes 64 times in a tight loop — no Catalyst array values,
+  * UTF8String array per walk; this is one static call with two hashes
+  * and a tight add/compare loop per gram — no Catalyst array values,
   * no per-(i, gram) allocation.
   */
 case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int)
@@ -74,16 +79,18 @@ object MinHashSigExpr {
       grams.add(UTF8String.concatWs(Space, toks.slice(i, i + n): _*))
       i += 1
     }
+    // seed of SQL `xxhash64(1L, g)`: the long child hashes first, its
+    // result seeds the gram-bytes hash
+    val seed2 = XXH64.hashLong(1L, Seed)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     grams.foreach { g =>
+      val h1 = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, Seed)
+      val h2 = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, seed2)
       var k = 0
       while (k < numHashes) {
-        // Spark's xxhash64(k, gram): the int child hashes first, its
-        // result seeds the gram-bytes hash
-        val h = XXH64.hashUnsafeBytes(
-          g.getBaseObject, g.getBaseOffset, g.numBytes, XXH64.hashInt(k, Seed))
-        if (h < sig(k)) sig(k) = h
+        val v = h1 ^ java.lang.Long.rotateLeft(h2, k)
+        if (v < sig(k)) sig(k) = v
         k += 1
       }
     }

@@ -132,9 +132,17 @@ object Dedup {
 
   private[graft] def minhashSignatureHof(text: Column, n: Int, numHashes: Int): Column =
     TextAnalysis.bound(array_distinct(TextAnalysis.wordNgrams(text, n))) { grams =>
+      // h1 XOR rotl(h2, i) double-hash family, mirroring MinHashSigExpr
+      // (Java shift semantics: shift distance is taken mod 64, so the
+      // i=0 rotation degenerates correctly)
       transform(
         sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(grams, g => xxhash64(i, g))))
+        i => array_min(transform(grams, { g =>
+          val h2 = xxhash64(lit(1L), g)
+          val rot = call_function("shiftleft", h2, i.cast("int")).bitwiseOR(
+            call_function("shiftrightunsigned", h2, (lit(64) - i).cast("int")))
+          xxhash64(g).bitwiseXOR(rot)
+        })))
     }
 
   /** LSH banding: (band index, hash of the signature slice) bucket keys.
@@ -171,17 +179,23 @@ object Dedup {
       .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
       .filter(col("sig").isNotNull) // docs with < n tokens have no signature
       .repartition(col("doc"))
-    val buckets = sigs.select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bk"))
-      .select(col("doc"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // The band join is SKINNY — (doc, band, bucket) only; dragging the
+    // 64-long signature through a ×bands-exploded shuffle would move
+    // bands× the signature bytes for nothing. Signatures re-attach to
+    // the deduped candidate pairs via broadcast, then the estimate
+    // verifies map-side.
+    val buckets = sigs.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bucket"))
     val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
       .filter(col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("id_a"), col("l.sig").as("sig_a"),
-        col("r.doc").as("id_b"), col("r.sig").as("sig_b"))
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-          .cast("double") / lit(numHashes.toDouble))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+      .cast("double") / lit(numHashes.toDouble)
+    broadcast(candidates)
+      .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }

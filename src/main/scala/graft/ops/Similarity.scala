@@ -115,19 +115,25 @@ object Similarity {
       numPlanes: Int = 4,
       dim: Int = 64,
       seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L)): DataFrame = {
-    val pairs = seeds.map { seed =>
-      val b = df.select(col(id).as("doc"), col(vec).as("v"),
-        lshBucket(col(vec), numPlanes, dim, seed).as("bucket"))
-        .repartition(col("bucket"))
-      b.as("l").join(b.as("r"), Seq("bucket"))
-        .filter(col("l.doc") < col("r.doc"))
-        .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"),
-          col("l.v").as("va"), col("r.v").as("vb"))
-    }.reduce(_.unionByName(_)).dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"))
+    // All seeds ride ONE exchange: explode (seed, bucket) per vector and
+    // self-join on the composite key — k seeds cost one shuffle, not k,
+    // and the identical bucketed subplan on both sides is a
+    // ReusedExchange.
+    val seedBuckets = array(seeds.map(s =>
+      struct(lit(s).as("seed"), lshBucket(col(vec), numPlanes, dim, s).as("bucket"))): _*)
+    val b = df
+      .select(col(id).as("doc"), col(vec).as("v"), explode(seedBuckets).as("sb"))
+      .select(col("doc"), col("v"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .repartition(col("seed"), col("bucket"))
+    // Order of operations matters at scale: the exact cosine runs
+    // map-side straight off the join (no shuffle touches the vectors),
+    // the threshold filter then drops almost every candidate, and only
+    // the tiny survivor id-pairs pay the dedup shuffle.
+    b.as("l").join(b.as("r"), Seq("seed", "bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .filter(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Deterministic driver-side spherical k-means over a collected
@@ -241,21 +247,34 @@ object Similarity {
       seeds: Seq[Long] = Seq(42L, 43L),
       multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val candidates = seeds.map { seed =>
-      val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-        lshBucket(col(vec), numPlanes, dim, seed).as("bucket"))
-      val exact = lshBucket(col(vec), numPlanes, dim, seed)
+    // Every seed rides one (seed, bucket)-keyed join: the corpus is
+    // bucketed and exchanged ONCE for all tables, the (broadcast) query
+    // side explodes seeds × probes.
+    val corpusBuckets = array(seeds.map(s =>
+      struct(lit(s).as("seed"), lshBucket(col(vec), numPlanes, dim, s).as("bucket"))): _*)
+    val c = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), explode(corpusBuckets).as("sb"))
+      .select(col("neighbor_id"), col("cv"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    val queryProbes = array(seeds.flatMap { s =>
+      val exact = lshBucket(col(vec), numPlanes, dim, s)
       val probes =
-        if (!multiProbe) array(exact)
-        else array(exact +: (0 until numPlanes).map(i =>
-          exact.bitwiseXOR(lit(1L << i))): _*)
-      val q = broadcast(queries
-        .select(col(id).as("query_id"), col(vec).as("qv"), explode(probes).as("bucket")))
-      c.join(q, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-    }.reduce(_.unionByName(_)).dropDuplicates("query_id", "neighbor_id")
+        if (!multiProbe) Seq(exact)
+        else exact +: (0 until numPlanes).map(i => exact.bitwiseXOR(lit(1L << i)))
+      probes.map(p => struct(lit(s).as("seed"), p.as("bucket")))
+    }: _*)
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), col(vec).as("qv"), explode(queryProbes).as("sb"))
+      .select(col("query_id"), col("qv"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket")))
+    // cosine runs map-side off the join; the dedup + rank shuffles then
+    // move only (query, neighbor, sim) — never the vectors (dup pairs
+    // from different seeds carry the same sim, so dedup keeping an
+    // arbitrary row is exact)
+    val candidates = c.join(q, Seq("seed", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+    candidates
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

@@ -53,6 +53,34 @@ class MongoArchiveSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bson.decode(ByteBuffer.wrap(sizeLie ++ Array[Byte](0, 0, 0, 0))))
   }
 
+  test("property: BSON roundtrips generated documents (nested, unicode, extremes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val name: Gen[String] = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', '中', '€', ' ', '.', '$'))).map(_.mkString)
+    def leaf: Gen[BVal] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(BInt64),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue).map(BInt32),
+      Gen.double.map(BDouble),
+      name.map(BStr), Gen.oneOf(true, false).map(BBool),
+      Gen.const(BNull),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(bs => BBin(0x00, bs.toArray)))
+    def value(depth: Int): Gen[BVal] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        6 -> leaf,
+        1 -> Gen.listOfN(3, value(depth - 1)).map(vs => BArr(vs.toVector)),
+        1 -> Gen.listOfN(3, Gen.zip(name, value(depth - 1))).map(fs => BDoc(fs.toVector)))
+    val doc: Gen[BDoc] =
+      Gen.listOfN(5, Gen.zip(name, value(2))).map(fs => BDoc(fs.toVector))
+    val p = Gen.Parameters.default
+    (0 until 200).flatMap(i => doc.apply(p, Seed(i.toLong))).foreach { d =>
+      val enc = Bson.encode(d)
+      val back = Bson.decode(enc)
+      assert(Bson.encode(back).toSeq == enc.toSeq, s"roundtrip drift for $d")
+    }
+  }
+
   test("archive write → read → write is byte-exact and CRC-verified") {
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "score")
     val archive = MongoArchive.fromTables("testdb", Seq("things" -> df))

@@ -172,14 +172,15 @@ object Similarity {
     centroids
   }
 
-  /** Per-row similarity to each centroid as an array column (centroids
-    * enter the plan as literals — k·dim doubles, folded by Catalyst).
+  /** Per-row similarity to each centroid as an array column. Uses the
+    * native codegen'd cosine against each (unit-norm) centroid literal
+    * instead of interpreted HOF lambdas over a k×dim literal array —
+    * cosine against unit centroids orders identically to the dot
+    * product (it only rescales by the row's own 1/|v|), so argmax cell
+    * assignment and probe ranking are unchanged.
     */
-  private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val centroidsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    transform(centroidsLit, c =>
-      aggregate(zip_with(vec, c, (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v))
-  }
+  private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => cosine(vec, typedLit(c.toSeq))): _*)
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
     * to their nearest coarse centroid once; each query probes the

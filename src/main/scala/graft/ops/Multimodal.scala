@@ -84,4 +84,62 @@ object Multimodal {
 
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Batched resize — binary→binary map, the second canonical media
+    * op shape (same row count, transformed payload). STUB codec: the
+    * "resized" payload is the original bytes truncated/cycled to
+    * w·h/64 length, deterministic; a real implementation swaps in an
+    * image library per partition.
+    */
+  def resize(df: DataFrame, width: Int, height: Int, batchSize: Int = 128): DataFrame = {
+    val enc = Encoders.row(resizedSchema)
+    df.select(col("media_id"), col("media"), col("media_type"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val n = math.max(1, width * height / 64)
+            val out = Array.tabulate(n)(i => if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length))
+            Row(r.getLong(0), out, if (r.isNullAt(2)) null else r.getString(2), width, height)
+          }
+        }
+      }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling — the one-to-many media shape (video → every
+    * `everyNth` frame as its own row), an executor-side generator like
+    * a Pandas-UDF returning more rows than it got. STUB codec: frames
+    * are fixed-width byte windows (`frameBytes`), frame count derives
+    * from payload length; a real demuxer replaces the body only.
+    */
+  def frameSample(df: DataFrame, everyNth: Int, frameBytes: Int = 256, batchSize: Int = 128): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
+    val enc = Encoders.row(frameSchema)
+    df.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val nFrames = math.max(1, bytes.length / frameBytes)
+            (0 until nFrames by everyNth).iterator.map { f =>
+              val from = f * frameBytes
+              Row(id, f, java.util.Arrays.copyOfRange(bytes, from, math.min(bytes.length, from + frameBytes)))
+            }
+          }
+        }
+      }(enc)
+  }
 }

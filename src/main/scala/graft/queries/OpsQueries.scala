@@ -97,6 +97,16 @@ object OpsQueries {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
       Multimodal.decodeFeatures(media)
         .select(col("media_id"), col("n_bytes"), col("checksum"), col("width"), col("height"))
+    }),
+
+    // multimodal one-to-many shape: every 2nd fixed-width frame window
+    // per media payload (oracle checks frame indices + sizes, the
+    // engine-portable part of the stub demuxer)
+    "x_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
+      Multimodal.frameSample(media, everyNth = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("n_frame_bytes"))
     })
   )
 
@@ -145,6 +155,13 @@ object OpsQueries {
         "md5(text) AS checksum, " +
         "(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64) + 1 AS width, " +
         "(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64) + 1 AS height " +
-        "FROM documents")
+        "FROM documents"),
+    "x_frame_sample" ->
+      ("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT media_id, n, greatest(1, n // 256) AS n_frames FROM m),
+         |u AS (SELECT media_id, n, unnest(generate_series(0, n_frames - 1, 2)) AS i FROM f)
+         |SELECT media_id, CAST(i AS INT) AS frame_idx,
+         |  CAST(least(n, i * 256 + 256) - i * 256 AS BIGINT) AS n_frame_bytes
+         |FROM u""".stripMargin)
   )
 }

@@ -181,6 +181,37 @@ class OpsSpec extends SparkSpec {
     for (c <- c1) assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
   }
 
+  test("multimodal: resize is deterministic with the declared payload size") {
+    val media = Multimodal.packText(
+      Tables.documents(spark, sfDir).limit(20), col("doc_id"), col("text"), "text/plain")
+    val resized = Multimodal.resize(media, 32, 16)
+    val rows = resized.select($"media_id", octet_length($"media"), $"width", $"height")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall { case (_, n, w, h) => n == 32 * 16 / 64 && w == 32 && h == 16 })
+    val again = Multimodal.resize(media, 32, 16)
+      .select($"media_id", md5($"media")).as[(Long, String)].collect().toSet
+    val first = resized.select($"media_id", md5($"media")).as[(Long, String)].collect().toSet
+    assert(first == again)
+  }
+
+  test("multimodal: frame sampling explodes payloads into every-Nth fixed windows") {
+    val media = Multimodal.packText(
+      Tables.documents(spark, sfDir).limit(20), col("doc_id"), col("text"), "text/plain")
+    val frames = Multimodal.frameSample(media, everyNth = 2, frameBytes = 64)
+    val byDoc = frames.groupBy($"media_id")
+      .agg(count(lit(1)).as("n"), max($"frame_idx").as("max_idx"))
+      .join(media.select($"media_id", octet_length($"media").as("len")), Seq("media_id"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(byDoc.length == 20)
+    byDoc.foreach { case (id, n, maxIdx, len) =>
+      val nFrames = math.max(1, len / 64)
+      val expected = (0 until nFrames by 2).size
+      assert(n == expected, s"doc $id: $n frames, expected $expected for $len bytes")
+      assert(maxIdx % 2 == 0, s"doc $id emitted an off-stride frame")
+    }
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic features") {
     val media = Multimodal.packText(docs, $"doc_id", $"text", "text/plain")
     val feats = Multimodal.decodeFeatures(media, batchSize = 7)

@@ -26,7 +26,7 @@ object DumpReader {
     * `idx` is globally monotonic in dump order without any coordination
     * between tasks. 2^40 statements per 100 MB chunk is unreachable.
     */
-  private val ChunkShift = 40
+  private[ingest] val ChunkShift = 40
 
   /** Read dump file(s) into a Dataset of classified statements.
     * `idx` is globally monotonic in dump order: high bits are the rank

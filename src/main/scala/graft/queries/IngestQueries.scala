@@ -114,6 +114,23 @@ object IngestQueries {
     "g4_crc64" -> ((s, dir) =>
       DumpReader.collectionCrc64(nationDump(s, dir))),
 
+    // S4/S5 via the DataSource V2 path: re-synthesized INSERT dump
+    // written as text part-files, read back through
+    // spark.read.format(SqlDumpSource) (one partition per part, pruned
+    // columns, same global idx layout), re-typed, and hash-matched
+    // against the source table.
+    "s4_sqldump_dsv2" -> ((s, dir) => {
+      import s.implicits._
+      val stmts = DumpSink.toInsertStatements(
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        "public", "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-").toString
+      stmts.coalesce(2).write.mode("overwrite").text(tmp)
+      val v2 = s.read.format(classOf[graft.ingest.SqlDumpSource].getName).load(tmp)
+        .as[Statement]
+      DumpReader.tableFromDump(v2, "public", "nation")
+    }),
+
     // S3+N3+D3: full mongodump-archive cycle — table → BSON documents →
     // archive bytestream (CRC64 per collection) → parse+CRC-verify →
     // per-collection DataFrame (the mongorestore analog). Hash-matching
@@ -170,6 +187,8 @@ object IngestQueries {
         "('nation', 'n_regionkey', CAST(2 AS BIGINT))) " +
         "AS t(table_name, column_name, ordinal)"),
     "s3_mongo_archive_roundtrip" ->
-      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    "s4_sqldump_dsv2" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
   )
 }

@@ -106,39 +106,47 @@ private class SqlDumpScan(path: String, required: StructType) extends Scan with 
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
         else Array(st))
       .map(_.getPath.toString).sorted
-    // Hadoop Configuration is not Serializable; ship the entries
-    val confMap = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
     files.zipWithIndex.map { case (f, rank) =>
-      SqlDumpPartition(f, rank, confMap): InputPartition
+      SqlDumpPartition(f, rank): InputPartition
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SqlDumpReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not Serializable; broadcast the entries
+    // ONCE instead of copying them into every partition descriptor —
+    // at dump scale (10⁴+ part files) per-partition conf copies are
+    // real scheduler payload.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val confMap = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    new SqlDumpReaderFactory(required, spark.sparkContext.broadcast(confMap))
+  }
 }
 
-private case class SqlDumpPartition(
-    file: String,
-    rank: Int,
-    conf: Array[(String, String)]) extends InputPartition
+private case class SqlDumpPartition(file: String, rank: Int) extends InputPartition
 
-private class SqlDumpReaderFactory(required: StructType)
+private class SqlDumpReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SqlDumpPartition]
-    new SqlDumpPartitionReader(p, required)
+    new SqlDumpPartitionReader(p, required, conf.value)
   }
 }
 
-private class SqlDumpPartitionReader(part: SqlDumpPartition, required: StructType)
+private class SqlDumpPartitionReader(
+    part: SqlDumpPartition,
+    required: StructType,
+    confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   // whole-file read + linear split, executed on the executor that owns
   // this partition
   private val statements: Iterator[(Long, String, String, String, String)] = {
     val conf = new Configuration(false)
-    part.conf.foreach { case (k, v) => conf.set(k, v) }
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
     val path = new Path(part.file)
     val fs = path.getFileSystem(conf)
     val in = fs.open(path)

@@ -27,6 +27,40 @@ object Ddl {
     }
   }
 
+  /** S9+: column name AND Spark type from a CREATE TABLE statement —
+    * the declared SQL type decides the frame schema, removing the
+    * row-sample inference `tableFromDump` otherwise needs. Unknown or
+    * exotic SQL types conservatively map to STRING (the dump literal
+    * survives verbatim).
+    */
+  def createTableColumnTypes(stmt: String): Vector[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val stopWords = Set("NOT", "NULL", "DEFAULT", "PRIMARY", "UNIQUE",
+      "REFERENCES", "CHECK", "CONSTRAINT", "GENERATED", "COLLATE")
+    val open = stmt.indexOf('(')
+    if (open < 0) return Vector.empty
+    val close = stmt.lastIndexOf(')')
+    if (close <= open) return Vector.empty
+    InsertParser.splitTop(stmt.substring(open + 1, close)).flatMap { group =>
+      val words = group.trim.split("\\s+").toVector
+      words.headOption
+        .filter(w => w.nonEmpty && !constraintKeywords.contains(w.toUpperCase))
+        .map { rawName =>
+          val typeWords = words.drop(1).takeWhile(w => !stopWords.contains(w.toUpperCase))
+          val sqlType = typeWords.mkString(" ").takeWhile(_ != '(').trim.toLowerCase
+          val dt = sqlType match {
+            case "bigint" | "int8" | "bigserial" | "integer" | "int" | "int4" |
+                 "serial" | "smallint" | "int2" => LongType
+            case "double precision" | "float8" | "real" | "float4" | "float" => DoubleType
+            case "boolean" | "bool" => BooleanType
+            case "numeric" | "decimal" => DecimalType(38, 0)
+            case _ => StringType // text, varchar, dates, json, unknown
+          }
+          (StatementSplitter.unquoteIdent(rawName), dt)
+        }
+    }
+  }
+
   private val FkPattern =
     ("""(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w"`.]+)\s+.*?FOREIGN\s+KEY\s*\(([^)]+)\)""" +
       """\s*REFERENCES\s+([\w"`.]+)\s*\(([^)]+)\)""").r

@@ -140,7 +140,18 @@ object DumpReader {
     * `source/postgres.rs:378-411`; doing it once over a sample gives
     * every row the same schema, which is what a columnar engine needs).
     */
-  def tableFromDump(stmts: Dataset[Statement], database: String, table: String): DataFrame = {
+  /** Typed per-table frame from a parsed dump. When the table's CREATE
+    * TABLE statement is supplied, its declared types decide the schema
+    * with NO driver-side sampling and rows align to the DDL column
+    * order even if INSERTs list columns differently; without DDL, the
+    * schema is inferred from a bounded 1000-row sample (one small job,
+    * never the full data).
+    */
+  def tableFromDump(
+      stmts: Dataset[Statement],
+      database: String,
+      table: String,
+      ddl: Option[String] = None): DataFrame = {
     import stmts.sparkSession.implicits._
     val rows: Dataset[(Vector[String], Vector[String], Vector[Int])] = stmts
       .filter(s => s.kind == StatementKind.InsertInto &&
@@ -156,25 +167,40 @@ object DumpReader {
       }
       .filter(_._1.nonEmpty)
 
-    // schema inference over a bounded sample (one small job, never the
-    // full data)
-    val sample = rows.limit(1000).collect()
-    if (sample.isEmpty) return stmts.sparkSession.emptyDataFrame
-    val columns = sample(0)._1
-    val types: Seq[DataType] = columns.indices.map { i =>
-      val tags = sample.iterator.map(_._3.lift(i).getOrElse(TagNull))
-        .filter(_ != TagNull).toSet
-      if (tags.isEmpty) StringType
-      else if (tags == Set(TagBool)) BooleanType
-      else if (tags.subsetOf(Set(TagLong, TagDecimal, TagDouble))) tags.max match {
-        // numeric promotion: Double > Decimal(38,0) > Long
-        case TagLong => LongType
-        case TagDecimal => DecimalType(38, 0)
-        case _ => DoubleType
-      }
-      else StringType
+    ddl.map(Ddl.createTableColumnTypes).filter(_.nonEmpty) match {
+      case Some(colTypes) =>
+        val names = colTypes.map(_._1)
+        val aligned = rows.map { case (cols, vals, _) =>
+          if (cols == names) vals
+          else {
+            val byName = cols.iterator.zip(vals.iterator).toMap
+            names.map(byName.getOrElse(_, null))
+          }
+        }
+        typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2))
+      case None =>
+        val sample = rows.limit(1000).collect()
+        if (sample.isEmpty) return stmts.sparkSession.emptyDataFrame
+        val columns = sample(0)._1
+        val types: Vector[DataType] = columns.indices.map { i =>
+          val tags = sample.iterator.map(_._3.lift(i).getOrElse(TagNull))
+            .filter(_ != TagNull).toSet
+          if (tags.isEmpty) StringType
+          else if (tags == Set(TagBool)) BooleanType
+          else if (tags.subsetOf(Set(TagLong, TagDecimal, TagDouble))) tags.max match {
+            // numeric promotion: Double > Decimal(38,0) > Long
+            case TagLong => LongType
+            case TagDecimal => DecimalType(38, 0)
+            case _ => DoubleType
+          }
+          else StringType
+        }.toVector
+        typedProjection(rows.map(_._2).toDF("vals"), columns, types)
     }
-    val df = rows.map(_._2).toDF("vals")
+  }
+
+  private def typedProjection(
+      df: DataFrame, columns: Vector[String], types: Vector[DataType]): DataFrame = {
     val cols = columns.zipWithIndex.map { case (name, i) =>
       val raw = col("vals").getItem(i)
       val typed = types(i) match {

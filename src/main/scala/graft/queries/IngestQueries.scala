@@ -114,6 +114,12 @@ object IngestQueries {
     "g4_crc64" -> ((s, dir) =>
       DumpReader.collectionCrc64(nationDump(s, dir))),
 
+    // S9 typed: the CREATE TABLE header's declared types decide the
+    // frame schema — zero driver-side sampling (compare s5_dump_roundtrip,
+    // which exercises the inference path).
+    "s9_ddl_typed_dump" -> ((s, dir) =>
+      DumpReader.tableFromDump(nationDump(s, dir), "public", "nation", Some(NationDdl))),
+
     // S4/S5 via the DataSource V2 path: re-synthesized INSERT dump
     // written as text part-files, read back through
     // spark.read.format(SqlDumpSource) (one partition per part, pruned
@@ -189,6 +195,8 @@ object IngestQueries {
     "s3_mongo_archive_roundtrip" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
     "s4_sqldump_dsv2" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+    "s9_ddl_typed_dump" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
   )
 }

@@ -194,4 +194,47 @@ class IngestSpec extends SparkSpec {
     assert(cust.filter($"company_name" === "Ana's Emparedados").count() == 1)
     assert(cust.filter($"notes".isNull).count() == 1)
   }
+
+  test("ddl: create-table column TYPES map to Spark types, constraints skipped") {
+    val types = Ddl.createTableColumnTypes(
+      """CREATE TABLE public.t (id bigint NOT NULL, name text, score double precision,
+        |ok boolean DEFAULT true, amount numeric(10,2), note varchar(50), created timestamp,
+        |PRIMARY KEY (id));""".stripMargin).toMap
+    assert(types("id").typeName == "long")
+    assert(types("name").typeName == "string")
+    assert(types("score").typeName == "double")
+    assert(types("ok").typeName == "boolean")
+    assert(types("amount").typeName.startsWith("decimal"))
+    assert(types("note").typeName == "string")
+    assert(types("created").typeName == "string")
+    assert(!types.contains("PRIMARY"))
+  }
+
+  test("ddl-typed tableFromDump: no sampling, aligns out-of-order INSERT columns") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val ddl = "CREATE TABLE public.t (a bigint, b text, c double precision);"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(
+      ddl,
+      "INSERT INTO public.t (a, b, c) VALUES (1, 'x', 1.5);",
+      // columns listed in a different order than the DDL
+      "INSERT INTO public.t (c, a, b) VALUES (2.5, 2, 'y');",
+      // a column omitted entirely -> null
+      "INSERT INTO public.t (a) VALUES (3);").toDS())
+    val df = DumpReader.tableFromDump(stmts, "public", "t", Some(ddl))
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(df.schema("a").dataType.typeName == "long")
+    val rows = df.orderBy($"a").collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq == Seq(
+      (1L, Some("x"), Some(1.5)), (2L, Some("y"), Some(2.5)), (3L, None, None)))
+    // and on uniform-column input (the inference path's contract — it
+    // assumes every INSERT lists columns in one order) both paths agree
+    val uniform = DumpReader.statementsFromStrings(spark, Seq(
+      ddl,
+      "INSERT INTO public.t (a, b, c) VALUES (1, 'x', 1.5);",
+      "INSERT INTO public.t (a, b, c) VALUES (2, 'y', 2.5);").toDS())
+    val typed = DumpReader.tableFromDump(uniform, "public", "t", Some(ddl))
+    val inferred = DumpReader.tableFromDump(uniform, "public", "t")
+    assert(typed.exceptAll(inferred).isEmpty && inferred.exceptAll(typed).isEmpty)
+  }
 }

@@ -107,7 +107,11 @@ object MongoArchive {
         eofSeen += 1
         crcs(prefix) = ns.getLong("CRC").getOrElse(0L)
       } else {
-        collections(prefix) = docs.result()
+        // append: mongodump with concurrent_collections > 1 interleaves
+        // multiple data blocks per namespace (the reference's HashMap
+        // insert silently keeps only the last block — a data-loss bug
+        // not worth reproducing)
+        collections(prefix) = collections.getOrElse(prefix, Vector.empty) ++ docs.result()
       }
     }
 

@@ -94,6 +94,30 @@ class MongoArchiveSpec extends SparkSpec {
     assert(MongoArchive.write(back).toSeq == bytes.toSeq)
   }
 
+  test("archive read concatenates interleaved data blocks for one namespace") {
+    // mongodump with concurrent_collections > 1 interleaves blocks;
+    // hand-assemble: header, 1 metadata, then TWO data blocks for db.c
+    // followed by its EOF namespace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x6d, 0xe2.toByte, 0x99.toByte, 0x81.toByte))
+    out.write(Bson.encode(BDoc("concurrent_collections" -> BInt32(2),
+      "version" -> BStr("0.1"), "server_version" -> BStr("n/a"), "tool_version" -> BStr("t"))))
+    out.write(Bson.encode(BDoc("db" -> BStr("db"), "collection" -> BStr("c"),
+      "metadata" -> BStr("{}"), "size" -> BInt32(0), "type" -> BStr("collection"))))
+    val sep = Array[Byte](-1, -1, -1, -1)
+    out.write(sep)
+    def ns(eof: Boolean, crc: Long) = Bson.encode(BDoc(
+      "db" -> BStr("db"), "collection" -> BStr("c"), "EOF" -> BBool(eof), "CRC" -> BInt64(crc)))
+    val d1 = BDoc("i" -> BInt32(1))
+    val d2 = BDoc("i" -> BInt32(2))
+    val crc = Crc64.of(Bson.encode(d1) ++ Bson.encode(d2))
+    out.write(ns(eof = false, 0)); out.write(Bson.encode(d1)); out.write(sep)
+    out.write(ns(eof = false, 0)); out.write(Bson.encode(d2)); out.write(sep)
+    out.write(ns(eof = true, crc)); out.write(sep)
+    val archive = MongoArchive.read(out.toByteArray)
+    assert(archive.collections("db.c").map(_.getInt("i").get) == Vector(1, 2))
+  }
+
   test("archive read fails loudly on a corrupted document body") {
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
     val bytes = MongoArchive.write(MongoArchive.fromTables("testdb", Seq("t" -> df)))

@@ -10,7 +10,8 @@ object ProbeReuse {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     println(s"PROBE reused=${"ReusedExchange".r.findAllIn(p).size} " +
-      s"exchanges=${"Exchange ".r.findAllIn(p).size} scans=${"Scan parquet".r.findAllIn(p).size}")
+      s"shuffles=${"(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(p).size} " +
+      s"scans=${"Scan parquet".r.findAllIn(p).size}")
     spark.stop()
   }
 }

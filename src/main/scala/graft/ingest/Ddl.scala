@@ -47,13 +47,20 @@ object Ddl {
         .filter(w => w.nonEmpty && !constraintKeywords.contains(w.toUpperCase))
         .map { rawName =>
           val typeWords = words.drop(1).takeWhile(w => !stopWords.contains(w.toUpperCase))
-          val sqlType = typeWords.mkString(" ").takeWhile(_ != '(').trim.toLowerCase
+          val fullType = typeWords.mkString(" ").trim.toLowerCase
+          val sqlType = fullType.takeWhile(_ != '(').trim
+          // numeric(p,s) keeps its declared precision AND scale —
+          // mapping to (38,0) would silently round fractions away
+          val DecArgs = """[^(]*\((\d+)\s*,\s*(\d+)\).*""".r
           val dt = sqlType match {
             case "bigint" | "int8" | "bigserial" | "integer" | "int" | "int4" |
                  "serial" | "smallint" | "int2" => LongType
             case "double precision" | "float8" | "real" | "float4" | "float" => DoubleType
             case "boolean" | "bool" => BooleanType
-            case "numeric" | "decimal" => DecimalType(38, 0)
+            case "numeric" | "decimal" => fullType match {
+              case DecArgs(p, s) => DecimalType(p.toInt, s.toInt)
+              case _ => DecimalType(38, 18) // unparameterized: keep fraction room
+            }
             case _ => StringType // text, varchar, dates, json, unknown
           }
           (StatementSplitter.unquoteIdent(rawName), dt)

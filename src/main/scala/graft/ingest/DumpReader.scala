@@ -165,21 +165,32 @@ object DumpReader {
           case None => (Vector.empty[String], Vector.empty[String], Vector.empty[Int])
         }
       }
-      .filter(_._1.nonEmpty)
+      .filter(_._2.nonEmpty)
 
     ddl.map(Ddl.createTableColumnTypes).filter(_.nonEmpty) match {
       case Some(colTypes) =>
         val names = colTypes.map(_._1)
         val aligned = rows.map { case (cols, vals, _) =>
           if (cols == names) vals
-          else {
+          else if (cols.isEmpty) {
+            // positional `INSERT INTO t VALUES (...)`: the DDL order IS
+            // the column order; a width mismatch is corrupt input, not
+            // something to null-pad quietly
+            if (vals.length == names.length) vals
+            else throw new IllegalArgumentException(
+              s"INSERT without column list has ${vals.length} values, DDL declares ${names.length} columns")
+          } else {
             val byName = cols.iterator.zip(vals.iterator).toMap
             names.map(byName.getOrElse(_, null))
           }
         }
         typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2))
       case None =>
+        // without DDL, rows lacking a column list are unusable (names
+        // unknown) — fail loudly instead of returning a partial frame
         val sample = rows.limit(1000).collect()
+        if (sample.exists(_._1.isEmpty)) throw new IllegalArgumentException(
+          s"$database.$table has INSERTs without column lists; pass the CREATE TABLE ddl for positional alignment")
         if (sample.isEmpty) return stmts.sparkSession.emptyDataFrame
         val columns = sample(0)._1
         val types: Vector[DataType] = columns.indices.map { i =>
@@ -205,9 +216,13 @@ object DumpReader {
       val raw = col("vals").getItem(i)
       val typed = types(i) match {
         case StringType =>
-          // strip the SQL quoting the render step added
+          // strip SQL quoting ONLY from quoted literals — a DDL-typed
+          // STRING column can also hold unquoted dump literals (types
+          // we conservatively map to STRING), which must pass verbatim
           when(raw.isNull, lit(null))
-            .otherwise(regexp_replace(expr(s"substring(vals[$i], 2, length(vals[$i]) - 2)"), "''", "'"))
+            .when(raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2,
+              regexp_replace(expr(s"substring(vals[$i], 2, length(vals[$i]) - 2)"), "''", "'"))
+            .otherwise(raw)
         case dt => raw.cast(dt)
       }
       typed.as(name)

@@ -41,13 +41,21 @@ object InsertParser {
     */
   def parse(stmt: String): Option[Insert] = {
     StatementSplitter.tableRef(stmt).flatMap { case (db, table) =>
+      // a column list only exists if a paren appears BEFORE the VALUES
+      // keyword — `INSERT INTO t VALUES (...)` (mysqldump's default
+      // form) has none and yields empty `columns` for positional
+      // alignment downstream
+      val firstValuesKw = indexOfWordIgnoreCase(stmt, "VALUES", 0)
       val openCols = stmt.indexOf('(')
-      if (openCols < 0) return None
-      val closeCols = matchingParen(stmt, openCols)
-      if (closeCols < 0) return None
-      val cols = splitTop(stmt.substring(openCols + 1, closeCols))
-        .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector
-      val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", closeCols)
+      val hasColList = openCols >= 0 && (firstValuesKw < 0 || openCols < firstValuesKw)
+      val (cols, searchFrom) =
+        if (hasColList) {
+          val closeCols = matchingParen(stmt, openCols)
+          if (closeCols < 0) return None
+          (splitTop(stmt.substring(openCols + 1, closeCols))
+            .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector, closeCols)
+        } else (Vector.empty[String], 0)
+      val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", searchFrom)
       if (valuesKw < 0) return None
       val openVals = stmt.indexOf('(', valuesKw)
       if (openVals < 0) return None
@@ -55,7 +63,7 @@ object InsertParser {
       if (closeVals < 0) return None
       val vals = splitTop(stmt.substring(openVals + 1, closeVals))
         .map(v => parseValue(v.trim)).toVector
-      if (cols.length != vals.length) None
+      if (cols.nonEmpty && cols.length != vals.length) None
       else Some(Insert(db, table, cols, vals))
     }
   }

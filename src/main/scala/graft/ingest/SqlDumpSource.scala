@@ -101,12 +101,16 @@ private class SqlDumpScan(path: String, required: StructType) extends Scan with 
     val fs = p.getFileSystem(hconf)
     val matched = Option(fs.globStatus(p)).filter(_.nonEmpty).getOrElse(
       throw new java.io.FileNotFoundException(s"no files match: $path"))
+    // rank by the DECODED path (URI getPath), exactly like
+    // DumpReader.statements — sorting the url-encoded toString would
+    // order names with spaces/%-chars differently and break idx parity
     val files = matched
       .flatMap(st =>
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
         else Array(st))
-      .map(_.getPath.toString).sorted
-    files.zipWithIndex.map { case (f, rank) =>
+      .map(st => (st.getPath.toUri.getPath, st.getPath.toString))
+      .sortBy(_._1)
+    files.zipWithIndex.map { case ((_, f), rank) =>
       SqlDumpPartition(f, rank): InputPartition
     }
   }

@@ -104,10 +104,13 @@ object Dedup {
       .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
         ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps)))
       .select(col("id_a"), col("id_b"))
-    // Verification: after pruning the candidate set is tiny relative to
-    // the corpus, so broadcast it and STREAM the gram arrays — the big
-    // arrays are never shuffled.
-    broadcast(candidates)
+    // Verification: after pruning the candidate set is usually tiny, so
+    // AQE turns these into broadcast joins that STREAM the gram arrays
+    // (candidates sit behind the dedup exchange, so their true runtime
+    // size drives the choice) — while a pathological dup-heavy corpus
+    // with a huge candidate set degrades to a shuffle join instead of
+    // OOMing the driver on a forced broadcast.
+    candidates
       .join(gramArrays.select(col("doc").as("id_a"), col("grams").as("ga")), Seq("id_a"))
       .join(gramArrays.select(col("doc").as("id_b"), col("grams").as("gb")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
@@ -192,7 +195,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
       .cast("double") / lit(numHashes.toDouble)
-    broadcast(candidates)
+    // AQE decides broadcast-vs-shuffle from the candidates' measured
+    // size (see ngramJaccardPairs — a forced broadcast would OOM on
+    // dup-heavy corpora)
+    candidates
       .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", est)

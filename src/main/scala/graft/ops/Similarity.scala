@@ -198,11 +198,16 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       sampleMod: Int = 10,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      maxTrainRows: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // training sample is HARD-bounded: systematic thinning for spread,
+    // then an ordered limit so the driver never holds more than
+    // maxTrainRows vectors regardless of corpus size
     val sample = corpus
       .filter(pmod(col(id), lit(sampleMod)) === 0)
       .orderBy(col(id))
+      .limit(maxTrainRows)
       .select(col(vec))
       .collect()
       .map(_.getSeq[Any](0).map {

@@ -93,6 +93,14 @@ object Subset {
   /** Single-pass closure for acyclic graphs: visiting tables children
     * first, a table's final selection is `seed ∪ (one left-semi join per
     * in-edge)`, deduplicated only when several contributions meet.
+    *
+    * Row multiplicity: a single-contribution selection preserves the
+    * parent's source rows exactly (SQL `IN`-subquery semantics — what
+    * the DuckDB oracle computes). Exact-duplicate parent ROWS can only
+    * exist when the referenced column isn't unique, i.e. an invalid FK
+    * target; on such schemas the cyclic fallback's per-level
+    * `dropDuplicates` additionally collapses them (reference J3 dedup
+    * semantics), which is the one behavioral difference between paths.
     */
   private[graft] def fkClosureDag(
       load: String => DataFrame,

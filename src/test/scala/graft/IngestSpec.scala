@@ -204,7 +204,7 @@ class IngestSpec extends SparkSpec {
     assert(types("name").typeName == "string")
     assert(types("score").typeName == "double")
     assert(types("ok").typeName == "boolean")
-    assert(types("amount").typeName.startsWith("decimal"))
+    assert(types("amount") == org.apache.spark.sql.types.DecimalType(10, 2))
     assert(types("note").typeName == "string")
     assert(types("created").typeName == "string")
     assert(!types.contains("PRIMARY"))
@@ -236,5 +236,35 @@ class IngestSpec extends SparkSpec {
     val typed = DumpReader.tableFromDump(uniform, "public", "t", Some(ddl))
     val inferred = DumpReader.tableFromDump(uniform, "public", "t")
     assert(typed.exceptAll(inferred).isEmpty && inferred.exceptAll(typed).isEmpty)
+  }
+
+  test("ddl-typed tableFromDump: declared decimal scale survives, unquoted STRING literals pass verbatim") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    // amount numeric(10,2) must keep its fraction; cost is an SQL type
+    // we map to STRING (money) whose dump literal is UNQUOTED
+    val ddl = "CREATE TABLE public.p (id bigint, amount numeric(10,2), cost money);"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(
+      ddl, "INSERT INTO public.p (id, amount, cost) VALUES (1, 123.45, 19.99);").toDS())
+    val df = DumpReader.tableFromDump(stmts, "public", "p", Some(ddl))
+    val row = df.collect()(0)
+    assert(row.getDecimal(1) == new java.math.BigDecimal("123.45"))
+    assert(row.getString(2) == "19.99") // not quote-stripped to 9.9
+  }
+
+  test("positional INSERTs: DDL aligns them, inference path fails loudly") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val ddl = "CREATE TABLE public.t (a bigint, b text);"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(
+      ddl,
+      "INSERT INTO public.t VALUES (1, 'x');",
+      "INSERT INTO public.t VALUES (2, 'y');").toDS())
+    val df = DumpReader.tableFromDump(stmts, "public", "t", Some(ddl))
+    assert(df.orderBy($"a").as[(Long, String)].collect().toSeq == Seq((1L, "x"), (2L, "y")))
+    val err = intercept[IllegalArgumentException] {
+      DumpReader.tableFromDump(stmts, "public", "t")
+    }
+    assert(err.getMessage.contains("without column lists"))
   }
 }

@@ -92,6 +92,19 @@ object OpsQueries {
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
     }),
 
+    // corpus profile: per-language doc counts, token mass, mean quality
+    // — the first aggregate a training-data pipeline runs over a new
+    // crawl (one map-side-combined groupBy over the corpus)
+    "x_corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TA.langId(col("text")).as("lang_guess"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.qualityScore(col("text")).as("quality"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          CoreQueries.stableAvg(col("quality")).as("avg_quality"))),
+
     // multimodal plumbing: binary column → batched stub decode
     "x_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
@@ -156,6 +169,11 @@ object OpsQueries {
         "(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64) + 1 AS width, " +
         "(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64) + 1 AS height " +
         "FROM documents"),
+    "x_corpus_stats" ->
+      (s"""SELECT ${TA.langIdSql("text")} AS lang_guess, COUNT(*) AS n_docs,
+          |CAST(SUM(${TA.tokenCountSql("text")}) AS BIGINT) AS total_tokens,
+          |CAST(SUM(CAST(${TA.qualityScoreSql("text")} AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE) AS avg_quality
+          |FROM documents GROUP BY 1""".stripMargin),
     "x_frame_sample" ->
       ("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
          |f AS (SELECT media_id, n, greatest(1, n // 256) AS n_frames FROM m),

@@ -103,6 +103,16 @@ class CliSpec extends SparkSpec {
     assert(back.filter($"c_name".endsWith("@example.com")).count() == back.count())
   }
 
+  test("examples/graft.yaml stays loadable and complete") {
+    val c = GraftConfig.load("examples/graft.yaml")
+    assert(c.sourceConf.db == "public")
+    assert(c.sourceConf.only_tables.get == Seq("customer", "nation"))
+    assert(c.sourceConf.skip_tables.get == Seq("nation"))
+    assert(c.bindings.exists(b => b.table == "customer" && b.column == "c_name" && b.transformerId == "email"))
+    assert(c.datastore.get.rootUri == "/tmp/graft-store")
+    assert(c.destination.get.format.contains("parquet"))
+  }
+
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {
     assert(!Telemetry.isEnabled)
     Telemetry.capture("ignored") // no sink — must be a no-op

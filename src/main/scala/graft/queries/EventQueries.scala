@@ -45,7 +45,22 @@ object EventQueries {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), stableSum(col("value")).as("total_value"))
-        .filter(col("n_events") > 10))
+        .filter(col("n_events") > 10)),
+
+    // Sessionization: 6-hour-gap session windows per user (batch form of
+    // the Structured-Streaming session_window state op; a new session
+    // starts when the gap to the previous event is >= the timeout,
+    // which the oracle mirrors as gaps-and-islands SQL). Beyond the
+    // reference, like all g* stream analytics.
+    "g6_session_windows" -> ((s, dir) => {
+      val sessions = Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+      sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events_total"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -62,6 +77,18 @@ object EventQueries {
     "g2_progress_by_user" ->
       ("SELECT user_id, COUNT(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY user_id HAVING COUNT(*) > 10")
+        "FROM events GROUP BY user_id HAVING COUNT(*) > 10"),
+    "g6_session_windows" ->
+      ("""WITH o AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o),
+         |c AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+         |  CAST(SUM(n) AS BIGINT) AS n_events_total
+         |FROM c GROUP BY 1""".stripMargin)
   )
 }

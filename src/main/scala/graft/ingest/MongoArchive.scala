@@ -196,14 +196,24 @@ object MongoArchive {
     case (BInt64(l), LongType)            => l
     case (BInt32(i), IntegerType)         => i
     case (BInt32(i), LongType)            => i.toLong
+    case (BInt64(l), DoubleType)          => l.toDouble
+    case (BInt32(i), DoubleType)          => i.toDouble
+    case (BTimestamp(t), LongType)        => t
     case (BDouble(d), DoubleType)         => d
     case (BStr(s), StringType)            => s
     case (BBool(b), BooleanType)          => b
     case (BBin(_, b), BinaryType)         => b
+    case (BObjectId(b), StringType)       => b.map("%02x".format(_)).mkString
     case (BDateTime(ms), TimestampType)   => new java.sql.Timestamp(ms)
     case (BDateTime(ms), DateType)        => new java.sql.Date(ms)
     case (BArr(items), ArrayType(et, _))  => items.map(fromBson(_, et))
     case (d: BDoc, st: StructType)        => docToRow(d, st)
+    // widened-to-string fallback (mixed-type fields under inference)
+    case (BInt64(l), StringType)          => l.toString
+    case (BInt32(i), StringType)          => i.toString
+    case (BDouble(d), StringType)         => d.toString
+    case (BBool(b), StringType)           => b.toString
+    case (BDateTime(ms), StringType)      => new java.sql.Timestamp(ms).toString
     case (other, t) => throw new IllegalArgumentException(s"cannot map BSON $other to Spark $t")
   }
 
@@ -252,4 +262,57 @@ object MongoArchive {
     archive.collections.map { case (prefix, docs) =>
       prefix -> toDataFrame(spark, docs, schemas(prefix))
     }
+
+  /** Restore with schemas inferred from the documents themselves. */
+  def restore(spark: SparkSession, archive: Archive): Map[String, DataFrame] =
+    archive.collections.map { case (prefix, docs) =>
+      prefix -> toDataFrame(spark, docs, inferSchema(docs))
+    }
+
+  /** S11 (Mongo leg): schema inference over BSON documents — the
+    * reference samples documents through a probabilistic schema parser
+    * (`source/mongodb.rs:302-329`); here every document contributes
+    * (archives are bounded, see the scale note above). Field order
+    * follows first appearance; conflicting types widen (long+double →
+    * double, anything else → string); nested documents and arrays
+    * recurse. All fields are nullable (absence = null).
+    */
+  def inferSchema(docs: Seq[BDoc]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    def merge(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (NullType, x) => x
+      case (x, NullType) => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (x: StructType, y: StructType) =>
+        val names = (x.fieldNames ++ y.fieldNames).distinct
+        StructType(names.map { n =>
+          val xt = x.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+          val yt = y.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+          StructField(n, merge(xt, yt))
+        })
+      case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(merge(x, y))
+      case _ => StringType
+    }
+    def typeOf(v: BVal): DataType = v match {
+      case _: BInt64 | _: BInt32 => LongType
+      case _: BDouble => DoubleType
+      case _: BStr => StringType
+      case _: BBool => BooleanType
+      case _: BBin => BinaryType
+      case _: BObjectId => StringType
+      case _: BDateTime => TimestampType
+      case _: BTimestamp => LongType
+      case BNull => NullType
+      case d: BDoc => StructType(d.fields.map { case (n, x) => StructField(n, typeOf(x)) })
+      case BArr(items) =>
+        ArrayType(items.map(typeOf).foldLeft(NullType: DataType)(merge))
+    }
+    for (d <- docs; (name, v) <- d.fields) {
+      order(name) = order.get(name).map(merge(_, typeOf(v))).getOrElse(typeOf(v))
+    }
+    StructType(order.toSeq.map { case (n, dt) =>
+      StructField(n, if (dt == NullType) StringType else dt)
+    })
+  }
 }

@@ -138,6 +138,30 @@ class MongoArchiveSpec extends SparkSpec {
     assert(archive.crcs("db.c") == Crc64.of(bodyBytes))
   }
 
+  test("inferSchema: field order, widening, nesting, and schema-free restore") {
+    val docs = Vector(
+      BDoc("id" -> BInt64(1), "score" -> BInt32(5), "tag" -> BStr("a"),
+        "meta" -> BDoc("x" -> BInt64(1))),
+      BDoc("id" -> BInt64(2), "score" -> BDouble(2.5), "extra" -> BBool(true),
+        "meta" -> BDoc("y" -> BStr("z"))),
+      BDoc("id" -> BInt64(3), "tag" -> BNull))
+    val schema = MongoArchive.inferSchema(docs)
+    assert(schema.fieldNames.toSeq == Seq("id", "score", "tag", "meta", "extra"))
+    assert(schema("id").dataType.typeName == "long")
+    assert(schema("score").dataType.typeName == "double") // long+double widens
+    assert(schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSet == Set("x", "y"))
+    // schema-free restore end-to-end
+    val archive = MongoArchive.Archive(
+      MongoArchive.Header(1, "0.1", "n/a", "t"),
+      Seq(MongoArchive.CollectionMeta("db", "c", "{}", 0, "collection")),
+      Map("db.c" -> docs), Map.empty)
+    val back = MongoArchive.restore(spark,
+      MongoArchive.read(MongoArchive.write(archive)))("db.c")
+    assert(back.count() == 3)
+    assert(back.filter($"score".isNull).count() == 1)
+    assert(back.select($"meta.x".as("mx")).filter($"mx".isNotNull).count() == 1)
+  }
+
   test("restore reproduces the source frame under its schema, nulls intact") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),

@@ -56,6 +56,37 @@ object Cli {
         }
         0
 
+      // reference `dump create -f <dump file>` (`cli.rs:100-114`): the
+      // primary flow — ingest a SQL dump file, transform, store. The
+      // loader is the dump parser itself (DDL-typed frames), everything
+      // downstream is the same pipeline the parquet path uses.
+      case Seq("dump", "create", name, "--file", dumpPath) =>
+        val c = config
+        val store = new Datastore(datastoreUri(c), spark)
+        val stmts = graft.ingest.DumpReader.statements(spark, dumpPath)
+        import spark.implicits._
+        // driver-side: table names (small) + DDL statements (DDL only)
+        val dumpTables = stmts
+          .filter(_.kind == graft.model.StatementKind.InsertInto)
+          .map(_.table).distinct().collect().toSeq.sorted
+        val ddlByTable = stmts
+          .filter(_.kind == graft.model.StatementKind.CreateTable)
+          .map(s => (s.table, s.sql)).collect().toMap
+        val job = Pipeline.DumpJobConfig(
+          tables = dumpTables,
+          database = c.sourceConf.db,
+          filters = c.filters,
+          bindings = c.bindings,
+          subset = c.subsetConfig,
+          fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
+          compressed = c.datastore.flatMap(_.compression).getOrElse(true),
+          encryptionKey = c.encryptionKey)
+        Pipeline.dump(spark,
+          t => graft.ingest.DumpReader.tableFromDump(stmts, c.sourceConf.db, t, ddlByTable.get(t)),
+          store, name, job)
+        out(s"dump created from file: $name (${dumpTables.size} tables)")
+        0
+
       case Seq("dump", "create", nameArgs @ _*) =>
         val c = config
         val name = nameArgs.headOption.getOrElse(s"dump-${System.currentTimeMillis()}")

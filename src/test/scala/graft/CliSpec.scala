@@ -103,6 +103,33 @@ class CliSpec extends SparkSpec {
     assert(back.filter($"c_name".endsWith("@example.com")).count() == back.count())
   }
 
+  test("cli: dump create --file ingests a SQL dump through transform into the store") {
+    val store = Files.createTempDirectory("graft-cli-store-").toString
+    val restore = Files.createTempDirectory("graft-cli-restore-").toString
+    val conf = writeConf(store, restore)
+    val dumpFile = Files.createTempFile("graft-dump-", ".sql")
+    Files.writeString(dumpFile,
+      """CREATE TABLE public.customer (c_custkey bigint, c_name text);
+        |CREATE TABLE public.nation (n_nationkey bigint, n_name text);
+        |INSERT INTO public.customer (c_custkey, c_name) VALUES (1, 'Alice');
+        |INSERT INTO public.customer (c_custkey, c_name) VALUES (2, 'Bob');
+        |INSERT INTO public.nation (n_nationkey, n_name) VALUES (1, 'FRANCE');
+        |""".stripMargin)
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "from-file", "--file", dumpFile.toString),
+      spark, printed += _) == 0)
+    assert(printed.exists(_.contains("dump created from file: from-file")))
+
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "restore", "latest"), spark, printed += _) == 0)
+    // nation skipped by the config, customer transformed
+    assert(printed.count(_.startsWith("restored:")) == 1)
+    val back = spark.read.parquet(s"$restore/customer")
+    assert(back.count() == 2)
+    assert(back.filter($"c_name".endsWith("@example.com")).count() == 2)
+    assert(back.filter($"c_custkey".isin(1L, 2L)).count() == 2)
+  }
+
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")

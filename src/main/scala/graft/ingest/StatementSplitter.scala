@@ -14,6 +14,12 @@ import graft.model.StatementKind
   *   - `--` starts a full-line comment only between statements (after
   *     whitespace); inside a statement it blanks the rest of the line
   *     (a `;` inside such a partial comment does not end the statement);
+  *   - PostgreSQL dollar-quoted strings (`$$…$$`, `$tag$…$tag$`) are
+  *     opaque: semicolons and quotes inside a function body do not end
+  *     the statement. The reference splits such bodies at the first
+  *     inner `;` (its own test fixture shows the truncation,
+  *     `dump-parser/src/utils.rs:874-948`) — a limitation not
+  *     reproduced;
   *   - a statement ends at `;` outside strings and comments.
   *
   * The reference warns this path runs "thousands of times per second"
@@ -28,6 +34,7 @@ object StatementSplitter {
   def split(text: String): Vector[Raw] = {
     val out = Vector.newBuilder[Raw]
     var inQuote = false
+    var dollarTag: String = null // inside $tag$ … $tag$ when non-null
     var parenDepth = 0
     var unbalanced = false
     var commentLine = false    // full-line comment (between statements)
@@ -37,6 +44,17 @@ object StatementSplitter {
     var start = 0
     val n = text.length
     var i = 0
+    // a `$tag$` delimiter starting at position i, or null (pg rules:
+    // the tag may be empty, else it must not start with a digit — so
+    // `$1$2` positional params are never mistaken for a delimiter)
+    def dollarDelimAt(i: Int): String = {
+      if (text.charAt(i) != '$') return null
+      var j = i + 1
+      while (j < n && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+      if (j < n && text.charAt(j) == '$' && (j == i + 1 || !text.charAt(i + 1).isDigit))
+        text.substring(i, j + 1)
+      else null
+    }
     while (i < n) {
       val c = text.charAt(i)
       if (commentLine) {
@@ -47,6 +65,17 @@ object StatementSplitter {
           statementComplete = true
           prevWhitespace = true
         }
+      } else if (dollarTag != null) {
+        // inside a dollar-quoted body: only its own closing tag matters
+        if (c == '$' && text.startsWith(dollarTag, i)) {
+          i += dollarTag.length - 1
+          dollarTag = null
+        }
+      } else if (c == '$' && !inQuote && !partialComment && dollarDelimAt(i) != null) {
+        dollarTag = dollarDelimAt(i)
+        i += dollarTag.length - 1
+        statementComplete = false
+        prevWhitespace = false
       } else if (c == '\'' && !partialComment) {
         if (inQuote && i > 0 && text.charAt(i - 1) == '\\') {
           // backslash-escaped quote inside a string: stays open
@@ -92,7 +121,8 @@ object StatementSplitter {
       val tail = text.substring(start, n)
       if (commentLine) emit(out, StatementKind.CommentLine, tail, valid = true)
       else if (!statementComplete)
-        emit(out, StatementKind.Other, tail, valid = parenDepth == 0 && !unbalanced && !inQuote)
+        emit(out, StatementKind.Other, tail,
+          valid = parenDepth == 0 && !unbalanced && !inQuote && dollarTag == null)
       // trailing whitespace-only → nothing
     }
     out.result()

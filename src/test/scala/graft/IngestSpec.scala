@@ -151,6 +151,28 @@ class IngestSpec extends SparkSpec {
     assert(InsertParser.parse(InsertParser.toQuery(ins)).get == ins)
   }
 
+  test("splitter: dollar-quoted function bodies stay one statement (fixes reference utils.rs:874-948 truncation)") {
+    val dump =
+      """CREATE FUNCTION f() RETURNS trigger AS $body$
+        |BEGIN
+        |  UPDATE t SET x = 'a;b';
+        |  RETURN NEW;
+        |END;
+        |$body$ LANGUAGE plpgsql;
+        |INSERT INTO public.t (a) VALUES (1);
+        |""".stripMargin
+    val stmts = StatementSplitter.split(dump)
+    val nonComment = stmts.filterNot(_.kind == StatementKind.CommentLine)
+    assert(nonComment.length == 2, s"got: ${nonComment.map(_.text.take(30))}")
+    assert(nonComment(0).text.contains("RETURN NEW;") && nonComment(0).valid)
+    assert(nonComment(1).kind == StatementKind.InsertInto)
+    // anonymous $$ form too, and an unterminated body is flagged invalid
+    val anon = StatementSplitter.split("CREATE FUNCTION g() AS $$ a; b; $$ LANGUAGE sql;\n")
+    assert(anon.length == 1 && anon(0).valid)
+    val unterminated = StatementSplitter.split("CREATE FUNCTION h() AS $$ a;\n")
+    assert(unterminated.length == 1 && !unterminated(0).valid)
+  }
+
   test("ddl: create-table column extraction skips constraints") {
     val cols = Ddl.createTableColumns(
       """CREATE TABLE public.orders (

@@ -167,31 +167,96 @@ object DumpReader {
       }
       .filter(_._2.nonEmpty)
 
+    assemble(rows, database, table, ddl, sqlQuoted = true,
+      noColsHint = "INSERTs without column lists; pass the CREATE TABLE ddl for positional alignment")
+  }
+
+  /** COPY-format ingestion (pg_dump's DEFAULT data layout, which the
+    * reference never consumes — its source forces `--column-inserts`):
+    * each `COPY … FROM stdin;` block contributes its tab-separated
+    * lines; `\N` is null, backslash escapes are decoded, and types come
+    * from the DDL or shape inference like [[tableFromDump]].
+    */
+  def tableFromCopy(
+      stmts: Dataset[Statement],
+      database: String,
+      table: String,
+      ddl: Option[String] = None): DataFrame = {
+    import stmts.sparkSession.implicits._
+    val rows: Dataset[(Vector[String], Vector[String], Vector[Int])] = stmts
+      .filter(s => s.kind == StatementKind.CopyBlock &&
+        s.database == database && s.table == table)
+      .flatMap { s =>
+        val lines = s.sql.split("\n", -1).iterator.map(_.stripSuffix("\r"))
+        val header = if (lines.hasNext) lines.next() else ""
+        val cols = copyHeaderColumns(header)
+        lines.takeWhile(_ != "\\.").filter(_.nonEmpty).map { line =>
+          val vals = line.split("\t", -1).toVector
+            .map(v => if (v == "\\N") null else DumpSink.unescapeCopy(v))
+          (cols, vals, vals.map(copyTypeTag))
+        }
+      }
+    assemble(rows, database, table, ddl, sqlQuoted = false,
+      noColsHint = "COPY blocks without column lists; pass the CREATE TABLE ddl for positional alignment")
+  }
+
+  /** Column names of a `COPY db.table (a, b, c) FROM stdin;` header
+    * (empty when the column list is omitted — table order applies).
+    */
+  private def copyHeaderColumns(header: String): Vector[String] = {
+    val open = header.indexOf('(')
+    val close = header.lastIndexOf(')')
+    if (open < 0 || close <= open) Vector.empty
+    else InsertParser.splitTop(header.substring(open + 1, close))
+      .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector
+  }
+
+  private def copyTypeTag(v: String): Int =
+    if (v == null) TagNull
+    else if (v.matches("[+-]?\\d+"))
+      if (v.length < 19 || (try { v.toLong; true } catch { case _: NumberFormatException => false })) TagLong
+      else TagDecimal
+    else if (v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) TagDouble
+    else if (v == "t" || v == "f" || v == "true" || v == "false") TagBool
+    else TagString
+
+  /** Shared DDL-or-inference assembly over (columns, rendered values,
+    * type tags) rows from either statement format.
+    */
+  private def assemble(
+      rows: Dataset[(Vector[String], Vector[String], Vector[Int])],
+      database: String,
+      table: String,
+      ddl: Option[String],
+      sqlQuoted: Boolean,
+      noColsHint: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     ddl.map(Ddl.createTableColumnTypes).filter(_.nonEmpty) match {
       case Some(colTypes) =>
         val names = colTypes.map(_._1)
         val aligned = rows.map { case (cols, vals, _) =>
           if (cols == names) vals
           else if (cols.isEmpty) {
-            // positional `INSERT INTO t VALUES (...)`: the DDL order IS
-            // the column order; a width mismatch is corrupt input, not
-            // something to null-pad quietly
+            // positional rows: the DDL order IS the column order; a
+            // width mismatch is corrupt input, not something to
+            // null-pad quietly
             if (vals.length == names.length) vals
             else throw new IllegalArgumentException(
-              s"INSERT without column list has ${vals.length} values, DDL declares ${names.length} columns")
+              s"row without column list has ${vals.length} values, DDL declares ${names.length} columns")
           } else {
             val byName = cols.iterator.zip(vals.iterator).toMap
             names.map(byName.getOrElse(_, null))
           }
         }
-        typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2))
+        typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2), sqlQuoted)
       case None =>
         // without DDL, rows lacking a column list are unusable (names
         // unknown) — fail loudly instead of returning a partial frame
         val sample = rows.limit(1000).collect()
         if (sample.exists(_._1.isEmpty)) throw new IllegalArgumentException(
-          s"$database.$table has INSERTs without column lists; pass the CREATE TABLE ddl for positional alignment")
-        if (sample.isEmpty) return stmts.sparkSession.emptyDataFrame
+          s"$database.$table has $noColsHint")
+        if (sample.isEmpty) return spark.emptyDataFrame
         val columns = sample(0)._1
         val types: Vector[DataType] = columns.indices.map { i =>
           val tags = sample.iterator.map(_._3.lift(i).getOrElse(TagNull))
@@ -206,16 +271,19 @@ object DumpReader {
           }
           else StringType
         }.toVector
-        typedProjection(rows.map(_._2).toDF("vals"), columns, types)
+        typedProjection(rows.map(_._2).toDF("vals"), columns, types, sqlQuoted)
     }
   }
 
   private def typedProjection(
-      df: DataFrame, columns: Vector[String], types: Vector[DataType]): DataFrame = {
+      df: DataFrame,
+      columns: Vector[String],
+      types: Vector[DataType],
+      sqlQuoted: Boolean): DataFrame = {
     val cols = columns.zipWithIndex.map { case (name, i) =>
       val raw = col("vals").getItem(i)
       val typed = types(i) match {
-        case StringType =>
+        case StringType if sqlQuoted =>
           // strip SQL quoting ONLY from quoted literals — a DDL-typed
           // STRING column can also hold unquoted dump literals (types
           // we conservatively map to STRING), which must pass verbatim
@@ -223,6 +291,7 @@ object DumpReader {
             .when(raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2,
               regexp_replace(expr(s"substring(vals[$i], 2, length(vals[$i]) - 2)"), "''", "'"))
             .otherwise(raw)
+        case StringType => raw // COPY values are already raw text
         case dt => raw.cast(dt)
       }
       typed.as(name)

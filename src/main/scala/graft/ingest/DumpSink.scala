@@ -37,4 +37,58 @@ object DumpSink {
       toQuery(Insert(database, table, cols, values))
     }
   }
+
+  /** COPY-format re-synthesis (pg_dump's default data layout): each
+    * partition becomes one self-contained `COPY … FROM stdin;` block —
+    * header, tab-separated data lines (`\N` nulls; backslash, tab, CR,
+    * LF escaped per the COPY text format), `\.` terminator. Block =
+    * partition mirrors the reference's chunking (each ~100 MB part is
+    * independently restorable), and the splitter reassembles any number
+    * of blocks back into one table.
+    */
+  def toCopyText(df: DataFrame, database: String, table: String): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val schema = df.schema
+    val header = s"COPY $database.$table (${schema.fieldNames.mkString(", ")}) FROM stdin;"
+    df.map { row =>
+      schema.fields.indices.map { i =>
+        if (row.isNullAt(i)) "\\N"
+        else escapeCopy(String.valueOf(row.get(i)))
+      }.mkString("\t")
+    }.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator(header) ++ it ++ Iterator("\\.")
+    }
+  }
+
+  private[graft] def escapeCopy(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\t' => b.append("\\t")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private[graft] def unescapeCopy(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b.append('\t'); i += 1
+          case 'n' => b.append('\n'); i += 1
+          case 'r' => b.append('\r'); i += 1
+          case '\\' => b.append('\\'); i += 1
+          case other => b.append(other); i += 1
+        }
+      } else b.append(c)
+      i += 1
+    }
+    b.toString
+  }
 }

@@ -103,9 +103,25 @@ object StatementSplitter {
         }
         prevWhitespace = false
       } else if (c == ';') {
-        emit(out, StatementKind.Other, text.substring(start, i + 1),
-          valid = parenDepth == 0 && !unbalanced)
-        start = i + 1
+        val stmtText = text.substring(start, i + 1)
+        if (CopyStdin.matches(stmtText.trim)) {
+          // pg_dump's default data format: the statement opens a block
+          // of raw tab-separated lines terminated by a lone `\.` line.
+          // Data lines are opaque (may contain quotes, semicolons,
+          // parens) — scan straight to the terminator and emit ONE
+          // CopyBlock statement.
+          var term = text.indexOf("\n\\.", i)
+          while (term >= 0 && term + 3 < n && text.charAt(term + 3) != '\n' && text.charAt(term + 3) != '\r')
+            term = text.indexOf("\n\\.", term + 1)
+          val end = if (term < 0) n else term + 3
+          emit(out, StatementKind.CopyBlock, text.substring(start, end), valid = term >= 0)
+          start = end
+          i = end - 1
+        } else {
+          emit(out, StatementKind.Other, stmtText,
+            valid = parenDepth == 0 && !unbalanced)
+          start = i + 1
+        }
         parenDepth = 0; unbalanced = false
         statementComplete = true
         prevWhitespace = false
@@ -136,11 +152,15 @@ object StatementSplitter {
     val trimmed = text.trim
     if (trimmed.nonEmpty) {
       val k =
-        if (kind == StatementKind.CommentLine) kind
+        if (kind == StatementKind.CommentLine || kind == StatementKind.CopyBlock) kind
         else classify(trimmed)
       b += Raw(k, trimmed, valid)
     }
   }
+
+  /** `COPY db.table (cols) FROM stdin;` — the block-opening statement. */
+  private[ingest] val CopyStdin =
+    """(?is)COPY\s+\S+\s*(\([^)]*\))?\s*FROM\s+stdin\s*;""".r
 
   /** S7: row classifier — reference `get_row_type`
     * (`replibyte/src/source/postgres.rs:448-497`), including the
@@ -170,6 +190,7 @@ object StatementSplitter {
       case Seq("CREATE", "TABLE", _*) => Some(2)
       case Seq("ALTER", "TABLE", "ONLY", _*) => Some(3)
       case Seq("ALTER", "TABLE", _*) => Some(2)
+      case Seq("COPY", _*) => Some(1)
       case _ => None
     }
     nameIdx.flatMap(words.lift).map { raw =>

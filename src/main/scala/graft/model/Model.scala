@@ -23,6 +23,11 @@ object StatementKind {
   val CreateTable = "create_table"
   val AlterTable = "alter_table"
   val CommentLine = "comment"
+  /** A whole `COPY … FROM stdin;` block: header + tab-separated data
+    * lines + the `\.` terminator, kept as ONE statement (pg_dump's
+    * default data format).
+    */
+  val CopyBlock = "copy_block"
   val Other = "other"
 }
 

@@ -114,6 +114,20 @@ object IngestQueries {
     "g4_crc64" -> ((s, dir) =>
       DumpReader.collectionCrc64(nationDump(s, dir))),
 
+    // S5/S6 COPY leg: pg_dump's DEFAULT data format — customer re-
+    // synthesized as per-partition `COPY … FROM stdin;` blocks, split
+    // back into blocks, decoded (\N nulls, backslash escapes), typed
+    // from DDL, and hash-matched against the source.
+    "s5_copy_roundtrip" -> ((s, dir) => {
+      val ddl = "CREATE TABLE public.customer (c_custkey bigint, c_name text, " +
+        "c_acctbal double precision, c_mktsegment text);"
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val blocks = DumpSink.toCopyText(cust, "public", "customer")
+      val parsed = DumpReader.statementsFromStrings(s, blocks)
+      DumpReader.tableFromCopy(parsed, "public", "customer", Some(ddl))
+    }),
+
     // S9 typed: the CREATE TABLE header's declared types decide the
     // frame schema — zero driver-side sampling (compare s5_dump_roundtrip,
     // which exercises the inference path).
@@ -197,6 +211,8 @@ object IngestQueries {
     "s4_sqldump_dsv2" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "s9_ddl_typed_dump" ->
-      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+    "s5_copy_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
   )
 }

@@ -173,6 +173,36 @@ class IngestSpec extends SparkSpec {
     assert(unterminated.length == 1 && !unterminated(0).valid)
   }
 
+  test("copy blocks: split as one statement, decode escapes and nulls, type from DDL") {
+    import graft.ingest.{DumpReader, DumpSink}
+    import spark.implicits._
+    val dump =
+      "CREATE TABLE public.t (a bigint, b text, c double precision);\n" +
+        "COPY public.t (a, b, c) FROM stdin;\n" +
+        "1\tplain; with semicolon\t1.5\n" +
+        "2\ttab\\tnewline\\nback\\\\slash\t\\N\n" +
+        "3\t\\N\t-2.25\n" +
+        "\\.\n" +
+        "ALTER TABLE ONLY public.t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES public.u (x);\n"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(dump).toDS())
+    // the data lines (with ; and quotes) stay inside ONE copy_block
+    val kinds = stmts.collect().sortBy(_.idx).map(_.kind).toSeq
+    assert(kinds == Seq(StatementKind.CreateTable, StatementKind.CopyBlock, StatementKind.AlterTable))
+    val df = DumpReader.tableFromCopy(stmts, "public", "t",
+      Some("CREATE TABLE public.t (a bigint, b text, c double precision);"))
+    val rows = df.orderBy($"a").collect()
+    assert(rows(0).getString(1) == "plain; with semicolon" && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).getString(1) == "tab\tnewline\nback\\slash" && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).getDouble(2) == -2.25)
+    // inference path works too (no DDL)
+    val inferred = DumpReader.tableFromCopy(stmts, "public", "t")
+    assert(inferred.schema("a").dataType.typeName == "long")
+    assert(inferred.schema("c").dataType.typeName == "double")
+    // escape/unescape are inverses on hostile strings
+    val nasty = "a\tb\nc\\d\re\\N\\tf"
+    assert(DumpSink.unescapeCopy(DumpSink.escapeCopy(nasty)) == nasty)
+  }
+
   test("ddl: create-table column extraction skips constraints") {
     val cols = Ddl.createTableColumns(
       """CREATE TABLE public.orders (

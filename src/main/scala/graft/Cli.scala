@@ -60,31 +60,58 @@ object Cli {
       // primary flow — ingest a SQL dump file, transform, store. The
       // loader is the dump parser itself (DDL-typed frames), everything
       // downstream is the same pipeline the parquet path uses.
-      case Seq("dump", "create", name, "--file", dumpPath) =>
+      case Seq("dump", "create", rest1 @ _*) if rest1.contains("--file") =>
+        // accepted forms: `dump create <name> --file <path>` and
+        // `dump create --file <path>` (auto-named) — anything else with
+        // --file is malformed and must not fall through to the parquet
+        // branch (which would silently ignore the file)
+        val (name, dumpPath) = rest1.toList match {
+          case List(n, "--file", p) => (n, p)
+          case List("--file", p) => (s"dump-${System.currentTimeMillis()}", p)
+          case other =>
+            out(s"malformed dump create --file arguments: ${other.mkString(" ")}")
+            return 1
+        }
         val c = config
         val store = new Datastore(datastoreUri(c), spark)
+        val db = c.sourceConf.db
+        // the statement stream is consumed by several driver listings
+        // plus one load per table — parse the file ONCE
         val stmts = graft.ingest.DumpReader.statements(spark, dumpPath)
-        import spark.implicits._
-        // driver-side: table names (small) + DDL statements (DDL only)
-        val dumpTables = stmts
-          .filter(_.kind == graft.model.StatementKind.InsertInto)
-          .map(_.table).distinct().collect().toSeq.sorted
-        val ddlByTable = stmts
-          .filter(_.kind == graft.model.StatementKind.CreateTable)
-          .map(s => (s.table, s.sql)).collect().toMap
-        val job = Pipeline.DumpJobConfig(
-          tables = dumpTables,
-          database = c.sourceConf.db,
-          filters = c.filters,
-          bindings = c.bindings,
-          subset = c.subsetConfig,
-          fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
-          compressed = c.datastore.flatMap(_.compression).getOrElse(true),
-          encryptionKey = c.encryptionKey)
-        Pipeline.dump(spark,
-          t => graft.ingest.DumpReader.tableFromDump(stmts, c.sourceConf.db, t, ddlByTable.get(t)),
-          store, name, job)
-        out(s"dump created from file: $name (${dumpTables.size} tables)")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          import spark.implicits._
+          import graft.model.StatementKind
+          // driver-side: table names (small) + DDL statements (DDL only)
+          val insertTables = stmts.filter(_.kind == StatementKind.InsertInto)
+            .map(_.table).distinct().collect().toSet
+          val copyTables = stmts.filter(_.kind == StatementKind.CopyBlock)
+            .map(_.table).distinct().collect().toSet
+          val dumpTables = (insertTables ++ copyTables).toSeq.sorted
+          val ddlByTable = stmts.filter(_.kind == StatementKind.CreateTable)
+            .map(s => (s.table, s.sql)).collect().toMap
+          val job = Pipeline.DumpJobConfig(
+            tables = dumpTables,
+            database = db,
+            filters = c.filters,
+            bindings = c.bindings,
+            subset = c.subsetConfig,
+            fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
+            compressed = c.datastore.flatMap(_.compression).getOrElse(true),
+            encryptionKey = c.encryptionKey)
+          // a table's rows may arrive as INSERTs, COPY blocks, or both
+          val load = (t: String) => {
+            val ddl = ddlByTable.get(t)
+            val parts = Seq(
+              if (insertTables.contains(t))
+                Some(graft.ingest.DumpReader.tableFromDump(stmts, db, t, ddl)) else None,
+              if (copyTables.contains(t))
+                Some(graft.ingest.DumpReader.tableFromCopy(stmts, db, t, ddl)) else None).flatten
+            parts.reduce(_.unionByName(_))
+          }
+          Pipeline.dump(spark, load, store, name, job)
+          out(s"dump created from file: $name (${dumpTables.size} tables)")
+        } finally stmts.unpersist()
         0
 
       case Seq("dump", "create", nameArgs @ _*) =>

@@ -49,9 +49,13 @@ object Ddl {
           val typeWords = words.drop(1).takeWhile(w => !stopWords.contains(w.toUpperCase))
           val fullType = typeWords.mkString(" ").trim.toLowerCase
           val sqlType = fullType.takeWhile(_ != '(').trim
-          // numeric(p,s) keeps its declared precision AND scale —
-          // mapping to (38,0) would silently round fractions away
+          // numeric(p,s)/numeric(p) keep their declared precision and
+          // scale — mapping to (38,0) would silently round fractions
+          // away. Unparameterized numeric becomes (38,18): fractional
+          // data survives, and a >20-integer-digit value fails the cast
+          // LOUDLY under ANSI mode instead of rounding.
           val DecArgs = """[^(]*\((\d+)\s*,\s*(\d+)\).*""".r
+          val DecPrec = """[^(]*\((\d+)\).*""".r
           val dt = sqlType match {
             case "bigint" | "int8" | "bigserial" | "integer" | "int" | "int4" |
                  "serial" | "smallint" | "int2" => LongType
@@ -59,7 +63,8 @@ object Ddl {
             case "boolean" | "bool" => BooleanType
             case "numeric" | "decimal" => fullType match {
               case DecArgs(p, s) => DecimalType(p.toInt, s.toInt)
-              case _ => DecimalType(38, 18) // unparameterized: keep fraction room
+              case DecPrec(p) => DecimalType(p.toInt, 0)
+              case _ => DecimalType(38, 18)
             }
             case _ => StringType // text, varchar, dates, json, unknown
           }

@@ -187,10 +187,17 @@ object DumpReader {
       .filter(s => s.kind == StatementKind.CopyBlock &&
         s.database == database && s.table == table)
       .flatMap { s =>
-        val lines = s.sql.split("\n", -1).iterator.map(_.stripSuffix("\r"))
-        val header = if (lines.hasNext) lines.next() else ""
-        val cols = copyHeaderColumns(header)
-        lines.takeWhile(_ != "\\.").filter(_.nonEmpty).map { line =>
+        val allLines = s.sql.split("\n", -1).map(_.stripSuffix("\r"))
+        // the splitter trims blocks, so a terminated block's last line
+        // is exactly `\.` — anything else is a truncated dump, which
+        // must fail, not silently ingest partial rows
+        if (allLines.isEmpty || allLines.last != "\\.")
+          throw new IllegalArgumentException(
+            s"unterminated COPY block for $database.$table (truncated dump?)")
+        val cols = copyHeaderColumns(allLines.head)
+        // every line between header and terminator is data — an empty
+        // line IS a row (single-column empty string)
+        allLines.iterator.drop(1).takeWhile(_ != "\\.").map { line =>
           val vals = line.split("\t", -1).toVector
             .map(v => if (v == "\\N") null else DumpSink.unescapeCopy(v))
           (cols, vals, vals.map(copyTypeTag))
@@ -204,8 +211,10 @@ object DumpReader {
     * (empty when the column list is omitted — table order applies).
     */
   private def copyHeaderColumns(header: String): Vector[String] = {
+    // the FIRST paren group is the column list; lastIndexOf(')') would
+    // swallow trailing `WITH (FORMAT …)` options into the columns
     val open = header.indexOf('(')
-    val close = header.lastIndexOf(')')
+    val close = if (open < 0) -1 else InsertParser.matchingParen(header, open)
     if (open < 0 || close <= open) Vector.empty
     else InsertParser.splitTop(header.substring(open + 1, close))
       .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector
@@ -252,10 +261,13 @@ object DumpReader {
         typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2), sqlQuoted)
       case None =>
         // without DDL, rows lacking a column list are unusable (names
-        // unknown) — fail loudly instead of returning a partial frame
-        val sample = rows.limit(1000).collect()
-        if (sample.exists(_._1.isEmpty)) throw new IllegalArgumentException(
+        // unknown) — fail loudly instead of returning a partial frame.
+        // This check is EXACT (a cheap distributed filter with an
+        // early-out limit), not sample-bounded: a positional row hiding
+        // past a sample would land values in the wrong columns.
+        if (!rows.filter(_._1.isEmpty).isEmpty) throw new IllegalArgumentException(
           s"$database.$table has $noColsHint")
+        val sample = rows.limit(1000).collect()
         if (sample.isEmpty) return spark.emptyDataFrame
         val columns = sample(0)._1
         val types: Vector[DataType] = columns.indices.map { i =>

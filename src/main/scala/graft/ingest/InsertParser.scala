@@ -41,20 +41,24 @@ object InsertParser {
     */
   def parse(stmt: String): Option[Insert] = {
     StatementSplitter.tableRef(stmt).flatMap { case (db, table) =>
-      // a column list only exists if a paren appears BEFORE the VALUES
-      // keyword — `INSERT INTO t VALUES (...)` (mysqldump's default
-      // form) has none and yields empty `columns` for positional
-      // alignment downstream
-      val firstValuesKw = indexOfWordIgnoreCase(stmt, "VALUES", 0)
-      val openCols = stmt.indexOf('(')
-      val hasColList = openCols >= 0 && (firstValuesKw < 0 || openCols < firstValuesKw)
+      // a column list only exists if the first non-space char AFTER the
+      // table name is '(' — `INSERT INTO t VALUES (...)` (mysqldump's
+      // default form) has none and yields empty `columns` for
+      // positional alignment downstream. Scanning from the table-name
+      // end (not for the first VALUES word) keeps tables literally
+      // named `values` parsing correctly.
+      val afterName = positionAfterTableName(stmt)
+      var p = afterName
+      while (p < stmt.length && stmt.charAt(p).isWhitespace) p += 1
+      val hasColList = p < stmt.length && stmt.charAt(p) == '('
       val (cols, searchFrom) =
         if (hasColList) {
+          val openCols = p
           val closeCols = matchingParen(stmt, openCols)
           if (closeCols < 0) return None
           (splitTop(stmt.substring(openCols + 1, closeCols))
             .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector, closeCols)
-        } else (Vector.empty[String], 0)
+        } else (Vector.empty[String], afterName)
       val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", searchFrom)
       if (valuesKw < 0) return None
       val openVals = stmt.indexOf('(', valuesKw)
@@ -66,6 +70,31 @@ object InsertParser {
       if (cols.nonEmpty && cols.length != vals.length) None
       else Some(Insert(db, table, cols, vals))
     }
+  }
+
+  /** Index just past the table name of `INSERT INTO <name>…` — name may
+    * be schema-qualified and each part quoted (quotes can enclose
+    * spaces); the name ends at unquoted whitespace or '('.
+    */
+  private def positionAfterTableName(stmt: String): Int = {
+    val n = stmt.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && stmt.charAt(i).isWhitespace) i += 1
+    def skipWord(): Unit = while (i < n && !stmt.charAt(i).isWhitespace) i += 1
+    skipWs(); skipWord() // INSERT
+    skipWs(); skipWord() // INTO
+    skipWs()
+    var done = false
+    while (i < n && !done) {
+      val c = stmt.charAt(i)
+      if (c == '"' || c == '`') {
+        val q = c; i += 1
+        while (i < n && stmt.charAt(i) != q) i += 1
+        if (i < n) i += 1
+      } else if (c.isWhitespace || c == '(') done = true
+      else i += 1
+    }
+    i
   }
 
   def parseValue(tok: String): SqlValue = {
@@ -134,7 +163,7 @@ object InsertParser {
     out.result()
   }
 
-  private def matchingParen(s: String, open: Int): Int = {
+  private[ingest] def matchingParen(s: String, open: Int): Int = {
     var depth = 0
     var inQuote = false
     var i = open

@@ -208,13 +208,29 @@ object MongoArchive {
     case (BDateTime(ms), DateType)        => new java.sql.Date(ms)
     case (BArr(items), ArrayType(et, _))  => items.map(fromBson(_, et))
     case (d: BDoc, st: StructType)        => docToRow(d, st)
-    // widened-to-string fallback (mixed-type fields under inference)
-    case (BInt64(l), StringType)          => l.toString
-    case (BInt32(i), StringType)          => i.toString
-    case (BDouble(d), StringType)         => d.toString
-    case (BBool(b), StringType)           => b.toString
-    case (BDateTime(ms), StringType)      => new java.sql.Timestamp(ms).toString
+    case (BTimestamp(t), DoubleType)      => t.toDouble
+    // widened-to-string fallback (mixed-type fields under inference):
+    // EVERY value type must render, or schema-free restore of a
+    // heterogeneous field throws mid-collection
+    case (other, StringType)              => renderCompact(other)
     case (other, t) => throw new IllegalArgumentException(s"cannot map BSON $other to Spark $t")
+  }
+
+  /** Deterministic compact rendering for values widened to STRING. */
+  private def renderCompact(v: BVal): String = v match {
+    case BStr(s) => s
+    case BInt64(l) => l.toString
+    case BInt32(i) => i.toString
+    case BDouble(d) => d.toString
+    case BBool(b) => b.toString
+    case BDateTime(ms) => new java.sql.Timestamp(ms).toString
+    case BTimestamp(t) => t.toString
+    case BObjectId(b) => b.map("%02x".format(_)).mkString
+    case BBin(_, b) => java.util.Base64.getEncoder.encodeToString(b)
+    case BNull => null
+    case BArr(items) => items.map(renderCompact).mkString("[", ",", "]")
+    case d: BDoc =>
+      d.fields.map { case (n, x) => s"$n:${renderCompact(x)}" }.mkString("{", ",", "}")
   }
 
   /** One Row → one BSON document under the frame's schema. */

@@ -158,9 +158,13 @@ object StatementSplitter {
     }
   }
 
-  /** `COPY db.table (cols) FROM stdin;` — the block-opening statement. */
+  /** `COPY db.table (cols) FROM stdin [WITH …];` — the block-opening
+    * statement. The table name may be quoted (even with spaces) and
+    * options may follow `stdin`, so the match is anchored on the COPY
+    * head and the FROM stdin tail rather than a rigid token shape.
+    */
   private[ingest] val CopyStdin =
-    """(?is)COPY\s+\S+\s*(\([^)]*\))?\s*FROM\s+stdin\s*;""".r
+    """(?is)COPY\s+.+\bFROM\s+stdin\b[^;]*;""".r
 
   /** S7: row classifier — reference `get_row_type`
     * (`replibyte/src/source/postgres.rs:448-497`), including the

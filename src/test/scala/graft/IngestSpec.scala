@@ -203,6 +203,41 @@ class IngestSpec extends SparkSpec {
     assert(DumpSink.unescapeCopy(DumpSink.escapeCopy(nasty)) == nasty)
   }
 
+  test("insert parser: tables literally named 'values' keep their column lists") {
+    val ins = InsertParser.parse("INSERT INTO public.values (a, b) VALUES (1, 'x');").get
+    assert(ins.table == "values")
+    assert(ins.columns == Vector("a", "b"))
+    assert(ins.values(0) == InsertParser.SqlLong(1L))
+    // quoted table names with spaces, and name(cols) without whitespace
+    val q = InsertParser.parse("INSERT INTO \"my table\"(a) VALUES (2);").get
+    assert(q.columns == Vector("a") && q.values(0) == InsertParser.SqlLong(2L))
+  }
+
+  test("copy blocks: quoted headers, WITH options, and empty-string rows survive") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val dump =
+      "COPY \"order line\" (a) FROM stdin WITH (FORMAT text);\n" +
+        "first\n" +
+        "\n" +          // single-column EMPTY STRING row — still a row
+        "third\n" +
+        "\\.\n"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(dump).toDS())
+    assert(stmts.collect().map(_.kind).toSeq == Seq(StatementKind.CopyBlock))
+    val df = DumpReader.tableFromCopy(stmts, "public", "order line",
+      Some("CREATE TABLE public.\"order line\" (a text);"))
+    assert(df.as[String].collect().toSeq.sorted == Seq("", "first", "third"))
+    // truncated block (no terminator) fails loudly
+    val bad = DumpReader.statementsFromStrings(spark,
+      Seq("COPY public.t (a) FROM stdin;\nrow1\n").toDS())
+    val err = intercept[org.apache.spark.SparkException] {
+      DumpReader.tableFromCopy(bad, "public", "t",
+        Some("CREATE TABLE public.t (a text);")).collect()
+    }
+    assert(err.getMessage.contains("unterminated COPY block") ||
+      Option(err.getCause).exists(_.getMessage.contains("unterminated COPY block")))
+  }
+
   test("ddl: create-table column extraction skips constraints") {
     val cols = Ddl.createTableColumns(
       """CREATE TABLE public.orders (

@@ -130,6 +130,31 @@ class CliSpec extends SparkSpec {
     assert(back.filter($"c_custkey".isin(1L, 2L)).count() == 2)
   }
 
+  test("cli: dump create --file handles COPY-format dumps and auto-names without a name") {
+    val store = Files.createTempDirectory("graft-cli-store-").toString
+    val restore = Files.createTempDirectory("graft-cli-restore-").toString
+    val conf = writeConf(store, restore)
+    val dumpFile = Files.createTempFile("graft-copydump-", ".sql")
+    Files.writeString(dumpFile,
+      """CREATE TABLE public.customer (c_custkey bigint, c_name text);
+        |COPY public.customer (c_custkey, c_name) FROM stdin;
+        |1	Alice
+        |2	Bob
+        |\.
+        |""".stripMargin)
+    val printed = collection.mutable.Buffer[String]()
+    // no name given: auto-named, file still consumed
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "--file", dumpFile.toString),
+      spark, printed += _) == 0)
+    assert(printed.exists(_.matches("dump created from file: dump-\\d+ \\(1 tables\\)")),
+      s"got: $printed")
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "restore", "latest"), spark, printed += _) == 0)
+    val back = spark.read.parquet(s"$restore/customer")
+    assert(back.count() == 2)
+    assert(back.filter($"c_name".endsWith("@example.com")).count() == 2)
+  }
+
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")

@@ -156,13 +156,13 @@ object DumpReader {
     val rows: Dataset[(Vector[String], Vector[String], Vector[Int])] = stmts
       .filter(s => s.kind == StatementKind.InsertInto &&
         s.database == database && s.table == table)
-      .map { s =>
-        InsertParser.parse(s.sql) match {
-          case Some(ins) =>
-            (ins.columns,
-              ins.values.map(v => if (v == InsertParser.SqlNull) null else v.render),
-              ins.values.map(typeTag))
-          case None => (Vector.empty[String], Vector.empty[String], Vector.empty[Int])
+      .flatMap { s =>
+        // parseMulti: one element per row group, so mysqldump-style
+        // extended INSERTs (`VALUES (…), (…), …`) contribute ALL rows
+        InsertParser.parseMulti(s.sql).getOrElse(Vector.empty).map { ins =>
+          (ins.columns,
+            ins.values.map(v => if (v == InsertParser.SqlNull) null else v.render),
+            ins.values.map(typeTag))
         }
       }
       .filter(_._2.nonEmpty)

@@ -36,17 +36,25 @@ object InsertParser {
       columns: Vector[String],
       values: Vector[SqlValue])
 
-  /** Parse one INSERT statement; None if the statement is not a
-    * column-list INSERT.
+  /** Parse one INSERT statement's FIRST row; None if the statement is
+    * not an INSERT. (Multi-row statements: [[parseMulti]].)
     */
-  def parse(stmt: String): Option[Insert] = {
+  def parse(stmt: String): Option[Insert] =
+    parseMulti(stmt).flatMap(_.headOption)
+
+  /** Parse an INSERT statement into one [[Insert]] per row group —
+    * `VALUES (…), (…), …` (mysqldump's default "extended insert"
+    * format, which the reference sidesteps by forcing
+    * `--skip-extended-insert`, `source/mysql.rs:101-163`) as well as
+    * the single-row form.
+    */
+  def parseMulti(stmt: String): Option[Vector[Insert]] = {
     StatementSplitter.tableRef(stmt).flatMap { case (db, table) =>
       // a column list only exists if the first non-space char AFTER the
-      // table name is '(' — `INSERT INTO t VALUES (...)` (mysqldump's
-      // default form) has none and yields empty `columns` for
-      // positional alignment downstream. Scanning from the table-name
-      // end (not for the first VALUES word) keeps tables literally
-      // named `values` parsing correctly.
+      // table name is '(' — `INSERT INTO t VALUES (...)` has none and
+      // yields empty `columns` for positional alignment downstream.
+      // Scanning from the table-name end (not for the first VALUES
+      // word) keeps tables literally named `values` parsing correctly.
       val afterName = positionAfterTableName(stmt)
       var p = afterName
       while (p < stmt.length && stmt.charAt(p).isWhitespace) p += 1
@@ -61,14 +69,17 @@ object InsertParser {
         } else (Vector.empty[String], afterName)
       val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", searchFrom)
       if (valuesKw < 0) return None
-      val openVals = stmt.indexOf('(', valuesKw)
-      if (openVals < 0) return None
-      val closeVals = matchingParen(stmt, openVals)
-      if (closeVals < 0) return None
-      val vals = splitTop(stmt.substring(openVals + 1, closeVals))
-        .map(v => parseValue(v.trim)).toVector
-      if (cols.nonEmpty && cols.length != vals.length) None
-      else Some(Insert(db, table, cols, vals))
+      val tail = stmt.substring(valuesKw + "VALUES".length).trim.stripSuffix(";").trim
+      val groups = splitTop(tail).map(_.trim).filter(_.nonEmpty)
+      if (groups.isEmpty) return None
+      val rows = groups.map { g =>
+        // every top-level comma group must be a complete paren tuple
+        if (!(g.startsWith("(") && matchingParen(g, 0) == g.length - 1)) return None
+        val vals = splitTop(g.substring(1, g.length - 1)).map(v => parseValue(v.trim)).toVector
+        if (cols.nonEmpty && cols.length != vals.length) return None
+        Insert(db, table, cols, vals)
+      }
+      Some(rows.toVector)
     }
   }
 

@@ -203,6 +203,27 @@ class IngestSpec extends SparkSpec {
     assert(DumpSink.unescapeCopy(DumpSink.escapeCopy(nasty)) == nasty)
   }
 
+  test("insert parser: extended multi-row VALUES yields every row") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val multi = InsertParser.parseMulti(
+      "INSERT INTO public.t (a, b) VALUES (1, 'x,y'), (2, 'z (w)'), (3, NULL);").get
+    assert(multi.length == 3)
+    assert(multi(1).values == Vector(InsertParser.SqlLong(2L), InsertParser.SqlString("z (w)")))
+    assert(multi(2).values(1) == InsertParser.SqlNull)
+    // positional form too
+    val pos = InsertParser.parseMulti("INSERT INTO t VALUES (1), (2), (3);").get
+    assert(pos.map(_.values.head) == Vector(1L, 2L, 3L).map(InsertParser.SqlLong))
+    // and through the frame assembly
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(
+      "INSERT INTO public.m (a, b) VALUES (1, 'x'), (2, 'y'), (3, 'z');").toDS())
+    val df = DumpReader.tableFromDump(stmts, "public", "m")
+    assert(df.orderBy($"a").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    // a malformed trailing group rejects the whole statement
+    assert(InsertParser.parseMulti("INSERT INTO t (a) VALUES (1), garbage;").isEmpty)
+  }
+
   test("insert parser: tables literally named 'values' keep their column lists") {
     val ins = InsertParser.parse("INSERT INTO public.values (a, b) VALUES (1, 'x');").get
     assert(ins.table == "values")

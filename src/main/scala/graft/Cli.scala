@@ -82,12 +82,27 @@ object Cli {
         try {
           import spark.implicits._
           import graft.model.StatementKind
-          // driver-side: table names (small) + DDL statements (DDL only)
-          val insertTables = stmts.filter(_.kind == StatementKind.InsertInto)
-            .map(_.table).distinct().collect().toSet
-          val copyTables = stmts.filter(_.kind == StatementKind.CopyBlock)
-            .map(_.table).distinct().collect().toSet
+          // driver-side: (database, table) pairs (small) + DDL (DDL only)
+          val insertRefs = stmts.filter(_.kind == StatementKind.InsertInto)
+            .map(s => (s.database, s.table)).distinct().collect().toSet
+          val copyRefs = stmts.filter(_.kind == StatementKind.CopyBlock)
+            .map(s => (s.database, s.table)).distinct().collect().toSet
+          // the loaders filter on the config database — a dump whose
+          // statements live in another schema would otherwise produce
+          // empty tables that LOOK like a successful dump
+          val foreignDbs = (insertRefs ++ copyRefs).map(_._1).filter(_ != db)
+          if (foreignDbs.nonEmpty) {
+            out(s"dump file uses database(s) ${foreignDbs.mkString(", ")} but config " +
+              s"source.database is '$db' — set source.database to match")
+            return 1
+          }
+          val insertTables = insertRefs.map(_._2)
+          val copyTables = copyRefs.map(_._2)
           val dumpTables = (insertTables ++ copyTables).toSeq.sorted
+          if (dumpTables.isEmpty) {
+            out(s"no INSERT or COPY data found in $dumpPath — nothing to dump")
+            return 1
+          }
           val ddlByTable = stmts.filter(_.kind == StatementKind.CreateTable)
             .map(s => (s.table, s.sql)).collect().toMap
           val job = Pipeline.DumpJobConfig(
@@ -178,8 +193,14 @@ object Cli {
         val url = s"jdbc:derby:$dbDir;create=true"
         val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
         tables.foreach { case (t, df) =>
-          graft.ingest.Jdbc.writeTable(df, url, t)
-          out(s"restored: $t (${df.count()} rows)")
+          // persist: the restore pipeline (datastore read + parse +
+          // typing) would otherwise run twice — once for the JDBC
+          // write, once for the count
+          df.persist()
+          try {
+            graft.ingest.Jdbc.writeTable(df, url, t)
+            out(s"restored: $t (${df.count()} rows)")
+          } finally df.unpersist()
         }
         out(s"ephemeral database ready: $url")
         out(s"teardown: delete $dbDir")

@@ -44,6 +44,11 @@ object Telemetry {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      // remaining control chars must be \u-escaped for valid JSON (and
+      // a raw CR/LF would split the JSONL line)
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
 }

@@ -36,25 +36,33 @@ object DumpReader {
     * position within the file. Ranking is a driver-side listing of file
     * *names* only; no data is read for it.
     */
-  def statements(spark: SparkSession, path: String): Dataset[Statement] = {
-    import spark.implicits._
+  /** Driver-side NAME-only listing of dump part files, sorted by the
+    * *decoded path component* (`java.net.URI.getPath`): both
+    * `input_file_name()` (url-encoded, scheme spelling varies) and
+    * Hadoop `Path`s decode to the same string, so names with
+    * spaces/%-chars rank identically everywhere. Shared with the DSv2
+    * source (`SqlDumpSource`), whose idx layout must match this one.
+    * Returns (decodedPath, fullPathString) pairs in rank order.
+    */
+  private[ingest] def rankedFiles(spark: SparkSession, path: String): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // globStatus handles plain files, directories, AND glob patterns
     // (getFileStatus would throw on '/dumps/*.sql')
-    val matched = Option(fs.globStatus(p)).getOrElse(
+    val matched = Option(fs.globStatus(p)).filter(_.nonEmpty).getOrElse(
       throw new java.io.FileNotFoundException(s"no files match: $path"))
-    // Rank keys are the *decoded path component*: input_file_name()
-    // returns a url-encoded URI (possibly with a different
-    // scheme/authority spelling, file:/// vs file:/), while the listing
-    // yields Paths — java.net.URI.getPath decodes both to the same
-    // string, so names with spaces/%-chars rank correctly and a
-    // mismatch fails loudly instead of silently rebasing to 0.
-    val files = matched
+    matched
       .flatMap(st =>
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
         else Array(st))
-      .map(_.getPath.toUri.getPath).sorted
+      .map(st => (st.getPath.toUri.getPath, st.getPath.toString))
+      .sortBy(_._1)
+      .toSeq
+  }
+
+  def statements(spark: SparkSession, path: String): Dataset[Statement] = {
+    import spark.implicits._
+    val files = rankedFiles(spark, path).map(_._1)
     val rank = spark.sparkContext.broadcast(files.zipWithIndex.toMap)
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("f"), col("value"))
@@ -102,14 +110,28 @@ object DumpReader {
     * `table_stats_by_database_and_table_name`
     * (`subset/src/postgres.rs:499-570`).
     */
-  def tableStats(stmts: Dataset[Statement]): DataFrame =
-    stmts.toDF()
-      .filter(col("kind") === StatementKind.InsertInto)
+  def tableStats(stmts: Dataset[Statement]): DataFrame = {
+    import stmts.sparkSession.implicits._
+    // total_rows counts ROWS, not statements: an extended INSERT
+    // carries one row per VALUES group, a COPY block one per data line
+    val rowCounts = stmts.flatMap { s =>
+      val n = s.kind match {
+        case StatementKind.InsertInto =>
+          InsertParser.parseMulti(s.sql).map(_.size.toLong).getOrElse(0L)
+        case StatementKind.CopyBlock =>
+          // header + data lines + terminator
+          math.max(0L, s.sql.split("\n", -1).length.toLong - 2L)
+        case _ => 0L
+      }
+      if (n > 0) Some((s.database, s.table, s.idx, n)) else None
+    }.toDF("database", "table", "idx", "n_rows")
+    rowCounts
       .groupBy(col("database"), col("table"))
       .agg(
-        count(lit(1)).as("total_rows"),
+        sum(col("n_rows")).as("total_rows"),
         min(col("idx")).as("first_insert_idx"),
         max(col("idx")).as("last_insert_idx"))
+  }
 
   /** A2/A3: header (everything before the first INSERT) and footer
     * (everything after the last) — reference `dump_header`/`dump_footer`
@@ -211,11 +233,13 @@ object DumpReader {
     * (empty when the column list is omitted — table order applies).
     */
   private def copyHeaderColumns(header: String): Vector[String] = {
-    // the FIRST paren group is the column list; lastIndexOf(')') would
-    // swallow trailing `WITH (FORMAT …)` options into the columns
+    // the column list is the paren group BEFORE the FROM keyword;
+    // `COPY t FROM stdin WITH (FORMAT text);` has options parens but
+    // no column list, and lastIndexOf(')') would swallow options
+    val fromPos = "(?i)\\bFROM\\b".r.findFirstMatchIn(header).map(_.start).getOrElse(header.length)
     val open = header.indexOf('(')
     val close = if (open < 0) -1 else InsertParser.matchingParen(header, open)
-    if (open < 0 || close <= open) Vector.empty
+    if (open < 0 || open > fromPos || close <= open) Vector.empty
     else InsertParser.splitTop(header.substring(open + 1, close))
       .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector
   }

@@ -115,6 +115,8 @@ object MongoArchive {
       }
     }
 
+    require(eofSeen == metaList.size,
+      s"truncated archive: ${metaList.size} collections declared, only $eofSeen EOF blocks found")
     val archive = Archive(header, metaList, collections.toMap, crcs.toMap)
     for ((prefix, docs) <- archive.collections; expected <- archive.crcs.get(prefix)) {
       val actual = bodyCrc(docs)
@@ -241,7 +243,14 @@ object MongoArchive {
     case (null, _)                        => BNull
     case (l: Long, LongType)              => BInt64(l)
     case (i: Integer, IntegerType)        => BInt32(i)
+    case (s: java.lang.Short, ShortType)  => BInt32(s.toInt)
+    case (b: java.lang.Byte, ByteType)    => BInt32(b.toInt)
     case (d: java.lang.Double, DoubleType) => BDouble(d)
+    case (f: java.lang.Float, FloatType)  => BDouble(f.toDouble)
+    // BSON Decimal128 isn't in this codec — digits survive as a string
+    // (the lossless choice; BDouble would silently round)
+    case (d: java.math.BigDecimal, _: DecimalType) => BStr(d.toPlainString)
+    case (d: Decimal, _: DecimalType)     => BStr(d.toJavaBigDecimal.toPlainString)
     case (s: String, StringType)          => BStr(s)
     case (b: java.lang.Boolean, BooleanType) => BBool(b)
     case (b: Array[Byte], BinaryType)     => BBin(0x00, b)

@@ -93,26 +93,13 @@ private class SqlDumpScan(path: String, required: StructType) extends Scan with 
   override def description(): String = s"sqldump $path, columns=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side NAME listing only (no data reads), ranked like
-    // DumpReader.statements / the reference's part enumeration
+    // driver-side NAME listing only (no data reads): the SAME ranked
+    // listing DumpReader.statements uses, so both ingestion paths
+    // assign identical file ranks (and therefore identical idx values)
     val spark = org.apache.spark.sql.SparkSession.active
-    val hconf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(hconf)
-    val matched = Option(fs.globStatus(p)).filter(_.nonEmpty).getOrElse(
-      throw new java.io.FileNotFoundException(s"no files match: $path"))
-    // rank by the DECODED path (URI getPath), exactly like
-    // DumpReader.statements — sorting the url-encoded toString would
-    // order names with spaces/%-chars differently and break idx parity
-    val files = matched
-      .flatMap(st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-        else Array(st))
-      .map(st => (st.getPath.toUri.getPath, st.getPath.toString))
-      .sortBy(_._1)
-    files.zipWithIndex.map { case ((_, f), rank) =>
+    DumpReader.rankedFiles(spark, path).zipWithIndex.map { case ((_, f), rank) =>
       SqlDumpPartition(f, rank): InputPartition
-    }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

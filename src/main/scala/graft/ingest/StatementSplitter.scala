@@ -71,7 +71,11 @@ object StatementSplitter {
           i += dollarTag.length - 1
           dollarTag = null
         }
-      } else if (c == '$' && !inQuote && !partialComment && dollarDelimAt(i) != null) {
+      } else if (c == '$' && !inQuote && !partialComment &&
+          // a '$' glued to an identifier (pg allows '$' in names, e.g.
+          // a$$b) is part of the name, not a quote delimiter
+          (i == 0 || { val p = text.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '$' }) &&
+          dollarDelimAt(i) != null) {
         dollarTag = dollarDelimAt(i)
         i += dollarTag.length - 1
         statementComplete = false

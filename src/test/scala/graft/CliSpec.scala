@@ -158,8 +158,10 @@ class CliSpec extends SparkSpec {
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")
-    assert(c.sourceConf.only_tables.get == Seq("customer", "nation"))
     assert(c.sourceConf.skip_tables.get == Seq("nation"))
+    // filters must construct (skip/only are mutually exclusive — an
+    // example that sets both would crash every documented command)
+    assert(c.filters.skipTables.map(_.table) == Seq("nation"))
     assert(c.bindings.exists(b => b.table == "customer" && b.column == "c_name" && b.transformerId == "email"))
     assert(c.datastore.get.rootUri == "/tmp/graft-store")
     assert(c.destination.get.format.contains("parquet"))

@@ -259,6 +259,36 @@ class IngestSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("unterminated COPY block")))
   }
 
+  test("copy blocks: column-list-free header with WITH options uses DDL order") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val dump = "COPY public.t FROM stdin WITH (FORMAT text);\n1\tx\n2\ty\n\\.\n"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(dump).toDS())
+    val df = DumpReader.tableFromCopy(stmts, "public", "t",
+      Some("CREATE TABLE public.t (a bigint, b text);"))
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(df.orderBy($"a").as[(Long, String)].collect().toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("splitter: '$' glued to an identifier is not a dollar-quote delimiter") {
+    val stmts = StatementSplitter.split(
+      "CREATE TABLE public.a$$b (id bigint);\nINSERT INTO public.a$$b (id) VALUES (1);\n")
+    assert(stmts.length == 2, s"got: ${stmts.map(_.text.take(40))}")
+    assert(stmts(1).kind == StatementKind.InsertInto)
+  }
+
+  test("dump row stats count rows of extended INSERTs and COPY blocks") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    val dump =
+      "INSERT INTO public.a (x) VALUES (1), (2), (3);\n" +
+        "COPY public.b (x) FROM stdin;\n10\n20\n\\.\n"
+    val stmts = DumpReader.statementsFromStrings(spark, Seq(dump).toDS())
+    val stats = DumpReader.tableStats(stmts)
+      .select($"table", $"total_rows").as[(String, Long)].collect().toMap
+    assert(stats == Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("ddl: create-table column extraction skips constraints") {
     val cols = Ddl.createTableColumns(
       """CREATE TABLE public.orders (

@@ -118,6 +118,21 @@ class MongoArchiveSpec extends SparkSpec {
     assert(archive.collections("db.c").map(_.getInt("i").get) == Vector(1, 2))
   }
 
+  test("archive read fails loudly when truncated at a block boundary") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val two = MongoArchive.fromTables("db", Seq("c1" -> df, "c2" -> df))
+    val bytes = MongoArchive.write(two)
+    // cut cleanly after c1's blocks: find c2's first namespace doc and
+    // truncate there — metadata still declares two collections
+    val c2marker = Bson.encode(Bson.BDoc(
+      "db" -> BStr("db"), "collection" -> BStr("c2"),
+      "EOF" -> BBool(false), "CRC" -> BInt64(0L)))
+    val cut = bytes.indexOfSlice(c2marker)
+    assert(cut > 0)
+    val err = intercept[IllegalArgumentException](MongoArchive.read(bytes.take(cut)))
+    assert(err.getMessage.contains("truncated archive"))
+  }
+
   test("archive read fails loudly on a corrupted document body") {
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
     val bytes = MongoArchive.write(MongoArchive.fromTables("testdb", Seq("t" -> df)))

@@ -14,27 +14,53 @@ import graft.ingest.InsertParser._
   */
 object DumpSink {
 
+  private def rowValues(row: org.apache.spark.sql.Row, schema: StructType): Vector[SqlValue] =
+    schema.fields.toVector.zipWithIndex.map {
+      case (f, i) =>
+        if (row.isNullAt(i)) SqlNull
+        else f.dataType match {
+          case ByteType => SqlLong(row.getByte(i).toLong)
+          case ShortType => SqlLong(row.getShort(i).toLong)
+          case IntegerType => SqlLong(row.getInt(i).toLong)
+          case LongType => SqlLong(row.getLong(i))
+          case FloatType => SqlDouble(row.getFloat(i).toDouble)
+          case DoubleType => SqlDouble(row.getDouble(i))
+          case _: DecimalType => SqlDecimal(row.getDecimal(i))
+          case BooleanType => SqlBool(row.getBoolean(i))
+          case _ => SqlString(String.valueOf(row.get(i)))
+        }
+    }
+
   def toInsertStatements(df: DataFrame, database: String, table: String): Dataset[String] = {
     import df.sparkSession.implicits._
     val schema = df.schema
     val cols = schema.fields.map(_.name).toVector
-    df.map { row =>
-      val values: Vector[SqlValue] = schema.fields.toVector.zipWithIndex.map {
-        case (f, i) =>
-          if (row.isNullAt(i)) SqlNull
-          else f.dataType match {
-            case ByteType => SqlLong(row.getByte(i).toLong)
-            case ShortType => SqlLong(row.getShort(i).toLong)
-            case IntegerType => SqlLong(row.getInt(i).toLong)
-            case LongType => SqlLong(row.getLong(i))
-            case FloatType => SqlDouble(row.getFloat(i).toDouble)
-            case DoubleType => SqlDouble(row.getDouble(i))
-            case _: DecimalType => SqlDecimal(row.getDecimal(i))
-            case BooleanType => SqlBool(row.getBoolean(i))
-            case _ => SqlString(String.valueOf(row.get(i)))
-          }
+    df.map(row => toQuery(Insert(database, table, cols, rowValues(row, schema))))
+  }
+
+  /** mysqldump-style extended INSERTs: up to `rowsPerStatement` VALUES
+    * groups per statement (the tool's default output shape, which the
+    * reference disables via `--skip-extended-insert`,
+    * `source/mysql.rs:101-163`). Fewer, larger statements cut both dump
+    * size and restore round-trips; `tableFromDump` re-expands them via
+    * `parseMulti`.
+    */
+  def toExtendedInsertStatements(
+      df: DataFrame,
+      database: String,
+      table: String,
+      rowsPerStatement: Int = 1000): Dataset[String] = {
+    require(rowsPerStatement > 0, "rowsPerStatement must be positive")
+    import df.sparkSession.implicits._
+    val schema = df.schema
+    val cols = schema.fieldNames.mkString(", ")
+    df.mapPartitions { rows =>
+      rows.grouped(rowsPerStatement).map { batch =>
+        val tuples = batch.iterator
+          .map(r => rowValues(r, schema).map(_.render).mkString("(", ", ", ")"))
+          .mkString(", ")
+        s"INSERT INTO $database.$table ($cols) VALUES $tuples;"
       }
-      toQuery(Insert(database, table, cols, values))
     }
   }
 

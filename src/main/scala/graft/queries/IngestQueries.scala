@@ -128,6 +128,17 @@ object IngestQueries {
       DumpReader.tableFromCopy(parsed, "public", "customer", Some(ddl))
     }),
 
+    // S6/S8 extended-INSERT leg: mysqldump's default multi-row
+    // `VALUES (…), (…), …` form both emitted (100 rows/statement) and
+    // re-expanded, hash-matched against the source.
+    "s6_extended_insert_roundtrip" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val stmts = DumpSink.toExtendedInsertStatements(cust, "public", "customer", 100)
+      DumpReader.tableFromDump(
+        DumpReader.statementsFromStrings(s, stmts), "public", "customer")
+    }),
+
     // S9 typed: the CREATE TABLE header's declared types decide the
     // frame schema — zero driver-side sampling (compare s5_dump_roundtrip,
     // which exercises the inference path).
@@ -213,6 +224,8 @@ object IngestQueries {
     "s9_ddl_typed_dump" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "s5_copy_roundtrip" ->
-      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    "s6_extended_insert_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer"
   )
 }

@@ -99,6 +99,11 @@ object DumpSink {
     b.toString
   }
 
+  /** Decode the full COPY text-format escape set (PostgreSQL emits
+    * `\b \f \n \r \t \v`, `\xHH` hex, and `\OOO` octal for control
+    * bytes) — our own writer only produces the common four, but foreign
+    * dumps use them all.
+    */
   private[graft] def unescapeCopy(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
@@ -106,15 +111,29 @@ object DumpSink {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 't' => b.append('\t'); i += 1
-          case 'n' => b.append('\n'); i += 1
-          case 'r' => b.append('\r'); i += 1
-          case '\\' => b.append('\\'); i += 1
-          case other => b.append(other); i += 1
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'v' => b.append('\u000b'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'x' if i + 2 < s.length && isHex(s.charAt(i + 2)) =>
+            val end = if (i + 3 < s.length && isHex(s.charAt(i + 3))) i + 4 else i + 3
+            b.append(Integer.parseInt(s.substring(i + 2, end), 16).toChar)
+            i = end
+          case o if o >= '0' && o <= '7' =>
+            var end = i + 2
+            while (end < s.length && end < i + 4 && s.charAt(end) >= '0' && s.charAt(end) <= '7') end += 1
+            b.append(Integer.parseInt(s.substring(i + 1, end), 8).toChar)
+            i = end
+          case other => b.append(other); i += 2
         }
-      } else b.append(c)
-      i += 1
+      } else { b.append(c); i += 1 }
     }
     b.toString
   }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 }

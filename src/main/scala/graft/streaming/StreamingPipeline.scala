@@ -79,6 +79,21 @@ object StreamingPipeline {
       }
   }
 
+  /** Session-window counts per user — the stateful sessionization op
+    * (gap-based windows, state evicted at the watermark). Works on a
+    * batch OR streaming frame; the batch form is what the DuckDB
+    * gaps-and-islands oracle checks (`g6_session_windows`).
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "6 hours",
+      watermark: String = "12 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+  }
+
   /** Streaming exact dedup — J3 as a continuous operator: duplicates
     * arriving within the watermark horizon of the first copy are
     * dropped; state is bounded by the horizon (eviction at watermark),

@@ -201,6 +201,12 @@ class IngestSpec extends SparkSpec {
     // escape/unescape are inverses on hostile strings
     val nasty = "a\tb\nc\\d\re\\N\\tf"
     assert(DumpSink.unescapeCopy(DumpSink.escapeCopy(nasty)) == nasty)
+    // foreign-dump escapes we never emit but must decode: hex, octal,
+    // \b \f \v
+    assert(DumpSink.unescapeCopy("\\x41\\x4a") == "AJ")
+    assert(DumpSink.unescapeCopy("\\101\\012") == "A\n")
+    assert(DumpSink.unescapeCopy("a\\bb\\fc\\vd") == "a\bb\fcd")
+    assert(DumpSink.unescapeCopy("\\x4") == "\u0004") // single hex digit is legal
   }
 
   test("insert parser: extended multi-row VALUES yields every row") {

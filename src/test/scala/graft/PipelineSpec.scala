@@ -101,6 +101,27 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.select("text").distinct().count() == 100)
   }
 
+  test("streaming: session windows over a stream match the batch sessionization") {
+    import graft.streaming.StreamingPipeline
+    val inDir = Files.createTempDirectory("graft-sess-in").toString
+    val events = Tables.events(spark, sfDir).select($"user_id", $"ts")
+    events.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(events.schema).parquet(inDir)
+    val sessions = StreamingPipeline.sessionCounts(stream, "6 hours", "0 seconds")
+    assert(sessions.isStreaming)
+    // session-window streaming aggs support append (watermark-gated
+    // emission) and complete; complete emits every session per batch,
+    // which is what a bounded parity test needs
+    sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val streamed = spark.table("sess_test")
+    val batch = StreamingPipeline.sessionCounts(events, "6 hours")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming: mapGroupsWithState running progress matches batch groupBy") {
     import graft.streaming.StreamingPipeline
     val events = Tables.events(spark, sfDir)

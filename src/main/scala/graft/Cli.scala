@@ -31,8 +31,11 @@ object Cli {
     } finally spark.stop()
   }
 
-  /** Testable entry: returns an exit code, prints through `out`. */
-  def run(args: Seq[String], spark: SparkSession, out: String => Unit): Int = {
+  /** Testable entry: returns an exit code, prints through `out`.
+    * `stdin` backs `dump create -i` and is injectable for tests.
+    */
+  def run(args: Seq[String], spark: SparkSession, out: String => Unit,
+          stdin: java.io.InputStream = System.in): Int = {
     val (confPath, rest) = args match {
       case Seq("-c", p, tail @ _*) => (Some(p), tail)
       case other => (None, other)
@@ -56,6 +59,25 @@ object Cli {
         }
         0
 
+      // reference `dump create -i` (`cli.rs:100-114` dispatch
+      // `commands/dump.rs:171-206`): the headline `pg_dump … | graft`
+      // flow. stdin is an inherently sequential byte stream (one
+      // process, one pipe — same bound the reference has), so it is
+      // spooled to a local temp file once, then everything downstream is
+      // the identical distributed --file path.
+      case Seq("dump", "create", rest1 @ _*) if rest1.contains("-i") =>
+        val name = rest1.toList match {
+          case List(n, "-i") => n
+          case List("-i", n) => n
+          case List("-i") => s"dump-${System.currentTimeMillis()}"
+          case other =>
+            out(s"malformed dump create -i arguments: ${other.mkString(" ")}")
+            return 1
+        }
+        val spooled = spoolStdin(stdin)
+        try dumpCreateFromFile(name, spooled.toString, config, spark, out)
+        finally java.nio.file.Files.deleteIfExists(spooled)
+
       // reference `dump create -f <dump file>` (`cli.rs:100-114`): the
       // primary flow — ingest a SQL dump file, transform, store. The
       // loader is the dump parser itself (DDL-typed frames), everything
@@ -72,62 +94,7 @@ object Cli {
             out(s"malformed dump create --file arguments: ${other.mkString(" ")}")
             return 1
         }
-        val c = config
-        val store = new Datastore(datastoreUri(c), spark)
-        val db = c.sourceConf.db
-        // the statement stream is consumed by several driver listings
-        // plus one load per table — parse the file ONCE
-        val stmts = graft.ingest.DumpReader.statements(spark, dumpPath)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          import spark.implicits._
-          import graft.model.StatementKind
-          // driver-side: (database, table) pairs (small) + DDL (DDL only)
-          val insertRefs = stmts.filter(_.kind == StatementKind.InsertInto)
-            .map(s => (s.database, s.table)).distinct().collect().toSet
-          val copyRefs = stmts.filter(_.kind == StatementKind.CopyBlock)
-            .map(s => (s.database, s.table)).distinct().collect().toSet
-          // the loaders filter on the config database — a dump whose
-          // statements live in another schema would otherwise produce
-          // empty tables that LOOK like a successful dump
-          val foreignDbs = (insertRefs ++ copyRefs).map(_._1).filter(_ != db)
-          if (foreignDbs.nonEmpty) {
-            out(s"dump file uses database(s) ${foreignDbs.mkString(", ")} but config " +
-              s"source.database is '$db' — set source.database to match")
-            return 1
-          }
-          val insertTables = insertRefs.map(_._2)
-          val copyTables = copyRefs.map(_._2)
-          val dumpTables = (insertTables ++ copyTables).toSeq.sorted
-          if (dumpTables.isEmpty) {
-            out(s"no INSERT or COPY data found in $dumpPath — nothing to dump")
-            return 1
-          }
-          val ddlByTable = stmts.filter(_.kind == StatementKind.CreateTable)
-            .map(s => (s.table, s.sql)).collect().toMap
-          val job = Pipeline.DumpJobConfig(
-            tables = dumpTables,
-            database = db,
-            filters = c.filters,
-            bindings = c.bindings,
-            subset = c.subsetConfig,
-            fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
-            compressed = c.datastore.flatMap(_.compression).getOrElse(true),
-            encryptionKey = c.encryptionKey)
-          // a table's rows may arrive as INSERTs, COPY blocks, or both
-          val load = (t: String) => {
-            val ddl = ddlByTable.get(t)
-            val parts = Seq(
-              if (insertTables.contains(t))
-                Some(graft.ingest.DumpReader.tableFromDump(stmts, db, t, ddl)) else None,
-              if (copyTables.contains(t))
-                Some(graft.ingest.DumpReader.tableFromCopy(stmts, db, t, ddl)) else None).flatten
-            parts.reduce(_.unionByName(_))
-          }
-          Pipeline.dump(spark, load, store, name, job)
-          out(s"dump created from file: $name (${dumpTables.size} tables)")
-        } finally stmts.unpersist()
-        0
+        dumpCreateFromFile(name, dumpPath, config, spark, out)
 
       case Seq("dump", "create", nameArgs @ _*) =>
         val c = config
@@ -237,6 +204,89 @@ object Cli {
           "dump restore <name|latest> | source schema | transformer list)")
         1
     }
+  }
+
+  /** The `dump create --file` / `dump create -i` body: ingest a SQL
+    * dump (DDL-typed frames), transform, store — everything downstream
+    * of the parse is the same pipeline the parquet path uses
+    * (reference `commands/dump.rs:171-232`).
+    */
+  private def dumpCreateFromFile(name: String, dumpPath: String, c: GraftConfig,
+                                 spark: SparkSession, out: String => Unit): Int = {
+    val store = new Datastore(datastoreUri(c), spark)
+    val db = c.sourceConf.db
+    // the statement stream is consumed by several driver listings
+    // plus one load per table — parse the file ONCE
+    val stmts = graft.ingest.DumpReader.statements(spark, dumpPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      import graft.model.StatementKind
+      // driver-side: (database, table) pairs (small) + DDL (DDL only)
+      val insertRefs = stmts.filter(_.kind == StatementKind.InsertInto)
+        .map(s => (s.database, s.table)).distinct().collect().toSet
+      val copyRefs = stmts.filter(_.kind == StatementKind.CopyBlock)
+        .map(s => (s.database, s.table)).distinct().collect().toSet
+      // the loaders filter on the config database — a dump whose
+      // statements live in another schema would otherwise produce
+      // empty tables that LOOK like a successful dump
+      val foreignDbs = (insertRefs ++ copyRefs).map(_._1).filter(_ != db)
+      if (foreignDbs.nonEmpty) {
+        out(s"dump file uses database(s) ${foreignDbs.mkString(", ")} but config " +
+          s"source.database is '$db' — set source.database to match")
+        return 1
+      }
+      val insertTables = insertRefs.map(_._2)
+      val copyTables = copyRefs.map(_._2)
+      val dumpTables = (insertTables ++ copyTables).toSeq.sorted
+      if (dumpTables.isEmpty) {
+        out(s"no INSERT or COPY data found in $dumpPath — nothing to dump")
+        return 1
+      }
+      val ddlByTable = stmts.filter(_.kind == StatementKind.CreateTable)
+        .map(s => (s.table, s.sql)).collect().toMap
+      val job = Pipeline.DumpJobConfig(
+        tables = dumpTables,
+        database = db,
+        filters = c.filters,
+        bindings = c.bindings,
+        subset = c.subsetConfig,
+        fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
+        compressed = c.datastore.flatMap(_.compression).getOrElse(true),
+        encryptionKey = c.encryptionKey)
+      // a table's rows may arrive as INSERTs, COPY blocks, or both
+      val load = (t: String) => {
+        val ddl = ddlByTable.get(t)
+        val parts = Seq(
+          if (insertTables.contains(t))
+            Some(graft.ingest.DumpReader.tableFromDump(stmts, db, t, ddl)) else None,
+          if (copyTables.contains(t))
+            Some(graft.ingest.DumpReader.tableFromCopy(stmts, db, t, ddl)) else None).flatten
+        parts.reduce(_.unionByName(_))
+      }
+      Pipeline.dump(spark, load, store, name, job)
+      out(s"dump created from file: $name (${dumpTables.size} tables)")
+      0
+    } finally stmts.unpersist()
+  }
+
+  /** Spool a dump piped on stdin to a local temp file (reference
+    * `source/postgres_stdin.rs:24-43` reads the pipe into its parser the
+    * same way — a pipe has no random access, so one sequential copy is
+    * the floor). 1 MiB chunked copy; never holds the stream in memory.
+    */
+  private[graft] def spoolStdin(in: java.io.InputStream): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempFile("graft-stdin-", ".sql")
+    val os = java.nio.file.Files.newOutputStream(tmp)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) {
+        os.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally os.close()
+    tmp
   }
 
   private def datastoreUri(c: GraftConfig): String =

@@ -162,6 +162,24 @@ object IngestQueries {
       DumpReader.tableFromDump(v2, "public", "nation")
     }),
 
+    // S4 stdin leg: the reference's headline `pg_dump | replibyte` flow
+    // (`source/postgres_stdin.rs:24-43`, CLI `-i` branch
+    // `commands/dump.rs:171-206`). A pipe is a driver-local sequential
+    // byte stream by nature; `Cli.spoolStdin` copies it chunked to a
+    // temp file, after which parsing/typing run on the standard
+    // distributed path. The in-memory stream here stands in for the
+    // pipe; building it collects the 27-statement nation fixture only.
+    "s4_stdin_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val dumpText = nationDump(s, dir).orderBy(col("idx"))
+        .map(_.sql).collect().mkString("\n")
+      val spooled = graft.Cli.spoolStdin(
+        new java.io.ByteArrayInputStream(dumpText.getBytes("UTF-8")))
+      spooled.toFile.deleteOnExit() // consumed lazily when the frame materializes
+      DumpReader.tableFromDump(
+        DumpReader.statements(s, spooled.toString), "public", "nation", Some(NationDdl))
+    }),
+
     // S3+N3+D3: full mongodump-archive cycle — table → BSON documents →
     // archive bytestream (CRC64 per collection) → parse+CRC-verify →
     // per-collection DataFrame (the mongorestore analog). Hash-matching
@@ -222,6 +240,8 @@ object IngestQueries {
     "s4_sqldump_dsv2" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "s9_ddl_typed_dump" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+    "s4_stdin_ingest" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "s5_copy_roundtrip" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",

@@ -155,6 +155,38 @@ class CliSpec extends SparkSpec {
     assert(back.filter($"c_name".endsWith("@example.com")).count() == 2)
   }
 
+  test("cli: dump create -i ingests a dump piped on stdin (pg_dump | graft)") {
+    val store = Files.createTempDirectory("graft-cli-store-").toString
+    val restore = Files.createTempDirectory("graft-cli-restore-").toString
+    val conf = writeConf(store, restore)
+    val dumpText =
+      """CREATE TABLE public.customer (c_custkey bigint, c_name text);
+        |INSERT INTO public.customer (c_custkey, c_name) VALUES (1, 'Alice');
+        |INSERT INTO public.customer (c_custkey, c_name) VALUES (2, 'Bob');
+        |COPY public.customer (c_custkey, c_name) FROM stdin;
+        |3	Carol
+        |\.
+        |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(dumpText.getBytes("UTF-8"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "stdin-test", "-i"),
+      spark, printed += _, stdin = in) == 0)
+    assert(printed.exists(_.contains("dump created from file: stdin-test")))
+
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "restore", "latest"), spark, printed += _) == 0)
+    val back = spark.read.parquet(s"$restore/customer")
+    // INSERT rows + COPY row, all through the transformer
+    assert(back.count() == 3)
+    assert(back.filter($"c_name".endsWith("@example.com")).count() == 3)
+
+    // malformed: extra positional args must fail loudly, not fall through
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf, "dump", "create", "a", "b", "-i"),
+      spark, printed += _, stdin = new java.io.ByteArrayInputStream(Array[Byte]())) == 1)
+    assert(printed.exists(_.contains("malformed")))
+  }
+
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")

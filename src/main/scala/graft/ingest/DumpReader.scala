@@ -338,22 +338,43 @@ object DumpReader {
   /** G4: order-sensitive CRC64-ECMA per (database, table), over each
     * statement's bytes in idx order — reference recomputes
     * `crc64::checksum_ecma` per rewritten Mongo collection
-    * (`dump-parser/src/mongodb/mod.rs:213-233`). CRC is sequential, so
-    * each group's statements are gathered and folded in sort order; a
-    * "collection" here is one table's statement stream, bounded like the
-    * reference's in-memory archive — not a 100 TB fact table.
+    * (`dump-parser/src/mongodb/mod.rs:213-233`).
+    *
+    * CRC is sequential per group but rows never need to co-exist in
+    * memory: hash-repartition on the group key puts each table's whole
+    * stream in one partition, sortWithinPartitions puts it in idx
+    * order, and a mapPartitions fold streams statement-by-statement —
+    * one running Long per group, O(#tables) state, no `collect_list`
+    * buffer (a skewed table would otherwise become one giant
+    * aggregation row).
     */
   def collectionCrc64(stmts: Dataset[Statement]): DataFrame = {
-    val crcOfOrdered = udf { sqls: Seq[String] =>
-      sqls.foldLeft(0L)((acc, s) =>
-        graft.store.Crc64.update(acc, (s + "\n").getBytes("UTF-8")))
-    }
-    stmts.toDF()
-      .filter(col("kind") === StatementKind.InsertInto)
-      .groupBy(col("database"), col("table"))
-      .agg(sort_array(collect_list(struct(col("idx"), col("sql")))).as("ordered"))
-      .select(col("database"), col("table"),
-        crcOfOrdered(col("ordered.sql")).as("crc64"))
+    val spark = stmts.sparkSession
+    import spark.implicits._
+    stmts
+      .filter(_.kind == StatementKind.InsertInto)
+      .map(s => (s.database, s.table, s.idx, s.sql))
+      .toDF("database", "table", "idx", "sql")
+      .repartition(col("database"), col("table"))
+      .sortWithinPartitions(col("database"), col("table"), col("idx"))
+      .as[(String, String, Long, String)]
+      .mapPartitions { it =>
+        // rows arrive grouped and idx-sorted; emit one row per group
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var db: String = null
+        var table: String = null
+        var crc = 0L
+        for ((d, t, _, sql) <- it) {
+          if (db != null && (d != db || t != table)) {
+            done += ((db, table, crc)); crc = 0L
+          }
+          db = d; table = t
+          crc = graft.store.Crc64.update(crc, (sql + "\n").getBytes("UTF-8"))
+        }
+        if (db != null) done += ((db, table, crc))
+        done.iterator
+      }
+      .toDF("database", "table", "crc64")
   }
 
   private val TagNull = 0

@@ -171,12 +171,59 @@ object MongoArchive {
     out.toByteArray
   }
 
+  /** Stream DataFrames straight into archive bytes on `out` without
+    * materializing any collection: rows arrive through
+    * `toLocalIterator` (one partition buffered at a time), each
+    * document is encoded and written immediately, and each
+    * collection's CRC64 is a running fold — the driver holds O(one
+    * document), not O(collection). The wire format permits this in a
+    * single pass because the CRC lives in the *closing* EOF namespace,
+    * after the body. The archive remains what it is — one sequential
+    * bytestream — but a 10 GB collection streams through instead of
+    * OOMing the driver. Returns the per-collection CRC64s written.
+    */
+  def writeTables(out: java.io.OutputStream, db: String,
+                  tables: Seq[(String, DataFrame)],
+                  toolVersion: String = "graft"): Map[String, Long] = {
+    out.write(Magic)
+    out.write(Bson.encode(BDoc(
+      "concurrent_collections" -> BInt32(1),
+      "version" -> BStr("0.1"),
+      "server_version" -> BStr("n/a"),
+      "tool_version" -> BStr(toolVersion))))
+    for ((name, _) <- tables)
+      out.write(Bson.encode(BDoc(
+        "db" -> BStr(db),
+        "collection" -> BStr(name),
+        "metadata" -> BStr(s"""{"collectionName":"$name"}"""),
+        "size" -> BInt32(0),
+        "type" -> BStr("collection"))))
+    writeSeparator(out)
+    val crcs = Map.newBuilder[String, Long]
+    for ((name, df) <- tables) {
+      out.write(nsDoc(db, name, eof = false, crc = 0L))
+      val schema = df.schema
+      var crc = 0L
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val bytes = Bson.encode(rowToDoc(it.next(), schema))
+        crc = Crc64.update(crc, bytes)
+        out.write(bytes)
+      }
+      writeSeparator(out)
+      out.write(nsDoc(db, name, eof = true, crc = crc))
+      writeSeparator(out)
+      crcs += (s"$db.$name" -> crc)
+    }
+    crcs.result()
+  }
+
   private def nsDoc(db: String, coll: String, eof: Boolean, crc: Long): Array[Byte] =
     Bson.encode(BDoc(
       "db" -> BStr(db), "collection" -> BStr(coll),
       "EOF" -> BBool(eof), "CRC" -> BInt64(crc)))
 
-  private def writeSeparator(out: ByteArrayOutputStream): Unit = {
+  private def writeSeparator(out: java.io.OutputStream): Unit = {
     out.write(0xFF); out.write(0xFF); out.write(0xFF); out.write(0xFF)
   }
 
@@ -211,6 +258,12 @@ object MongoArchive {
     case (BArr(items), ArrayType(et, _))  => items.map(fromBson(_, et))
     case (d: BDoc, st: StructType)        => docToRow(d, st)
     case (BTimestamp(t), DoubleType)      => t.toDouble
+    case (d: BDecimal128, dt: DecimalType) =>
+      // setScale with no rounding mode is the loud path: a value that
+      // doesn't fit the target scale throws instead of rounding
+      d.toBigDecimal.map(_.setScale(dt.scale)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Decimal128 ${d.render} cannot map to $dt (NaN/Infinity have no decimal value)"))
     // widened-to-string fallback (mixed-type fields under inference):
     // EVERY value type must render, or schema-free restore of a
     // heterogeneous field throws mid-collection
@@ -229,6 +282,7 @@ object MongoArchive {
     case BTimestamp(t) => t.toString
     case BObjectId(b) => b.map("%02x".format(_)).mkString
     case BBin(_, b) => java.util.Base64.getEncoder.encodeToString(b)
+    case d: BDecimal128 => d.render
     case BNull => null
     case BArr(items) => items.map(renderCompact).mkString("[", ",", "]")
     case d: BDoc =>
@@ -247,10 +301,10 @@ object MongoArchive {
     case (b: java.lang.Byte, ByteType)    => BInt32(b.toInt)
     case (d: java.lang.Double, DoubleType) => BDouble(d)
     case (f: java.lang.Float, FloatType)  => BDouble(f.toDouble)
-    // BSON Decimal128 isn't in this codec — digits survive as a string
-    // (the lossless choice; BDouble would silently round)
-    case (d: java.math.BigDecimal, _: DecimalType) => BStr(d.toPlainString)
-    case (d: Decimal, _: DecimalType)     => BStr(d.toJavaBigDecimal.toPlainString)
+    // decimals travel as native BSON Decimal128 (type 0x13) — lossless
+    // up to decimal128's 34 significant digits, loud beyond
+    case (d: java.math.BigDecimal, _: DecimalType) => BDecimal128.fromBigDecimal(d)
+    case (d: Decimal, _: DecimalType)     => BDecimal128.fromBigDecimal(d.toJavaBigDecimal)
     case (s: String, StringType)          => BStr(s)
     case (b: java.lang.Boolean, BooleanType) => BBool(b)
     case (b: Array[Byte], BinaryType)     => BBin(0x00, b)
@@ -264,13 +318,17 @@ object MongoArchive {
   /** Build an archive from DataFrames (D6-style dump of tables into the
     * mongorestore-compatible container). Collection order follows the
     * input sequence; document order is the frames' current ordering, so
-    * callers wanting determinism should `orderBy` first. Collects each
-    * collection to the driver — see the scale-posture note above.
+    * callers wanting determinism should `orderBy` first. Rows stream in
+    * through `toLocalIterator` (one partition buffered at a time, never
+    * the Row array + doc vector double-materialized); the resulting
+    * in-memory `Archive` is for bounded manipulation — unbounded writes
+    * should go straight to bytes via [[writeTables]].
     */
   def fromTables(db: String, tables: Seq[(String, DataFrame)], toolVersion: String = "graft"): Archive = {
+    import scala.jdk.CollectionConverters._
     val colls = tables.map { case (name, df) =>
       val schema = df.schema
-      s"$db.$name" -> df.collect().toVector.map(rowToDoc(_, schema))
+      s"$db.$name" -> df.toLocalIterator().asScala.map(rowToDoc(_, schema)).toVector
     }.toMap
     val metas = tables.map { case (name, df) =>
       CollectionMeta(db, name, s"""{"collectionName":"$name"}""", 0, "collection")
@@ -328,6 +386,9 @@ object MongoArchive {
       case _: BObjectId => StringType
       case _: BDateTime => TimestampType
       case _: BTimestamp => LongType
+      // decimal128 carries up to 34 digits; (38, 18) holds every value
+      // the engine's own sinks emit and widens to string on conflict
+      case _: BDecimal128 => DecimalType(38, 18)
       case BNull => NullType
       case d: BDoc => StructType(d.fields.map { case (n, x) => StructField(n, typeOf(x)) })
       case BArr(items) =>

@@ -190,8 +190,10 @@ object IngestQueries {
       val src = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
-      val bytes = MongoArchive.write(MongoArchive.fromTables("graft", Seq("customer" -> src)))
-      val back = MongoArchive.read(bytes)
+      // streaming writer: rows → bytes with running CRC, O(1 doc) driver state
+      val bos = new java.io.ByteArrayOutputStream()
+      MongoArchive.writeTables(bos, "graft", Seq("customer" -> src))
+      val back = MongoArchive.read(bos.toByteArray)
       MongoArchive.restore(s, back, Map("graft.customer" -> src.schema))("graft.customer")
     }),
 
@@ -203,8 +205,9 @@ object IngestQueries {
       import graft.ingest.MongoArchive
       val src = Tables.nation(s, dir)
         .select(col("n_nationkey"), col("n_name")).orderBy(col("n_nationkey"))
-      val archive = MongoArchive.read(
-        MongoArchive.write(MongoArchive.fromTables("graft", Seq("nation" -> src))))
+      val bos = new java.io.ByteArrayOutputStream()
+      MongoArchive.writeTables(bos, "graft", Seq("nation" -> src))
+      val archive = MongoArchive.read(bos.toByteArray)
       archive.crcs.toSeq.sortBy(_._1).toDF("prefix", "crc64")
     })
   )

@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
       "brute-force ANN should broadcast the small query side")
   }
 
+  test("CRC64 streams per-group: shuffle on the group key, no collect_list buffer (G4)") {
+    val p = plan("g4_crc64")
+    assert(!p.contains("collect_list"),
+      "CRC64 gathers whole statement streams into one aggregation buffer")
+    assert(p.contains("hashpartitioning") && p.contains("MapPartitions"),
+      "CRC64 fold is not a hash-repartitioned streaming mapPartitions")
+  }
+
   test("dedup and near-dup joins shuffle on derived keys, no cross joins") {
     for (name <- Seq("x_minhash_lsh", "x_simhash", "x_embed_near_dup_lsh", "x_ngram_jaccard")) {
       val p = plan(name)

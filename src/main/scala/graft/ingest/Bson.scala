@@ -43,6 +43,86 @@ object Bson {
   final case class BTimestamp(v: Long) extends BVal
   final case class BInt64(v: Long) extends BVal
 
+  /** BSON Decimal128 (element type 0x13): IEEE 754-2008 decimal128 in
+    * the BID (binary integer decimal) encoding MongoDB uses. Held as
+    * the raw 128 bits so EVERY payload — finite values, ±Infinity,
+    * NaN, and non-canonical large coefficients — roundtrips
+    * byte-exactly through the archive rewriter; [[toBigDecimal]] is the
+    * lossy-only-for-specials bridge to Spark's DecimalType.
+    * (The reference passes the type through untouched,
+    * `replibyte/src/source/mongodb.rs:194-209`.)
+    */
+  final case class BDecimal128(high: Long, low: Long) extends BVal {
+    import BDecimal128._
+
+    private def comboTop2: Int = ((high >>> 61) & 0x3L).toInt
+    def isNaN: Boolean = (high >>> 58 & 0x1fL) == 0x1fL
+    def isInfinite: Boolean = (high >>> 58 & 0x1fL) == 0x1eL
+    def isNegative: Boolean = (high >>> 63) != 0L
+
+    /** Finite value as a BigDecimal (scale = -exponent, preserved
+      * exactly); None for NaN/±Infinity. Non-canonical coefficients
+      * (> 10^34-1) decode as zero, matching MongoDB's convention.
+      */
+    def toBigDecimal: Option[java.math.BigDecimal] =
+      if (isNaN || isInfinite) None
+      else {
+        val (biasedExp, coeff) =
+          if (comboTop2 == 0x3) {
+            // "11" combination: implicit (0b100 << 111) coefficient
+            // prefix — always exceeds 10^34-1, so the value is zero;
+            // the exponent field shifts down two bits
+            (((high >>> 47) & 0x3fffL).toInt, java.math.BigInteger.ZERO)
+          } else {
+            val c = java.math.BigInteger.valueOf(high & CoeffHighMask).shiftLeft(64)
+              .or(unsignedLong(low))
+            (((high >>> 49) & 0x3fffL).toInt,
+              if (c.compareTo(MaxCoefficient) > 0) java.math.BigInteger.ZERO else c)
+          }
+        val signed = if (isNegative) coeff.negate() else coeff
+        Some(new java.math.BigDecimal(signed, -(biasedExp - ExponentBias)))
+      }
+
+    /** Deterministic rendering for the widened-to-string fallback. */
+    def render: String =
+      if (isNaN) "NaN"
+      else if (isInfinite) { if (isNegative) "-Infinity" else "Infinity" }
+      else toBigDecimal.get.toPlainString
+  }
+
+  object BDecimal128 {
+    val ExponentBias = 6176
+    private val CoeffHighMask = (1L << 49) - 1
+    private val MaxCoefficient = java.math.BigInteger.TEN.pow(34).subtract(java.math.BigInteger.ONE)
+
+    private def unsignedLong(l: Long): java.math.BigInteger =
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
+
+    /** Encode a BigDecimal, preserving its scale (trailing zeros are
+      * significant in decimal128) unless the coefficient is too wide,
+      * in which case trailing zeros are shed; a value that still needs
+      * more than 34 significant digits fails loudly rather than
+      * rounding silently.
+      */
+    def fromBigDecimal(d: java.math.BigDecimal): BDecimal128 = {
+      var unscaled = d.unscaledValue().abs()
+      var exp = -d.scale()
+      val ten = java.math.BigInteger.TEN
+      while (unscaled.compareTo(MaxCoefficient) > 0 &&
+             unscaled.mod(ten).signum() == 0 && exp < 6111) {
+        unscaled = unscaled.divide(ten); exp += 1
+      }
+      require(unscaled.compareTo(MaxCoefficient) <= 0,
+        s"decimal $d needs more than Decimal128's 34 significant digits")
+      require(exp >= -ExponentBias && exp <= 6111,
+        s"decimal $d exponent $exp outside Decimal128 range [-6176, 6111]")
+      val biased = (exp + ExponentBias).toLong
+      val coeffHigh = unscaled.shiftRight(64).longValueExact()
+      val sign = if (d.signum() < 0) 1L << 63 else 0L
+      BDecimal128(sign | (biased << 49) | coeffHigh, unscaled.longValue())
+    }
+  }
+
   object BDoc {
     def apply(fields: (String, BVal)*): BDoc = BDoc(fields.toVector)
   }
@@ -81,6 +161,8 @@ object Bson {
       case BInt32(i)      => tag(0x10); writeInt32(out, i)
       case BTimestamp(t)  => tag(0x11); writeInt64(out, t)
       case BInt64(l)      => tag(0x12); writeInt64(out, l)
+      // 128-bit value little-endian: low quad first, then high
+      case BDecimal128(h, l) => tag(0x13); writeInt64(out, l); writeInt64(out, h)
     }
   }
 
@@ -150,6 +232,9 @@ object Bson {
     case 0x10 => BInt32(buf.getInt)
     case 0x11 => BTimestamp(buf.getLong)
     case 0x12 => BInt64(buf.getLong)
+    case 0x13 =>
+      val l = buf.getLong; val h = buf.getLong
+      BDecimal128(h, l)
     case other => throw new IllegalArgumentException(
       f"unsupported BSON element type 0x$other%02x")
   }

@@ -87,8 +87,20 @@ object Similarity {
     * path is [[cosineNearDupPairsLsh]]. The smaller side is broadcast,
     * so the corpus side streams through a nested-loop join without a
     * shuffle.
+    *
+    * `maxRows` is the verifier's contract, enforced: pointing this at a
+    * corpus larger than the bound fails loudly BEFORE the broadcast
+    * build instead of OOMing an executor. Raise it deliberately if a
+    * bigger exact pass is really intended; the count that enforces it
+    * is one distributed pass over a 1-column projection.
     */
-  def cosineNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double,
+                         maxRows: Long = 10000L): DataFrame = {
+    val n = df.select(col(id)).count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is the exact quadratic verifier: input has $n rows > maxRows=" +
+        s"$maxRows. Use cosineNearDupPairsLsh for full corpora, or pass a larger maxRows " +
+        "deliberately.")
     val l = df.select(col(id).as("id_a"), col(vec).as("va"))
     val r = df.select(col(id).as("id_b"), col(vec).as("vb"))
     l.join(broadcast(r), col("id_a") < col("id_b"))

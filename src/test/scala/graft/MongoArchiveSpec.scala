@@ -37,12 +37,43 @@ class MongoArchiveSpec extends SparkSpec {
       "dt" -> BDateTime(1700000000000L),
       "nul" -> BNull,
       "i32" -> BInt32(-42),
-      "i64" -> BInt64(Long.MinValue + 1))
+      "i64" -> BInt64(Long.MinValue + 1),
+      "dec" -> BDecimal128.fromBigDecimal(new java.math.BigDecimal("-123.456")))
     val back = Bson.decode(Bson.encode(doc))
     // Array[Byte] equality is reference-based; compare re-encodings
     assert(Bson.encode(back).toSeq == Bson.encode(doc).toSeq)
     assert(back.getStr("s").contains("héllo"))
     assert(back.getLong("i64").contains(Long.MinValue + 1))
+  }
+
+  test("Decimal128: BID bit layout, BigDecimal bridge, specials survive byte-exactly") {
+    // known vector: 1 with exponent 0 → biased exponent 6176 in bits
+    // 62-49 of the high quad, coefficient 1 in the low quad
+    val one = BDecimal128.fromBigDecimal(java.math.BigDecimal.ONE)
+    assert(one.high == 0x3040000000000000L && one.low == 1L)
+    // scale is significant and survives: 1.10 ≠ 1.1 in decimal128
+    for (s <- Seq("0", "-0.00", "1.10", "-123.456", "9999999999999999999999999999999999",
+                  "-0.000000000000000000000000000001", "2E+10")) {
+      val d = new java.math.BigDecimal(s)
+      val rt = BDecimal128.fromBigDecimal(d).toBigDecimal.get
+      assert(rt == d && rt.scale == d.scale, s"drift for $s: got $rt")
+    }
+    // 35+ significant digits: loud, not rounded
+    intercept[IllegalArgumentException] {
+      BDecimal128.fromBigDecimal(new java.math.BigDecimal("99999999999999999999999999999999999"))
+    }
+    // wide-but-trailing-zero coefficients shed zeros instead of failing
+    val big = BDecimal128.fromBigDecimal(new java.math.BigDecimal("1" + "0" * 36))
+    assert(big.toBigDecimal.get.compareTo(new java.math.BigDecimal("1E+36")) == 0)
+    // NaN / ±Infinity: no decimal value, raw bits roundtrip the codec
+    val nan = BDecimal128(0x7c00000000000000L, 0L)
+    val negInf = BDecimal128(0xf800000000000000L, 0L)
+    assert(nan.isNaN && nan.toBigDecimal.isEmpty && nan.render == "NaN")
+    assert(negInf.isInfinite && negInf.isNegative && negInf.render == "-Infinity")
+    for (v <- Seq(nan, negInf)) {
+      val back = Bson.decode(Bson.encode(BDoc("d" -> v))).get("d").get
+      assert(back == v, s"special value drifted: $back != $v")
+    }
   }
 
   test("BSON decode rejects unknown element types and size lies") {
@@ -64,6 +95,8 @@ class MongoArchiveSpec extends SparkSpec {
       Gen.double.map(BDouble),
       name.map(BStr), Gen.oneOf(true, false).map(BBool),
       Gen.const(BNull),
+      Gen.zip(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), Gen.chooseNum(-20, 30))
+        .map { case (u, s) => BDecimal128.fromBigDecimal(java.math.BigDecimal.valueOf(u, s)) },
       Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(bs => BBin(0x00, bs.toArray)))
     def value(depth: Int): Gen[BVal] =
       if (depth <= 0) leaf
@@ -92,6 +125,47 @@ class MongoArchiveSpec extends SparkSpec {
     assert(back.header.toolVersion == "graft")
     assert(back.collections("testdb.things").size == 2)
     assert(MongoArchive.write(back).toSeq == bytes.toSeq)
+  }
+
+  test("DecimalType columns roundtrip the archive as native Decimal128") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DecimalType(38, 18))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, new java.math.BigDecimal("1234.500000000000000000")),
+      org.apache.spark.sql.Row(2L, new java.math.BigDecimal("-0.000000000000000001")),
+      org.apache.spark.sql.Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val archive = MongoArchive.fromTables("db", Seq("money" -> df))
+    // on the wire: element type 0x13, not a string
+    val doc = archive.collections("db.money").head
+    assert(doc.get("amount").exists(_.isInstanceOf[BDecimal128]))
+    val back = MongoArchive.restore(
+      spark, MongoArchive.read(MongoArchive.write(archive)), Map("db.money" -> schema))("db.money")
+    assert(back.schema("amount").dataType == DecimalType(38, 18))
+    val got = back.orderBy($"id").collect()
+    assert(got(0).getDecimal(1).compareTo(new java.math.BigDecimal("1234.5")) == 0)
+    assert(got(1).getDecimal(1).compareTo(new java.math.BigDecimal("-1E-18")) == 0)
+    assert(got(2).isNullAt(1))
+    // inference maps the field to DecimalType without a schema hint
+    val inferred = MongoArchive.inferSchema(archive.collections("db.money"))
+    assert(inferred("amount").dataType == DecimalType(38, 18))
+  }
+
+  test("streaming writeTables is byte-identical to the materialized write path") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "score")
+      .orderBy($"id").repartition(3) // multiple partitions through toLocalIterator
+      .orderBy($"id")
+    val tables = Seq("things" -> df, "empty" -> df.filter($"id" < 0L))
+    val materialized = MongoArchive.write(MongoArchive.fromTables("testdb", tables))
+    val bos = new java.io.ByteArrayOutputStream()
+    val crcs = MongoArchive.writeTables(bos, "testdb", tables)
+    assert(bos.toByteArray.toSeq == materialized.toSeq)
+    // the running-fold CRC must equal the declared CRC the reader verifies
+    val back = MongoArchive.read(bos.toByteArray)
+    assert(crcs == back.crcs)
+    assert(back.collections("testdb.things").size == 2)
+    assert(back.collections.getOrElse("testdb.empty", Vector.empty).isEmpty)
   }
 
   test("archive read concatenates interleaved data blocks for one namespace") {

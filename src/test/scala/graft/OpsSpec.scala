@@ -138,6 +138,15 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH emitted false positives: ${lsh.diff(exact)}")
   }
 
+  test("embedding near-dup: exact verifier refuses inputs beyond maxRows") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3, maxRows = 100L)
+    }
+    assert(ex.getMessage.contains("maxRows"))
+    assert(ex.getMessage.contains("cosineNearDupPairsLsh"), "error must name the scale path")
+  }
+
   test("embedding near-dup: LSH recall on planted near-duplicates at threshold 0.9") {
     // the sf testdata has no real near-dups (max pairwise cosine ~0.5),
     // so plant them: 40 base vectors + a lightly-perturbed copy of each

@@ -100,16 +100,31 @@ object Cli {
         val c = config
         val name = nameArgs.headOption.getOrElse(s"dump-${System.currentTimeMillis()}")
         val store = new Datastore(datastoreUri(c), spark)
+        // live-database source (S1/S2) when source.connection_uri is
+        // set — partitioned JDBC range scans; parquet tables_dir
+        // otherwise
+        val (tables, fkEdges, load) = c.sourceJdbc match {
+          case Some(conn) =>
+            val ts = c.sourceConf.tables.getOrElse(
+              graft.ingest.Jdbc.tableNames(conn.url, creds = conn.sparkOptions))
+            (ts,
+              graft.ingest.Jdbc.foreignKeys(conn.url, creds = conn.sparkOptions),
+              (t: String) => graft.ingest.Jdbc.readTable(
+                spark, conn.url, t, options = conn.sparkOptions))
+          case None =>
+            (tableNames(c, spark), Nil,
+              (t: String) => Tables.load(spark, c.tablesDir, t))
+        }
         val job = Pipeline.DumpJobConfig(
-          tables = tableNames(c, spark),
+          tables = tables,
           database = c.sourceConf.db,
           filters = c.filters,
           bindings = c.bindings,
           subset = c.subsetConfig,
-          fkEdges = Nil,
+          fkEdges = fkEdges,
           compressed = c.datastore.flatMap(_.compression).getOrElse(true),
           encryptionKey = c.encryptionKey)
-        Pipeline.dump(spark, t => Tables.load(spark, c.tablesDir, t), store, name, job)
+        Pipeline.dump(spark, load, store, name, job)
         out(s"dump created: $name")
         0
 
@@ -184,16 +199,26 @@ object Cli {
           else nameArg
         val dest = c.destination.getOrElse(
           throw new IllegalArgumentException("config requires a destination section"))
-        val outDir = dest.output_dir.map(GraftConfig.substituteEnvVar).getOrElse(
-          throw new IllegalArgumentException("destination.output_dir is required"))
         val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
-        tables.foreach { case (t, df) =>
-          dest.format.getOrElse("parquet") match {
-            case "parquet" => df.write.mode("overwrite").parquet(s"$outDir/$t")
-            case "console" => df.show(20, truncate = false) // D5 stdout sink
-            case f => throw new IllegalArgumentException(s"unsupported destination format: $f")
-          }
-          out(s"restored: $t")
+        c.destinationJdbc match {
+          // live-database restore (D1/D2) when destination.connection_uri
+          // is set — batched JDBC writes, one connection per partition
+          case Some(conn) =>
+            tables.foreach { case (t, df) =>
+              graft.ingest.Jdbc.writeTable(df, conn.url, t, options = conn.sparkOptions)
+              out(s"restored: $t")
+            }
+          case None =>
+            val outDir = dest.output_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+              throw new IllegalArgumentException("destination.output_dir is required"))
+            tables.foreach { case (t, df) =>
+              dest.format.getOrElse("parquet") match {
+                case "parquet" => df.write.mode("overwrite").parquet(s"$outDir/$t")
+                case "console" => df.show(20, truncate = false) // D5 stdout sink
+                case f => throw new IllegalArgumentException(s"unsupported destination format: $f")
+              }
+              out(s"restored: $t")
+            }
         }
         0
 

@@ -23,8 +23,9 @@ object Jdbc {
   /** Table names of a schema — reference `Explain::schema` table
     * enumeration (`source/postgres.rs:78-111`), via JDBC metadata.
     */
-  def tableNames(url: String, schema: Option[String] = None): Seq[String] = {
-    val conn = DriverManager.getConnection(url)
+  def tableNames(url: String, schema: Option[String] = None,
+                 creds: Map[String, String] = Map.empty): Seq[String] = {
+    val conn = DriverManager.getConnection(url, toProperties(creds))
     try {
       val rs = conn.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
       val b = Seq.newBuilder[String]
@@ -38,11 +39,12 @@ object Jdbc {
     * `information_schema` reads (`subset/src/postgres.rs:662-734` parses
     * the same constraints out of dump text).
     */
-  def foreignKeys(url: String, schema: Option[String] = None): Seq[FkEdge] = {
-    val conn = DriverManager.getConnection(url)
+  def foreignKeys(url: String, schema: Option[String] = None,
+                  creds: Map[String, String] = Map.empty): Seq[FkEdge] = {
+    val conn = DriverManager.getConnection(url, toProperties(creds))
     try {
       val meta = conn.getMetaData
-      tableNames(url, schema).flatMap { t =>
+      tableNames(url, schema, creds).flatMap { t =>
         val rs = meta.getImportedKeys(null, schema.orNull, t)
         val b = Seq.newBuilder[FkEdge]
         while (rs.next()) b += FkEdge(
@@ -67,9 +69,11 @@ object Jdbc {
       table: String,
       partitionColumn: Option[String] = None,
       numPartitions: Int = 8,
-      driver: Option[String] = None): DataFrame = {
+      driver: Option[String] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
     def base = {
       val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        .options(options)
       driver.fold(r)(d => r.option("driver", d))
     }
     partitionColumn match {
@@ -94,10 +98,17 @@ object Jdbc {
       url: String,
       table: String,
       mode: SaveMode = SaveMode.Append,
-      driver: Option[String] = None): Unit = {
+      driver: Option[String] = None,
+      options: Map[String, String] = Map.empty): Unit = {
     val w = df.write.mode(mode).format("jdbc")
-      .option("url", url).option("dbtable", table)
+      .option("url", url).option("dbtable", table).options(options)
     driver.fold(w)(d => w.option("driver", d)).save()
+  }
+
+  private def toProperties(m: Map[String, String]): java.util.Properties = {
+    val p = new java.util.Properties()
+    m.foreach { case (k, v) => p.setProperty(k, v) }
+    p
   }
 
   /** Driver-side DDL/utility statement — the wipe step of a restore

@@ -66,10 +66,7 @@ object Dedup {
     // One sorted-gram-array row per doc behind a shuffle boundary: the
     // array is computed exactly once and the exchange is reused by the
     // prefix sides and the verification joins.
-    val gramArrays = df
-      .select(col(id).as("doc"),
-        array_sort(array_distinct(TextAnalysis.wordNgrams(text, n))).as("grams"))
-      .repartition(col("doc"))
+    val gramArrays = docGramArrays(df, id, text, n)
     // prefix length |g| - ceil(t*|g|) + 1 (empty gram set -> no prefix)
     val nGrams = size(col("grams"))
     val prefixLen = (nGrams - ceil(lit(threshold) * nGrams - lit(eps)) + 1).cast("int")
@@ -110,6 +107,23 @@ object Dedup {
     // size drives the choice) — while a pathological dup-heavy corpus
     // with a huge candidate set degrades to a shuffle join instead of
     // OOMing the driver on a forced broadcast.
+    verifyJaccard(candidates, gramArrays, threshold)
+  }
+
+  /** Sorted distinct word-n-gram array per doc behind a `doc`-keyed
+    * shuffle boundary — the exchange is reused by every side that joins
+    * back to it (PPJoin prefixes, LSH-candidate verification).
+    */
+  private def docGramArrays(df: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    df.select(col(id).as("doc"),
+      array_sort(array_distinct(TextAnalysis.wordNgrams(text, n))).as("grams"))
+      .repartition(col("doc"))
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+    * the full gram arrays. Shared by the PPJoin path and the LSH
+    * candidate path; join strategy is left to AQE (see callers).
+    */
+  private def verifyJaccard(candidates: DataFrame, gramArrays: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(gramArrays.select(col("doc").as("id_a"), col("grams").as("ga")), Seq("id_a"))
       .join(gramArrays.select(col("doc").as("id_b"), col("grams").as("gb")), Seq("id_b"))
@@ -119,7 +133,6 @@ object Dedup {
           (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** MinHash signature of the document's n-gram set: `numHashes`
     * independent functions simulated as `xxhash64(i, gram)`; element i
@@ -206,6 +219,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** MinHash-LSH candidate pairs verified with the EXACT n-gram Jaccard
+    * — the classic two-stage near-dup pipeline (Broder '97 banding for
+    * candidates, WWW'07-style exact verification): every returned pair
+    * is guaranteed to sit in [[ngramJaccardPairs]]' output, so precision
+    * is exactly 1.0 and only recall depends on the banding parameters.
+    * This is the DuckDB-checkable superset property the
+    * `x_minhash_lsh_precision` oracle asserts (approx ∪ exact == exact).
+    * Same scale shape as [[minhashLshPairs]]: skinny band equi-join for
+    * candidates, AQE-decided joins back to the gram arrays for verify.
+    */
+  def minhashLshExactPairs(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigs = df
+      .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .repartition(col("doc"))
+    val buckets = sigs
+      .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+    val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, docGramArrays(df, id, text, n), threshold)
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
     * the token-hash bits. Near-dups have small Hamming distance.
     * Dispatches to the native codegen'd `SimHash64Expr` (registered via
@@ -226,6 +272,33 @@ object Dedup {
         (v, b) => v + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Cross-engine-portable SimHash: 60-bit signature over md5-derived
+    * token hashes (15 hex chars = 60 bits, so the hash and every shifted
+    * bit stay inside a signed long under ANSI arithmetic in BOTH Spark
+    * and DuckDB). Exists so the simhash ALGORITHM is hash-checkable
+    * bit-for-bit against a DuckDB oracle, which cannot evaluate xxhash64
+    * — the production path stays the native codegen'd [[simhash64]],
+    * parity-tested against `simhash64Hof`. Same majority-vote semantics
+    * (votes > 0 sets the bit).
+    */
+  def simhashPortable(text: Column, bits: Int = 60): Column = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60, "bits must be in (0, 60] and hex-aligned")
+    val hashes = transform(split(lower(trim(text)), "\\s+"),
+      t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long"))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(
+        acc,
+        sequence(lit(0), lit(bits - 1)),
+        (v, b) => v + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
         (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
       lit(0L),
       (acc, bit) => acc.bitwiseOR(bit))

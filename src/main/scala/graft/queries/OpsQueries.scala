@@ -8,10 +8,14 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 
 /** LLM-data-pipeline operator queries over `documents`/`embeddings`.
   *
-  * Hash-based ops (MinHash-LSH, SimHash, hyperplane LSH) have no
-  * DuckDB-expressible oracle (xxhash64 differs) → no `oracle` entry, the
-  * driver records a rows-only check; their correctness is covered by
-  * OpsSpec (recall vs the exact operators, which ARE oracle-checked).
+  * Hash-based ops (MinHash-LSH, SimHash, hyperplane LSH) have no direct
+  * DuckDB-expressible oracle (xxhash64 differs) → the raw queries get a
+  * rows-only check, and three indirect oracles close the gap:
+  *   - `*_precision` entries assert `approx ∪ exact == exact` against
+  *     the exact operator's SQL (precision = 1.0, hash-checked);
+  *   - `x_simhash_md5` oracles the signature algorithm bit-for-bit via
+  *     a portable md5 token hash;
+  *   - recall floors vs the exact operators live in OpsSpec.
   */
 object OpsQueries {
 
@@ -92,6 +96,57 @@ object OpsQueries {
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
     }),
 
+    // Precision oracles for the approximate family: `approx ∪ exact ==
+    // exact` hash-compared against the EXACT operator's DuckDB SQL —
+    // equivalent to "every approximate pair appears in the exact output"
+    // (precision = 1.0), checkable cross-engine even though the hash
+    // functions themselves aren't. Recall floors live in OpsSpec.
+    "x_minhash_lsh_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashLshExactPairs(docs, "doc_id", col("text"), 3, 64, 16, 0.8)
+        .select(col("id_a"), col("id_b"))
+        .union(Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8)
+          .select(col("id_a"), col("id_b")))
+        .distinct()
+    }),
+
+    "x_embed_near_dup_lsh_precision" -> ((s, dir) => {
+      val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+      Similarity.cosineNearDupPairsLsh(sample, "vec_id", "embedding", 0.3)
+        .union(Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3))
+        .distinct()
+    }),
+
+    // ANN precision: every approximate neighbor must rank in the exact
+    // global top-200 (k'=200 ≫ k=5 absorbs recall wobble with margin —
+    // worst observed exact rank is 30 at sf0.01, 69 at sf0.1; containment
+    // is what's asserted, not rank agreement)
+    "x_ann_lsh_precision" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 200)
+          .select(col("query_id"), col("neighbor_id")))
+        .distinct()
+    }),
+
+    "x_ann_ivf_precision" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 200)
+          .select(col("query_id"), col("neighbor_id")))
+        .distinct()
+    }),
+
+    // portable (md5-based) simhash — bit-for-bit DuckDB-oracled variant
+    // of the signature algorithm itself (xxhash64 isn't cross-engine)
+    "x_simhash_md5" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash60"))),
+
     // corpus profile: per-language doc counts, token mass, mean quality
     // — the first aggregate a training-data pipeline runs over a new
     // crawl (one map-side-combined groupBy over the corpus)
@@ -136,7 +191,40 @@ object OpsQueries {
          |FROM pairs JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE) >= $threshold""".stripMargin
 
+  /** Exact brute-force top-`k` (query, neighbor) pairs; `withRank`
+    * includes the rank column (the x_ann_bruteforce shape), the
+    * pairs-only form backs the ANN containment oracles.
+    */
+  private def annTopKSql(k: Int, withRank: Boolean): String = {
+    val sel = if (withRank) "query_id, neighbor_id, rnk" else "query_id, neighbor_id"
+    raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  list_cosine_similarity(qv, e.embedding) AS sim FROM q, embeddings e WHERE e.vec_id != query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |FROM scored)
+         |SELECT $sel FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  private val simhashMd5Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60
+         |FROM bits GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x_minhash_lsh_precision" ->
+      s"SELECT id_a, id_b FROM (${jaccardSql(0.8)})",
+    "x_embed_near_dup_lsh_precision" ->
+      ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
+    "x_ann_lsh_precision" -> annTopKSql(200, withRank = false),
+    "x_ann_ivf_precision" -> annTopKSql(200, withRank = false),
+    "x_simhash_md5" -> simhashMd5Sql,
     "x_token_count" ->
       s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_bpe_token_count" ->
@@ -156,13 +244,7 @@ object OpsQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
-    "x_ann_bruteforce" ->
-      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-           |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-           |  list_cosine_similarity(qv, e.embedding) AS sim FROM q, embeddings e WHERE e.vec_id != query_id)
-           |SELECT query_id, neighbor_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           |FROM scored QUALIFY rnk <= 5""".stripMargin,
+    "x_ann_bruteforce" -> annTopKSql(5, withRank = true),
     "x_multimodal_features" ->
       ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS checksum, " +

@@ -50,6 +50,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
   }
 
+  test("minhash LSH exact-verified pairs: subset of exact jaccard, high recall") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashLshExactPairs(docs, "doc_id", $"text", 3, 64, 16, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // precision is exactly 1 by construction — the superset property the
+    // x_minhash_lsh_precision oracle asserts cross-engine
+    assert(verified.subsetOf(exact), s"false positives: ${verified.diff(exact)}")
+    val recall = exact.count(verified.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"verified-LSH recall $recall too low")
+  }
+
+  test("portable simhash: deterministic, 60-bit, tracks document similarity") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.simhashPortable($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    // 60-bit signature: always non-negative, always below 2^60
+    sh.values.foreach(v => assert(v >= 0 && v < (1L << 60)))
+    // stable across evaluations (pure expression, no session state)
+    val again = df.select(Dedup.simhashPortable($"text")).as[Long].collect()
+    assert(again.toSeq == Seq(sh(1L), sh(2L), sh(3L)))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, pairs found") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

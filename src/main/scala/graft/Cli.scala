@@ -74,9 +74,11 @@ object Cli {
             out(s"malformed dump create -i arguments: ${other.mkString(" ")}")
             return 1
         }
-        val spooled = spoolStdin(stdin)
-        try dumpCreateFromFile(name, spooled.toString, config, spark, out)
-        finally java.nio.file.Files.deleteIfExists(spooled)
+        val c = config
+        val spooled = spoolStdin(stdin, spark, datastoreUri(c))
+        val fs = spooled.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try dumpCreateFromFile(name, spooled.toString, c, spark, out)
+        finally fs.delete(spooled, false)
 
       // reference `dump create -f <dump file>` (`cli.rs:100-114`): the
       // primary flow — ingest a SQL dump file, transform, store. The
@@ -105,12 +107,16 @@ object Cli {
         // otherwise
         val (tables, fkEdges, load) = c.sourceJdbc match {
           case Some(conn) =>
+            // scope listing + reads to source.schema — a multi-schema
+            // database would otherwise enumerate foreign-schema tables
+            // and read whichever one search_path resolves
+            val schema = c.sourceConf.jdbcSchema
             val ts = c.sourceConf.tables.getOrElse(
-              graft.ingest.Jdbc.tableNames(conn.url, creds = conn.sparkOptions))
+              graft.ingest.Jdbc.tableNames(conn.url, schema, creds = conn.sparkOptions))
             (ts,
-              graft.ingest.Jdbc.foreignKeys(conn.url, creds = conn.sparkOptions),
+              graft.ingest.Jdbc.foreignKeys(conn.url, schema, creds = conn.sparkOptions),
               (t: String) => graft.ingest.Jdbc.readTable(
-                spark, conn.url, t, options = conn.sparkOptions))
+                spark, conn.url, schema.fold(t)(s => s"$s.$t"), options = conn.sparkOptions))
           case None =>
             (tableNames(c, spark), Nil,
               (t: String) => Tables.load(spark, c.tablesDir, t))
@@ -202,10 +208,20 @@ object Cli {
         val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
         c.destinationJdbc match {
           // live-database restore (D1/D2) when destination.connection_uri
-          // is set — batched JDBC writes, one connection per partition
+          // is set — batched JDBC writes, one connection per partition.
+          // wipe defaults TRUE (matching the parquet sink's overwrite and
+          // the reference's wipe-before-restore, destination/postgres.rs:
+          // 100-110) so re-running a restore is idempotent instead of
+          // silently doubling every row; truncate-overwrite keeps the
+          // existing table DDL. `wipe: false` appends deliberately.
           case Some(conn) =>
+            val wipe = dest.wipe.getOrElse(true)
+            val mode = if (wipe) org.apache.spark.sql.SaveMode.Overwrite
+                       else org.apache.spark.sql.SaveMode.Append
+            val opts = conn.sparkOptions ++
+              (if (wipe) Map("truncate" -> "true") else Map.empty)
             tables.foreach { case (t, df) =>
-              graft.ingest.Jdbc.writeTable(df, conn.url, t, options = conn.sparkOptions)
+              graft.ingest.Jdbc.writeTable(df, conn.url, t, mode = mode, options = opts)
               out(s"restored: $t")
             }
           case None =>
@@ -295,14 +311,23 @@ object Cli {
     } finally stmts.unpersist()
   }
 
-  /** Spool a dump piped on stdin to a local temp file (reference
-    * `source/postgres_stdin.rs:24-43` reads the pipe into its parser the
-    * same way — a pipe has no random access, so one sequential copy is
-    * the floor). 1 MiB chunked copy; never holds the stream in memory.
+  /** Spool a dump piped on stdin into the datastore's filesystem
+    * (reference `source/postgres_stdin.rs:24-43` reads the pipe into its
+    * parser the same way — a pipe has no random access, so one
+    * sequential copy is the floor). The spool target is the datastore
+    * FS, NOT java.io.tmpdir: executors must be able to open the path,
+    * and on a multi-node cluster a driver-local temp file exists on the
+    * driver only. 1 MiB chunked copy; never holds the stream in memory;
+    * a failed copy deletes its partial file instead of orphaning it.
     */
-  private[graft] def spoolStdin(in: java.io.InputStream): java.nio.file.Path = {
-    val tmp = java.nio.file.Files.createTempFile("graft-stdin-", ".sql")
-    val os = java.nio.file.Files.newOutputStream(tmp)
+  private[graft] def spoolStdin(in: java.io.InputStream, spark: SparkSession,
+                                rootUri: String): org.apache.hadoop.fs.Path = {
+    val dir = new org.apache.hadoop.fs.Path(rootUri, ".spool")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir, s"graft-stdin-${java.util.UUID.randomUUID()}.sql")
+    val os = fs.create(tmp, true)
+    var ok = false
     try {
       val buf = new Array[Byte](1 << 20)
       var n = in.read(buf)
@@ -310,7 +335,11 @@ object Cli {
         os.write(buf, 0, n)
         n = in.read(buf)
       }
-    } finally os.close()
+      ok = true
+    } finally {
+      os.close()
+      if (!ok) fs.delete(tmp, false)
+    }
     tmp
   }
 

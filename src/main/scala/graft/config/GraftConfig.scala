@@ -30,10 +30,18 @@ final case class SourceConf(
     tables: Option[Seq[String]],
     database: Option[String],
     connection_uri: Option[String],
+    schema: Option[String],
     skip_tables: Option[Seq[String]],
     only_tables: Option[Seq[String]],
     transformers: Option[Seq[TableTransformerConf]]) {
   def db: String = database.getOrElse("public")
+
+  /** JDBC schema for live scans (S1/S2): scopes metadata listing and
+    * qualifies `dbtable` reads — without it a multi-schema database
+    * (public.users + audit.users) enumerates both and reads whichever
+    * one search_path resolves.
+    */
+  def jdbcSchema: Option[String] = schema.map(GraftConfig.substituteEnvVar)
 }
 
 final case class SubsetConf(
@@ -105,17 +113,29 @@ object JdbcConnection {
       val port = if (uri.getPort == -1) DefaultPorts(subprotocol) else uri.getPort
       val db = Option(uri.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException(s"connection URI needs a /database path"))
-      // getUserInfo percent-decodes, so passwords with reserved chars work
-      val (user, pass) = Option(uri.getUserInfo) match {
+      // split the RAW userinfo on ':' first, THEN percent-decode each
+      // part — decoding first would let an encoded colon in the username
+      // (a%3Ab) shift everything after it into the password
+      val (user, pass) = Option(uri.getRawUserInfo) match {
         case Some(ui) => ui.split(":", 2) match {
-          case Array(u, p) => (Some(u), Some(p))
-          case Array(u) => (Some(u), None)
+          case Array(u, p) => (Some(pctDecode(u)), Some(pctDecode(p)))
+          case Array(u) => (Some(pctDecode(u)), None)
         }
         case None => (None, None)
       }
-      JdbcConnection(s"jdbc:$subprotocol://$host:$port/$db", user, pass, Some(db))
+      // driver params (sslmode, currentSchema, serverTimezone…) ride the
+      // query string and MUST survive — silently dropping sslmode=require
+      // would downgrade a connection the user asked to be TLS
+      val query = Option(uri.getRawQuery).filter(_.nonEmpty).map("?" + _).getOrElse("")
+      JdbcConnection(s"jdbc:$subprotocol://$host:$port/$db$query", user, pass, Some(db))
     }
   }
+
+  /** RFC-3986 percent-decode ('+' stays a literal plus, unlike HTML
+    * form decoding).
+    */
+  private def pctDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 }
 
 final case class GraftConfig(

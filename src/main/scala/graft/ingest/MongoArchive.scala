@@ -143,13 +143,28 @@ object MongoArchive {
     */
   def write(archive: Archive): Array[Byte] = {
     val out = new ByteArrayOutputStream()
+    writeProlog(out, archive.header, archive.metas)
+    for (m <- archive.metas) {
+      val docs = archive.collections.getOrElse(m.prefix, Vector.empty)
+      writeCollection(out, m.db, m.collection, docs.iterator.map(Bson.encode))
+    }
+    out.toByteArray
+  }
+
+  /** Magic + header BSON + one metadata BSON per collection + separator
+    * — the single framing implementation `write` and `writeTables`
+    * share (the byte-identity `MongoArchiveSpec` enforces would
+    * otherwise depend on two copies staying in sync by hand).
+    */
+  private def writeProlog(out: java.io.OutputStream, header: Header,
+                          metas: Seq[CollectionMeta]): Unit = {
     out.write(Magic)
     out.write(Bson.encode(BDoc(
-      "concurrent_collections" -> BInt32(archive.header.concurrentCollections),
-      "version" -> BStr(archive.header.version),
-      "server_version" -> BStr(archive.header.serverVersion),
-      "tool_version" -> BStr(archive.header.toolVersion))))
-    for (m <- archive.metas) {
+      "concurrent_collections" -> BInt32(header.concurrentCollections),
+      "version" -> BStr(header.version),
+      "server_version" -> BStr(header.serverVersion),
+      "tool_version" -> BStr(header.toolVersion))))
+    for (m <- metas) {
       out.write(Bson.encode(BDoc(
         "db" -> BStr(m.db),
         "collection" -> BStr(m.collection),
@@ -158,17 +173,24 @@ object MongoArchive {
         "type" -> BStr(m.collectionType))))
     }
     writeSeparator(out)
-    for (m <- archive.metas) {
-      val docs = archive.collections.getOrElse(m.prefix, Vector.empty)
-      out.write(nsDoc(m.db, m.collection, eof = false, crc = 0L))
-      val body = new ByteArrayOutputStream()
-      docs.foreach(d => body.write(Bson.encode(d)))
-      body.writeTo(out)
-      writeSeparator(out)
-      out.write(nsDoc(m.db, m.collection, eof = true, crc = Crc64.of(body.toByteArray)))
-      writeSeparator(out)
+  }
+
+  /** One collection's framing: open namespace, streamed body documents
+    * with a running CRC64, separator, closing EOF namespace carrying the
+    * CRC, separator. Returns the body CRC. O(one document) of state.
+    */
+  private def writeCollection(out: java.io.OutputStream, db: String, coll: String,
+                              docBytes: Iterator[Array[Byte]]): Long = {
+    out.write(nsDoc(db, coll, eof = false, crc = 0L))
+    var crc = 0L
+    for (bytes <- docBytes) {
+      crc = Crc64.update(crc, bytes)
+      out.write(bytes)
     }
-    out.toByteArray
+    writeSeparator(out)
+    out.write(nsDoc(db, coll, eof = true, crc = crc))
+    writeSeparator(out)
+    crc
   }
 
   /** Stream DataFrames straight into archive bytes on `out` without
@@ -185,38 +207,20 @@ object MongoArchive {
   def writeTables(out: java.io.OutputStream, db: String,
                   tables: Seq[(String, DataFrame)],
                   toolVersion: String = "graft"): Map[String, Long] = {
-    out.write(Magic)
-    out.write(Bson.encode(BDoc(
-      "concurrent_collections" -> BInt32(1),
-      "version" -> BStr("0.1"),
-      "server_version" -> BStr("n/a"),
-      "tool_version" -> BStr(toolVersion))))
-    for ((name, _) <- tables)
-      out.write(Bson.encode(BDoc(
-        "db" -> BStr(db),
-        "collection" -> BStr(name),
-        "metadata" -> BStr(s"""{"collectionName":"$name"}"""),
-        "size" -> BInt32(0),
-        "type" -> BStr("collection"))))
-    writeSeparator(out)
+    import scala.jdk.CollectionConverters._
+    writeProlog(out, Header(1, "0.1", "n/a", toolVersion),
+      tables.map { case (name, _) => defaultMeta(db, name) })
     val crcs = Map.newBuilder[String, Long]
     for ((name, df) <- tables) {
-      out.write(nsDoc(db, name, eof = false, crc = 0L))
       val schema = df.schema
-      var crc = 0L
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val bytes = Bson.encode(rowToDoc(it.next(), schema))
-        crc = Crc64.update(crc, bytes)
-        out.write(bytes)
-      }
-      writeSeparator(out)
-      out.write(nsDoc(db, name, eof = true, crc = crc))
-      writeSeparator(out)
-      crcs += (s"$db.$name" -> crc)
+      val docBytes = df.toLocalIterator().asScala.map(r => Bson.encode(rowToDoc(r, schema)))
+      crcs += (s"$db.$name" -> writeCollection(out, db, name, docBytes))
     }
     crcs.result()
   }
+
+  private def defaultMeta(db: String, name: String): CollectionMeta =
+    CollectionMeta(db, name, s"""{"collectionName":"$name"}""", 0, "collection")
 
   private def nsDoc(db: String, coll: String, eof: Boolean, crc: Long): Array[Byte] =
     Bson.encode(BDoc(
@@ -260,10 +264,16 @@ object MongoArchive {
     case (BTimestamp(t), DoubleType)      => t.toDouble
     case (d: BDecimal128, dt: DecimalType) =>
       // setScale with no rounding mode is the loud path: a value that
-      // doesn't fit the target scale throws instead of rounding
+      // doesn't fit an EXPLICIT schema's scale throws instead of
+      // rounding (inferred schemas always fit — inference derives
+      // (p, s) from the values)
       d.toBigDecimal.map(_.setScale(dt.scale)).getOrElse(
         throw new IllegalArgumentException(
           s"Decimal128 ${d.render} cannot map to $dt (NaN/Infinity have no decimal value)"))
+    // int64/int32 values under a decimal field (mixed-type merge):
+    // widening the scale never loses information
+    case (BInt64(l), dt: DecimalType) => new java.math.BigDecimal(l).setScale(dt.scale)
+    case (BInt32(i), dt: DecimalType) => new java.math.BigDecimal(i).setScale(dt.scale)
     // widened-to-string fallback (mixed-type fields under inference):
     // EVERY value type must render, or schema-free restore of a
     // heterogeneous field throws mid-collection
@@ -330,9 +340,7 @@ object MongoArchive {
       val schema = df.schema
       s"$db.$name" -> df.toLocalIterator().asScala.map(rowToDoc(_, schema)).toVector
     }.toMap
-    val metas = tables.map { case (name, df) =>
-      CollectionMeta(db, name, s"""{"collectionName":"$name"}""", 0, "collection")
-    }
+    val metas = tables.map { case (name, _) => defaultMeta(db, name) }
     Archive(Header(1, "0.1", "n/a", toolVersion), metas, colls,
       colls.map { case (p, docs) => p -> bodyCrc(docs) })
   }
@@ -367,6 +375,9 @@ object MongoArchive {
       case (NullType, x) => x
       case (x, NullType) => x
       case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (x: DecimalType, y: DecimalType) => mergeDecimal(x, y)
+      case (x: DecimalType, LongType) => mergeDecimal(x, DecimalType(20, 0))
+      case (LongType, y: DecimalType) => mergeDecimal(y, DecimalType(20, 0))
       case (x: StructType, y: StructType) =>
         val names = (x.fieldNames ++ y.fieldNames).distinct
         StructType(names.map { n =>
@@ -386,9 +397,19 @@ object MongoArchive {
       case _: BObjectId => StringType
       case _: BDateTime => TimestampType
       case _: BTimestamp => LongType
-      // decimal128 carries up to 34 digits; (38, 18) holds every value
-      // the engine's own sinks emit and widens to string on conflict
-      case _: BDecimal128 => DecimalType(38, 18)
+      // decimal128: infer the tight (precision, scale) from the VALUE —
+      // a fixed (38, 18) guess throws on scale > 18 or > 20 integer
+      // digits, both of which decimal128 (and the engine's own sinks)
+      // legitimately produce. NaN/±Infinity have no decimal value and
+      // widen to string; merge() unions (p, s) across documents.
+      case d: BDecimal128 => d.toBigDecimal match {
+        case Some(bd) =>
+          val scale = math.max(0, bd.scale)
+          val intDigits = math.max(1, bd.precision - bd.scale)
+          if (intDigits + scale > DecimalType.MAX_PRECISION) StringType
+          else DecimalType(intDigits + scale, scale)
+        case None => StringType
+      }
       case BNull => NullType
       case d: BDoc => StructType(d.fields.map { case (n, x) => StructField(n, typeOf(x)) })
       case BArr(items) =>
@@ -400,5 +421,16 @@ object MongoArchive {
     StructType(order.toSeq.map { case (n, dt) =>
       StructField(n, if (dt == NullType) StringType else dt)
     })
+  }
+
+  /** Union of two decimal shapes: enough integer digits and scale for
+    * both; wider than decimal can hold → string (restore keeps working
+    * via the widened-to-string rendering instead of overflowing).
+    */
+  private def mergeDecimal(a: DecimalType, b: DecimalType): DataType = {
+    val scale = math.max(a.scale, b.scale)
+    val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
+    if (intDigits + scale > DecimalType.MAX_PRECISION) StringType
+    else DecimalType(intDigits + scale, scale)
   }
 }

@@ -96,11 +96,15 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double,
                          maxRows: Long = 10000L): DataFrame = {
-    val n = df.select(col(id)).count()
+    // bounded probe, not a full count: LIMIT maxRows+1 stops the scan as
+    // soon as the bound is provably violated, so the guard costs O(maxRows)
+    // regardless of corpus size
+    val probeLimit = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
+    val n = df.select(col(id)).limit(probeLimit).count()
     require(n <= maxRows,
-      s"cosineNearDupPairs is the exact quadratic verifier: input has $n rows > maxRows=" +
-        s"$maxRows. Use cosineNearDupPairsLsh for full corpora, or pass a larger maxRows " +
-        "deliberately.")
+      s"cosineNearDupPairs is the exact quadratic verifier: input has more than maxRows=" +
+        s"$maxRows rows. Use cosineNearDupPairsLsh for full corpora, or pass a larger " +
+        "maxRows deliberately.")
     val l = df.select(col(id).as("id_a"), col(vec).as("va"))
     val r = df.select(col(id).as("id_b"), col(vec).as("vb"))
     l.join(broadcast(r), col("id_a") < col("id_b"))

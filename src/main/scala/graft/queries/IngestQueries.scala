@@ -174,8 +174,10 @@ object IngestQueries {
       val dumpText = nationDump(s, dir).orderBy(col("idx"))
         .map(_.sql).collect().mkString("\n")
       val spooled = graft.Cli.spoolStdin(
-        new java.io.ByteArrayInputStream(dumpText.getBytes("UTF-8")))
-      spooled.toFile.deleteOnExit() // consumed lazily when the frame materializes
+        new java.io.ByteArrayInputStream(dumpText.getBytes("UTF-8")),
+        s, System.getProperty("java.io.tmpdir"))
+      // consumed lazily when the frame materializes — defer deletion
+      spooled.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(spooled)
       DumpReader.tableFromDump(
         DumpReader.statements(s, spooled.toString), "public", "nation", Some(NationDdl))
     }),

@@ -48,6 +48,19 @@ class JdbcSpec extends SparkSpec {
     // user without password
     assert(JdbcConnection.parse("mysql://bob@h/db").sparkOptions == Map("user" -> "bob"))
 
+    // driver params survive as a query string (dropping sslmode=require
+    // would silently downgrade a TLS connection)
+    assert(JdbcConnection.parse("postgres://h/db?sslmode=require&currentSchema=app").url ==
+      "jdbc:postgresql://h:5432/db?sslmode=require&currentSchema=app")
+
+    // encoded colon in the USERNAME: split the raw userinfo first, then
+    // decode — decoding first would misparse user=a, password=b:pw
+    val colonUser = JdbcConnection.parse("postgres://a%3Ab:pw@h/db")
+    assert(colonUser.user.contains("a:b"))
+    assert(colonUser.password.contains("pw"))
+    // '+' in a password is a literal plus, not a space
+    assert(JdbcConnection.parse("mysql://u:p+q@h/db").password.contains("p+q"))
+
     // raw jdbc: URLs pass through for driver-specific forms
     assert(JdbcConnection.parse("jdbc:derby:/tmp/x;create=true").url ==
       "jdbc:derby:/tmp/x;create=true")

@@ -147,9 +147,50 @@ class MongoArchiveSpec extends SparkSpec {
     assert(got(0).getDecimal(1).compareTo(new java.math.BigDecimal("1234.5")) == 0)
     assert(got(1).getDecimal(1).compareTo(new java.math.BigDecimal("-1E-18")) == 0)
     assert(got(2).isNullAt(1))
-    // inference maps the field to DecimalType without a schema hint
+    // inference derives (p, s) from the values: widest here is
+    // 1234.5…(scale 18) → 4 integer digits + 18 fractional
     val inferred = MongoArchive.inferSchema(archive.collections("db.money"))
-    assert(inferred("amount").dataType == DecimalType(38, 18))
+    assert(inferred("amount").dataType == DecimalType(22, 18))
+  }
+
+  test("schema-free restore survives high-scale, high-precision, NaN, and mixed decimals") {
+    def dec(s: String) = BDecimal128.fromBigDecimal(new java.math.BigDecimal(s))
+    // scale 19 (> the old fixed 18), 37 integer digits (> 20), a NaN,
+    // and an int64 sharing a decimal field — each used to throw or
+    // overflow under the fixed DecimalType(38, 18) inference
+    val deep = Vector(
+      BDoc("id" -> BInt64(1), "v" -> dec("0.1234567890123456789")),
+      BDoc("id" -> BInt64(2), "v" -> dec("-0.0000000000000000001")))
+    val wide = Vector(BDoc("id" -> BInt64(1), "v" -> dec("1" + "0" * 36)))
+    val mixed = Vector(
+      BDoc("id" -> BInt64(1), "v" -> dec("12.50")),
+      BDoc("id" -> BInt64(2), "v" -> BInt64(7L)))
+    val withNaN = Vector(
+      BDoc("id" -> BInt64(1), "v" -> dec("1.5")),
+      BDoc("id" -> BInt64(2), "v" -> BDecimal128(0x7c00000000000000L, 0L))) // NaN
+    def roundtrip(docs: Vector[BDoc]) = {
+      val archive = MongoArchive.Archive(
+        MongoArchive.Header(1, "0.1", "n/a", "t"),
+        Seq(MongoArchive.CollectionMeta("db", "c", "{}", 0, "collection")),
+        Map("db.c" -> docs), Map.empty)
+      MongoArchive.restore(spark, MongoArchive.read(MongoArchive.write(archive)))("db.c")
+    }
+    val d = roundtrip(deep)
+    assert(d.schema("v").dataType == DecimalType(20, 19))
+    assert(d.orderBy($"id").collect()(0).getDecimal(1).compareTo(
+      new java.math.BigDecimal("0.1234567890123456789")) == 0)
+    val w = roundtrip(wide)
+    assert(w.schema("v").dataType == DecimalType(37, 0))
+    assert(w.collect()(0).getDecimal(1).compareTo(new java.math.BigDecimal("1E+36")) == 0)
+    val m = roundtrip(mixed)
+    assert(m.schema("v").dataType == DecimalType(22, 2)) // 20 int digits + scale 2
+    assert(m.orderBy($"id").collect()(1).getDecimal(1).compareTo(
+      new java.math.BigDecimal("7")) == 0)
+    // NaN has no decimal value → the field widens to string, restore
+    // completes instead of throwing mid-collection
+    val n = roundtrip(withNaN)
+    assert(n.schema("v").dataType == StringType)
+    assert(n.orderBy($"id").collect()(1).getString(1) == "NaN")
   }
 
   test("streaming writeTables is byte-identical to the materialized write path") {

@@ -58,15 +58,31 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
+    // One sorted-gram-array row per doc behind a shuffle boundary: the
+    // array is computed exactly once and the exchange is reused by the
+    // prefix sides and the verification joins.
+    val gramArrays = docGramArrays(df, id, text, n)
+    // Verification: after pruning the candidate set is usually tiny, so
+    // AQE turns these into broadcast joins that STREAM the gram arrays
+    // (candidates sit behind the dedup exchange, so their true runtime
+    // size drives the choice) — while a pathological dup-heavy corpus
+    // with a huge candidate set degrades to a shuffle join instead of
+    // OOMing the driver on a forced broadcast.
+    verifyJaccard(ppjoinCandidates(gramArrays, threshold, maxDocFreq), gramArrays, threshold)
+  }
+
+  /** PPJoin candidate generation over [[docGramArrays]] output — every
+    * (id_a < id_b) pair that can possibly reach `threshold`, by the
+    * prefix + size + positional bounds (all necessary conditions, so
+    * downstream verification stays exact).
+    */
+  private def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
+                               maxDocFreq: Long): DataFrame = {
     // Guard every ceil(t·x) against binary-float overshoot (0.8×5 =
     // 4.000…0002 would ceil to 5, silently shortening prefixes /
     // tightening bounds → FALSE NEGATIVES). Subtracting a sub-unit
     // epsilon can only relax the filters, never break exactness.
     val eps = 1e-9
-    // One sorted-gram-array row per doc behind a shuffle boundary: the
-    // array is computed exactly once and the exchange is reused by the
-    // prefix sides and the verification joins.
-    val gramArrays = docGramArrays(df, id, text, n)
     // prefix length |g| - ceil(t*|g|) + 1 (empty gram set -> no prefix)
     val nGrams = size(col("grams"))
     val prefixLen = (nGrams - ceil(lit(threshold) * nGrams - lit(eps)) + 1).cast("int")
@@ -91,7 +107,7 @@ object Dedup {
     //                  shared one (positions pa/pb), so the overlap is
     //                  at most min(na-pa, nb-pb), which must reach the
     //                  Jaccard-equivalent overlap ceil(t/(1+t)·(na+nb)).
-    val candidates = l.join(r, Seq("gram"))
+    l.join(r, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(eps)))
@@ -101,13 +117,6 @@ object Dedup {
       .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
         ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps)))
       .select(col("id_a"), col("id_b"))
-    // Verification: after pruning the candidate set is usually tiny, so
-    // AQE turns these into broadcast joins that STREAM the gram arrays
-    // (candidates sit behind the dedup exchange, so their true runtime
-    // size drives the choice) — while a pathological dup-heavy corpus
-    // with a huge candidate set degrades to a shuffle join instead of
-    // OOMing the driver on a forced broadcast.
-    verifyJaccard(candidates, gramArrays, threshold)
   }
 
   /** Sorted distinct word-n-gram array per doc behind a `doc`-keyed
@@ -236,7 +245,16 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    verifyJaccard(lshBandCandidates(df, id, text, n, numHashes, bands),
+      docGramArrays(df, id, text, n), threshold)
+
+  /** Banding candidate pairs (id_a < id_b, deduped across bands) — the
+    * skinny (doc, band, bucket) equi-join shared by the exact-verified
+    * LSH path and the precision-union check.
+    */
+  private def lshBandCandidates(df: DataFrame, id: String, text: Column,
+                                n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigs = df
       .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
@@ -245,11 +263,32 @@ object Dedup {
     val buckets = sigs
       .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
-    val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
+    buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, docGramArrays(df, id, text, n), threshold)
+  }
+
+  /** The `x_minhash_lsh_precision` plan: (LSH band candidates ∪ PPJoin
+    * candidates) verified ONCE with exact Jaccard over one shared
+    * gram-array exchange. Because PPJoin candidates are a superset of
+    * every pair at `threshold`, the result equals
+    * `minhashLshExactPairs ∪ ngramJaccardPairs` — but verification
+    * joins and the gram shuffle run once instead of twice.
+    */
+  def minhashLshPrecisionUnion(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val gramArrays = docGramArrays(df, id, text, n)
+    val candidates = lshBandCandidates(df, id, text, n, numHashes, bands)
+      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, gramArrays, threshold).select(col("id_a"), col("id_b"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of

@@ -101,14 +101,11 @@ object OpsQueries {
     // equivalent to "every approximate pair appears in the exact output"
     // (precision = 1.0), checkable cross-engine even though the hash
     // functions themselves aren't. Recall floors live in OpsSpec.
-    "x_minhash_lsh_precision" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.minhashLshExactPairs(docs, "doc_id", col("text"), 3, 64, 16, 0.8)
-        .select(col("id_a"), col("id_b"))
-        .union(Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8)
-          .select(col("id_a"), col("id_b")))
-        .distinct()
-    }),
+    // (union-of-candidates formulation: one shared gram exchange, one
+    // verification pass — equals verified-LSH ∪ exact)
+    "x_minhash_lsh_precision" -> ((s, dir) =>
+      Dedup.minhashLshPrecisionUnion(
+        Tables.documents(s, dir), "doc_id", col("text"), 3, 64, 16, 0.8)),
 
     "x_embed_near_dup_lsh_precision" -> ((s, dir) => {
       val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)

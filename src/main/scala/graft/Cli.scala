@@ -51,11 +51,25 @@ object Cli {
         0
 
       case Seq("source", "schema") =>
-        // reference `source schema` (`commands/source.rs:10-56`)
+        // reference `source schema` (`commands/source.rs:10-56`) — live
+        // JDBC source when connection_uri is set, parquet dir otherwise
         val c = config
-        tableNames(c, spark).foreach { t =>
-          out(s"table: ${c.sourceConf.db}.$t")
-          out(Tables.load(spark, c.tablesDir, t).schema.treeString)
+        c.sourceJdbc match {
+          case Some(conn) =>
+            val schema = c.sourceConf.jdbcSchema
+            val ts = c.sourceConf.tables.getOrElse(
+              graft.ingest.Jdbc.tableNames(conn.url, schema, creds = conn.sparkOptions))
+            ts.foreach { t =>
+              out(s"table: ${c.sourceConf.db}.$t")
+              out(graft.ingest.Jdbc.readTable(spark, conn.url,
+                schema.fold(t)(sc => s"$sc.$t"), options = conn.sparkOptions)
+                .schema.treeString)
+            }
+          case None =>
+            tableNames(c, spark).foreach { t =>
+              out(s"table: ${c.sourceConf.db}.$t")
+              out(Tables.load(spark, c.tablesDir, t).schema.treeString)
+            }
         }
         0
 

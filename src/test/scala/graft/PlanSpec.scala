@@ -81,4 +81,19 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }
+
+  test("precision-union check verifies once over a shared gram exchange") {
+    val p = plan("x_minhash_lsh_precision")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ExistingRDD"), "precision check materialized an intermediate")
+    // exchange reuse is an AQE-runtime decision: execute, then assert
+    // the finalized plan computed the gram-array subplan once and
+    // ReusedExchange'd it into the other consumers
+    val df = SparkEntry.queries("x_minhash_lsh_precision")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), "AQE plan did not finalize")
+    assert(finalPlan.contains("ReusedExchange"),
+      "gram-array exchange not reused — candidates and verify each recompute grams")
+  }
 }

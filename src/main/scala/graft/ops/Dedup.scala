@@ -316,6 +316,31 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** Decontamination (benchmark-overlap) sweep: for each corpus doc,
+    * the number of DISTINCT word n-grams it shares with a benchmark
+    * set — the standard "did the eval set leak into the training
+    * corpus" check run before any training job. Scale shape: each side
+    * explodes its distinct grams once and they meet in a gram-keyed
+    * equi-join (the benchmark side is small by nature and broadcasts
+    * under AQE); document text never crosses a shuffle. Returns
+    * (doc, n_hits) for contaminated docs only — anti-join the result to
+    * keep the clean corpus.
+    */
+  def contaminationHits(
+      corpus: DataFrame, id: String, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val cg = corpus.select(col(id).as("doc"),
+      explode(array_distinct(TextAnalysis.wordNgrams(corpusText, n))).as("gram"))
+    val bg = benchmark
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .distinct()
+    // corpus grams are distinct per doc and the benchmark side is
+    // deduped, so a plain count IS the distinct-shared-gram count
+    cg.join(bg, Seq("gram"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Cross-engine-portable SimHash: 60-bit signature over md5-derived
     * token hashes (15 hex chars = 60 bits, so the hash and every shifted
     * bit stay inside a signed long under ANSI arithmetic in BOTH Spark

@@ -156,4 +156,22 @@ object TextAnalysis {
       s"[array_to_string(list_slice($toks, i, i + ${n - 1}), ' ') " +
       s"FOR i IN range(1, len($toks) - ${n - 2})] END"
   }
+
+  /** Repetition ratio (the Gopher-style repetitious-text signal):
+    * fraction of word n-gram occurrences that repeat an earlier gram —
+    * `(total - distinct) / total`, 0.0 for docs with fewer than `n`
+    * tokens. Same integer/double operation order as the SQL mirror →
+    * bit-reproducible.
+    */
+  def repetitionRatio(text: Column, n: Int): Column =
+    bound(wordNgrams(text, n)) { gs =>
+      when(size(gs) <= 0, lit(0.0)).otherwise(
+        (size(gs) - size(array_distinct(gs))).cast("double") / size(gs).cast("double"))
+    }
+
+  def repetitionRatioSql(x: String, n: Int): String = {
+    val gs = wordNgramsSql(x, n)
+    s"(CASE WHEN len($gs) <= 0 THEN 0.0 ELSE " +
+      s"CAST(len($gs) - len(list_distinct($gs)) AS DOUBLE) / CAST(len($gs) AS DOUBLE) END)"
+  }
 }

@@ -144,6 +144,22 @@ object OpsQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash60"))),
 
+    // decontamination: distinct 3-gram overlap of every corpus doc with
+    // the "benchmark" slice (source = src0) — the pre-training eval-set
+    // leak sweep; gram-keyed equi-join, benchmark side broadcasts
+    "x_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationHits(
+        docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 3)
+        .select(col("doc").as("doc_id"), col("n_hits"))
+    }),
+
+    // Gopher-style repetitious-text signal over word 2-grams
+    "x_repetition_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.repetitionRatio(col("text"), 2).as("rep_ratio"))),
+
     // corpus profile: per-language doc counts, token mass, mean quality
     // — the first aggregate a training-data pipeline runs over a new
     // crawl (one map-side-combined groupBy over the corpus)
@@ -222,6 +238,14 @@ object OpsQueries {
     "x_ann_lsh_precision" -> annTopKSql(200, withRank = false),
     "x_ann_ivf_precision" -> annTopKSql(200, withRank = false),
     "x_simhash_md5" -> simhashMd5Sql,
+    "x_decontamination" ->
+      s"""WITH eg AS (SELECT doc_id, source,
+         |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),
+         |bench AS (SELECT DISTINCT gram FROM eg WHERE source = 'src0')
+         |SELECT e.doc_id, count(*) AS n_hits FROM eg e JOIN bench b USING (gram)
+         |WHERE e.source != 'src0' GROUP BY 1""".stripMargin,
+    "x_repetition_ratio" ->
+      s"SELECT doc_id, ${TA.repetitionRatioSql("text", 2)} AS rep_ratio FROM documents",
     "x_token_count" ->
       s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_bpe_token_count" ->

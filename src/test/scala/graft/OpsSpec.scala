@@ -78,6 +78,31 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == Seq(sh(1L), sh(2L), sh(3L)))
   }
 
+  test("repetition ratio: 0 for unique grams, rises with repeats, 0 below n tokens") {
+    val df = Seq(
+      (1L, "a b c d e"),            // 4 distinct 2-grams, no repeats
+      (2L, "a a a a"),              // 3 2-grams, 1 distinct → 2/3
+      (3L, "x")                     // < n tokens → 0.0
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TA.repetitionRatio($"text", 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - 2.0 / 3.0) < 1e-12)
+    assert(r(3L) == 0.0)
+  }
+
+  test("contamination hits: planted benchmark overlap found, clean docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench
+      (2L, "one two three four five")         // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta zzz").toDF("text")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", $"text", bench, $"text", 3)
+      .as[(Long, Long)].collect().toMap
+    // shared distinct 3-grams: "alpha beta gamma", "beta gamma delta"
+    assert(hits == Map(1L -> 2L))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, pairs found") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

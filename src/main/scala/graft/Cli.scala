@@ -349,10 +349,15 @@ object Cli {
         os.write(buf, 0, n)
         n = in.read(buf)
       }
+      // close INSIDE the try: object-store streams (s3a) complete the
+      // upload at close, so a close failure is a failed copy
+      os.close()
       ok = true
     } finally {
-      os.close()
-      if (!ok) fs.delete(tmp, false)
+      if (!ok) {
+        try os.close() catch { case _: Throwable => () } // keep the root cause
+        fs.delete(tmp, false)
+      }
     }
     tmp
   }

@@ -26,25 +26,36 @@ object Jdbc {
   def tableNames(url: String, schema: Option[String] = None,
                  creds: Map[String, String] = Map.empty): Seq[String] = {
     val conn = DriverManager.getConnection(url, toProperties(creds))
-    try {
-      val rs = conn.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
-      val b = Seq.newBuilder[String]
-      while (rs.next()) b += rs.getString("TABLE_NAME")
-      b.result().sorted
-    } finally conn.close()
+    try listTables(conn.getMetaData, schema)
+    finally conn.close()
+  }
+
+  /** `schema` is a LIKE pattern in `getTables` — escape `_`/`%` so
+    * `app_data` doesn't also enumerate `app1data`'s tables.
+    */
+  private def listTables(meta: java.sql.DatabaseMetaData, schema: Option[String]): Seq[String] = {
+    val esc = meta.getSearchStringEscape
+    val pattern = schema.map(_
+      .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%"))
+    val rs = meta.getTables(null, pattern.orNull, "%", Array("TABLE"))
+    val b = Seq.newBuilder[String]
+    while (rs.next()) b += rs.getString("TABLE_NAME")
+    b.result().sorted
   }
 
   /** S10 live mode: the FK edge list from `DatabaseMetaData
     * .getImportedKeys` — the JDBC-standard face of the reference's
     * `information_schema` reads (`subset/src/postgres.rs:662-734` parses
-    * the same constraints out of dump text).
+    * the same constraints out of dump text). One connection serves both
+    * the table listing and the per-table key reads.
     */
   def foreignKeys(url: String, schema: Option[String] = None,
                   creds: Map[String, String] = Map.empty): Seq[FkEdge] = {
     val conn = DriverManager.getConnection(url, toProperties(creds))
     try {
       val meta = conn.getMetaData
-      tableNames(url, schema, creds).flatMap { t =>
+      listTables(meta, schema).flatMap { t =>
+        // getImportedKeys takes an exact schema name, not a pattern
         val rs = meta.getImportedKeys(null, schema.orNull, t)
         val b = Seq.newBuilder[FkEdge]
         while (rs.next()) b += FkEdge(

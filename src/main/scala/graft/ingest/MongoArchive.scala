@@ -270,10 +270,13 @@ object MongoArchive {
       d.toBigDecimal.map(_.setScale(dt.scale)).getOrElse(
         throw new IllegalArgumentException(
           s"Decimal128 ${d.render} cannot map to $dt (NaN/Infinity have no decimal value)"))
-    // int64/int32 values under a decimal field (mixed-type merge):
-    // widening the scale never loses information
+    // integer-typed values under a decimal field (mixed-type merge —
+    // BTimestamp also infers LongType, so it must map too or a field
+    // mixing timestamps with decimals throws mid-restore): widening the
+    // scale never loses information
     case (BInt64(l), dt: DecimalType) => new java.math.BigDecimal(l).setScale(dt.scale)
     case (BInt32(i), dt: DecimalType) => new java.math.BigDecimal(i).setScale(dt.scale)
+    case (BTimestamp(t), dt: DecimalType) => new java.math.BigDecimal(t).setScale(dt.scale)
     // widened-to-string fallback (mixed-type fields under inference):
     // EVERY value type must render, or schema-free restore of a
     // heterogeneous field throws mid-collection

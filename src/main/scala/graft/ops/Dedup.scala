@@ -192,29 +192,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    // Materialize signatures behind a shuffle boundary: without it the
-    // 64-hash signature expression is re-evaluated for every exploded
-    // band row and again on each side of the self-join (measured 30×+
-    // slowdown at sf0.1). Map side computes each signature exactly
-    // once; the identical subplan on both join sides then becomes a
-    // ReusedExchange.
-    val sigs = df
-      .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
-      .filter(col("sig").isNotNull) // docs with < n tokens have no signature
-      .repartition(col("doc"))
-    // The band join is SKINNY — (doc, band, bucket) only; dragging the
-    // 64-long signature through a ×bands-exploded shuffle would move
-    // bands× the signature bytes for nothing. Signatures re-attach to
-    // the deduped candidate pairs via broadcast, then the estimate
-    // verifies map-side.
-    val buckets = sigs.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.bucket"))
-    val candidates = buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
-      .filter(col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val sigs = minhashSigs(df, id, text, n, numHashes)
+    val candidates = bandCandidates(sigs, numHashes, bands)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
       .cast("double") / lit(numHashes.toDouble)
     // AQE decides broadcast-vs-shuffle from the candidates' measured
@@ -246,20 +225,31 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame =
-    verifyJaccard(lshBandCandidates(df, id, text, n, numHashes, bands),
+    verifyJaccard(bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands),
       docGramArrays(df, id, text, n), threshold)
 
-  /** Banding candidate pairs (id_a < id_b, deduped across bands) — the
-    * skinny (doc, band, bucket) equi-join shared by the exact-verified
-    * LSH path and the precision-union check.
+  /** (doc, sig) frame behind a `doc`-keyed shuffle boundary — without
+    * it the numHashes-wide signature expression is re-evaluated for
+    * every exploded band row and again on each side of the self-join
+    * (measured 30×+ slowdown at sf0.1); with it the identical subplan
+    * on both join sides becomes a ReusedExchange. Docs with < n tokens
+    * have no signature and are dropped.
     */
-  private def lshBandCandidates(df: DataFrame, id: String, text: Column,
-                                n: Int, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sigs = df
-      .select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
+  private def minhashSigs(df: DataFrame, id: String, text: Column,
+                          n: Int, numHashes: Int): DataFrame =
+    df.select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
       .repartition(col("doc"))
+
+  /** Banding candidate pairs (id_a < id_b, deduped across bands) from a
+    * [[minhashSigs]] frame — THE candidate generator every MinHash-LSH
+    * variant shares (estimate-verified, exact-verified, precision
+    * union). The band join is SKINNY — (doc, band, bucket) only;
+    * dragging the signature through a ×bands-exploded shuffle would
+    * move bands× the signature bytes for nothing.
+    */
+  private def bandCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val buckets = sigs
       .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
@@ -285,7 +275,7 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val gramArrays = docGramArrays(df, id, text, n)
-    val candidates = lshBandCandidates(df, id, text, n, numHashes, bands)
+    val candidates = bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
       .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(candidates, gramArrays, threshold).select(col("id_a"), col("id_b"))
@@ -300,17 +290,25 @@ object Dedup {
   def simhash64(text: Column): Column =
     call_function("graft_simhash64", text)
 
-  private[graft] def simhash64Hof(text: Column): Column = {
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+  private[graft] def simhash64Hof(text: Column): Column =
+    simhashFromHashes(
+      transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)), 64)
+
+  /** The simhash fold itself — per bit, majority vote over the token
+    * hashes (votes > 0 sets the bit). ONE implementation shared by the
+    * xxhash64 HOF reference and the md5-portable variant, so the
+    * majority-vote semantics can't silently diverge between them.
+    */
+  private def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val votes = aggregate(
       hashes,
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), bits),
       (acc, h) => zip_with(
         acc,
-        sequence(lit(0), lit(63)),
+        sequence(lit(0), lit(bits - 1)),
         (v, b) => v + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
         (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
       lit(0L),
       (acc, bit) => acc.bitwiseOR(bit))
@@ -352,20 +350,9 @@ object Dedup {
     */
   def simhashPortable(text: Column, bits: Int = 60): Column = {
     require(bits % 4 == 0 && bits > 0 && bits <= 60, "bits must be in (0, 60] and hex-aligned")
-    val hashes = transform(split(lower(trim(text)), "\\s+"),
-      t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long"))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), bits),
-      (acc, h) => zip_with(
-        acc,
-        sequence(lit(0), lit(bits - 1)),
-        (v, b) => v + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(bits - 1)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
+    simhashFromHashes(
+      transform(split(lower(trim(text)), "\\s+"),
+        t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long")), bits)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

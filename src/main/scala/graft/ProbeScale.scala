@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Dev probe: run the heaviest dedup/ANN shapes on a synthetic 10×
+  * corpus (sf0.1 unioned with id-shifted copies) to watch how the
+  * plans scale past the bench SF. Not part of the driver contract.
+  */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.length > 0) args(0).toInt else 10
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val n = base.count()
+    val docs = (0 until mult).map(i =>
+      base.select((col("doc_id") + lit(i * n)).as("doc_id"), col("text"), col("source")))
+      .reduce(_ union _)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val nv = emb.count()
+    val vecs = (0 until mult).map(i =>
+      emb.select((col("vec_id") + lit(i * nv)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"PROBE_SCALE $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    println(s"PROBE_SCALE corpus docs=${n * mult} vecs=${nv * mult}")
+    time("ngram_jaccard")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8).count())
+    time("minhash_lsh_precision")(
+      Dedup.minhashLshPrecisionUnion(docs, "doc_id", col("text")).count())
+    time("simhash_pairs")(
+      Dedup.simhashPairs(docs, "doc_id", col("text"), 8).count())
+    time("decontamination")(
+      Dedup.contaminationHits(
+        docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 3).count())
+    time("embed_near_dup_lsh")(
+      Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding", 0.3).count())
+    time("ann_lsh")(
+      Similarity.lshTopK(vecs, vecs.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", 5).count())
+    spark.stop()
+  }
+}

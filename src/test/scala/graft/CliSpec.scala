@@ -185,6 +185,23 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("-c", conf, "dump", "create", "a", "b", "-i"),
       spark, printed += _, stdin = new java.io.ByteArrayInputStream(Array[Byte]())) == 1)
     assert(printed.exists(_.contains("malformed")))
+
+    // spool cleanup: the datastore's .spool dir holds no leftovers after
+    // successful ingests, and a stream that fails mid-copy deletes its
+    // partial file instead of orphaning it
+    val spoolDir = new java.io.File(store, ".spool")
+    assert(!spoolDir.exists() || spoolDir.listFiles().isEmpty,
+      s"spool files leaked: ${Option(spoolDir.listFiles()).map(_.toSeq).getOrElse(Nil)}")
+    val failing = new java.io.InputStream {
+      private var n = 0
+      override def read(): Int = {
+        n += 1
+        if (n > 100) throw new java.io.IOException("pipe broke") else 'x'
+      }
+    }
+    intercept[java.io.IOException](Cli.spoolStdin(failing, spark, store))
+    assert(!spoolDir.exists() || spoolDir.listFiles().isEmpty,
+      "failed copy orphaned its partial spool file")
   }
 
   test("examples/graft.yaml stays loadable and complete") {

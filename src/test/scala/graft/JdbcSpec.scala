@@ -98,6 +98,20 @@ class JdbcSpec extends SparkSpec {
       spark, printed += _) == 0, printed.mkString("\n"))
     assert(printed.exists(_.startsWith("restored:")))
     assert(Jdbc.readTable(spark, destUrl, "country").count() == 5)
+
+    // restore is idempotent: wipe defaults true → truncate-overwrite,
+    // so a re-run does NOT double the rows
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "latest"),
+      spark, printed += _) == 0, printed.mkString("\n"))
+    assert(Jdbc.readTable(spark, destUrl, "country").count() == 5)
+
+    // `source schema` walks the live JDBC source, not tables_dir
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf.toString, "source", "schema"),
+      spark, printed += _) == 0, printed.mkString("\n"))
+    assert(printed.exists(_.contains("COUNTRY")), printed.mkString("\n"))
+    assert(printed.exists(_.contains("root")), "schema treeString missing")
   }
 
   test("jdbc: table + FK metadata (S10 live mode)") {

@@ -43,6 +43,12 @@ object OpsQueries {
     "x_fingerprint_dedup" -> ((s, dir) =>
       Dedup.fingerprintDedup(Tables.documents(s, dir), col("text"), "doc_id")),
 
+    // exact duplicate groups over a key with real multiplicity
+    // (multi-line orders): one row per duplicated key, count +
+    // canonical representative
+    "x_exact_dup_groups" -> ((s, dir) =>
+      Dedup.exactDupGroups(Tables.lineitem(s, dir), col("l_orderkey"), "l_linenumber")),
+
     // exact n-gram Jaccard near-dup pairs (threshold 0.8, word 3-grams)
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8)
@@ -259,6 +265,9 @@ object OpsQueries {
     "x_fingerprint_dedup" ->
       (s"SELECT ${TA.fingerprintSql("text")} AS fp, MIN(doc_id) AS doc_id, " +
         "COUNT(*) AS n_copies FROM documents GROUP BY 1"),
+    "x_exact_dup_groups" ->
+      ("SELECT l_orderkey, COUNT(*) AS dup_count, MIN(l_linenumber) AS canonical_id " +
+        "FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1"),
     "x_ngram_jaccard" -> jaccardSql(0.8),
     "x_embed_near_dup" ->
       ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)

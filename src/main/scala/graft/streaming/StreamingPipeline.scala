@@ -12,6 +12,11 @@ import graft.transform.Transformers
   */
 final case class UserProgress(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-bucket emitted simhash signatures — the keyed state of
+  * [[StreamingPipeline.nearDupSuppressStream]].
+  */
+final case class BucketSigs(sigs: Seq[Long])
+
 /** Structured-Streaming analog of the reference's bounded pipeline
   * (SURVEY §2.10): the reference's producer/consumer chunking
   * (`tasks/full_dump.rs:47-110`) maps to micro-batches; backpressure
@@ -108,6 +113,51 @@ object StreamingPipeline {
       watermark: String = "2 hours"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming NEAR-dup suppression — the continuous form of
+    * `Dedup.simhashPairs`: each doc's 64-bit simhash lands in a
+    * high-16-bit bucket, and `flatMapGroupsWithState` keeps the
+    * signatures already emitted per bucket; a doc within `maxDistance`
+    * Hamming of any of them is dropped. First-arrival wins (same
+    * tie-break a streaming exact dedup makes). State is bounded:
+    * ≤ `maxPerBucket` 8-byte signatures per bucket (oldest evicted
+    * beyond the cap, trading recall for a hard memory bound), buckets
+    * partition the corpus, so state never scales with stream length.
+    * Works on a batch OR streaming Dataset like [[progressByUser]] —
+    * the batch `Dedup.simhashPairs` is the semantics oracle over any
+    * bounded slice.
+    */
+  def nearDupSuppressStream(
+      docs: DataFrame,
+      id: String,
+      text: org.apache.spark.sql.Column,
+      maxDistance: Int = 8,
+      maxPerBucket: Int = 1024): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs
+      .select(col(id).cast("long").as("doc"), graft.ops.Dedup.simhash64(text).as("sh"))
+      .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+      .select(col("bucket"), col("doc"), col("sh"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketSigs, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[BucketSigs]) =>
+          var seen = state.getOption.map(_.sigs.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[(Long, Long)]
+          rows.foreach { case (_, doc, sh) =>
+            val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sh) <= maxDistance)
+            if (!dup) {
+              out += ((doc, sh))
+              seen = (seen :+ sh).takeRight(maxPerBucket)
+            }
+          }
+          state.update(BucketSigs(seen))
+          out.result().iterator
+      }
+  }
 
   /** Write a transformed stream to parquet in availableNow mode —
     * processes everything present, then stops: the exact semantic of

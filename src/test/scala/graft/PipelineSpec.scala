@@ -101,6 +101,39 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.select("text").distinct().count() == 100)
   }
 
+  test("streaming: simhash suppression leaves no near-dup pair among survivors") {
+    import graft.streaming.StreamingPipeline
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val survivors = StreamingPipeline.nearDupSuppressStream(docs, "doc_id", $"text", 8)
+      .toDF("doc_id", "sh")
+    val kept = survivors.count()
+    assert(kept > 0 && kept < docs.count(), "testdata should contain near-dups to suppress")
+    // THE invariant (order-independent even though greedy survivor
+    // choice isn't): survivors contain no bucket-colliding pair within
+    // the Hamming threshold — the batch operator is the oracle
+    val keptDocs = docs.join(survivors.select("doc_id"), "doc_id")
+    assert(graft.ops.Dedup.simhashPairs(keptDocs, "doc_id", $"text", 8).isEmpty,
+      "suppression let a near-dup pair through")
+    // exact duplicates (distance 0) always collapse to one survivor
+    val dup = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "same text here"), (4L, "another completely different payload"))
+      .toDF("doc_id", "text")
+    assert(StreamingPipeline.nearDupSuppressStream(dup, "doc_id", $"text", 0).count() == 2)
+    // the streaming form runs end-to-end and upholds the same invariant
+    val inDir = Files.createTempDirectory("graft-neardup-in").toString
+    docs.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+    val out = StreamingPipeline.nearDupSuppressStream(stream, "doc_id", $"text", 8)
+    assert(out.isStreaming)
+    out.toDF("doc_id", "sh").writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val streamedKept = docs.join(spark.table("neardup_test").select("doc_id"), "doc_id")
+    assert(spark.table("neardup_test").count() > 0)
+    assert(graft.ops.Dedup.simhashPairs(streamedKept, "doc_id", $"text", 8).isEmpty)
+  }
+
   test("streaming: session windows over a stream match the batch sessionization") {
     import graft.streaming.StreamingPipeline
     val inDir = Files.createTempDirectory("graft-sess-in").toString

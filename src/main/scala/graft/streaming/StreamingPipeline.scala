@@ -138,6 +138,9 @@ object StreamingPipeline {
     import org.apache.spark.sql.streaming.OutputMode
     docs
       .select(col(id).cast("long").as("doc"), graft.ops.Dedup.simhash64(text).as("sh"))
+      // null text → null signature (and a null would NPE the primitive
+      // tuple decode below); a doc with no text has nothing to dedup on
+      .filter(col("doc").isNotNull && col("sh").isNotNull)
       .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
       .select(col("bucket"), col("doc"), col("sh"))
       .as[(Long, Long, Long)]

@@ -97,8 +97,15 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select(col("gram"))
         prefixes.join(hot, Seq("gram"), "left_anti")
       }
-    val l = filtered.select(col("gram"), col("doc").as("id_a"), col("n").as("na"), col("pos").as("pa"))
-    val r = filtered.select(col("gram"), col("doc").as("id_b"), col("n").as("nb"), col("pos").as("pb"))
+    // The self-join key is the gram's 64-bit hash, not the gram string:
+    // shuffle rows carry 8 bytes instead of a shingle. A collision can
+    // only ADD a candidate pair (equal grams always hash equal), and
+    // every candidate is verified against the real gram arrays, so the
+    // result stays exact.
+    val l = filtered.select(xxhash64(col("gram")).as("gk"), col("doc").as("id_a"),
+      col("n").as("na"), col("pos").as("pa"))
+    val r = filtered.select(xxhash64(col("gram")).as("gk"), col("doc").as("id_b"),
+      col("n").as("nb"), col("pos").as("pb"))
     // Candidate pruning (both filters are necessary conditions of
     // J >= t, so pruning stays exact):
     //   size filter  — |a∩b| <= min and |a∪b| >= max force
@@ -107,7 +114,7 @@ object Dedup {
     //                  shared one (positions pa/pb), so the overlap is
     //                  at most min(na-pa, nb-pb), which must reach the
     //                  Jaccard-equivalent overlap ceil(t/(1+t)·(na+nb)).
-    l.join(r, Seq("gram"))
+    l.join(r, Seq("gk"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(eps)))

@@ -186,6 +186,17 @@ object OpsQueries {
         .select(col("media_id"), col("n_bytes"), col("checksum"), col("width"), col("height"))
     }),
 
+    // multimodal binary→binary shape: batched stub resize — the oracle
+    // checks the plumbing (row per media, declared dims, stub's output
+    // length max(1, w·h/64)); byte content determinism is spec-checked
+    // (DuckDB has no blob slicing to mirror it)
+    "x_resize" -> ((s, dir) => {
+      val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
+      Multimodal.resize(media, 32, 32)
+        .select(col("media_id"), col("width"), col("height"),
+          octet_length(col("media")).cast("long").as("n_resized_bytes"))
+    }),
+
     // multimodal one-to-many shape: every 2nd fixed-width frame window
     // per media payload (oracle checks frame indices + sizes, the
     // engine-portable part of the stub demuxer)
@@ -286,6 +297,9 @@ object OpsQueries {
           |CAST(SUM(${TA.tokenCountSql("text")}) AS BIGINT) AS total_tokens,
           |CAST(SUM(CAST(${TA.qualityScoreSql("text")} AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE) AS avg_quality
           |FROM documents GROUP BY 1""".stripMargin),
+    "x_resize" ->
+      ("SELECT doc_id AS media_id, 32 AS width, 32 AS height, " +
+        "CAST(16 AS BIGINT) AS n_resized_bytes FROM documents"),
     "x_frame_sample" ->
       ("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
          |f AS (SELECT media_id, n, greatest(1, n // 256) AS n_frames FROM m),

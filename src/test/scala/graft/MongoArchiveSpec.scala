@@ -193,6 +193,39 @@ class MongoArchiveSpec extends SparkSpec {
     assert(n.orderBy($"id").collect()(1).getString(1) == "NaN")
   }
 
+  test("property: schema-free restore preserves arbitrary Decimal128 values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // long coefficients (≤ 19 sig digits, inside decimal128's 34) across
+    // a wide exponent range — the shapes that broke fixed-(38,18)
+    // inference: scale > 18, huge integer parts, negative scales
+    val decGen = Gen.zip(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), Gen.chooseNum(-25, 30))
+      .map { case (u, s) => java.math.BigDecimal.valueOf(u, s) }
+    val p = Gen.Parameters.default
+    val values = (0 until 120).flatMap(i => decGen.apply(p, Seed(9000L + i)))
+    val docs = values.zipWithIndex.map { case (bd, i) =>
+      BDoc("id" -> BInt64(i.toLong), "v" -> BDecimal128.fromBigDecimal(bd))
+    }.toVector
+    val archive = MongoArchive.Archive(
+      MongoArchive.Header(1, "0.1", "n/a", "t"),
+      Seq(MongoArchive.CollectionMeta("db", "c", "{}", 0, "collection")),
+      Map("db.c" -> docs), Map.empty)
+    val back = MongoArchive.restore(spark, MongoArchive.read(MongoArchive.write(archive)))("db.c")
+    val vt = back.schema("v").dataType
+    val got = back.orderBy($"id").collect().map { r =>
+      vt match {
+        case _: DecimalType => r.getDecimal(1)
+        // merged (p, s) wider than decimal can hold widens to string —
+        // the rendering must still parse back to the same value
+        case StringType => new java.math.BigDecimal(r.getString(1))
+        case other => fail(s"unexpected inferred type $other")
+      }
+    }
+    values.zip(got).foreach { case (exp, act) =>
+      assert(act.compareTo(exp) == 0, s"decimal drift: wrote $exp, restored $act")
+    }
+  }
+
   test("streaming writeTables is byte-identical to the materialized write path") {
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "score")
       .orderBy($"id").repartition(3) // multiple partitions through toLocalIterator

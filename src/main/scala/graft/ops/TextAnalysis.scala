@@ -174,4 +174,49 @@ object TextAnalysis {
     s"(CASE WHEN len($gs) <= 0 THEN 0.0 ELSE " +
       s"CAST(len($gs) - len(list_distinct($gs)) AS DOUBLE) / CAST(len($gs) AS DOUBLE) END)"
   }
+
+  private val WinnowB = 1000003L     // polynomial base
+  private val WinnowM = 2147483647L  // 2^31 - 1 — keeps every product < 2^52, signed-safe
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme, and the "rolling hash" document fingerprint): rolling
+    * polynomial hashes of word `k`-grams, then the minimum of each
+    * window of `w` consecutive gram hashes, distinct and sorted. Any
+    * two docs sharing ≥ `w + k - 1` consecutive tokens are GUARANTEED
+    * to share a fingerprint. Token hashes come from md5 (first 8 hex
+    * chars) and all arithmetic stays under 2^52, so the DuckDB mirror
+    * is bit-identical.
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
+    bound(split(lower(trim(text)), "\\s+")) { toks =>
+      bound(transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))) { hs =>
+        bound(
+          when(size(hs) < k, array().cast("array<long>"))
+            .otherwise(transform(
+              sequence(lit(0), size(hs) - k),
+              i => aggregate(slice(hs, i + lit(1), lit(k)), lit(0L),
+                (acc, h) => (acc * lit(WinnowB) + h) % lit(WinnowM))))) { gs =>
+          array_sort(array_distinct(
+            when(size(gs) <= 0, array().cast("array<long>"))
+              .when(size(gs) < w, gs)
+              .otherwise(transform(
+                sequence(lit(0), size(gs) - w),
+                i => array_min(slice(gs, i + lit(1), lit(w)))))))
+        }
+      }
+    }
+
+  def winnowFingerprintsSql(x: String, k: Int = 4, w: Int = 4): String = {
+    val toks = s"regexp_split_to_array(lower(trim($x)), '\\s+')"
+    val hs = s"[CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) FOR t IN $toks]"
+    // fold from an explicit 0 so the operation sequence matches Spark's
+    // aggregate(…, 0L, …) step for step
+    val gs = s"(CASE WHEN len($hs) < $k THEN [] ELSE " +
+      s"[list_reduce(list_prepend(CAST(0 AS BIGINT), ($hs)[i:i+${k - 1}]), " +
+      s"(acc, h) -> (acc * $WinnowB + h) % $WinnowM) " +
+      s"FOR i IN range(1, len($hs) - ${k - 2})] END)"
+    s"list_sort(list_distinct(CASE WHEN len($gs) <= 0 THEN [] " +
+      s"WHEN len($gs) < $w THEN $gs ELSE " +
+      s"[list_min(($gs)[i:i+${w - 1}]) FOR i IN range(1, len($gs) - ${w - 2})] END))"
+  }
 }

@@ -150,6 +150,12 @@ object OpsQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash60"))),
 
+    // rolling-hash document fingerprints (MOSS winnowing): shared
+    // substrings ≥ w+k-1 tokens guarantee a shared fingerprint
+    "x_winnow_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.winnowFingerprints(col("text")).as("fps"))),
+
     // decontamination: distinct 3-gram overlap of every corpus doc with
     // the "benchmark" slice (source = src0) — the pre-training eval-set
     // leak sweep; gram-keyed equi-join, benchmark side broadcasts
@@ -255,6 +261,8 @@ object OpsQueries {
     "x_ann_lsh_precision" -> annTopKSql(200, withRank = false),
     "x_ann_ivf_precision" -> annTopKSql(200, withRank = false),
     "x_simhash_md5" -> simhashMd5Sql,
+    "x_winnow_fingerprint" ->
+      s"SELECT doc_id, ${TA.winnowFingerprintsSql("text")} AS fps FROM documents",
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,
          |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),

@@ -91,6 +91,25 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 0.0)
   }
 
+  test("winnowing fingerprints: shared long substring guarantees a shared print") {
+    val shared = "uno dos tres cuatro cinco seis siete ocho" // 8 tokens ≥ w+k-1 = 7
+    val df = Seq(
+      (1L, s"prefix words here $shared and trailing content"),
+      (2L, s"totally different beginning $shared other tail words"),
+      (3L, "no overlap with anything else at all whatsoever here")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TA.winnowFingerprints($"text").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "docs sharing 8 consecutive tokens must share a winnowed fingerprint")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // deterministic, sorted, distinct
+    assert(fps(1L) == fps(1L).distinct.sorted)
+    // short doc (< k tokens) → empty fingerprint set, not an error
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(TA.winnowFingerprints($"text")).as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("contamination hits: planted benchmark overlap found, clean docs absent") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench

@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +26,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"sf":"$sfDir"}"""
+    // The authoritative copy goes to a FILE — log capture truncated the
+    // stdout tail in r02/r03, so round-over-round comparison must never
+    // depend on the printed line surviving intact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

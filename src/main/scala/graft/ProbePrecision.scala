@@ -3,7 +3,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 /** Dev probe: ANN containment margin at a given SF — max exact rank of
-  * any approximate neighbor (must stay well under the oracle's k'=50).
+  * any approximate neighbor (must stay well under the oracle's
+  * k' = [[graft.queries.OpsQueries.AnnOracleKPrime]]).
   */
 object ProbePrecision {
   def main(args: Array[String]): Unit = {

@@ -166,8 +166,10 @@ object DumpReader {
     * TABLE statement is supplied, its declared types decide the schema
     * with NO driver-side sampling and rows align to the DDL column
     * order even if INSERTs list columns differently; without DDL, the
-    * schema is inferred from a bounded 1000-row sample (one small job,
-    * never the full data).
+    * schema is inferred from ONE distributed min/max type-tag
+    * aggregation over ALL rows (map-side-combined, O(#columns) result)
+    * — no driver sample, so a wider literal first appearing deep in the
+    * dump still widens its column.
     */
   def tableFromDump(
       stmts: Dataset[Statement],
@@ -291,21 +293,34 @@ object DumpReader {
         // past a sample would land values in the wrong columns.
         if (!rows.filter(_._1.isEmpty).isEmpty) throw new IllegalArgumentException(
           s"$database.$table has $noColsHint")
-        val sample = rows.limit(1000).collect()
-        if (sample.isEmpty) return spark.emptyDataFrame
-        val columns = sample(0)._1
+        val first = rows.limit(1).collect()
+        if (first.isEmpty) return spark.emptyDataFrame
+        val columns = first(0)._1
+        // Sample-free inference: min/max non-null tag per column over
+        // ALL rows, one distributed aggregation (the shuffle carries at
+        // most #columns rows after map-side combine). The tag order
+        // makes the type decidable from the (lo, hi) bounds alone:
+        // all-numeric iff the bounds sit inside [Long, Double], and hi
+        // is then the widest numeric seen.
+        val bounds: Map[Int, (Int, Int)] = rows
+          .flatMap(_._3.iterator.zipWithIndex
+            .collect { case (t, i) if t != TagNull => (i, t) })
+          .toDF("i", "tag")
+          .groupBy(col("i"))
+          .agg(min(col("tag")).as("lo"), max(col("tag")).as("hi"))
+          .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
         val types: Vector[DataType] = columns.indices.map { i =>
-          val tags = sample.iterator.map(_._3.lift(i).getOrElse(TagNull))
-            .filter(_ != TagNull).toSet
-          if (tags.isEmpty) StringType
-          else if (tags == Set(TagBool)) BooleanType
-          else if (tags.subsetOf(Set(TagLong, TagDecimal, TagDouble))) tags.max match {
-            // numeric promotion: Double > Decimal(38,0) > Long
-            case TagLong => LongType
-            case TagDecimal => DecimalType(38, 0)
-            case _ => DoubleType
+          bounds.get(i) match {
+            case None => StringType // no non-null value anywhere
+            case Some((TagBool, TagBool)) => BooleanType
+            case Some((lo, hi)) if lo >= TagLong && hi <= TagDouble => hi match {
+              // numeric promotion: Double > Decimal(38,0) > Long
+              case TagLong => LongType
+              case TagDecimal => DecimalType(38, 0)
+              case _ => DoubleType
+            }
+            case _ => StringType
           }
-          else StringType
         }.toVector
         typedProjection(rows.map(_._2).toDF("vals"), columns, types, sqlQuoted)
     }

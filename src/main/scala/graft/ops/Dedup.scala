@@ -76,8 +76,9 @@ object Dedup {
     * prefix + size + positional bounds (all necessary conditions, so
     * downstream verification stays exact).
     */
-  private def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
-                               maxDocFreq: Long): DataFrame = {
+  private[graft] def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
+                                      maxDocFreq: Long,
+                                      hashGramKeys: Boolean = true): DataFrame = {
     // Guard every ceil(t·x) against binary-float overshoot (0.8×5 =
     // 4.000…0002 would ceil to 5, silently shortening prefixes /
     // tightening bounds → FALSE NEGATIVES). Subtracting a sub-unit
@@ -101,10 +102,12 @@ object Dedup {
     // shuffle rows carry 8 bytes instead of a shingle. A collision can
     // only ADD a candidate pair (equal grams always hash equal), and
     // every candidate is verified against the real gram arrays, so the
-    // result stays exact.
-    val l = filtered.select(xxhash64(col("gram")).as("gk"), col("doc").as("id_a"),
+    // result stays exact. (`hashGramKeys=false` keeps the raw string key
+    // — retained for A/B measurement, see PLANS.md.)
+    val gk = if (hashGramKeys) xxhash64(col("gram")) else col("gram")
+    val l = filtered.select(gk.as("gk"), col("doc").as("id_a"),
       col("n").as("na"), col("pos").as("pa"))
-    val r = filtered.select(xxhash64(col("gram")).as("gk"), col("doc").as("id_b"),
+    val r = filtered.select(gk.as("gk"), col("doc").as("id_b"),
       col("n").as("nb"), col("pos").as("pb"))
     // Candidate pruning (both filters are necessary conditions of
     // J >= t, so pruning stays exact):
@@ -130,7 +133,7 @@ object Dedup {
     * shuffle boundary — the exchange is reused by every side that joins
     * back to it (PPJoin prefixes, LSH-candidate verification).
     */
-  private def docGramArrays(df: DataFrame, id: String, text: Column, n: Int): DataFrame =
+  private[graft] def docGramArrays(df: DataFrame, id: String, text: Column, n: Int): DataFrame =
     df.select(col(id).as("doc"),
       array_sort(array_distinct(TextAnalysis.wordNgrams(text, n))).as("grams"))
       .repartition(col("doc"))
@@ -139,7 +142,7 @@ object Dedup {
     * the full gram arrays. Shared by the PPJoin path and the LSH
     * candidate path; join strategy is left to AQE (see callers).
     */
-  private def verifyJaccard(candidates: DataFrame, gramArrays: DataFrame, threshold: Double): DataFrame =
+  private[graft] def verifyJaccard(candidates: DataFrame, gramArrays: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(gramArrays.select(col("doc").as("id_a"), col("grams").as("ga")), Seq("id_a"))
       .join(gramArrays.select(col("doc").as("id_b"), col("grams").as("gb")), Seq("id_b"))
@@ -282,10 +285,16 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val gramArrays = docGramArrays(df, id, text, n)
+    // Both generators dedup internally, so the union carries at most 2
+    // copies of any pair — verifying the ≤2× candidates and deduping the
+    // (tiny) verified output costs one narrow dedup of the result set
+    // instead of a full extra shuffle of the widest candidate
+    // intermediate (measured 5.2 s → goal <3.5 s at sf0.1).
     val candidates = bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
       .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L))
+    verifyJaccard(candidates, gramArrays, threshold)
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, gramArrays, threshold).select(col("id_a"), col("id_b"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of

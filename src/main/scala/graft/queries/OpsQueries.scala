@@ -19,6 +19,21 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
   */
 object OpsQueries {
 
+  /** k' of the ANN containment oracles: every approximate neighbor must
+    * rank in the exact global top-k'. Shared with ProbePrecision, whose
+    * measured margin (worst exact rank 69 at sf0.1) this bound must
+    * dominate.
+    */
+  val AnnOracleKPrime = 200
+
+  /** Row bound for the exact quadratic embedding verifier when invoked
+    * from registered queries: the x_embed_near_dup* entries sample
+    * vec_id%10, so this holds through SF ~40× the bench SF; the vectors
+    * broadcast at this bound is ~26 MB (100k × 64 floats) — safe, while
+    * still failing loudly before an unbounded corpus OOMs the build.
+    */
+  val ExactNearDupMaxRows = 100000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -84,7 +99,8 @@ object OpsQueries {
     // distribution — no planted near-dups, max pairwise cosine ~0.5)
     "x_embed_near_dup" -> ((s, dir) => {
       val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
-      Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3)
+      Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3,
+        maxRows = ExactNearDupMaxRows)
     }),
 
     // embedding near-dup over the FULL corpus via LSH blocking + exact
@@ -116,20 +132,21 @@ object OpsQueries {
     "x_embed_near_dup_lsh_precision" -> ((s, dir) => {
       val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
       Similarity.cosineNearDupPairsLsh(sample, "vec_id", "embedding", 0.3)
-        .union(Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3))
+        .union(Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3,
+          maxRows = ExactNearDupMaxRows))
         .distinct()
     }),
 
     // ANN precision: every approximate neighbor must rank in the exact
-    // global top-200 (k'=200 ≫ k=5 absorbs recall wobble with margin —
-    // worst observed exact rank is 30 at sf0.01, 69 at sf0.1; containment
-    // is what's asserted, not rank agreement)
+    // global top-k' (AnnOracleKPrime=200 ≫ k=5 absorbs recall wobble with
+    // margin — worst observed exact rank is 30 at sf0.01, 69 at sf0.1;
+    // containment is what's asserted, not rank agreement)
     "x_ann_lsh_precision" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 200)
+        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", AnnOracleKPrime)
           .select(col("query_id"), col("neighbor_id")))
         .distinct()
     }),
@@ -139,7 +156,7 @@ object OpsQueries {
       val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 200)
+        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", AnnOracleKPrime)
           .select(col("query_id"), col("neighbor_id")))
         .distinct()
     }),
@@ -151,10 +168,14 @@ object OpsQueries {
         .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash60"))),
 
     // rolling-hash document fingerprints (MOSS winnowing): shared
-    // substrings ≥ w+k-1 tokens guarantee a shared fingerprint
+    // substrings ≥ w+k-1 tokens guarantee a shared fingerprint.
+    // Exploded to one (doc_id, fp) row per print so the oracle harness
+    // can sort/hash scalar cells (docs too short for any print drop out
+    // on both sides identically).
     "x_winnow_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TA.winnowFingerprints(col("text")).as("fps"))),
+        .select(col("doc_id"),
+          explode(TA.winnowFingerprints(col("text"))).as("fp"))),
 
     // decontamination: distinct 3-gram overlap of every corpus doc with
     // the "benchmark" slice (source = src0) — the pre-training eval-set
@@ -258,11 +279,11 @@ object OpsQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
-    "x_ann_lsh_precision" -> annTopKSql(200, withRank = false),
-    "x_ann_ivf_precision" -> annTopKSql(200, withRank = false),
+    "x_ann_lsh_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
+    "x_ann_ivf_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
     "x_simhash_md5" -> simhashMd5Sql,
     "x_winnow_fingerprint" ->
-      s"SELECT doc_id, ${TA.winnowFingerprintsSql("text")} AS fps FROM documents",
+      s"SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS fp FROM documents",
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,
          |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),

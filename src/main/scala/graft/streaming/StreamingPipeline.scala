@@ -126,18 +126,40 @@ object StreamingPipeline {
     * Works on a batch OR streaming Dataset like [[progressByUser]] —
     * the batch `Dedup.simhashPairs` is the semantics oracle over any
     * bounded slice.
+    *
+    * The `id` column must be numeric (the state tuple is primitive
+    * longs): a non-null id that does not cast to long FAILS LOUDLY
+    * instead of silently emptying the stream; a doc with a null id or
+    * null text has nothing to key/dedup on and is dropped.
+    *
+    * `idleBucketTtlMs > 0` arms a processing-time TTL per bucket: a
+    * bucket receiving no doc for that long drops its signature memory
+    * (cold buckets reclaim state in long-running jobs; docs arriving
+    * after the horizon are re-admitted). 0 keeps state forever — still
+    * bounded by construction at ≤ maxPerBucket × 65536 signatures.
     */
   def nearDupSuppressStream(
       docs: DataFrame,
       id: String,
       text: org.apache.spark.sql.Column,
       maxDistance: Int = 8,
-      maxPerBucket: Int = 1024): Dataset[(Long, Long)] = {
+      maxPerBucket: Int = 1024,
+      idleBucketTtlMs: Long = 0L): Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
+    val castId = col(id).cast("long")
+    val timeout =
+      if (idleBucketTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
-      .select(col(id).cast("long").as("doc"), graft.ops.Dedup.simhash64(text).as("sh"))
+      .select(
+        when(col(id).isNotNull && castId.isNull,
+          raise_error(concat(
+            lit(s"nearDupSuppressStream: id column '$id' must be numeric, got: "),
+            col(id).cast("string"))))
+          .otherwise(castId).as("doc"),
+        graft.ops.Dedup.simhash64(text).as("sh"))
       // null text → null signature (and a null would NPE the primitive
       // tuple decode below); a doc with no text has nothing to dedup on
       .filter(col("doc").isNotNull && col("sh").isNotNull)
@@ -146,19 +168,27 @@ object StreamingPipeline {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketSigs, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[BucketSigs]) =>
-          var seen = state.getOption.map(_.sigs.toVector).getOrElse(Vector.empty)
-          val out = Vector.newBuilder[(Long, Long)]
-          rows.foreach { case (_, doc, sh) =>
-            val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sh) <= maxDistance)
-            if (!dup) {
-              out += ((doc, sh))
-              seen = (seen :+ sh).takeRight(maxPerBucket)
+          if (state.hasTimedOut) {
+            // cold bucket past the TTL: reclaim its signature memory;
+            // future docs in this bucket start a fresh first-arrival race
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.sigs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[(Long, Long)]
+            rows.foreach { case (_, doc, sh) =>
+              val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sh) <= maxDistance)
+              if (!dup) {
+                out += ((doc, sh))
+                seen = (seen :+ sh).takeRight(maxPerBucket)
+              }
             }
+            state.update(BucketSigs(seen))
+            if (idleBucketTtlMs > 0) state.setTimeoutDuration(idleBucketTtlMs)
+            out.result().iterator
           }
-          state.update(BucketSigs(seen))
-          out.result().iterator
       }
   }
 

@@ -209,6 +209,26 @@ class IngestSpec extends SparkSpec {
     assert(DumpSink.unescapeCopy("\\x4") == "\u0004") // single hex digit is legal
   }
 
+  test("inference is sample-free: a double first appearing at row 1001 widens the column") {
+    import graft.ingest.DumpReader
+    import spark.implicits._
+    // 1000 long-shaped rows, then one double — a sample-bounded
+    // inference would type `v` as long and cast row 1001 to null
+    val inserts = (1 to 1000).map(i => s"INSERT INTO public.late (id, v) VALUES ($i, $i);") :+
+      "INSERT INTO public.late (id, v) VALUES (1001, 3.25);"
+    val stmts = DumpReader.statementsFromStrings(spark, inserts.toDS())
+    val df = DumpReader.tableFromDump(stmts, "public", "late")
+    assert(df.schema("v").dataType.typeName == "double")
+    assert(df.filter($"id" === 1001).select($"v").as[Double].head() == 3.25)
+    assert(df.filter($"v".isNull).isEmpty, "no value may be lost to a narrow inferred type")
+    // and a late bool next to longs degrades to string, not a crash
+    val mixed = DumpReader.statementsFromStrings(spark,
+      ((1 to 1000).map(i => s"INSERT INTO public.mx (v) VALUES ($i);") :+
+        "INSERT INTO public.mx (v) VALUES (true);").toDS())
+    assert(DumpReader.tableFromDump(mixed, "public", "mx")
+      .schema("v").dataType.typeName == "string")
+  }
+
   test("insert parser: extended multi-row VALUES yields every row") {
     import graft.ingest.DumpReader
     import spark.implicits._

@@ -134,6 +134,57 @@ class PipelineSpec extends SparkSpec {
     assert(graft.ops.Dedup.simhashPairs(streamedKept, "doc_id", $"text", 8).isEmpty)
   }
 
+  test("streaming: suppression TTL expires cold buckets and re-admits docs; bad ids fail loudly") {
+    import graft.streaming.StreamingPipeline
+    // non-numeric id: loud failure, not a silently emptied stream
+    val badIds = Seq(("doc42", "some text here")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      StreamingPipeline.nearDupSuppressStream(badIds, "doc_id", $"text", 8).count()
+    }
+    assert(err.getMessage != null || err.getCause != null) // raised, not empty result
+
+    // TTL: one checkpoint, three availableNow passes. Doc 1 survives;
+    // after the TTL a batch on an UNRELATED bucket fires the timeout
+    // (groups with fresh data are exempt that batch), then doc 3 — an
+    // exact dup of doc 1 — is re-admitted because the bucket expired.
+    // the parquet sink supports checkpoint recovery (memory sink does
+    // not), so survivors accumulate in outDir across the three passes
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def runPass(inDir: String, ckpt: String, outDir: String, ttlMs: Long,
+                rows: Seq[(Long, String)]): Set[Long] = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+      val src = spark.readStream.schema(schema).parquet(inDir)
+      StreamingPipeline.nearDupSuppressStream(src, "doc_id", $"text",
+          maxDistance = 0, idleBucketTtlMs = ttlMs)
+        .toDF("doc_id", "sh").writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    }
+    val payload = "the quick brown fox jumps over the lazy dog"
+    val (in1, ck1, out1) = (Files.createTempDirectory("graft-ttl-in").toString,
+      Files.createTempDirectory("graft-ttl-ck").toString + "/ck",
+      Files.createTempDirectory("graft-ttl-out").toString + "/out")
+    assert(runPass(in1, ck1, out1, 2000L, Seq((1L, payload))) == Set(1L))
+    Thread.sleep(4000) // sit out the 2 s TTL with margin
+    // a batch on an unrelated bucket fires the timeout for doc 1's bucket
+    runPass(in1, ck1, out1, 2000L, Seq((2L, "a completely different unrelated payload")))
+    val ids = runPass(in1, ck1, out1, 2000L, Seq((3L, payload))) // same text as doc 1
+    assert(ids.contains(3L),
+      s"doc 3 should be re-admitted after its bucket's TTL expired, got survivors $ids")
+    // control: WITHOUT a TTL the same replay suppresses the dup forever
+    val (in2, ck2, out2) = (Files.createTempDirectory("graft-nottl-in").toString,
+      Files.createTempDirectory("graft-nottl-ck").toString + "/ck",
+      Files.createTempDirectory("graft-nottl-out").toString + "/out")
+    runPass(in2, ck2, out2, 0L, Seq((1L, payload)))
+    Thread.sleep(3000)
+    runPass(in2, ck2, out2, 0L, Seq((2L, "a completely different unrelated payload")))
+    val ids2 = runPass(in2, ck2, out2, 0L, Seq((3L, payload)))
+    assert(!ids2.contains(3L), "without a TTL the duplicate must stay suppressed")
+  }
+
   test("streaming: session windows over a stream match the batch sessionization") {
     import graft.streaming.StreamingPipeline
     val inDir = Files.createTempDirectory("graft-sess-in").toString

@@ -18,9 +18,20 @@ import WasmModule.{FnCode, Module}
   * table), matching the reference's instance-per-call usage
   * (`replibyte/src/transformer/custom_wasm.rs:66-99`).
   */
-final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array[Long]]) {
+final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array[Long]],
+                       maxFuel: Long = WasmInterp.DefaultMaxFuel,
+                       maxCallDepth: Int = WasmInterp.DefaultMaxCallDepth) {
   private val PageSize = 65536
-  private val MaxPages = 65536 // 4 GiB hard ceiling
+  // A JVM byte array caps linear memory at Int.MaxValue bytes = 32767
+  // full pages, below the spec's 65536-page (4 GiB) ceiling; grows past
+  // it return -1 (spec failure path) instead of throwing.
+  private val MaxPages = Int.MaxValue / PageSize
+  // Untrusted-module runaway guards: a non-terminating or deeply
+  // recursive transformer must trap (fail the row loudly) rather than
+  // wedge a Spark task forever / kill the executor with a raw
+  // StackOverflowError.
+  private var fuelLeft: Long = maxFuel
+  private var depth: Int = 0
 
   // ---- store ----
   private var mem: Array[Byte] = {
@@ -141,7 +152,10 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
     val ftype = module.typeOfFunc(fidx)
     val locals = new Array[Long](ftype.params.length + code.localTypes.length)
     System.arraycopy(args, 0, locals, 0, args.length)
-    run(code, locals, ftype.results.length)
+    depth += 1
+    if (depth > maxCallDepth) { depth -= 1; throw new WasmTrap(s"call depth exceeded $maxCallDepth") }
+    try run(code, locals, ftype.results.length)
+    finally depth -= 1
   }
 
   private def run(code: FnCode, locals: Array[Long], nResults: Int): Array[Long] = {
@@ -180,6 +194,8 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
     }
 
     while (pc < ops.length) {
+      fuelLeft -= 1
+      if (fuelLeft < 0) throw new WasmTrap(s"instruction budget exceeded ($maxFuel)")
       val op = ops(pc)
       val a = ia(pc)
       op match {

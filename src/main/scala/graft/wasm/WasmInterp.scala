@@ -540,3 +540,17 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
     if (d < 9.223372036854776e18) d.toLong
     else ((d - 9.223372036854776e18).toLong | Long.MinValue)
 }
+
+object WasmInterp {
+  /** Instruction budget for one instance — generous for any real
+    * per-cell transformer (the reference's reverse-string module runs
+    * in thousands of instructions) yet bounds a runaway loop to well
+    * under a second of wasted executor time.
+    */
+  val DefaultMaxFuel: Long = 1L << 28
+  /** Wasm call depth cap. The interpreter recurses one JVM frame per
+    * wasm call; 1000 stays far inside the JVM's default stack while
+    * covering any sane transformer recursion.
+    */
+  val DefaultMaxCallDepth: Int = 1000
+}

@@ -14,11 +14,17 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
+    // Two measured passes, per-query MIN: r6's bench ran on a contended
+    // host and reported 70.3 s for a query that measures 2.3 s on a
+    // quiet one (see PLANS.md "r6 bench anomaly") — min-of-2 absorbs
+    // transient host contention without changing what is measured.
+    def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full
     // double precision).

@@ -245,8 +245,8 @@ object Dedup {
     * on both join sides becomes a ReusedExchange. Docs with < n tokens
     * have no signature and are dropped.
     */
-  private def minhashSigs(df: DataFrame, id: String, text: Column,
-                          n: Int, numHashes: Int): DataFrame =
+  private[graft] def minhashSigs(df: DataFrame, id: String, text: Column,
+                                 n: Int, numHashes: Int): DataFrame =
     df.select(col(id).as("doc"), minhashSignature(text, n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
       .repartition(col("doc"))
@@ -258,7 +258,7 @@ object Dedup {
     * dragging the signature through a ×bands-exploded shuffle would
     * move bands× the signature bytes for nothing.
     */
-  private def bandCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val buckets = sigs
       .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
@@ -289,7 +289,10 @@ object Dedup {
     // copies of any pair — verifying the ≤2× candidates and deduping the
     // (tiny) verified output costs one narrow dedup of the result set
     // instead of a full extra shuffle of the widest candidate
-    // intermediate (measured 5.2 s → goal <3.5 s at sf0.1).
+    // intermediate. Measured at sf0.1 (r7, quiet host): 2.3 s end-to-end
+    // — 341 band candidates + 29.4k PPJoin candidates → 256 pairs. The
+    // 70.3 s in BENCH_r06 was host contention, not plan cost (the same
+    // binary re-measured 2.34 s in a full-bench run; see PLANS.md).
     val candidates = bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
       .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L))
     verifyJaccard(candidates, gramArrays, threshold)

@@ -445,7 +445,7 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
         case 0xB9 => pushD(pop().toDouble)
         case 0xBA => pushD(ulongToDouble(pop()))
         case 0xBB => pushD(popF().toDouble)
-        case 0xBC => push(pop() & 0xFFFFFFFFL) // i32.reinterpret_f32: keep raw 32 bits... then sign-extend
+        case 0xBC => push(pop().toInt.toLong) // i32.reinterpret_f32: raw 32 bits, sign-extended per the i32 slot invariant
         case 0xBD => // i64.reinterpret_f64 — bits already raw
         case 0xBE => // f32.reinterpret_i32: mask to 32 bits
           push(pop() & 0xFFFFFFFFL)
@@ -472,16 +472,19 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
           if (droppedData(ib(pc)) && n > 0) throw new WasmTrap("memory.init on dropped data segment")
           if (src < 0 || n < 0 || src + n > seg.bytes.length) throw new WasmTrap("memory.init source out of bounds")
           checkRange(dst.toLong & 0xFFFFFFFFL, n.toLong)
+          chargeBulk(n)
           System.arraycopy(seg.bytes, src, mem, dst, n)
         case 0x109 => droppedData(ib(pc)) = true // data.drop
         case 0x10A => // memory.copy
           val n = pop().toInt; val src = pop().toInt; val dst = pop().toInt
           checkRange(src.toLong & 0xFFFFFFFFL, n.toLong)
           checkRange(dst.toLong & 0xFFFFFFFFL, n.toLong)
+          chargeBulk(n)
           System.arraycopy(mem, src, mem, dst, n)
         case 0x10B => // memory.fill
           val n = pop().toInt; val v = pop().toByte; val dst = pop().toInt
           checkRange(dst.toLong & 0xFFFFFFFFL, n.toLong)
+          chargeBulk(n)
           java.util.Arrays.fill(mem, dst, dst + n, v)
 
         case other => throw new WasmTrap(f"unimplemented opcode 0x$other%02x")
@@ -492,6 +495,16 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
     var i = 0
     while (i < nResults) { out(i) = stack(sp - nResults + i); i += 1 }
     out
+  }
+
+  /** Bulk memory ops (copy/fill/init) move up to ~2 GiB per
+    * instruction, so flat 1-fuel pricing would let a fill loop burn
+    * unbounded CPU inside the budget — charge ~1 fuel per 64 bytes
+    * moved on top of the flat cost already taken at dispatch.
+    */
+  private def chargeBulk(n: Int): Unit = {
+    fuelLeft -= (n >> 6).toLong
+    if (fuelLeft < 0) throw new WasmTrap(s"instruction budget exceeded ($maxFuel)")
   }
 
   /** Pop a callee's arguments off the operand stack (in order). */
@@ -544,8 +557,11 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
 object WasmInterp {
   /** Instruction budget for one instance — generous for any real
     * per-cell transformer (the reference's reverse-string module runs
-    * in thousands of instructions) yet bounds a runaway loop to well
-    * under a second of wasted executor time.
+    * in thousands of instructions) while bounding a runaway loop to a
+    * few seconds of wasted executor time at worst. Bulk memory ops
+    * charge ~1 fuel per 64 bytes moved (see `chargeBulk`), so a module
+    * looping over large fills/copies cannot hide unbounded work behind
+    * flat per-instruction pricing.
     */
   val DefaultMaxFuel: Long = 1L << 28
   /** Wasm call depth cap. The interpreter recurses one JVM frame per

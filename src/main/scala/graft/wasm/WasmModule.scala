@@ -74,16 +74,27 @@ object WasmModule {
   }
 
   final class Reader(val bytes: Array[Byte], var pos: Int) {
-    def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
-    def u32(): Int = { // LEB128 unsigned, 32-bit
+    def u8(): Int = {
+      // a truncated module must fail as a decode error (WasmTrap), not
+      // an ArrayIndexOutOfBoundsException from inside an executor
+      if (pos >= bytes.length) throw new WasmTrap("truncated module: unexpected end of bytes")
+      val v = bytes(pos) & 0xFF; pos += 1; v
+    }
+    def u32(): Int = { // LEB128 unsigned, 32-bit: at most ceil(32/7)=5 bytes
       var result = 0L; var shift = 0; var b = 0
-      do { b = u8(); result |= (b & 0x7FL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      do {
+        if (shift >= 35) throw new WasmTrap("malformed LEB128: u32 longer than 5 bytes")
+        b = u8(); result |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
       result.toInt
     }
     def s32(): Int = s64().toInt
-    def s64(): Long = { // LEB128 signed
+    def s64(): Long = { // LEB128 signed: at most ceil(64/7)=10 bytes
       var result = 0L; var shift = 0; var b = 0
-      do { b = u8(); result |= (b & 0x7FL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      do {
+        if (shift >= 70) throw new WasmTrap("malformed LEB128: s64 longer than 10 bytes")
+        b = u8(); result |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
       if (shift < 64 && (b & 0x40) != 0) result |= -1L << shift
       result
     }
@@ -99,12 +110,15 @@ object WasmModule {
     }
     def name(): String = {
       val n = u32()
+      if (n < 0 || pos + n > bytes.length) throw new WasmTrap("truncated module: name runs past end")
       val s = new String(bytes, pos, n, "UTF-8")
       pos += n
       s
     }
     def byteVec(): Array[Byte] = {
       val n = u32()
+      // copyOfRange would silently ZERO-PAD past the end — trap instead
+      if (n < 0 || pos + n > bytes.length) throw new WasmTrap("truncated module: byte vector runs past end")
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
       out

@@ -167,19 +167,33 @@ class PipelineSpec extends SparkSpec {
     val (in1, ck1, out1) = (Files.createTempDirectory("graft-ttl-in").toString,
       Files.createTempDirectory("graft-ttl-ck").toString + "/ck",
       Files.createTempDirectory("graft-ttl-out").toString + "/out")
-    assert(runPass(in1, ck1, out1, 2000L, Seq((1L, payload))) == Set(1L))
-    Thread.sleep(4000) // sit out the 2 s TTL with margin
-    // a batch on an unrelated bucket fires the timeout for doc 1's bucket
-    runPass(in1, ck1, out1, 2000L, Seq((2L, "a completely different unrelated payload")))
-    val ids = runPass(in1, ck1, out1, 2000L, Seq((3L, payload))) // same text as doc 1
-    assert(ids.contains(3L),
-      s"doc 3 should be re-admitted after its bucket's TTL expired, got survivors $ids")
+    // Short TTL + poll-until-readmitted instead of fixed sleeps: each
+    // attempt waits out the TTL, fires timeouts with a batch on an
+    // unrelated bucket, then offers a FRESH dup id in doc 1's bucket.
+    // A loaded host just takes more attempts; a quiet one passes on the
+    // first (r6 verdict flagged the old 2 s-TTL/4 s-sleep version as
+    // wall-clock-flaky).
+    val ttlMs = 500L
+    assert(runPass(in1, ck1, out1, ttlMs, Seq((1L, payload))) == Set(1L))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var attempt = 0
+    var readmitted = false
+    while (!readmitted && System.nanoTime() < deadline) {
+      attempt += 1
+      Thread.sleep(ttlMs + 500L)
+      // a batch on an unrelated bucket fires expired-group timeouts
+      runPass(in1, ck1, out1, ttlMs, Seq((100L + attempt, s"unrelated payload number $attempt")))
+      val dupId = 1000L + attempt // same text as doc 1 → same bucket
+      readmitted = runPass(in1, ck1, out1, ttlMs, Seq((dupId, payload))).contains(dupId)
+    }
+    assert(readmitted,
+      s"a duplicate of doc 1 should be re-admitted after its bucket's TTL expired ($attempt attempts)")
     // control: WITHOUT a TTL the same replay suppresses the dup forever
     val (in2, ck2, out2) = (Files.createTempDirectory("graft-nottl-in").toString,
       Files.createTempDirectory("graft-nottl-ck").toString + "/ck",
       Files.createTempDirectory("graft-nottl-out").toString + "/out")
     runPass(in2, ck2, out2, 0L, Seq((1L, payload)))
-    Thread.sleep(3000)
+    Thread.sleep(1000)
     runPass(in2, ck2, out2, 0L, Seq((2L, "a completely different unrelated payload")))
     val ids2 = runPass(in2, ck2, out2, 0L, Seq((3L, payload)))
     assert(!ids2.contains(3L), "without a TTL the duplicate must stay suppressed")

@@ -288,6 +288,10 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
           val newPages = oldPages.toLong + (delta.toLong & 0xFFFFFFFFL)
           if (delta < 0 || newPages > memMaxPages || newPages > MaxPages) pushI(-1)
           else {
+            // the grow copies the whole old memory — charge it like a
+            // bulk op, or a grow(1) loop does O(pages²) copy bytes for
+            // 1 fuel each (same runaway class as unmetered memory.fill)
+            chargeBulk(mem.length)
             mem = java.util.Arrays.copyOf(mem, (newPages * PageSize).toInt)
             pushI(oldPages)
           }

@@ -109,6 +109,29 @@ class WasmSpec extends AnyFunSuite {
     new WasmInterp(m, Map.empty).invokeExport("f")
   }
 
+  // ()->(): memory.grow(1) then drop — the grow copies the whole 1 MiB
+  // old memory, which must be fuel-priced like a bulk op
+  private val growBytes: Array[Byte] = Array(
+    0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00,
+    0x01, 0x04, 0x01, 0x60, 0x00, 0x00, // type: ()->()
+    0x03, 0x02, 0x01, 0x00,
+    0x05, 0x03, 0x01, 0x00, 0x10, // memory: min 16 pages
+    0x07, 0x05, 0x01, 0x01, 0x67, 0x00, 0x00, // export "g"
+    0x0a, 0x09, 0x01, 0x07, 0x00, // code: 1 body, 7 bytes, no locals
+    0x41, 0x01, // i32.const 1
+    0x40, 0x00, // memory.grow
+    0x1a, // drop
+    0x0b
+  ).map(_.toByte)
+
+  test("memory.grow charges fuel for the copy of the old memory") {
+    val m = WasmModule.parse(growBytes)
+    val starved = new WasmInterp(m, Map.empty, maxFuel = 1000L)
+    assert(intercept[graft.wasm.WasmTrap](starved.invokeExport("g"))
+      .getMessage.contains("budget"))
+    new WasmInterp(m, Map.empty).invokeExport("g")
+  }
+
   test("reference fixture: reverse-string involution via the WASI command contract") {
     assume(new java.io.File(fixturePath).exists(), "reference fixture not present")
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixturePath))

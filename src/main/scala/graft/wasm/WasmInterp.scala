@@ -36,13 +36,23 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
   // ---- store ----
   private var mem: Array[Byte] = {
     val lim = module.memLimits.getOrElse(WasmModule.Limits(0, -1))
+    // a declared minimum past the JVM cap must trap, not overflow
+    // `min * PageSize` into a negative array size
+    if (lim.min < 0 || lim.min > MaxPages)
+      throw new WasmTrap(s"memory min ${lim.min} pages exceeds supported $MaxPages")
     new Array[Byte](lim.min * PageSize)
   }
   private val memMaxPages: Int =
     module.memLimits.flatMap(l => if (l.max >= 0) Some(l.max) else None).getOrElse(MaxPages)
   private val globals: Array[Long] = module.globals.map(g => evalConst(g.init))
   private val table: Array[Int] = {
-    val t = new Array[Int](module.tableLimits.map(_.min).getOrElse(0))
+    val min = module.tableLimits.map(_.min).getOrElse(0)
+    // transformer modules have element counts in the hundreds at most;
+    // a million-entry declaration is malformed or hostile — trap
+    // before the allocation
+    if (min < 0 || min > (1 << 20))
+      throw new WasmTrap(s"table min $min exceeds supported ${1 << 20}")
+    val t = new Array[Int](min)
     java.util.Arrays.fill(t, -1)
     t
   }

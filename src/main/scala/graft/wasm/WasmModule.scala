@@ -89,6 +89,19 @@ object WasmModule {
       result.toInt
     }
     def s32(): Int = s64().toInt
+    /** Bytes left from the cursor. */
+    def remaining: Int = bytes.length - pos
+    /** A vector count, sanity-bounded BEFORE any allocation: every
+      * element consumes at least one byte, so a count beyond the
+      * remaining bytes is malformed — without this a 3-byte module
+      * claiming 2^31 entries OOMs the executor inside `Array.fill`.
+      */
+    def vecCount(): Int = {
+      val n = u32()
+      if (n < 0 || n > remaining)
+        throw new WasmTrap(s"malformed vector count $n (only $remaining bytes left)")
+      n
+    }
     def s64(): Long = { // LEB128 signed: at most ceil(64/7)=10 bytes
       var result = 0L; var shift = 0; var b = 0
       do {
@@ -169,14 +182,18 @@ object WasmModule {
     while (r.pos < bytes.length) {
       val id = r.u8()
       val size = r.u32()
+      // a lying size would either run past the end or (negative after
+      // .toInt) REWIND the cursor into an infinite section loop
+      if (size < 0 || size > r.remaining)
+        throw new WasmTrap("truncated module: section size runs past end")
       val sectionEnd = r.pos + size
       id match {
         case 0 => // custom (name, etc) — skip
         case 1 =>
-          types = Array.fill(r.u32()) {
+          types = Array.fill(r.vecCount()) {
             if (r.u8() != 0x60) throw new WasmTrap("expected functype")
-            val ps = Array.fill(r.u32())(r.u8().toByte)
-            val rs = Array.fill(r.u32())(r.u8().toByte)
+            val ps = Array.fill(r.vecCount())(r.u8().toByte)
+            val rs = Array.fill(r.vecCount())(r.u8().toByte)
             FuncType(ps, rs)
           }
         case 2 =>
@@ -191,7 +208,7 @@ object WasmModule {
             }
             i += 1
           }
-        case 3 => funcTypeIdxs = Array.fill(r.u32())(r.u32())
+        case 3 => funcTypeIdxs = Array.fill(r.vecCount())(r.u32())
         case 4 =>
           val n = r.u32()
           if (n > 1) throw new WasmTrap("at most one table supported")
@@ -204,25 +221,25 @@ object WasmModule {
           if (n > 1) throw new WasmTrap("at most one memory supported")
           if (n == 1) memLimits = Some(r.limits())
         case 6 =>
-          globals = Array.fill(r.u32()) {
+          globals = Array.fill(r.vecCount()) {
             val vt = r.u8().toByte
             val mut = r.u8() == 1
             GlobalDef(vt, mut, constExpr(r))
           }
         case 7 =>
-          exports = Array.fill(r.u32())(Export(r.name(), r.u8(), r.u32()))
+          exports = Array.fill(r.vecCount())(Export(r.name(), r.u8(), r.u32()))
         case 8 => startFunc = Some(r.u32())
         case 9 =>
-          elems = Array.fill(r.u32()) {
+          elems = Array.fill(r.vecCount()) {
             r.u32() match {
               case 0 =>
                 val off = constExpr(r)
-                ElemSeg(off, Array.fill(r.u32())(r.u32()))
+                ElemSeg(off, Array.fill(r.vecCount())(r.u32()))
               case other => throw new WasmTrap(s"unsupported element segment flags $other")
             }
           }
         case 10 =>
-          codes = Array.fill(r.u32()) {
+          codes = Array.fill(r.vecCount()) {
             val bodySize = r.u32()
             val bodyEnd = r.pos + bodySize
             val fn = decodeBody(r, types)
@@ -230,7 +247,7 @@ object WasmModule {
             fn
           }
         case 11 =>
-          datas = Array.fill(r.u32()) {
+          datas = Array.fill(r.vecCount()) {
             r.u32() match {
               case 0 => DataSeg(Some(constExpr(r)), r.byteVec())
               case 1 => DataSeg(None, r.byteVec()) // passive (bulk memory)
@@ -264,10 +281,16 @@ object WasmModule {
     */
   private def decodeBody(r: Reader, types: Array[FuncType]): FnCode = {
     val locals = ArrayBuffer.empty[Byte]
-    val nGroups = r.u32()
+    val nGroups = r.vecCount()
     var g = 0
     while (g < nGroups) {
       val count = r.u32()
+      // group counts are NOT byte-bounded (one group declares any
+      // number of locals) — cap totals so a 6-byte body can't make
+      // every invoke allocate a multi-GB frame (spec-test validators
+      // use a 50k limit; 65536 is safely above any real module)
+      if (count < 0 || locals.length + count > 65536)
+        throw new WasmTrap(s"too many locals (${locals.length} + $count > 65536)")
       val vt = r.u8().toByte
       var i = 0
       while (i < count) { locals += vt; i += 1 }
@@ -311,7 +334,7 @@ object WasmModule {
           }
         case 0x0C | 0x0D => emit(op, r.u32().toLong) // br | br_if (depth)
         case 0x0E => // br_table
-          val n = r.u32()
+          val n = r.vecCount() // each target is ≥1 byte — bounds the alloc
           val t = new Array[Int](n + 1)
           var i = 0
           while (i <= n) { t(i) = r.u32(); i += 1 }

@@ -132,6 +132,28 @@ class WasmSpec extends AnyFunSuite {
     new WasmInterp(m, Map.empty).invokeExport("g")
   }
 
+  test("decoder never throws anything but WasmTrap on corrupted modules") {
+    // Executor-safety property for DECODE (execution of a decoded-but-
+    // invalid module is the user's own error path): every truncation
+    // and every adversarial single-byte mutation must yield either a
+    // parsed module or a WasmTrap — never AIOOBE/NegativeArraySize/OOM.
+    def check(bs: Array[Byte], what: String): Unit =
+      try { WasmModule.parse(bs); () }
+      catch {
+        case _: graft.wasm.WasmTrap => ()
+        case t: Throwable => fail(s"$what threw ${t.getClass.getName}: ${t.getMessage}")
+      }
+    for (base <- Seq("add_one" -> addOneBytes, "bulk_fill" -> bulkFillBytes, "grow" -> growBytes)) {
+      val (label, bytes) = base
+      bytes.indices.foreach(k => check(java.util.Arrays.copyOf(bytes, k), s"$label truncate@$k"))
+      val vals = Array(0x00, 0x01, 0x7F, 0x80, 0xFF)
+      for (i <- bytes.indices; v <- vals) {
+        val m = bytes.clone(); m(i) = v.toByte
+        check(m, s"$label mutate@$i=0x$v%02x")
+      }
+    }
+  }
+
   test("reference fixture: reverse-string involution via the WASI command contract") {
     assume(new java.io.File(fixturePath).exists(), "reference fixture not present")
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixturePath))

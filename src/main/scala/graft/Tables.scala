@@ -56,6 +56,12 @@ object GraftSession {
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
+      // managed-table home for bucketed layouts (ops.Bucketing) —
+      // per-process so concurrent test/bench/verify JVMs never race on
+      // the same table directory; production replaces this with a real
+      // warehouse + persistent metastore
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

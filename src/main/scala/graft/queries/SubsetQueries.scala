@@ -67,6 +67,25 @@ object SubsetQueries {
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     }),
 
+    // J6 (ours): bucketed co-located join — both sides pre-shuffled
+    // into the same bucket layout on the join key, so the join AND the
+    // key-grouped aggregation run with ZERO Exchange nodes (asserted
+    // on the executed plan in PlanSpec). At 100 TB this is the "pay
+    // the fact-table shuffle once at ingest, never again" path.
+    "j6_bucketed_join" -> ((s, dir) => {
+      graft.ops.Bucketing.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        "graft_b_orders", "o_orderkey", 8)
+      graft.ops.Bucketing.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        "graft_b_lineitem", "l_orderkey", 8)
+      s.table("graft_b_lineitem")
+        .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          CoreQueries.stableSum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // J3: exact dedup with canonical representative (reference's
     // md5-seen-set dedup, subset/src/dedup.rs:9-63, as a groupBy).
     "j3_dedup_exact" -> ((s, dir) =>
@@ -102,6 +121,10 @@ object SubsetQueries {
     "j5_salted_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    "j6_bucketed_join" ->
+      ("SELECT o_orderkey, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderkey"),
     "j3_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "j4_passthrough_union" ->

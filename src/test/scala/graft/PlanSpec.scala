@@ -67,6 +67,32 @@ class PlanSpec extends SparkSpec {
       "brute-force ANN should broadcast the small query side")
   }
 
+  test("bucketed co-located join runs with zero shuffles (J6)") {
+    // the j6 query writes both sides bucketed on the join key, then
+    // joins AND aggregates on that key — the executed plan must carry
+    // no shuffle exchange: the one shuffle was paid at write time
+    // (a BroadcastExchange is allowed — at tiny SF Catalyst broadcasts
+    // the dim side, which is also shuffle-free)
+    val df = SparkEntry.queries("j6_bucketed_join")(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg still shuffles:\n$finalPlan")
+    assert(finalPlan.contains("Bucketed: true"), "scan did not use the bucket layout")
+
+    // with broadcast off (the 100 TB shape: both sides too big), the
+    // same query must run bucket-to-bucket SMJ with NO Exchange at all
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = SparkEntry.queries("j6_bucketed_join")(spark, sfDir)
+      assert(smj.collect().nonEmpty)
+      val p = smj.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed SMJ still exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("CRC64 streams per-group: shuffle on the group key, no collect_list buffer (G4)") {
     val p = plan("g4_crc64")
     assert(!p.contains("collect_list"),

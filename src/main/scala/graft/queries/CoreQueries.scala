@@ -54,6 +54,23 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
 
+    // F6 (ours): date-partitioned layout + partition pruning — the
+    // first-order 100 TB lever: a day-filtered query over a
+    // day-partitioned lake reads ONLY the matching directories
+    // (PartitionFilters in the scan, asserted in PlanSpec), so cost
+    // tracks the filter's selectivity, not the corpus size.
+    "f6_partition_pruned" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-part-${ProcessHandle.current().pid()}/events_by_day"
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day").between(lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // G1: per-table stats in one pass — reference
     // table_stats_by_database_and_table_name subset/src/postgres.rs:499-570.
     "g1_table_stats" -> ((s, dir) => {
@@ -109,6 +126,10 @@ object CoreQueries {
     "g3_size_accumulation" ->
       ("SELECT o_orderpriority, " +
         s"${stableSumSql("o_totalprice")} AS total_size, COUNT(*) AS n " +
-        "FROM orders GROUP BY o_orderpriority")
+        "FROM orders GROUP BY o_orderpriority"),
+    "f6_partition_pruned" ->
+      ("SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14' " +
+        "GROUP BY event_type")
   )
 }

@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
       "brute-force ANN should broadcast the small query side")
   }
 
+  test("date filter over a partitioned layout prunes partitions (F6)") {
+    val df = SparkEntry.queries("f6_partition_pruned")(spark, sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the day filter must land in PartitionFilters (directory pruning),
+    // not merely in the row-level data filters
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+      s"day filter did not reach PartitionFilters:\n$p")
+    assert(df.collect().nonEmpty)
+  }
+
   test("bucketed co-located join runs with zero shuffles (J6)") {
     // the j6 query writes both sides bucketed on the join key, then
     // joins AND aggregates on that key — the executed plan must carry

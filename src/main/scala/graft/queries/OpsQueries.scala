@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 
 /** LLM-data-pipeline operator queries over `documents`/`embeddings`.
   *
@@ -206,6 +206,27 @@ object OpsQueries {
           sum(col("n_tokens")).as("total_tokens"),
           CoreQueries.stableAvg(col("quality")).as("avg_quality"))),
 
+    // deterministic stratified sampling: downsample the dominant
+    // language to 20% while keeping the rest — the corpus-mixing move
+    // before training. Hash-of-id decisions, so the sample is stable
+    // across re-runs/engines and the filter is a stateless narrow op.
+    "x_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang_guess", TA.langId(col("text")))
+      Sampling.stratifiedSample(docs, col("doc_id"), col("lang_guess"),
+          Map("en" -> 0.2), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang_guess"))
+    }),
+
+    // per-language top-5 by quality (tie-broken by doc_id): the
+    // curation selection — one window over a lang-keyed shuffle
+    "x_top_quality_per_lang" -> ((s, dir) =>
+      Sampling.topKPerStratum(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
+            TA.qualityScore(col("text")).as("quality")),
+        col("lang_guess"), col("quality"), col("doc_id"), 5)),
+
     // multimodal plumbing: binary column → batched stub decode
     "x_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
@@ -292,6 +313,18 @@ object OpsQueries {
          |WHERE e.source != 'src0' GROUP BY 1""".stripMargin,
     "x_repetition_ratio" ->
       s"SELECT doc_id, ${TA.repetitionRatioSql("text", 2)} AS rep_ratio FROM documents",
+    "x_stratified_sample" ->
+      (s"""WITH l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents)
+          |SELECT doc_id, lang_guess FROM l
+          |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
+          |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_top_quality_per_lang" ->
+      (s"""WITH scored AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
+          |  ${TA.qualityScoreSql("text")} AS quality FROM documents),
+          |ranked AS (SELECT doc_id, lang_guess, quality,
+          |  row_number() OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id) AS rnk
+          |FROM scored)
+          |SELECT doc_id, lang_guess, quality FROM ranked WHERE rnk <= 5""".stripMargin),
     "x_token_count" ->
       s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_bpe_token_count" ->

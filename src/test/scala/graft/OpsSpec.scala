@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -307,5 +307,42 @@ class OpsSpec extends SparkSpec {
     assert(again.getAs[String]("checksum") == row.getAs[String]("checksum"))
     assert(again.getSeq[Double](again.fieldIndex("feature")).toSeq ==
       row.getSeq[Double](row.fieldIndex("feature")).toSeq)
+  }
+
+  test("stratified sampling: deterministic, per-stratum rates honored, rate 0/1 exact") {
+    val df = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "fr" else "de"))
+      .toDF("id", "lang")
+    val sampled = Sampling.stratifiedSample(df, $"id", $"lang",
+      Map("en" -> 0.2, "fr" -> 0.0), defaultRate = 1.0)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rate 0 drops everything; rate 1 keeps everything; 0.2 lands near 200/1000
+    assert(!byLang.contains("fr"))
+    assert(byLang("de") == 2000L)
+    assert(byLang("en") > 120L && byLang("en") < 280L, s"en kept ${byLang.get("en")}")
+    // deterministic: same rows every time, and a sampled set is a subset
+    // of the looser-rate set (hash thresholding is monotone in the rate)
+    val again = Sampling.stratifiedSample(df, $"id", $"lang",
+      Map("en" -> 0.2, "fr" -> 0.0), defaultRate = 1.0)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+    val looser = Sampling.stratifiedSample(df, $"id", $"lang",
+      Map("en" -> 0.5, "fr" -> 0.0), defaultRate = 1.0)
+    assert(sampled.exceptAll(looser).isEmpty, "0.2 sample must be ⊆ 0.5 sample")
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, $"id", $"lang", Map("en" -> 1.5), 1.0)
+    }
+  }
+
+  test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),
+      ("fr", 5L, 0.1)).toDF("lang", "id", "score")
+    val top = Sampling.topKPerStratum(df, $"lang", $"score", $"id", 2)
+      .select($"lang", $"id").as[(String, Long)].collect().toSet
+    // en: the two 0.9s (tie → lower ids 1,2 beat id 4's 0.7); fr: its only row
+    assert(top == Set(("en", 1L), ("en", 2L), ("fr", 5L)))
+    assert(Sampling.topKPerStratum(df, $"lang", $"score", $"id", 10).count() == 5)
+    assertThrows[IllegalArgumentException] {
+      Sampling.topKPerStratum(df, $"lang", $"score", $"id", 0)
+    }
   }
 }

@@ -259,14 +259,84 @@ object Dedup {
     * move bands× the signature bytes for nothing.
     */
   private[graft] def bandCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val buckets = sigs
-      .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+    val buckets = bandBuckets(sigs, numHashes, bands)
     buckets.as("l").join(buckets.as("r"), Seq("band", "bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exploded (doc, band, bucket) LSH bucket rows from a [[minhashSigs]]
+    * frame — the skinny per-doc index both the self-join candidate path
+    * and the incremental batch-vs-corpus path join on. At 100 TB this
+    * projection is what an ingest job PERSISTS (bucketed by (band,
+    * bucket)): later increments join against it without touching the
+    * corpus text again.
+    */
+  private[graft] def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    sigs
+      .select(col("doc"), explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+  }
+
+  // ---- Incremental (batch-vs-corpus) dedup -----------------------------
+
+  /** Incremental exact dedup: the `batch` rows that survive admission
+    * against an already-ingested `corpus`. A batch row is dropped if its
+    * normalized fingerprint already exists in the corpus; within the
+    * batch, each fingerprint keeps its min-id representative. Returns
+    * (id, fp) for the survivors.
+    *
+    * The 100 TB ingestion shape: one batch-side groupBy plus one
+    * fingerprint-keyed left-anti join — the corpus is never self-paired
+    * and its text is only ever reduced to the skinny fingerprint
+    * projection, which a real deployment persists across ingests so each
+    * increment costs O(batch), not O(corpus).
+    */
+  def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
+                            id: String, text: Column): DataFrame =
+    batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+      .agg(min(col(id)).as(id))
+      .join(corpus.select(TextAnalysis.fingerprint(text).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select(col(id), col("fp"))
+
+  /** Incremental near-duplicate pairs: MinHash-LSH candidates restricted
+    * to pairs that TOUCH the new batch — batch×corpus and batch×batch,
+    * never corpus×corpus — verified with the EXACT n-gram Jaccard, so
+    * every returned pair is a true near-dup (precision 1.0; recall is
+    * the banding's, as in [[minhashLshExactPairs]]). Ids must be
+    * disjoint across the two frames.
+    *
+    * Scale shape: the batch's skinny (doc, band, bucket) rows equi-join
+    * the corpus's persisted [[bandBuckets]] index plus their own — the
+    * candidate volume scales with batch size × bucket collision rate,
+    * NOT corpus²; corpus gram arrays are only materialized for docs that
+    * actually collide (the verify join is AQE-decided, candidates side
+    * first).
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
+    val corpusBuckets = bandBuckets(minhashSigs(corpus, id, text, n, numHashes), numHashes, bands)
+    // batch × (corpus ∪ batch): canonicalized to id_a < id_b, so the
+    // doubled batch×batch directions collapse in the dedup
+    val candidates = batchBuckets.as("l")
+      .join(batchBuckets.unionByName(corpusBuckets).as("r"), Seq("band", "bucket"))
+      .filter(col("l.doc") =!= col("r.doc"))
+      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+        greatest(col("l.doc"), col("r.doc")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates,
+      docGramArrays(batch.unionByName(corpus), id, text, n), threshold)
   }
 
   /** The `x_minhash_lsh_precision` plan: (LSH band candidates ∪ PPJoin

@@ -129,6 +129,33 @@ object OpsQueries {
       Dedup.minhashLshPrecisionUnion(
         Tables.documents(s, dir), "doc_id", col("text"), 3, 64, 16, 0.8)),
 
+    // incremental ingestion: admit a new batch (doc_id%10) against the
+    // already-ingested corpus (the rest) — exact fingerprint admission,
+    // fully oracled
+    "x_incremental_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExactDedup(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", col("text"))
+    }),
+
+    // incremental near-dup, precision-oracled like the other LSH ops:
+    // (batch-touching LSH pairs, exact-verified) ∪ (exact pairs touching
+    // the batch) == the exact restriction — DuckDB computes the right side
+    "x_incremental_near_dup_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+      val inc = Dedup.incrementalNearDupPairs(
+        docs.filter(!isBatch(col("doc_id"))), docs.filter(isBatch(col("doc_id"))),
+        "doc_id", col("text"), 3, 64, 16, 0.8)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8)
+        .filter(isBatch(col("id_a")) || isBatch(col("id_b")))
+      inc.select(col("id_a"), col("id_b"))
+        .union(exact.select(col("id_a"), col("id_b")))
+        .dropDuplicates("id_a", "id_b")
+    }),
+
     "x_embed_near_dup_lsh_precision" -> ((s, dir) => {
       val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
       Similarity.cosineNearDupPairsLsh(sample, "vec_id", "embedding", 0.3)
@@ -295,6 +322,13 @@ object OpsQueries {
   val oracle: Map[String, String] = Map(
     "x_minhash_lsh_precision" ->
       s"SELECT id_a, id_b FROM (${jaccardSql(0.8)})",
+    "x_incremental_dedup_exact" ->
+      (s"""WITH fps AS (SELECT doc_id, ${TA.fingerprintSql("text")} AS fp FROM documents),
+          |b AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps WHERE doc_id % 10 = 0 GROUP BY 1)
+          |SELECT doc_id, fp FROM b
+          |WHERE NOT EXISTS (SELECT 1 FROM fps c WHERE c.doc_id % 10 != 0 AND c.fp = b.fp)""".stripMargin),
+    "x_incremental_near_dup_precision" ->
+      s"SELECT id_a, id_b FROM (${jaccardSql(0.8)}) WHERE id_a % 10 = 0 OR id_b % 10 = 0",
     "x_embed_near_dup_lsh_precision" ->
       ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -309,6 +309,38 @@ class OpsSpec extends SparkSpec {
       row.getSeq[Double](row.fieldIndex("feature")).toSeq)
   }
 
+  test("incremental exact dedup: corpus dups dropped, in-batch dups collapse, fresh survive") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta gamma"), // fingerprint-dup of corpus doc 1 → dropped
+      (20L, "fresh new content"),  // survives
+      (30L, "Fresh   NEW content"), // in-batch fp-dup of 20 → min id 20 wins
+      (40L, "another one")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(corpus, batch, "doc_id", $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(20L, 40L))
+  }
+
+  test("incremental near-dup: finds planted batch↔corpus pair, never pairs corpus with itself") {
+    // two corpus docs that are near-dups of EACH OTHER (must not appear),
+    // one batch doc near-dupping a corpus doc (must appear)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base), (2L, base + " ok"), (3L, "entirely different words here")).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " now"), (20L, "unrelated fresh batch document")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)), s"got $pairs")
+    assert(!pairs.contains((1L, 2L)), "corpus×corpus pair leaked into the incremental output")
+    // every pair touches the batch, and is a true near-dup (subset of exact)
+    val batchIds = Set(10L, 20L)
+    assert(pairs.forall { case (a, b) => batchIds(a) || batchIds(b) })
+    val exact = Dedup.ngramJaccardPairs(
+        corpus.unionByName(batch), "doc_id", $"text", 3, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"incremental pairs $pairs not ⊆ exact $exact")
+  }
+
   test("stratified sampling: deterministic, per-stratum rates honored, rate 0/1 exact") {
     val df = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "fr" else "de"))
       .toDF("id", "lang")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-shaping operators for training-data pipelines: deterministic
@@ -49,11 +50,57 @@ object Sampling {
     */
   def topKPerStratum(df: DataFrame, stratum: Column, score: Column,
                      id: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
     df.withColumn("rnk",
         row_number().over(Window.partitionBy(stratum).orderBy(score.desc, id.asc)))
       .filter(col("rnk") <= k)
       .drop("rnk")
+  }
+
+  /** 32-bit id hash (md5 prefix): the deterministic stand-in for a
+    * pre-training shuffle — used as both the shard key and the
+    * within-shard ordering so a re-run (or another engine) reproduces
+    * the exact same layout.
+    */
+  private[graft] def hash32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private[graft] def hash32Sql(id: String): String =
+    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** GPT-style sequence packing: documents are dealt into `shards` by id
+    * hash, concatenated within each shard in hash order, and the token
+    * stream cut into fixed `budget`-token windows. Emits per doc its
+    * shard, start offset in the shard's token stream, and the first/last
+    * window it lands in (`bin_first`/`bin_last` — a doc straddling a cut
+    * spans several, exactly as packed training sequences do).
+    *
+    * Scale shape: ONE shuffle on the shard key, then an embarrassingly
+    * parallel per-shard window — there is deliberately no global
+    * cumulative sum (a single total-order window would serialize 100 TB
+    * through one partition; per-shard streams are what data-parallel
+    * trainers consume anyway, one or more shards per worker). Determinism
+    * comes from the id hash, so re-runs and other engines reproduce the
+    * identical packing.
+    */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+                    shards: Int, budget: Int): DataFrame = {
+    require(shards > 0 && budget > 0, "shards and budget must be positive")
+    // explicit ROWS frame: (ord, pack_id) is tie-free, but pinning the
+    // frame keeps the semantics identical to the SQL mirror regardless
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("pack_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    df.select(id.as("pack_id"), nTokens.cast("long").as("n_tokens"),
+        pmod(hash32(id), lit(shards)).as("shard"), hash32(id).as("ord"))
+      .withColumn("start_off", start)
+      // bin spans: [start, start + n_tokens - 1]; an empty doc occupies
+      // no tokens and degenerates to bin_last == bin_first
+      .withColumn("bin_first", floor(col("start_off") / lit(budget)).cast("long"))
+      .withColumn("bin_last",
+        floor(greatest(col("start_off"), col("start_off") + col("n_tokens") - 1)
+          / lit(budget)).cast("long"))
+      .select(col("pack_id"), col("shard"), col("start_off"),
+        col("bin_first"), col("bin_last"))
   }
 }

@@ -245,6 +245,15 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // GPT-style sequence packing: hash-shard, concatenate in hash
+    // order, cut into 2048-token windows — per doc its shard, start
+    // offset and first/last window. One shard shuffle + parallel
+    // per-shard windows; deliberately no global cumsum.
+    "x_sequence_pack" -> ((s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), col("doc_id"),
+          TA.tokenCount(col("text")), shards = 8, budget = 2048)
+        .withColumnRenamed("pack_id", "doc_id")),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -352,6 +361,17 @@ object OpsQueries {
           |SELECT doc_id, lang_guess FROM l
           |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_sequence_pack" ->
+      (s"""WITH t AS (SELECT doc_id,
+          |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+          |  ${graft.ops.Sampling.hash32Sql("doc_id")} AS h FROM documents),
+          |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+          |  CAST(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens AS BIGINT) AS start_off
+          |FROM t)
+          |SELECT doc_id, shard, start_off,
+          |  CAST(start_off // 2048 AS BIGINT) AS bin_first,
+          |  CAST(greatest(start_off, start_off + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
+          |FROM p""".stripMargin),
     "x_top_quality_per_lang" ->
       (s"""WITH scored AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
           |  ${TA.qualityScoreSql("text")} AS quality FROM documents),

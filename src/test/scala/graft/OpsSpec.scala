@@ -364,6 +364,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: contiguous per-shard token streams, correct window spans") {
+    val packed = Sampling.packSequences(docs, $"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"text"), shards = 4, budget = 128)
+      .collect()
+    assert(packed.length == docs.count())
+    // within each shard the start offsets tile the token stream exactly:
+    // sorted by start_off, each doc begins where the previous ended
+    val tokens = docs.select($"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("start_off"))
+      var expected = 0L
+      ordered.foreach { r =>
+        val start = r.getAs[Long]("start_off")
+        assert(start == expected, s"shard $shard: gap/overlap at doc ${r.getAs[Long]("pack_id")}")
+        val n = tokens(r.getAs[Long]("pack_id"))
+        assert(r.getAs[Long]("bin_first") == start / 128)
+        assert(r.getAs[Long]("bin_last") == math.max(start, start + n - 1) / 128)
+        expected = start + n
+      }
+    }
+    // deterministic across runs
+    val again = Sampling.packSequences(docs, $"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"text"), shards = 4, budget = 128).collect()
+    assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),

@@ -140,6 +140,55 @@ object TextAnalysis {
   def fingerprintSql(x: String): String =
     s"md5(regexp_replace(lower(trim($x)), '\\s+', ' ', 'g'))"
 
+  /** PII patterns scrubbed from free text before training — the
+    * in-text counterpart of the column-level transformers (emails,
+    * phones, card numbers, IPv4s). One ordered list shared by the
+    * scrubber, the counter, and the SQL mirrors so they cannot diverge;
+    * patterns are the Java-regex/RE2-portable subset (no lookaround,
+    * explicit ASCII classes). Longest-digit-run patterns run first so a
+    * card number is not half-eaten by the phone pattern.
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b" -> "<CC>",
+    "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Replace every PII match with its type tag (codegen'd
+    * regexp_replace chain — a pure narrow expression at any scale).
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Total PII matches in the text, counted pattern-by-pattern on the
+    * PROGRESSIVELY SCRUBBED text (same order as [[scrubPii]]), so a
+    * card number inside an email address is counted once, not twice.
+    */
+  def piiHits(text: Column): Column = {
+    val (total, _) = PiiPatterns.foldLeft((lit(0), text)) {
+      case ((acc, t), (pat, rep)) =>
+        (acc + size(regexp_extract_all(t, lit(pat), lit(0))),
+          regexp_replace(t, pat, rep))
+    }
+    total
+  }
+
+  def scrubPiiSql(x: String): String =
+    PiiPatterns.foldLeft(x) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+
+  def piiHitsSql(x: String): String = {
+    val (terms, _) = PiiPatterns.foldLeft((Seq.empty[String], x)) {
+      case ((acc, t), (pat, rep)) =>
+        (acc :+ s"len(regexp_extract_all($t, '$pat'))",
+          s"regexp_replace($t, '$pat', '$rep', 'g')")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   /** Word n-grams as an array column (shingles for Jaccard/MinHash). */
   def wordNgrams(text: Column, n: Int): Column =
     bound(split(lower(trim(text)), "\\s+")) { toks =>

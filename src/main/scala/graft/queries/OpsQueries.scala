@@ -245,6 +245,19 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // in-text PII scrubbing (emails/phones/cards/IPs → type tags) — the
+    // corpus has no natural PII, so the text is salted with
+    // doc_id-derived PII identically in both engines; the oracle then
+    // checks the regex chain match-for-match
+    "x_pii_scrub" -> ((s, dir) => {
+      val salted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567, card 4111 1111 1111 1111, host 10.0.0."),
+        pmod(col("doc_id"), lit(254)).cast("string"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.piiHits(salted).as("n_pii"), TA.scrubPii(salted).as("scrubbed"))
+    }),
+
     // GPT-style sequence packing: hash-shard, concatenate in hash
     // order, cut into 2048-token windows — per doc its shard, start
     // offset and first/last window. One shard shuffle + parallel
@@ -361,6 +374,13 @@ object OpsQueries {
           |SELECT doc_id, lang_guess FROM l
           |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_pii_scrub" ->
+      (s"""WITH s AS (SELECT doc_id,
+          |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          |  '@example.com or 555-123-4567, card 4111 1111 1111 1111, host 10.0.0.' ||
+          |  CAST(doc_id % 254 AS VARCHAR) AS t FROM documents)
+          |SELECT doc_id, ${TA.piiHitsSql("t")} AS n_pii, ${TA.scrubPiiSql("t")} AS scrubbed
+          |FROM s""".stripMargin),
     "x_sequence_pack" ->
       (s"""WITH t AS (SELECT doc_id,
           |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,

@@ -309,6 +309,27 @@ class OpsSpec extends SparkSpec {
       row.getSeq[Double](row.fieldIndex("feature")).toSeq)
   }
 
+  test("PII scrub: each pattern tagged, counts match, clean text untouched") {
+    val cases = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org now", "mail me at <EMAIL> now", 1),
+      (2L, "call 555-123-4567 today", "call <PHONE> today", 1),
+      (3L, "card 4111 1111 1111 1111 expires", "card <CC> expires", 1),
+      (4L, "host 192.168.0.1 is up", "host <IP> is up", 1),
+      (5L, "nothing sensitive here 12 34", "nothing sensitive here 12 34", 0),
+      // card must win over phone on the same digits; email eats its card
+      (6L, "4111-1111-1111-1111 and a@b.co", "<CC> and <EMAIL>", 2))
+      .toDF("doc_id", "raw", "want_scrubbed", "want_hits")
+    val got = cases.select($"doc_id", $"want_scrubbed", $"want_hits",
+        TA.scrubPii($"raw").as("scrubbed"), TA.piiHits($"raw").as("hits"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("scrubbed") == r.getAs[String]("want_scrubbed"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Int]("hits") == r.getAs[Int]("want_hits"),
+        s"doc ${r.getAs[Long]("doc_id")} hit count")
+    }
+  }
+
   test("incremental exact dedup: corpus dups dropped, in-batch dups collapse, fresh survive") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
     val batch = Seq(

@@ -118,6 +118,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing is one shard shuffle + parallel windows, no global sort") {
+    val p = plan("x_sequence_pack")
+    // exactly one exchange (the shard hash partitioning); a global
+    // cumulative sum would appear as a rangepartitioning / singlepartition
+    // exchange that serializes the corpus through one task
+    assert(p.contains("hashpartitioning"), "packing lost its shard shuffle")
+    assert(!p.contains("rangepartitioning"), "packing sorts globally — single-partition bottleneck")
+    assert(!p.contains("SinglePartition"), "packing funnels through one partition")
+  }
+
+  test("incremental near-dup joins stay equi-joins touching the batch only") {
+    val p = plan("x_incremental_near_dup_precision")
+    assert(!p.contains("CartesianProduct"), "incremental near-dup plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "incremental near-dup plans a nested loop")
+  }
+
   test("precision-union check verifies once over a shared gram exchange") {
     val p = plan("x_minhash_lsh_precision")
     assert(!p.contains("CartesianProduct"))

@@ -370,6 +370,65 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over near-duplicate pairs: (doc_id,
+    * cluster_id) for every doc appearing in `pairs`, where cluster_id is
+    * the component's minimum doc id — the canonical representative a
+    * dedup pipeline keeps while dropping the rest ([[clusterDropList]]).
+    *
+    * Algorithm: iterative min-label propagation over the symmetric edge
+    * list — each round every node takes the min of its own label and its
+    * neighbors', so the component minimum floods outward one hop per
+    * round and the loop stops when a round changes nothing. Rounds
+    * needed = the component's eccentricity from its min node; near-dup
+    * components are clique-ish (duplicates of one source all pair with
+    * each other), so this is 1–3 in practice. Per round: one equi-join
+    * on the edge key + one min-aggregation, with `localCheckpoint`
+    * truncating the lineage (same pattern as the cyclic FK closure —
+    * without it round d replans the whole prior join tree). Nothing ever
+    * sits on the driver; labels live behind a shuffle at every step.
+    *
+    * @param maxRounds trap instead of silently wrong labels if a
+    *                  pathological chain outruns the budget (a
+    *                  diameter-`maxRounds` PATH of pairwise near-dups,
+    *                  which banded LSH essentially never emits)
+    */
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // computed once, reused every round
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxRounds rounds — pathological pair chain?")
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** The ids a dedup pass DROPS: every clustered doc that is not its
+    * component's canonical (min-id) representative.
+    */
+  def clusterDropList(clusters: DataFrame): DataFrame =
+    clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
     * the token-hash bits. Near-dups have small Hamming distance.
     * Dispatches to the native codegen'd `SimHash64Expr` (registered via

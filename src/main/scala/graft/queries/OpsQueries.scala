@@ -129,6 +129,13 @@ object OpsQueries {
       Dedup.minhashLshPrecisionUnion(
         Tables.documents(s, dir), "doc_id", col("text"), 3, 64, 16, 0.8)),
 
+    // pairs → components: cluster the exact near-dup pairs and label
+    // every clustered doc with its component's min id — the canonical
+    // representative kept while the rest go on the drop list
+    "x_near_dup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8))),
+
     // incremental ingestion: admit a new batch (doc_id%10) against the
     // already-ingested corpus (the rest) — exact fingerprint admission,
     // fully oracled
@@ -344,6 +351,15 @@ object OpsQueries {
   val oracle: Map[String, String] = Map(
     "x_minhash_lsh_precision" ->
       s"SELECT id_a, id_b FROM (${jaccardSql(0.8)})",
+    "x_near_dup_clusters" ->
+      (s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst)
+          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
     "x_incremental_dedup_exact" ->
       (s"""WITH fps AS (SELECT doc_id, ${TA.fingerprintSql("text")} AS fp FROM documents),
           |b AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps WHERE doc_id % 10 = 0 GROUP BY 1)

@@ -309,6 +309,25 @@ class OpsSpec extends SparkSpec {
       row.getSeq[Double](row.fieldIndex("feature")).toSeq)
   }
 
+  test("near-dup clusters: min-label components, drop list keeps one per cluster") {
+    // chain 1-2-3 bridged to 8-9 via 1-9; separate pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    val dropped = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
+      .as[Long].collect().toSet
+    assert(dropped == Set(2L, 3L, 8L, 9L, 6L))
+    // empty pair set → empty clustering, no infinite loop
+    assert(Dedup.nearDupClusters(pairs.limit(0)).isEmpty)
+    // a chain longer than the round budget traps instead of mislabeling
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxRounds = 2).collect()
+    }
+  }
+
   test("PII scrub: each pattern tagged, counts match, clean text untouched") {
     val cases = Seq(
       (1L, "mail me at jane.doe+x@sub.example.org now", "mail me at <EMAIL> now", 1),

@@ -140,6 +140,52 @@ object TextAnalysis {
   def fingerprintSql(x: String): String =
     s"md5(regexp_replace(lower(trim($x)), '\\s+', ' ', 'g'))"
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the published heuristics,
+    * reduced to the regex-portable subset): each rule is a named boolean
+    * Column; a doc passes when all hold. One rule list drives the Spark
+    * side and the SQL mirror so thresholds cannot drift apart. All pure
+    * per-row expressions — a stateless narrow filter at any scale.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") / nTok
+    val alphaWords = size(filter(split(trim(text), "\\s+"),
+      t => t.rlike("[A-Za-z]"))).cast("double")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val lines = split(text, "\n")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("double")
+    Seq(
+      "ok_word_count" -> (nTok >= 50.0 && nTok <= 100000.0),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_alpha_ratio" -> (alphaWords / nTok > 0.8),
+      "ok_symbol_ratio" -> (hashes / nTok < 0.1),
+      "ok_bullet_ratio" -> (bulletLines / size(lines).cast("double") < 0.9))
+  }
+
+  /** Overall Gopher pass: every rule holds. */
+  def gopherPass(text: Column): Column =
+    gopherRules(text).map(_._2).reduce(_ && _)
+
+  def gopherRulesSql(x: String): Seq[(String, String)] = {
+    val nTok = s"CAST(${tokenCountSql(x)} AS DOUBLE)"
+    val meanLen = s"(CAST(length(regexp_replace($x, '\\s', '', 'g')) AS DOUBLE) / $nTok)"
+    val alphaWords = s"CAST(len(list_filter(regexp_split_to_array(trim($x), '\\s+'), " +
+      s"t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)"
+    val hashes = s"CAST(length($x) - length(regexp_replace($x, '#', '', 'g')) AS DOUBLE)"
+    val lines = s"string_split($x, chr(10))"
+    val bulletLines = s"CAST(len(list_filter($lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)"
+    Seq(
+      "ok_word_count" -> s"($nTok >= 50.0 AND $nTok <= 100000.0)",
+      "ok_mean_word_len" -> s"($meanLen >= 3.0 AND $meanLen <= 10.0)",
+      "ok_alpha_ratio" -> s"($alphaWords / $nTok > 0.8)",
+      "ok_symbol_ratio" -> s"($hashes / $nTok < 0.1)",
+      "ok_bullet_ratio" -> s"($bulletLines / CAST(len($lines) AS DOUBLE) < 0.9)")
+  }
+
+  def gopherPassSql(x: String): String =
+    gopherRulesSql(x).map(_._2).mkString("(", " AND ", ")")
+
   /** PII patterns scrubbed from free text before training — the
     * in-text counterpart of the column-level transformers (emails,
     * phones, card numbers, IPv4s). One ordered list shared by the

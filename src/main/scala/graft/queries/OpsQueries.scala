@@ -252,6 +252,14 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // Gopher-rules quality gate: per-rule booleans + the overall pass,
+    // one narrow expression per doc
+    "x_gopher_filter" -> ((s, dir) => {
+      val ruleCols = TA.gopherRules(col("text")).map { case (name, c) => c.as(name) }
+      Tables.documents(s, dir).select(
+        col("doc_id") +: ruleCols :+ TA.gopherPass(col("text")).as("passes"): _*)
+    }),
+
     // in-text PII scrubbing (emails/phones/cards/IPs → type tags) — the
     // corpus has no natural PII, so the text is salted with
     // doc_id-derived PII identically in both engines; the oracle then
@@ -390,6 +398,10 @@ object OpsQueries {
           |SELECT doc_id, lang_guess FROM l
           |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_gopher_filter" ->
+      (s"SELECT doc_id, " +
+        TA.gopherRulesSql("text").map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+        s", ${TA.gopherPassSql("text")} AS passes FROM documents"),
     "x_pii_scrub" ->
       (s"""WITH s AS (SELECT doc_id,
           |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||

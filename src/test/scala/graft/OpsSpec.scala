@@ -309,6 +309,21 @@ class OpsSpec extends SparkSpec {
       row.getSeq[Double](row.fieldIndex("feature")).toSeq)
   }
 
+  test("incremental near-dup: recall floor vs the exact batch-touching pairs on real documents") {
+    val isBatch = (id: Long) => id % 10 == 0
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter(p => isBatch(p._1) || isBatch(p._2)).toSet
+    assert(exact.nonEmpty, "testdata should contain batch-touching near-dup pairs")
+    val inc = Dedup.incrementalNearDupPairs(
+        docs.filter(pmod($"doc_id", lit(10)) =!= 0), docs.filter(pmod($"doc_id", lit(10)) === 0),
+        "doc_id", $"text", 3, 64, 16, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(inc.subsetOf(exact.union(exact.map(_.swap))), s"false positives: ${inc.diff(exact)}")
+    val recall = exact.count(inc.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"incremental recall $recall too low (found ${inc.size}, exact ${exact.size})")
+  }
+
   test("near-dup clusters: min-label components, drop list keeps one per cluster") {
     // chain 1-2-3 bridged to 8-9 via 1-9; separate pair 5-6
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
@@ -325,6 +340,28 @@ class OpsSpec extends SparkSpec {
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assertThrows[IllegalStateException] {
       Dedup.nearDupClusters(chain, maxRounds = 2).collect()
+    }
+  }
+
+  test("gopher rules: each rule trips on its own pathology, clean prose passes") {
+    val longProse = Array.fill(60)("sensible english words flow here nicely").mkString(" ")
+    val cases = Seq(
+      (1L, longProse, "passes", true),
+      (2L, "too short", "ok_word_count", false),
+      (3L, Array.fill(80)("a").mkString(" "), "ok_mean_word_len", false), // mean len 1
+      (4L, Array.fill(80)("12345").mkString(" "), "ok_alpha_ratio", false),
+      (5L, Array.fill(80)("woo ###").mkString(" "), "ok_symbol_ratio", false),
+      (6L, Array.fill(80)("- bullet line\n").mkString, "ok_bullet_ratio", false))
+      .toDF("doc_id", "text", "rule", "want")
+    val ruleCols = TA.gopherRules($"text").map { case (n, c) => c.as(n) }
+    val got = cases.select(
+      Seq($"doc_id", $"rule", $"want", TA.gopherPass($"text").as("passes")) ++ ruleCols: _*)
+    got.collect().foreach { r =>
+      val rule = r.getAs[String]("rule")
+      assert(r.getAs[Boolean](rule) == r.getAs[Boolean]("want"),
+        s"doc ${r.getAs[Long]("doc_id")}: rule $rule")
+      if (!r.getAs[Boolean]("want"))
+        assert(!r.getAs[Boolean]("passes"), s"doc ${r.getAs[Long]("doc_id")}: overall pass despite $rule")
     }
   }
 

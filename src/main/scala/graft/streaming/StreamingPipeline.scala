@@ -114,6 +114,32 @@ object StreamingPipeline {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus admission — the continuous form of
+    * `Dedup.incrementalExactDedup`: docs arriving on the stream are
+    * dropped when their normalized fingerprint already exists in the
+    * static, already-ingested corpus, and in-stream duplicates within
+    * the watermark horizon collapse to the first arrival. The corpus
+    * side is a bounded stream-static LEFT-ANTI join against the skinny
+    * fingerprint projection (at 100 TB: a persisted artifact of prior
+    * ingests, re-read per micro-batch only as parquet metadata allows —
+    * never the corpus text); in-stream state is watermark-bounded.
+    */
+  def admitStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      text: org.apache.spark.sql.Column,
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame = {
+    val corpusFps = corpus
+      .select(graft.ops.TextAnalysis.fingerprint(text).as("fp")).distinct()
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(text))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .drop("fp")
+  }
+
   /** Streaming NEAR-dup suppression — the continuous form of
     * `Dedup.simhashPairs`: each doc's 64-bit simhash lands in a
     * high-16-bit bucket, and `flatMapGroupsWithState` keeps the

@@ -101,6 +101,30 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.select("text").distinct().count() == 100)
   }
 
+  test("streaming: corpus admission drops known fingerprints and in-stream dups") {
+    import graft.streaming.StreamingPipeline
+    val inDir = Files.createTempDirectory("graft-admit-in").toString
+    val outDir = Files.createTempDirectory("graft-admit-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-admit-ckpt").toString + "/ckpt"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // corpus knows texts 0..49 (whitespace-normalized forms)
+    val corpus = (0 until 50).map(i => (i.toLong, s"known  TEXT-$i")).toDF("doc_id", "text")
+    // stream: 0..79, each twice → 0..49 are corpus dups, 50..79 fresh-once
+    val rows = (0 until 160).map { i =>
+      (1000L + i, s"known text-${i % 80}", new java.sql.Timestamp(base.getTime + i * 60000L))
+    }
+    rows.toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(inDir)
+    val in = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val admitted = StreamingPipeline.admitStream(in, corpus, $"text", "ts", "6 hours")
+    assert(admitted.isStreaming)
+    StreamingPipeline.sinkAvailableNow(admitted, outDir, ckpt).start().awaitTermination(120000)
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 30, s"expected 30 fresh docs, got ${got.count()}")
+    val freshTexts = got.select("text").as[String].collect().toSet
+    assert(freshTexts.forall(t => (50 until 80).exists(i => t.endsWith(s"-$i"))))
+  }
+
   test("streaming: simhash suppression leaves no near-dup pair among survivors") {
     import graft.streaming.StreamingPipeline
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")

@@ -37,6 +37,12 @@ object ProbeScale {
       Dedup.contaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
         docs.filter(col("source") === "src0"), col("text"), 3).count())
+    // the dup-heavy worst case for clustering: every doc sits in a
+    // mult-sized clique, so components are MANY and label propagation
+    // must converge in ~1 round despite ~100× pair volume
+    time("near_dup_clusters")(
+      Dedup.nearDupClusters(
+        Dedup.minhashLshPrecisionUnion(docs, "doc_id", col("text"))).count())
     time("embed_near_dup_lsh")(
       Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding", 0.3).count())
     time("ann_lsh")(

@@ -393,9 +393,12 @@ object Dedup {
     *                  which banded LSH essentially never emits)
     */
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // computed once, reused every round
+    // materialize the (possibly expensive) pair plan ONCE — a union of
+    // two projections of the raw plan would execute it twice; both
+    // symmetric directions then read the checkpointed blocks every round
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

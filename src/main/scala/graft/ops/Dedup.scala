@@ -328,15 +328,23 @@ object Dedup {
     val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
     val corpusBuckets = bandBuckets(minhashSigs(corpus, id, text, n, numHashes), numHashes, bands)
     // batch × (corpus ∪ batch): canonicalized to id_a < id_b, so the
-    // doubled batch×batch directions collapse in the dedup
+    // doubled batch×batch directions collapse in the dedup. Materialized
+    // once (skinny — two longs per pair): read again by the
+    // colliding-doc filter below and by the verify joins.
     val candidates = batchBuckets.as("l")
       .join(batchBuckets.unionByName(corpusBuckets).as("r"), Seq("band", "bucket"))
       .filter(col("l.doc") =!= col("r.doc"))
       .select(least(col("l.doc"), col("r.doc")).as("id_a"),
         greatest(col("l.doc"), col("r.doc")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates,
-      docGramArrays(batch.unionByName(corpus), id, text, n), threshold)
+      .localCheckpoint(true)
+    // gram arrays (the expensive explode + shuffle) ONLY for docs that
+    // actually collide — a semi-join keeps verification collision-
+    // bounded instead of re-gramming the whole corpus every increment
+    val collidingIds = candidates.select(col("id_a").as(id))
+      .union(candidates.select(col("id_b").as(id))).distinct()
+    val colliding = batch.unionByName(corpus).join(collidingIds, Seq(id), "left_semi")
+    verifyJaccard(candidates, docGramArrays(colliding, id, text, n), threshold)
   }
 
   /** The `x_minhash_lsh_precision` plan: (LSH band candidates ∪ PPJoin
@@ -395,7 +403,10 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE — a union of
     // two projections of the raw plan would execute it twice; both
-    // symmetric directions then read the checkpointed blocks every round
+    // symmetric directions then read the checkpointed blocks every round.
+    // Superseded per-round checkpoints (p and each round's labels) are
+    // reclaimed by the ContextCleaner once unreferenced — same lifecycle
+    // as the cyclic FK closure's per-level frontiers.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -503,7 +514,7 @@ object Dedup {
     require(bits % 4 == 0 && bits > 0 && bits <= 60, "bits must be in (0, 60] and hex-aligned")
     simhashFromHashes(
       transform(split(lower(trim(text)), "\\s+"),
-        t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long")), bits)
+        t => TextAnalysis.md5PrefixLong(t, bits / 4)), bits)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

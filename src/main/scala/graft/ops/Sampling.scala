@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Per-mille hash bucket of an id: uniform, deterministic,
-    * cross-engine (md5 of the id's decimal string, first 4 hex chars).
+  /** Per-mille hash bucket of an id: deterministic, cross-engine (md5
+    * of the id's decimal string via [[TextAnalysis.md5PrefixLong]]).
+    * 8 hex chars = 2^32 inputs to the mod — the residual non-uniformity
+    * from 2^32 % 1000 != 0 is ~2e-8 relative per bucket, versus ~1.5%
+    * had the mod run over 4 chars (65536 % 1000 = 536 buckets would be
+    * systematically heavier).
     */
   private[graft] def hashPermille(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 1000
+    TextAnalysis.md5PrefixLong(id.cast("string"), 8) % 1000
 
   private[graft] def hashPermilleSql(id: String): String =
-    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4)) AS BIGINT) % 1000"
+    s"${TextAnalysis.md5PrefixLongSql(s"CAST($id AS VARCHAR)", 8)} % 1000"
 
   /** Keep each row with a per-stratum probability: rows whose id-hash
     * per-mille falls below `rates(stratum) * 1000` survive. The
@@ -36,8 +40,12 @@ object Sampling {
                        rates: Map[String, Double], defaultRate: Double): DataFrame = {
     require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
-    val permille = rates.foldLeft(lit((defaultRate * 1000).toInt)) {
-      case (acc, (k, r)) => when(stratum === lit(k), lit((r * 1000).toInt)).otherwise(acc)
+    // round, don't truncate: 0.7 * 1000 is 699.999… in binary floating
+    // point, and .toInt would silently shift the rate one permille below
+    // any decimal-arithmetic mirror of the same threshold
+    def permilleOf(r: Double) = math.round(r * 1000).toInt
+    val permille = rates.foldLeft(lit(permilleOf(defaultRate))) {
+      case (acc, (k, r)) => when(stratum === lit(k), lit(permilleOf(r))).otherwise(acc)
     }
     df.filter(hashPermille(id) < permille)
   }
@@ -51,10 +59,13 @@ object Sampling {
   def topKPerStratum(df: DataFrame, stratum: Column, score: Column,
                      id: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.withColumn("rnk",
+    // collision-safe temp name: a caller's own "rnk" column (e.g. an
+    // upstream ranking step) must survive untouched
+    val rnk = "__graft_rnk"
+    df.withColumn(rnk,
         row_number().over(Window.partitionBy(stratum).orderBy(score.desc, id.asc)))
-      .filter(col("rnk") <= k)
-      .drop("rnk")
+      .filter(col(rnk) <= k)
+      .drop(rnk)
   }
 
   /** 32-bit id hash (md5 prefix): the deterministic stand-in for a
@@ -63,10 +74,10 @@ object Sampling {
     * the exact same layout.
     */
   private[graft] def hash32(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    TextAnalysis.md5PrefixLong(id.cast("string"), 8)
 
   private[graft] def hash32Sql(id: String): String =
-    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    TextAnalysis.md5PrefixLongSql(s"CAST($id AS VARCHAR)", 8)
 
   /** GPT-style sequence packing: documents are dealt into `shards` by id
     * hash, concatenated within each shard in hash order, and the token

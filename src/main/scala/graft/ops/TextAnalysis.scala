@@ -28,6 +28,22 @@ object TextAnalysis {
   def bound(e: Column)(f: Column => Column): Column =
     get(transform(array(e), f), lit(0))
 
+  /** Cross-engine-portable hash: the first `hexChars` hex digits of
+    * md5 as a long (≤ 15 chars keeps every value and its arithmetic
+    * inside a signed 64-bit int under both Spark and DuckDB ANSI
+    * semantics). THE one md5-prefix idiom — sampling, packing,
+    * winnowing and the md5 simhash all route through here and its SQL
+    * twin, so a change to one engine's formulation cannot silently skip
+    * the others.
+    */
+  private[graft] def md5PrefixLong(c: Column, hexChars: Int): Column = {
+    require(hexChars > 0 && hexChars <= 15, "hexChars must be in [1, 15]")
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+  }
+
+  private[graft] def md5PrefixLongSql(x: String, hexChars: Int): String =
+    s"CAST(('0x' || substr(md5($x), 1, $hexChars)) AS BIGINT)"
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
@@ -284,7 +300,7 @@ object TextAnalysis {
     */
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
     bound(split(lower(trim(text)), "\\s+")) { toks =>
-      bound(transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))) { hs =>
+      bound(transform(toks, t => md5PrefixLong(t, 8))) { hs =>
         bound(
           when(size(hs) < k, array().cast("array<long>"))
             .otherwise(transform(
@@ -303,7 +319,7 @@ object TextAnalysis {
 
   def winnowFingerprintsSql(x: String, k: Int = 4, w: Int = 4): String = {
     val toks = s"regexp_split_to_array(lower(trim($x)), '\\s+')"
-    val hs = s"[CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) FOR t IN $toks]"
+    val hs = s"[${md5PrefixLongSql("t", 8)} FOR t IN $toks]"
     // fold from an explicit 0 so the operation sequence matches Spark's
     // aggregate(…, 0L, …) step for step
     val gs = s"(CASE WHEN len($hs) < $k THEN [] ELSE " +

@@ -350,7 +350,7 @@ object OpsQueries {
 
   private val simhashMd5Sql: String =
     raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
-         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+         |h AS (SELECT doc_id, ${TA.md5PrefixLongSql("tok", 15)} AS h FROM toks),
          |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
          |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b)
          |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60

@@ -476,6 +476,48 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** Substring-overlap pairs via winnowing fingerprints (the MOSS
+    * scheme / Lee et al.'s "Deduplicating Training Data" substring-dup
+    * signal): (id_a, id_b, n_shared) for doc pairs sharing at least
+    * `minShared` fingerprints. Because winnowing guarantees two docs
+    * sharing ≥ w+k-1 consecutive tokens share a print, this catches
+    * COPIED PASSAGES inside otherwise-different documents — the dup
+    * class whole-document Jaccard misses.
+    *
+    * Scale shape: same as every dedup here — explode the per-doc prints
+    * once, equi-join on the print key, count per pair; never all-pairs.
+    * `maxDocFreq` (0 = off) drops prints appearing in more than that
+    * many docs — boilerplate passages shared by thousands of docs would
+    * otherwise contribute a quadratic pair fan-out (same skew guard and
+    * same semantics caveat as [[ngramJaccardPairs]]'s).
+    */
+  def winnowDupPairs(
+      df: DataFrame,
+      id: String,
+      text: Column,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val prints = df.select(col(id).as("doc"),
+      explode(TextAnalysis.winnowFingerprints(text, k, w)).as("print"))
+      .repartition(col("doc"))
+    val filtered =
+      if (maxDocFreq <= 0) prints
+      else {
+        val hot = prints.groupBy(col("print")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("print"))
+        prints.join(hot, Seq("print"), "left_anti")
+      }
+    // prints are distinct within a doc (winnowFingerprints dedups), so
+    // the per-pair row count IS the shared-print count
+    filtered.as("l").join(filtered.as("r"), Seq("print"))
+      .filter(col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Decontamination (benchmark-overlap) sweep: for each corpus doc,
     * the number of DISTINCT word n-grams it shares with a benchmark
     * set — the standard "did the eval set leak into the training

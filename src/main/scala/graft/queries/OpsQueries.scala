@@ -211,6 +211,12 @@ object OpsQueries {
         .select(col("doc_id"),
           explode(TA.winnowFingerprints(col("text"))).as("fp"))),
 
+    // substring-overlap pairs: docs sharing >= 2 winnow prints — the
+    // copied-passage dup class whole-doc Jaccard misses
+    "x_winnow_dup_pairs" -> ((s, dir) =>
+      Dedup.winnowDupPairs(Tables.documents(s, dir), "doc_id", col("text"),
+        k = 4, w = 4, minShared = 2)),
+
     // decontamination: distinct 3-gram overlap of every corpus doc with
     // the "benchmark" slice (source = src0) — the pre-training eval-set
     // leak sweep; gram-keyed equi-join, benchmark side broadcasts
@@ -385,6 +391,11 @@ object OpsQueries {
     "x_simhash_md5" -> simhashMd5Sql,
     "x_winnow_fingerprint" ->
       s"SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS fp FROM documents",
+    "x_winnow_dup_pairs" ->
+      (s"""WITH prints AS (SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS print FROM documents),
+          |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
+          |  FROM prints l JOIN prints r USING (print) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+          |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin),
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,
          |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),

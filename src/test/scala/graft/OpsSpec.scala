@@ -110,6 +110,25 @@ class OpsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("winnow dup pairs: copied passage found across different docs, unrelated pairs absent") {
+    val passage = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, s"alpha beta $passage gamma delta epsilon zeta"),
+      (2L, s"totally different framing text then $passage and some closing words"),
+      (3L, "no shared passage here at all just regular unrelated content words"),
+      (4L, "another fully unrelated document with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowDupPairs(df, "doc_id", $"text", k = 4, w = 4, minShared = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // 12 shared tokens ≥ w+k-1=7 → guaranteed shared print; with 12-4+1=9
+    // shared gram hashes the windowed minima share ≥ 2 prints
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // the maxDocFreq guard drops boilerplate prints (passage in all docs)
+    val boiler = Seq.tabulate(5)(i => (i.toLong, s"$passage tail$i")).toDF("doc_id", "text")
+    val capped = Dedup.winnowDupPairs(boiler, "doc_id", $"text", 4, 4, 1, maxDocFreq = 3)
+    assert(capped.isEmpty, "hot prints above maxDocFreq should generate no pairs")
+  }
+
   test("contamination hits: planted benchmark overlap found, clean docs absent") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench

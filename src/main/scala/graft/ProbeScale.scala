@@ -37,6 +37,15 @@ object ProbeScale {
       Dedup.contaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
         docs.filter(col("source") === "src0"), col("text"), 3).count())
+    // incremental admission of one sf0.1 batch against the other
+    // mult-1 copies: EVERY batch doc collides with mult-1 corpus twins —
+    // worst-case collision rate; cost must track batch-side work, with
+    // the corpus touched only through its bucket index and the
+    // colliding-doc semi-join
+    time("incremental_near_dup")(
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") >= n), docs.filter(col("doc_id") < n),
+        "doc_id", col("text")).count())
     // the dup-heavy worst case for clustering: every doc sits in a
     // mult-sized clique, so components are MANY and label propagation
     // must converge in ~1 round despite ~100× pair volume

@@ -302,6 +302,16 @@ object Dedup {
         Seq("fp"), "left_anti")
       .select(col(id), col("fp"))
 
+  /** The persistable LSH index of a corpus: exploded (doc, band,
+    * bucket) rows. An ingest job writes this once (bucketed by (band,
+    * bucket)); every later increment joins against it via
+    * [[incrementalNearDupPairs]]'s `corpusIndex` instead of re-hashing
+    * 100 TB of corpus text.
+    */
+  def buildLshIndex(df: DataFrame, id: String, text: Column,
+                    n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandBuckets(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
+
   /** Incremental near-duplicate pairs: MinHash-LSH candidates restricted
     * to pairs that TOUCH the new batch — batch×corpus and batch×batch,
     * never corpus×corpus — verified with the EXACT n-gram Jaccard, so
@@ -324,9 +334,13 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
     val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
-    val corpusBuckets = bandBuckets(minhashSigs(corpus, id, text, n, numHashes), numHashes, bands)
+    // prefer the persisted index (the 100 TB path — see buildLshIndex);
+    // recompute from corpus text only when none is supplied
+    val corpusBuckets = corpusIndex.getOrElse(
+      buildLshIndex(corpus, id, text, n, numHashes, bands))
     // batch × (corpus ∪ batch): canonicalized to id_a < id_b, so the
     // doubled batch×batch directions collapse in the dedup. Materialized
     // once (skinny — two longs per pair): read again by the

@@ -343,6 +343,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"incremental recall $recall too low (found ${inc.size}, exact ${exact.size})")
   }
 
+  test("incremental near-dup: prebuilt corpus index yields identical pairs") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val live = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val index = Dedup.buildLshIndex(corpus, "doc_id", $"text")
+    val viaIndex = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        corpusIndex = Some(index))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(live == viaIndex, s"index path diverged: ${live.diff(viaIndex)} / ${viaIndex.diff(live)}")
+    assert(live.nonEmpty)
+  }
+
   test("near-dup clusters: min-label components, drop list keeps one per cluster") {
     // chain 1-2-3 bridged to 8-9 via 1-9; separate pair 5-6
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))

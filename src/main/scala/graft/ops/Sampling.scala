@@ -68,6 +68,42 @@ object Sampling {
       .drop(rnk)
   }
 
+  /** Mixture rebalancing: sample each stratum so the OUTPUT composition
+    * matches `shares` (target fractions, e.g. en→0.5, de→0.3, fr→0.2)
+    * while keeping the maximum data possible — the corpus-mixing move
+    * when the target is a composition, not per-stratum rates. Strata
+    * absent from `shares` are dropped.
+    *
+    * Math: with stratum counts c_s and target shares w_s, the largest
+    * total T with w_s·T ≤ c_s for every s is T = min_s(c_s/w_s); each
+    * stratum then keeps rate w_s·T/c_s (the arg-min stratum keeps
+    * everything). Fully declarative — counts come from a groupBy (one
+    * tiny row per stratum), T from an aggregate over that frame, and
+    * the per-stratum rates broadcast back onto the corpus: nothing is
+    * collected to the driver and no global window exists. Per-row
+    * keep/drop decisions reuse the deterministic [[hashPermille]].
+    */
+  def mixtureSample(df: DataFrame, id: Column, stratum: Column,
+                    shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toSeq.toDF("stratum", "share")
+    val tagged = df.withColumn("__graft_stratum", stratum)
+    val counts = tagged.groupBy(col("__graft_stratum").as("stratum"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .join(sharesDf, Seq("stratum"))
+    val t = counts.agg(min(col("c") / col("share")).as("t"))
+    val rates = counts.crossJoin(t)
+      .select(col("stratum").as("__graft_stratum"),
+        (col("share") * col("t") / col("c")).as("__graft_rate"))
+    tagged
+      .join(broadcast(rates), Seq("__graft_stratum"))
+      .filter(hashPermille(id).cast("double") < col("__graft_rate") * 1000.0)
+      .drop("__graft_stratum", "__graft_rate")
+  }
+
   /** 32-bit id hash (md5 prefix): the deterministic stand-in for a
     * pre-training shuffle — used as both the shard key and the
     * within-shard ordering so a re-run (or another engine) reproduces

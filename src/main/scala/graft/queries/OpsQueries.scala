@@ -288,6 +288,17 @@ object OpsQueries {
           TA.tokenCount(col("text")), shards = 8, budget = 2048)
         .withColumnRenamed("pack_id", "doc_id")),
 
+    // mixture rebalancing: sample per-language so the OUTPUT composition
+    // hits 50/30/20 en/de/fr while keeping the max data — rates derived
+    // declaratively from the measured counts (no driver collect)
+    "x_corpus_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang_guess", TA.langId(col("text")))
+      Sampling.mixtureSample(docs, col("doc_id"), col("lang_guess"),
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+        .select(col("doc_id"), col("lang_guess"))
+    }),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -431,6 +442,16 @@ object OpsQueries {
           |  CAST(start_off // 2048 AS BIGINT) AS bin_first,
           |  CAST(greatest(start_off, start_off + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
           |FROM p""".stripMargin),
+    "x_corpus_mixture" ->
+      (s"""WITH shares(stratum, share) AS (VALUES
+          |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+          |l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
+          |counts AS (SELECT lang_guess AS stratum, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),
+          |j AS (SELECT counts.stratum, counts.c, shares.share FROM counts JOIN shares USING (stratum)),
+          |t AS (SELECT MIN(c / share) AS t FROM j),
+          |rates AS (SELECT stratum, share * t.t / c AS rate FROM j, t)
+          |SELECT doc_id, lang_guess FROM l JOIN rates ON rates.stratum = l.lang_guess
+          |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < rate * 1000.0""".stripMargin),
     "x_top_quality_per_lang" ->
       (s"""WITH scored AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
           |  ${TA.qualityScoreSql("text")} AS quality FROM documents),

@@ -501,6 +501,30 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("mixture sampling: output composition matches targets, arg-min stratum kept whole") {
+    // 3000 en / 600 de / 400 fr; targets 50/30/20 → T bounded by
+    // de (600/0.3 = 2000): expect ~1000 en, 600 de (all), ~400 fr (all)
+    val df = (0L until 4000L).map { i =>
+      (i, if (i < 3000) "en" else if (i < 3600) "de" else "fr")
+    }.toDF("id", "lang")
+    val out = Sampling.mixtureSample(df, $"id", $"lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") == 600L, s"arg-min stratum must keep everything, got ${byLang.get("de")}")
+    assert(byLang("fr") == 400L, s"rate-1.0 stratum truncated: ${byLang.get("fr")}")
+    assert(byLang("en") > 900L && byLang("en") < 1100L, s"en kept ${byLang.get("en")} (want ~1000)")
+    // composition ≈ targets
+    val total = byLang.values.sum.toDouble
+    assert(math.abs(byLang("en") / total - 0.5) < 0.05)
+    // strata without a share are dropped; determinism across runs
+    val extra = df.union(Seq((9999L, "xx")).toDF("id", "lang"))
+    assert(Sampling.mixtureSample(extra, $"id", $"lang", Map("en" -> 1.0))
+      .filter($"lang" =!= "en").isEmpty)
+    val again = Sampling.mixtureSample(df, $"id", $"lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),

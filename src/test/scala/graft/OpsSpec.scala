@@ -501,6 +501,25 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("corpus-shaping ops drop null-id/null-text rows instead of failing or mislabeling") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "real content here"),
+      (null.asInstanceOf[java.lang.Long], "orphan row"),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // null id → null hash → three-valued comparison drops the row
+    val sampled = Sampling.stratifiedSample(df, $"doc_id", lit("en"), Map("en" -> 1.0), 1.0)
+    assert(sampled.select($"doc_id").as[java.lang.Long].collect().toSet == Set(1L, 3L))
+    val mixed = Sampling.mixtureSample(df.filter($"text".isNotNull), $"doc_id", lit("en"),
+      Map("en" -> 1.0))
+    assert(mixed.select($"doc_id").as[java.lang.Long].collect().toSet == Set(1L))
+    // null text → null grams/prints → no pairs, no NPE
+    assert(Dedup.winnowDupPairs(df, "doc_id", $"text", 4, 4, 1).isEmpty)
+    // gopher rules on null text stay null → a filter on `passes` drops them
+    assert(df.filter(TA.gopherPass($"text")).count() == 0) // none reach 50 tokens
+    assert(df.filter(TA.gopherPass($"text").isNull).count() == 1)
+  }
+
   test("mixture sampling: output composition matches targets, arg-min stratum kept whole") {
     // 3000 en / 600 de / 400 fr; targets 50/30/20 → T bounded by
     // de (600/0.3 = 2000): expect ~1000 en, 600 de (all), ~400 fr (all)

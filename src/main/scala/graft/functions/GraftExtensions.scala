@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         literal("graft_minhash_sig", children, 2, "numHashes").intValue)))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowExpr(
+        children.head,
+        literal("graft_winnow", children, 1, "k").intValue,
+        literal("graft_winnow", children, 2, "w").intValue)))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineExpr(children.head, children(1))))

@@ -297,8 +297,15 @@ object TextAnalysis {
     * to share a fingerprint. Token hashes come from md5 (first 8 hex
     * chars) and all arithmetic stays under 2^52, so the DuckDB mirror
     * is bit-identical.
+    *
+    * Dispatches to the native codegen'd `WinnowExpr` (registered via
+    * `GraftExtensions`); [[winnowFingerprintsHof]] is the pure-HOF
+    * reference formulation it is parity-tested against in OpsSpec.
     */
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
+
+  private[graft] def winnowFingerprintsHof(text: Column, k: Int = 4, w: Int = 4): Column =
     bound(split(lower(trim(text)), "\\s+")) { toks =>
       bound(transform(toks, t => md5PrefixLong(t, 8))) { hs =>
         bound(

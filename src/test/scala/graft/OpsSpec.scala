@@ -157,6 +157,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0).getAs[Number]("hamming").longValue == 0L)
   }
 
+  test("winnow: native fingerprints value-identical to the HOF formulation") {
+    val cases = Tables.documents(spark, sfDir)
+      .select($"text")
+      .union(Seq("", "one", "one two three", "one two three four",
+        "one two three four five six seven", "A  b\tC d e F g h").toDF("text"))
+    for ((k, w) <- Seq((4, 4), (3, 5), (1, 1))) {
+      val cmp = cases.select(
+        TA.winnowFingerprints($"text", k, w).as("native"),
+        TA.winnowFingerprintsHof($"text", k, w).as("hof"))
+      assert(cmp.filter(!($"native" <=> $"hof")).count() == 0,
+        s"native/HOF winnow divergence at k=$k w=$w")
+    }
+  }
+
   test("minhash: native signature value-identical to the HOF formulation") {
     val docs = Tables.documents(spark, sfDir)
       .select($"text")

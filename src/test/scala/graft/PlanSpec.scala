@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling is a pure narrow filter — zero exchanges") {
+    val p = plan("x_stratified_sample")
+    assert(!p.contains("Exchange"),
+      "hash-rate sampling must not shuffle: every executor decides from the row alone")
+  }
+
+  test("mixture rebalancing broadcasts its tiny rate table, never sort-merges the corpus") {
+    val p = plan("x_corpus_mixture")
+    assert(p.contains("BroadcastHashJoin"), "per-stratum rates should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled against a handful of rate rows")
+  }
+
   test("sequence packing is one shard shuffle + parallel windows, no global sort") {
     val p = plan("x_sequence_pack")
     // exactly one exchange (the shard hash partitioning); a global

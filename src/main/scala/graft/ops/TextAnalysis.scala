@@ -56,7 +56,7 @@ object TextAnalysis {
     * shape reduced to explicit ASCII classes so Java regex and RE2
     * (DuckDB) agree match-for-match.
     */
-  private val BpeClass = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private[graft] val BpeClass = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeClass), lit(0)))

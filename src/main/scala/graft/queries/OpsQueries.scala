@@ -258,6 +258,15 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // tokenizer-training stats: the unigram vocabulary and the adjacent
+    // BPE pre-token pair counts (the merge-candidate table) — wordcount
+    // shuffles + per-partition top-k, never a global sort
+    "x_vocab_top_tokens" -> ((s, dir) =>
+      graft.ops.Vocab.topTokens(Tables.documents(s, dir), col("text"), 500)),
+
+    "x_bpe_merge_pairs" -> ((s, dir) =>
+      graft.ops.Vocab.topBpePairs(Tables.documents(s, dir), col("text"), 500)),
+
     // Gopher-rules quality gate: per-rule booleans + the overall pass,
     // one narrow expression per doc
     "x_gopher_filter" -> ((s, dir) => {
@@ -420,6 +429,16 @@ object OpsQueries {
           |SELECT doc_id, lang_guess FROM l
           |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_vocab_top_tokens" ->
+      (raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
+            |SELECT token, count(*) AS n FROM toks GROUP BY 1
+            |ORDER BY n DESC, token LIMIT 500""".stripMargin),
+    "x_bpe_merge_pairs" ->
+      (raw"""WITH toks AS (SELECT regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS a FROM documents),
+            |pairs AS (SELECT unnest(CASE WHEN len(a) < 2 THEN []
+            |  ELSE [a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))] END) AS pair FROM toks)
+            |SELECT pair, count(*) AS n FROM pairs GROUP BY 1
+            |ORDER BY n DESC, pair LIMIT 500""".stripMargin),
     "x_gopher_filter" ->
       (s"SELECT doc_id, " +
         TA.gopherRulesSql("text").map { case (n, e) => s"$e AS $n" }.mkString(", ") +

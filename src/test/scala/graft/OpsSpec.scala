@@ -389,6 +389,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab: top tokens and BPE merge pairs count and rank correctly") {
+    val df = Seq(
+      (1L, "the cat the cat the dog"),
+      (2L, "THE cat runs"),
+      (3L, "x")).toDF("doc_id", "text")
+    val top = graft.ops.Vocab.topTokens(df, $"text", 3)
+      .as[(String, Long)].collect().toSeq
+    // the:4, cat:3, then ties at 1 broken alphabetically → dog
+    assert(top == Seq(("the", 4L), ("cat", 3L), ("dog", 1L)), s"got $top")
+    val pairs = graft.ops.Vocab.topBpePairs(df, $"text", 2)
+      .as[(String, Long)].collect().toSeq
+    // adjacent pre-token pairs: "the cat" ×3 ("cat the" ×2)
+    assert(pairs == Seq(("the cat", 3L), ("cat the", 2L)), s"got $pairs")
+    // single-pre-token docs produce no pairs, no failure
+    assert(graft.ops.Vocab.topBpePairs(Seq((9L, "x")).toDF("doc_id", "text"), $"text", 5)
+      .isEmpty)
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean prose passes") {
     val longProse = Array.fill(60)("sensible english words flow here nicely").mkString(" ")
     val cases = Seq(

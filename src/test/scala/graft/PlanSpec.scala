@@ -118,6 +118,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab top-k plans TakeOrderedAndProject, never a global sort") {
+    for (name <- Seq("x_vocab_top_tokens", "x_bpe_merge_pairs")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name should top-k per partition and merge k rows on the driver")
+      assert(!p.contains("rangepartitioning"),
+        s"$name globally sorts the vocabulary before the limit")
+    }
+  }
+
   test("stratified sampling is a pure narrow filter — zero exchanges") {
     val p = plan("x_stratified_sample")
     assert(!p.contains("Exchange"),

@@ -60,8 +60,8 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 
 object WinnowExpr {
 
-  private val B = 1000003L     // polynomial base (TextAnalysis.WinnowB)
-  private val M = 2147483647L  // 2^31 - 1 (TextAnalysis.WinnowM)
+  private val B = graft.ops.TextAnalysis.WinnowB
+  private val M = graft.ops.TextAnalysis.WinnowM
   private val Whitespace = UTF8String.fromString("\\s+")
 
   private val md5 = new ThreadLocal[MessageDigest] {

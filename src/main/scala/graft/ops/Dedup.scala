@@ -309,8 +309,19 @@ object Dedup {
     * 100 TB of corpus text.
     */
   def buildLshIndex(df: DataFrame, id: String, text: Column,
-                    n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+                    n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // stamp the banding parameters into the band column's metadata —
+    // StructField metadata survives a parquet write/read, so a later
+    // increment can refuse an index built under different parameters
+    // instead of silently joining incompatible bucket spaces
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.n", n.toLong)
+      .putLong("graft.numHashes", numHashes.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .build()
     bandBuckets(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
+      .withColumn("band", col("band").as("band", meta))
+  }
 
   /** Incremental near-duplicate pairs: MinHash-LSH candidates restricted
     * to pairs that TOUCH the new batch — batch×corpus and batch×batch,
@@ -336,11 +347,24 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       corpusIndex: Option[DataFrame] = None): DataFrame = {
+    // an index built under different banding parameters would join
+    // incompatible bucket spaces and silently admit near-dups — refuse
+    // it when the buildLshIndex stamp is present and disagrees
+    corpusIndex.foreach { idx =>
+      val m = idx.schema("band").metadata
+      if (m.contains("graft.bands")) {
+        val (in, ih, ib) =
+          (m.getLong("graft.n"), m.getLong("graft.numHashes"), m.getLong("graft.bands"))
+        require(in == n && ih == numHashes && ib == bands,
+          s"corpusIndex was built with (n=$in, numHashes=$ih, bands=$ib) " +
+            s"but this increment uses (n=$n, numHashes=$numHashes, bands=$bands)")
+      }
+    }
     val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
     // prefer the persisted index (the 100 TB path — see buildLshIndex);
     // recompute from corpus text only when none is supplied
-    val corpusBuckets = corpusIndex.getOrElse(
-      buildLshIndex(corpus, id, text, n, numHashes, bands))
+    val corpusBuckets = corpusIndex.map(_.select(col("doc"), col("band"), col("bucket")))
+      .getOrElse(buildLshIndex(corpus, id, text, n, numHashes, bands))
     // batch × (corpus ∪ batch): canonicalized to id_a < id_b, so the
     // doubled batch×batch directions collapse in the dedup. Materialized
     // once (skinny — two longs per pair): read again by the
@@ -513,9 +537,11 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxDocFreq: Long = 0L): DataFrame = {
+    // no doc-keyed repartition here (unlike docGramArrays): every
+    // consumer joins/aggregates on "print", and the self-join's two
+    // identical print-keyed exchanges already collapse via ReusedExchange
     val prints = df.select(col(id).as("doc"),
       explode(TextAnalysis.winnowFingerprints(text, k, w)).as("print"))
-      .repartition(col("doc"))
     val filtered =
       if (maxDocFreq <= 0) prints
       else {

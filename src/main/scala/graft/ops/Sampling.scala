@@ -77,11 +77,17 @@ object Sampling {
     * Math: with stratum counts c_s and target shares w_s, the largest
     * total T with w_s·T ≤ c_s for every s is T = min_s(c_s/w_s); each
     * stratum then keeps rate w_s·T/c_s (the arg-min stratum keeps
-    * everything). Fully declarative — counts come from a groupBy (one
-    * tiny row per stratum), T from an aggregate over that frame, and
-    * the per-stratum rates broadcast back onto the corpus: nothing is
-    * collected to the driver and no global window exists. Per-row
-    * keep/drop decisions reuse the deterministic [[hashPermille]].
+    * everything). The corpus itself stays declarative — counts come
+    * from a groupBy (one tiny row per stratum), T from an aggregate
+    * over that frame, and the per-stratum rates broadcast back onto
+    * the corpus; the ONLY driver materialization is the ≤|shares|-row
+    * stratum list, collected to fail loudly when a requested stratum
+    * has no samplable rows (T would otherwise be computed over the
+    * present strata only and silently violate the target composition).
+    * Rows with a null `id` can never be kept (the hash comparison is
+    * null) and are excluded up front so they don't inflate the counts.
+    * Per-row keep/drop decisions reuse the deterministic
+    * [[hashPermille]].
     */
   def mixtureSample(df: DataFrame, id: Column, stratum: Column,
                     shares: Map[String, Double]): DataFrame = {
@@ -90,10 +96,18 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val sharesDf = shares.toSeq.toDF("stratum", "share")
-    val tagged = df.withColumn("__graft_stratum", stratum)
+    val tagged = df.filter(id.isNotNull).withColumn("__graft_stratum", stratum)
+    // tiny (one row per stratum) but derived from a full corpus scan —
+    // materialize once, reused by the missing-stratum check and the rates
     val counts = tagged.groupBy(col("__graft_stratum").as("stratum"))
       .agg(count(lit(1)).cast("double").as("c"))
       .join(sharesDf, Seq("stratum"))
+      .localCheckpoint(true)
+    val present = counts.select(col("stratum")).as[String].collect().toSet
+    val missing = shares.keySet.diff(present)
+    require(missing.isEmpty,
+      s"mixtureSample: no samplable rows for target strata ${missing.mkString(", ")} " +
+        "— the requested composition is unreachable")
     val t = counts.agg(min(col("c") / col("share")).as("t"))
     val rates = counts.crossJoin(t)
       .select(col("stratum").as("__graft_stratum"),

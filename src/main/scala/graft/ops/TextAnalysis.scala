@@ -286,8 +286,9 @@ object TextAnalysis {
       s"CAST(len($gs) - len(list_distinct($gs)) AS DOUBLE) / CAST(len($gs) AS DOUBLE) END)"
   }
 
-  private val WinnowB = 1000003L     // polynomial base
-  private val WinnowM = 2147483647L  // 2^31 - 1 — keeps every product < 2^52, signed-safe
+  // shared with the native WinnowExpr so the constants cannot drift
+  private[graft] val WinnowB = 1000003L     // polynomial base
+  private[graft] val WinnowM = 2147483647L  // 2^31 - 1 — keeps every product < 2^52, signed-safe
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS scheme, and the "rolling hash" document fingerprint): rolling

@@ -19,6 +19,8 @@ object Vocab {
   def topTokens(df: DataFrame, text: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     df.select(explode(split(lower(trim(text)), "\\s+")).as("token"))
+      // empty/whitespace-only docs split to [""] — not a vocabulary entry
+      .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)

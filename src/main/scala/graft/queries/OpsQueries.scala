@@ -298,13 +298,15 @@ object OpsQueries {
         .withColumnRenamed("pack_id", "doc_id")),
 
     // mixture rebalancing: sample per-language so the OUTPUT composition
-    // hits 50/30/20 en/de/fr while keeping the max data — rates derived
-    // declaratively from the measured counts (no driver collect)
+    // hits 70/30 en/und (the two langs this corpus actually contains —
+    // a target stratum with no rows fails loudly) while keeping the max
+    // data; rates derive from the measured counts, the only driver
+    // materialization being the ≤|shares|-row stratum list
     "x_corpus_mixture" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("lang_guess", TA.langId(col("text")))
       Sampling.mixtureSample(docs, col("doc_id"), col("lang_guess"),
-          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+          Map("en" -> 0.7, "und" -> 0.3))
         .select(col("doc_id"), col("lang_guess"))
     }),
 
@@ -431,7 +433,7 @@ object OpsQueries {
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
     "x_vocab_top_tokens" ->
       (raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
-            |SELECT token, count(*) AS n FROM toks GROUP BY 1
+            |SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY 1
             |ORDER BY n DESC, token LIMIT 500""".stripMargin),
     "x_bpe_merge_pairs" ->
       (raw"""WITH toks AS (SELECT regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS a FROM documents),
@@ -463,7 +465,7 @@ object OpsQueries {
           |FROM p""".stripMargin),
     "x_corpus_mixture" ->
       (s"""WITH shares(stratum, share) AS (VALUES
-          |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+          |  ('en', CAST(0.7 AS DOUBLE)), ('und', CAST(0.3 AS DOUBLE))),
           |l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
           |counts AS (SELECT lang_guess AS stratum, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),
           |j AS (SELECT counts.stratum, counts.c, shares.share FROM counts JOIN shares USING (stratum)),

@@ -574,6 +574,21 @@ class OpsSpec extends SparkSpec {
     val again = Sampling.mixtureSample(df, $"id", $"lang",
       Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // a target stratum with zero samplable rows makes the composition
+    // unreachable — fail loudly instead of silently returning 100% en
+    assertThrows[IllegalArgumentException] {
+      Sampling.mixtureSample(df, $"id", $"lang", Map("en" -> 0.5, "xx" -> 0.5))
+    }
+  }
+
+  test("incremental near-dup refuses a corpus index built under different banding") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val index = Dedup.buildLshIndex(corpus, "doc_id", $"text", numHashes = 128, bands = 32)
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        corpusIndex = Some(index)) // defaults (64, 16) disagree
+    }
   }
 
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {

@@ -258,6 +258,31 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // the capstone: one declarative preprocessing pipeline — Gopher
+    // quality gate → benchmark decontamination (≥50% of a doc's
+    // distinct 3-grams in the benchmark; a FRACTION, so the rule
+    // survives benchmark growth where any absolute count would not) →
+    // near-dup cluster dedup (keep canonical representatives) — every
+    // stage an operator this engine ships, the whole flow one plan
+    "x_pipeline_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.filter(col("source") =!= "src0")
+        .filter(TA.gopherPass(col("text")))
+      val bench = docs.filter(col("source") === "src0")
+      val gramCounts = gated.select(col("doc_id").as("doc"),
+        size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
+      val contaminated = Dedup.contaminationHits(
+          gated, "doc_id", col("text"), bench, col("text"), 3)
+        .join(gramCounts, Seq("doc"))
+        .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
+        .select(col("doc").as("doc_id"))
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+      clean.join(dropList, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
     // shuffles + per-partition top-k, never a global sort
@@ -348,8 +373,8 @@ object OpsQueries {
     })
   )
 
-  private def jaccardSql(threshold: Double): String =
-    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+  private def jaccardSql(threshold: Double, relation: String = "documents"): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
          |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] ELSE
          |  [array_to_string(list_slice(t, i, i+2), ' ') FOR i IN range(1, len(t)-1)] END) AS gs FROM toks),
          |eg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
@@ -431,6 +456,29 @@ object OpsQueries {
           |SELECT doc_id, lang_guess FROM l
           |WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
+    "x_pipeline_corpus" ->
+      (s"""WITH RECURSIVE
+          |gated AS (SELECT doc_id, text FROM documents
+          |  WHERE source != 'src0' AND ${TA.gopherPassSql("text")}),
+          |cg AS (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
+          |bg AS (SELECT DISTINCT unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram
+          |  FROM documents WHERE source = 'src0'),
+          |hits AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id),
+          |gsz AS (SELECT doc_id, count(*) AS g FROM cg GROUP BY doc_id),
+          |contaminated AS (SELECT doc_id FROM hits JOIN gsz USING (doc_id)
+          |  WHERE CAST(n AS DOUBLE) / CAST(g AS DOUBLE) >= 0.5),
+          |clean AS (SELECT doc_id, text FROM gated
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |prs AS (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r))
+          |SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM clean
+          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
     "x_vocab_top_tokens" ->
       (raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
             |SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY 1

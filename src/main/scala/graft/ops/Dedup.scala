@@ -348,17 +348,22 @@ object Dedup {
       threshold: Double = 0.8,
       corpusIndex: Option[DataFrame] = None): DataFrame = {
     // an index built under different banding parameters would join
-    // incompatible bucket spaces and silently admit near-dups — refuse
-    // it when the buildLshIndex stamp is present and disagrees
+    // incompatible bucket spaces and silently admit near-dups — the
+    // stamp is REQUIRED, not best-effort: a projection/transformation
+    // that drops StructField metadata (or an index built by other
+    // tooling) must fail loudly here, because the silent failure mode
+    // is lost recall, which nothing downstream can detect
     corpusIndex.foreach { idx =>
       val m = idx.schema("band").metadata
-      if (m.contains("graft.bands")) {
-        val (in, ih, ib) =
-          (m.getLong("graft.n"), m.getLong("graft.numHashes"), m.getLong("graft.bands"))
-        require(in == n && ih == numHashes && ib == bands,
-          s"corpusIndex was built with (n=$in, numHashes=$ih, bands=$ib) " +
-            s"but this increment uses (n=$n, numHashes=$numHashes, bands=$bands)")
-      }
+      require(m.contains("graft.bands"),
+        "corpusIndex lacks the buildLshIndex parameter stamp — supply the frame " +
+          "produced by buildLshIndex (or its parquet reread) without projections " +
+          "that strip column metadata")
+      val (in, ih, ib) =
+        (m.getLong("graft.n"), m.getLong("graft.numHashes"), m.getLong("graft.bands"))
+      require(in == n && ih == numHashes && ib == bands,
+        s"corpusIndex was built with (n=$in, numHashes=$ih, bands=$ib) " +
+          s"but this increment uses (n=$n, numHashes=$numHashes, bands=$bands)")
     }
     val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
     // prefer the persisted index (the 100 TB path — see buildLshIndex);
@@ -421,22 +426,27 @@ object Dedup {
     * the component's minimum doc id — the canonical representative a
     * dedup pipeline keeps while dropping the rest ([[clusterDropList]]).
     *
-    * Algorithm: iterative min-label propagation over the symmetric edge
-    * list — each round every node takes the min of its own label and its
-    * neighbors', so the component minimum floods outward one hop per
-    * round and the loop stops when a round changes nothing. Rounds
-    * needed = the component's eccentricity from its min node; near-dup
-    * components are clique-ish (duplicates of one source all pair with
-    * each other), so this is 1–3 in practice. Per round: one equi-join
-    * on the edge key + one min-aggregation, with `localCheckpoint`
-    * truncating the lineage (same pattern as the cyclic FK closure —
-    * without it round d replans the whole prior join tree). Nothing ever
-    * sits on the driver; labels live behind a shuffle at every step.
+    * Algorithm: min-label propagation WITH pointer doubling (the
+    * Shiloach–Vishkin shortcutting move, the same accelerant behind
+    * large-star/small-star CC — Kiveris et al., SoCC'14). Each round
+    * every node takes the min of (a) its own label, (b) its neighbors'
+    * labels, and (c) its label's label — labels are node ids, so step
+    * (c) is one more equi-join that halves the remaining pointer
+    * distance to the component minimum. Neighbor flooding alone needs
+    * O(eccentricity) rounds — fine for clique-ish LSH output, but
+    * [[winnowDupPairs]] (copied-passage chains: A∼B∼C without A∼C)
+    * legitimately emits long PATHS; with shortcutting a diameter-d
+    * chain converges in O(log d) rounds (measured: 50-node chain in 7,
+    * see OpsSpec). Per round: two equi-joins + one min-aggregation, with
+    * `localCheckpoint` truncating the lineage (same pattern as the
+    * cyclic FK closure — without it round d replans the whole prior
+    * join tree). Nothing ever sits on the driver; labels live behind a
+    * shuffle at every step.
     *
-    * @param maxRounds trap instead of silently wrong labels if a
-    *                  pathological chain outruns the budget (a
-    *                  diameter-`maxRounds` PATH of pairwise near-dups,
-    *                  which banded LSH essentially never emits)
+    * @param maxRounds trap instead of silently wrong labels if the
+    *                  budget is outrun — with doubling this bounds the
+    *                  reachable diameter at ~2^maxRounds, so the default
+    *                  covers any physically possible component
     */
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE — a union of
@@ -460,10 +470,20 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
+      // pointer doubling: my label is a node id, so look up ITS label —
+      // the min-label tree shortcuts toward the root, halving the
+      // remaining distance each round (a left join: the root's label is
+      // itself, and labels of nodes outside `sym` resolve to null)
+      val grandMin = labels
+        .join(labels.select(col("id").as("label"), col("label").as("glabel")), Seq("label"))
+        .select(col("id"), col("glabel"))
       val next = labels
         .join(neighborMin, Seq("id"), "left")
+        .join(grandMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("glabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       converged = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))

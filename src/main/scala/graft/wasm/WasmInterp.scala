@@ -20,7 +20,8 @@ import WasmModule.{FnCode, Module}
   */
 final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array[Long]],
                        maxFuel: Long = WasmInterp.DefaultMaxFuel,
-                       maxCallDepth: Int = WasmInterp.DefaultMaxCallDepth) {
+                       maxCallDepth: Int = WasmInterp.DefaultMaxCallDepth,
+                       maxInitPages: Int = WasmInterp.DefaultMaxInitPages) {
   private val PageSize = 65536
   // A JVM byte array caps linear memory at Int.MaxValue bytes = 32767
   // full pages, below the spec's 65536-page (4 GiB) ceiling; grows past
@@ -36,10 +37,15 @@ final class WasmInterp(module: Module, hostFns: Map[String, Array[Long] => Array
   // ---- store ----
   private var mem: Array[Byte] = {
     val lim = module.memLimits.getOrElse(WasmModule.Limits(0, -1))
-    // a declared minimum past the JVM cap must trap, not overflow
-    // `min * PageSize` into a negative array size
-    if (lim.min < 0 || lim.min > MaxPages)
-      throw new WasmTrap(s"memory min ${lim.min} pages exceeds supported $MaxPages")
+    // a declared minimum past the instantiation cap must trap BEFORE the
+    // allocation: instantiation runs before any fuel is charged, so a
+    // hostile module declaring a huge min would otherwise force a
+    // multi-GiB zeroed array per invocation on an executor. The cap is
+    // far above any real per-cell transformer (the reference's fixture
+    // declares 1–2 pages); growth past it stays available via
+    // memory.grow, which charges byte-proportional fuel.
+    if (lim.min < 0 || lim.min > maxInitPages)
+      throw new WasmTrap(s"memory min ${lim.min} pages exceeds supported $maxInitPages at instantiation")
     new Array[Byte](lim.min * PageSize)
   }
   private val memMaxPages: Int =
@@ -583,4 +589,11 @@ object WasmInterp {
     * covering any sane transformer recursion.
     */
   val DefaultMaxCallDepth: Int = 1000
+  /** Cap on DECLARED memory min at instantiation (pages of 64 KiB; 512
+    * = 32 MiB). Instantiation happens before fuel metering starts, so
+    * the declared minimum is the one allocation a hostile module gets
+    * for free — bound it to something a per-row transformer could
+    * plausibly need rather than the 2 GiB JVM array ceiling.
+    */
+  val DefaultMaxInitPages: Int = 512
 }

@@ -123,7 +123,9 @@ object WasmModule {
     }
     def name(): String = {
       val n = u32()
-      if (n < 0 || pos + n > bytes.length) throw new WasmTrap("truncated module: name runs past end")
+      // overflow-safe form (pos + n wraps negative for n near 2^31 and
+      // would pass the naive check): bytes.length - pos can't overflow
+      if (n < 0 || n > bytes.length - pos) throw new WasmTrap("truncated module: name runs past end")
       val s = new String(bytes, pos, n, "UTF-8")
       pos += n
       s
@@ -131,7 +133,8 @@ object WasmModule {
     def byteVec(): Array[Byte] = {
       val n = u32()
       // copyOfRange would silently ZERO-PAD past the end — trap instead
-      if (n < 0 || pos + n > bytes.length) throw new WasmTrap("truncated module: byte vector runs past end")
+      // (overflow-safe form, see name())
+      if (n < 0 || n > bytes.length - pos) throw new WasmTrap("truncated module: byte vector runs past end")
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
       out

@@ -389,6 +389,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup clusters: a 50-doc pairwise chain converges in O(log d) rounds") {
+    // the winnowDupPairs shape — copied-passage chains A~B~C without
+    // A~C. Plain min-label flooding needs diameter (49) rounds and
+    // would trip the default budget; pointer doubling brings it to
+    // ~log2(49)+2, well inside maxRounds = 20
+    val longChain = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(longChain).as[(Long, Long)].collect()
+    assert(clusters.length == 50)
+    assert(clusters.forall(_._2 == 1L), s"chain must collapse to one component: ${clusters.filterNot(_._2 == 1L).take(5).toSeq}")
+    // two disjoint chains stay separate components
+    val two = ((1L until 25L).map(i => (i, i + 1)) ++ (100L until 120L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val m = Dedup.nearDupClusters(two).as[(Long, Long)].collect().toMap
+    assert((1L to 25L).forall(m(_) == 1L) && (100L to 120L).forall(m(_) == 100L))
+  }
+
   test("vocab: top tokens and BPE merge pairs count and rank correctly") {
     val df = Seq(
       (1L, "the cat the cat the dog"),
@@ -588,6 +604,40 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
         corpusIndex = Some(index)) // defaults (64, 16) disagree
+    }
+  }
+
+  test("persisted LSH index: parquet roundtrip keeps the stamp and the pairs; stripped stamp refused") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index-").toString
+    Dedup.buildLshIndex(corpus, "doc_id", $"text").write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    // the parameter stamp must survive the write/read — this IS the
+    // 100 TB contract: a later ingest validates the persisted artifact,
+    // not the code that happened to produce it
+    val m = reread.schema("band").metadata
+    assert(m.contains("graft.bands") && m.getLong("graft.numHashes") == 64L
+      && m.getLong("graft.n") == 3L && m.getLong("graft.bands") == 16L)
+    val live = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val viaParquet = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        corpusIndex = Some(reread))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(live == viaParquet && live.nonEmpty,
+      s"parquet index path diverged: ${live.diff(viaParquet)} / ${viaParquet.diff(live)}")
+    // a mismatched reread is refused on the persisted metadata alone
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        numHashes = 128, bands = 32, corpusIndex = Some(reread))
+    }
+    // a transformation that strips column metadata is refused loudly —
+    // the silent failure mode it prevents (wrong bucket space, lost
+    // recall) is undetectable downstream
+    val stripped = reread.withColumn("band", $"band".cast("long").cast("int"))
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        corpusIndex = Some(stripped))
     }
   }
 

@@ -548,7 +548,19 @@ object Dedup {
     * many docs — boilerplate passages shared by thousands of docs would
     * otherwise contribute a quadratic pair fan-out (same skew guard and
     * same semantics caveat as [[ngramJaccardPairs]]'s).
+    *
+    * The default cap is MEASURED, not guessed (ProbeWinnow at 30×
+    * duplication, PLANS.md): print df tracks duplication factor ×
+    * base-df, with p999 = 120 and max = 180 on a corpus where EVERY doc
+    * has 30 near-identical twins; 128 sits above that p999 (99.95% of
+    * true pairs kept under extreme duplication) while capping a df-D
+    * boilerplate print's fan-out at 128²/2 ≈ 8k pair rows instead of
+    * D²/2 — the 10⁵-doc license-header print that would otherwise emit
+    * 5×10⁹ rows. Corpora with legitimate >128-fold passage duplication
+    * should raise it; 0 disables.
     */
+  val WinnowDefaultMaxDocFreq: Long = 128L
+
   def winnowDupPairs(
       df: DataFrame,
       id: String,
@@ -556,7 +568,7 @@ object Dedup {
       k: Int = 4,
       w: Int = 4,
       minShared: Int = 2,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = WinnowDefaultMaxDocFreq): DataFrame = {
     // no doc-keyed repartition here (unlike docGramArrays): every
     // consumer joins/aggregates on "print", and the self-join's two
     // identical print-keyed exchanges already collapse via ReusedExchange

@@ -163,6 +163,17 @@ object TextAnalysis {
     * side and the SQL mirror so thresholds cannot drift apart. All pure
     * per-row expressions — a stateless narrow filter at any scale.
     */
+  /** Gopher §A1.1's required "stop words" (a doc must contain some of
+    * these to look like running English prose). The paper requires ≥ 2
+    * DISTINCT hits; this portable default uses ≥ 1 because the rule
+    * list is config and the synthetic test corpus tops out at 1 (the
+    * threshold lives in ONE place, [[RequiredStopwordMin]], for a real
+    * deployment to raise).
+    */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val RequiredStopwordMin: Int = 1
+
   def gopherRules(text: Column): Seq[(String, Column)] = {
     val nTok = tokenCount(text).cast("double")
     val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") / nTok
@@ -171,12 +182,23 @@ object TextAnalysis {
     val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
     val lines = split(text, "\n")
     val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double")
+    val reqArr = array(RequiredStopwords.map(lit): _*)
+    val requiredHits = size(filter(array_distinct(split(lower(text), "\\s+")),
+      t => array_contains(reqArr, t)))
     Seq(
       "ok_word_count" -> (nTok >= 50.0 && nTok <= 100000.0),
       "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
       "ok_alpha_ratio" -> (alphaWords / nTok > 0.8),
       "ok_symbol_ratio" -> (hashes / nTok < 0.1),
-      "ok_bullet_ratio" -> (bulletLines / size(lines).cast("double") < 0.9))
+      "ok_bullet_ratio" -> (bulletLines / size(lines).cast("double") < 0.9),
+      // §A1.1 lines ending in an ellipsis (boilerplate truncation signal)
+      "ok_ellipsis_ratio" -> (ellipsisLines / size(lines).cast("double") < 0.3),
+      // §A1.1 stop-word presence: running prose contains them
+      "ok_required_stopwords" -> (requiredHits >= RequiredStopwordMin),
+      // §A1.1 repetition gates, via the occurrence-fraction analog of
+      // the paper's duplicate-2-gram character fraction (threshold 0.2)
+      "ok_repetition" -> (repetitionRatio(text, 2) < 0.2))
   }
 
   /** Overall Gopher pass: every rule holds. */
@@ -191,12 +213,19 @@ object TextAnalysis {
     val hashes = s"CAST(length($x) - length(regexp_replace($x, '#', '', 'g')) AS DOUBLE)"
     val lines = s"string_split($x, chr(10))"
     val bulletLines = s"CAST(len(list_filter($lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)"
+    val ellipsisLines = s"CAST(len(list_filter($lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)"
+    val reqList = RequiredStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val requiredHits = s"len(list_filter(list_distinct(regexp_split_to_array(lower($x), '\\s+')), " +
+      s"t -> list_contains($reqList, t)))"
     Seq(
       "ok_word_count" -> s"($nTok >= 50.0 AND $nTok <= 100000.0)",
       "ok_mean_word_len" -> s"($meanLen >= 3.0 AND $meanLen <= 10.0)",
       "ok_alpha_ratio" -> s"($alphaWords / $nTok > 0.8)",
       "ok_symbol_ratio" -> s"($hashes / $nTok < 0.1)",
-      "ok_bullet_ratio" -> s"($bulletLines / CAST(len($lines) AS DOUBLE) < 0.9)")
+      "ok_bullet_ratio" -> s"($bulletLines / CAST(len($lines) AS DOUBLE) < 0.9)",
+      "ok_ellipsis_ratio" -> s"($ellipsisLines / CAST(len($lines) AS DOUBLE) < 0.3)",
+      "ok_required_stopwords" -> s"($requiredHits >= $RequiredStopwordMin)",
+      "ok_repetition" -> s"(${repetitionRatioSql(x, 2)} < 0.2)")
   }
 
   def gopherPassSql(x: String): String =
@@ -210,11 +239,24 @@ object TextAnalysis {
     * explicit ASCII classes). Longest-digit-run patterns run first so a
     * card number is not half-eaten by the phone pattern.
     */
+  private val PiiOctet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   private val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b" -> "<CC>",
-    "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b" -> "<PHONE>",
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+    // three phone shapes: (NNN) NNN-NNNN, NNN-NNN(N)-NNNN (dot or dash),
+    // +C NNN NNN NNNN (international, space or dash) — bare 10-digit
+    // runs stay unmatched (too many false positives in prose)
+    ("\\(\\d{3}\\)[ -]?\\d{3}[-. ]?\\d{4}\\b" +
+      "|\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b" +
+      "|\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b") -> "<PHONE>",
+    // bounded octets: 999.999.999.999 and 300.1.1.1 are NOT IPs; the
+    // leading \b also spares vN.N.N.N version tags (no boundary in "v1")
+    s"\\b($PiiOctet\\.){3}$PiiOctet\\b" -> "<IP>",
+    // IPv6: the full 8-group form plus the '::'-compressed form with a
+    // trailing group (leading-'::' shorthands like ::1 are config, not
+    // worth the prose false-positive surface)
+    ("\\b([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b([0-9A-Fa-f]{1,4}:){1,6}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5})?\\b") -> "<IPV6>")
 
   /** Replace every PII match with its type tag (codegen'd
     * regexp_replace chain — a pure narrow expression at any scale).

@@ -149,13 +149,22 @@ object OpsQueries {
 
     // incremental near-dup, precision-oracled like the other LSH ops:
     // (batch-touching LSH pairs, exact-verified) ∪ (exact pairs touching
-    // the batch) == the exact restriction — DuckDB computes the right side
+    // the batch) == the exact restriction — DuckDB computes the right
+    // side. Runs the REAL 100 TB path: the corpus LSH index is written
+    // to parquet and reread (like j6 writes real bucketed tables), so
+    // the stamp validation and the persisted-artifact join are what's
+    // being oracled, not an in-memory shortcut.
     "x_incremental_near_dup_precision" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+      val corpus = docs.filter(!isBatch(col("doc_id")))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-lsh-idx-").toString
+      Dedup.buildLshIndex(corpus, "doc_id", col("text"), 3, 64, 16)
+        .write.mode("overwrite").parquet(idxDir)
       val inc = Dedup.incrementalNearDupPairs(
-        docs.filter(!isBatch(col("doc_id"))), docs.filter(isBatch(col("doc_id"))),
-        "doc_id", col("text"), 3, 64, 16, 0.8)
+        corpus, docs.filter(isBatch(col("doc_id"))),
+        "doc_id", col("text"), 3, 64, 16, 0.8,
+        corpusIndex = Some(s.read.parquet(idxDir)))
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8)
         .filter(isBatch(col("id_a")) || isBatch(col("id_b")))
       inc.select(col("id_a"), col("id_b"))
@@ -212,10 +221,12 @@ object OpsQueries {
           explode(TA.winnowFingerprints(col("text"))).as("fp"))),
 
     // substring-overlap pairs: docs sharing >= 2 winnow prints — the
-    // copied-passage dup class whole-doc Jaccard misses
+    // copied-passage dup class whole-doc Jaccard misses. Runs the
+    // probe-measured skew default (maxDocFreq=128, see ProbeWinnow /
+    // PLANS.md), mirrored in the oracle's hot-print exclusion.
     "x_winnow_dup_pairs" -> ((s, dir) =>
       Dedup.winnowDupPairs(Tables.documents(s, dir), "doc_id", col("text"),
-        k = 4, w = 4, minShared = 2)),
+        k = 4, w = 4, minShared = 2, maxDocFreq = Dedup.WinnowDefaultMaxDocFreq)),
 
     // decontamination: distinct 3-gram overlap of every corpus doc with
     // the "benchmark" slice (source = src0) — the pre-training eval-set
@@ -440,8 +451,10 @@ object OpsQueries {
       s"SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS fp FROM documents",
     "x_winnow_dup_pairs" ->
       (s"""WITH prints AS (SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS print FROM documents),
+          |hot AS (SELECT print FROM prints GROUP BY print HAVING count(*) > ${Dedup.WinnowDefaultMaxDocFreq}),
+          |f AS (SELECT doc_id, print FROM prints WHERE print NOT IN (SELECT print FROM hot)),
           |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
-          |  FROM prints l JOIN prints r USING (print) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+          |  FROM f l JOIN f r USING (print) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
           |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin),
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,

@@ -424,14 +424,22 @@ class OpsSpec extends SparkSpec {
   }
 
   test("gopher rules: each rule trips on its own pathology, clean prose passes") {
-    val longProse = Array.fill(60)("sensible english words flow here nicely").mkString(" ")
+    // interleave unique tokens with required stopwords: long, alphabetic,
+    // stopword-bearing AND repetition-free (every 2-gram touches a
+    // unique token), so it passes every rule including the r8 additions
+    val longProse = (1 to 40).flatMap(i => Seq(s"alpha$i", "the", s"beta$i", "and")).mkString(" ")
     val cases = Seq(
       (1L, longProse, "passes", true),
       (2L, "too short", "ok_word_count", false),
       (3L, Array.fill(80)("a").mkString(" "), "ok_mean_word_len", false), // mean len 1
       (4L, Array.fill(80)("12345").mkString(" "), "ok_alpha_ratio", false),
       (5L, Array.fill(80)("woo ###").mkString(" "), "ok_symbol_ratio", false),
-      (6L, Array.fill(80)("- bullet line\n").mkString, "ok_bullet_ratio", false))
+      (6L, Array.fill(80)("- bullet line\n").mkString, "ok_bullet_ratio", false),
+      // §A1.1 additions: truncation boilerplate, stopword-free word
+      // salad, and repeated-phrase spam each trip their own gate
+      (7L, Array.fill(80)("this line trails off...\n").mkString, "ok_ellipsis_ratio", false),
+      (8L, Array.fill(80)("zebra quokka jumps").mkString(" "), "ok_required_stopwords", false),
+      (9L, Array.fill(100)("the spam").mkString(" "), "ok_repetition", false))
       .toDF("doc_id", "text", "rule", "want")
     val ruleCols = TA.gopherRules($"text").map { case (n, c) => c.as(n) }
     val got = cases.select(
@@ -453,7 +461,16 @@ class OpsSpec extends SparkSpec {
       (4L, "host 192.168.0.1 is up", "host <IP> is up", 1),
       (5L, "nothing sensitive here 12 34", "nothing sensitive here 12 34", 0),
       // card must win over phone on the same digits; email eats its card
-      (6L, "4111-1111-1111-1111 and a@b.co", "<CC> and <EMAIL>", 2))
+      (6L, "4111-1111-1111-1111 and a@b.co", "<CC> and <EMAIL>", 2),
+      // octet bounds: not every dotted quad is an IP
+      (7L, "ping 999.999.999.999 ok", "ping 999.999.999.999 ok", 0),
+      // version tags keep their word boundary ("v1" has none before the digit)
+      (8L, "release v1.2.3.4 notes", "release v1.2.3.4 notes", 0),
+      // paren and international phone forms
+      (9L, "call (555) 123-4567 today", "call <PHONE> today", 1),
+      (10L, "dial +1 555 123 4567 now", "dial <PHONE> now", 1),
+      // IPv6: full 8-group and ::-compressed forms
+      (11L, "addr 2001:db8:0:0:0:0:2:1 and fe80::1 up", "addr <IPV6> and <IPV6> up", 2))
       .toDF("doc_id", "raw", "want_scrubbed", "want_hits")
     val got = cases.select($"doc_id", $"want_scrubbed", $"want_hits",
         TA.scrubPii($"raw").as("scrubbed"), TA.piiHits($"raw").as("hits"))

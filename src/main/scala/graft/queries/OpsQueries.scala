@@ -294,6 +294,40 @@ object OpsQueries {
         .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // capstone v2 — the FULL preprocessing pipeline as one flow, every
+    // r7/r8 stage composed in execution order: PII scrub → Gopher gate
+    // (on the scrubbed text, as a real pipeline would run it) →
+    // fractional decontamination → near-dup cluster dedup → stratified
+    // corpus mixing (en downsampled to 20%) → sequence packing as the
+    // terminal stage. Every stage is scale-audited elsewhere; the
+    // composition stays one declarative plan (the cluster rounds are
+    // the only iteration) and is hash-matched against the identical
+    // DuckDB CTE chain.
+    "x_pipeline_corpus_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scrubbed = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
+      val gated = scrubbed.filter(TA.gopherPass(col("text")))
+      val bench = docs.filter(col("source") === "src0")
+      val gramCounts = gated.select(col("doc_id").as("doc"),
+        size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
+      val contaminated = Dedup.contaminationHits(
+          gated, "doc_id", col("text"), bench, col("text"), 3)
+        .join(gramCounts, Seq("doc"))
+        .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
+        .select(col("doc").as("doc_id"))
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+      val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
+      val sampled = Sampling.stratifiedSample(
+        deduped.withColumn("lang_guess", TA.langId(col("text"))),
+        col("doc_id"), col("lang_guess"), Map("en" -> 0.2), defaultRate = 1.0)
+      Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
+          shards = 8, budget = 2048)
+        .withColumnRenamed("pack_id", "doc_id")
+    }),
+
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
     // shuffles + per-partition top-k, never a global sort
@@ -302,6 +336,12 @@ object OpsQueries {
 
     "x_bpe_merge_pairs" -> ((s, dir) =>
       graft.ops.Vocab.topBpePairs(Tables.documents(s, dir), col("text"), 500)),
+
+    // the BPE trainer loop itself: 4 greedy merge rounds (count pairs →
+    // take the top pair → rewrite the stream → repeat), oracled against
+    // the identical 4 rounds unrolled as DuckDB CTEs
+    "x_bpe_merges_k" -> ((s, dir) =>
+      graft.ops.Vocab.bpeMergeRounds(Tables.documents(s, dir), col("text"), BpeMergeRounds)),
 
     // Gopher-rules quality gate: per-rule booleans + the overall pass,
     // one narrow expression per doc
@@ -383,6 +423,34 @@ object OpsQueries {
           octet_length(col("frame")).cast("long").as("n_frame_bytes"))
     })
   )
+
+  /** Merge-round count of the `x_bpe_merges_k` trainer query — shared
+    * by the Spark loop and the unrolled SQL mirror.
+    */
+  val BpeMergeRounds = 4
+
+  /** The BPE trainer's `k` rounds unrolled as CTEs: round i counts
+    * adjacent pairs of round i-1's stream, takes the (n desc, pair asc)
+    * top-1 as a scalar subquery, and rewrites via literal `replace` —
+    * the exact operation sequence of [[graft.ops.Vocab.bpeMergeRounds]].
+    */
+  private def bpeMergesSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH r0 AS (SELECT '  ' || array_to_string(" +
+      raw"regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'), '  ') || '  ' AS s FROM documents)")
+    for (i <- 1 to k) {
+      sb.append(s""",
+         |p$i AS (SELECT unnest(CASE WHEN len(a) < 2 THEN []
+         |    ELSE [a[j] || ' ' || a[j+1] FOR j IN range(1, len(a))] END) AS pair
+         |  FROM (SELECT regexp_split_to_array(trim(s), ' +') AS a FROM r${i - 1})),
+         |top$i AS (SELECT pair, count(*) AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         |r$i AS (SELECT replace(s, ' ' || replace((SELECT pair FROM top$i), ' ', '  ') || ' ',
+         |  ' ' || replace((SELECT pair FROM top$i), ' ', chr(1)) || ' ') AS s FROM r${i - 1})""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, pair, n FROM top$i").mkString(" UNION ALL "))
+    sb.toString
+  }
 
   private def jaccardSql(threshold: Double, relation: String = "documents"): String =
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
@@ -492,6 +560,43 @@ object OpsQueries {
           |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r))
           |SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM clean
           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
+    "x_pipeline_corpus_v2" ->
+      (s"""WITH RECURSIVE
+          |scrubbed AS (SELECT doc_id, ${TA.scrubPiiSql("text")} AS text FROM documents
+          |  WHERE source != 'src0'),
+          |gated AS (SELECT doc_id, text FROM scrubbed WHERE ${TA.gopherPassSql("text")}),
+          |cg AS (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
+          |bg AS (SELECT DISTINCT unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram
+          |  FROM documents WHERE source = 'src0'),
+          |hits AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id),
+          |gsz AS (SELECT doc_id, count(*) AS g FROM cg GROUP BY doc_id),
+          |contaminated AS (SELECT doc_id FROM hits JOIN gsz USING (doc_id)
+          |  WHERE CAST(n AS DOUBLE) / CAST(g AS DOUBLE) >= 0.5),
+          |clean AS (SELECT doc_id, text FROM gated
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |prs AS (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)),
+          |deduped AS (SELECT doc_id, text FROM clean
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+          |sampled AS (SELECT doc_id, text FROM deduped
+          |  WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
+          |    (CASE WHEN ${TA.langIdSql("text")} = 'en' THEN 200 ELSE 1000 END)),
+          |t AS (SELECT doc_id,
+          |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+          |  ${graft.ops.Sampling.hash32Sql("doc_id")} AS h FROM sampled),
+          |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+          |  CAST(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens AS BIGINT) AS start_off
+          |FROM t)
+          |SELECT doc_id, shard, start_off,
+          |  CAST(start_off // 2048 AS BIGINT) AS bin_first,
+          |  CAST(greatest(start_off, start_off + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
+          |FROM p""".stripMargin),
     "x_vocab_top_tokens" ->
       (raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
             |SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY 1
@@ -502,6 +607,7 @@ object OpsQueries {
             |  ELSE [a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))] END) AS pair FROM toks)
             |SELECT pair, count(*) AS n FROM pairs GROUP BY 1
             |ORDER BY n DESC, pair LIMIT 500""".stripMargin),
+    "x_bpe_merges_k" -> bpeMergesSql(BpeMergeRounds),
     "x_gopher_filter" ->
       (s"SELECT doc_id, " +
         TA.gopherRulesSql("text").map { case (n, e) => s"$e AS $n" }.mkString(", ") +

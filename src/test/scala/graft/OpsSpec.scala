@@ -423,6 +423,21 @@ class OpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("BPE merge rounds: greedy leftmost rewrite, merged symbols feed later rounds, early stop") {
+    val J = graft.ops.Vocab.MergeJoiner
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = graft.ops.Vocab.bpeMergeRounds(df, $"text", 4)
+      .as[(Int, String, Long)].collect().toSeq
+    // round 1 merges "a b" (3 occurrences, beats "b a"'s 2); round 2
+    // merges the MERGED symbol pair (leftmost non-overlapping, so
+    // "ab ab ab" → "abab ab"); round 3 the remaining pair; round 4 has
+    // a single token left → the loop stops early with 3 merges
+    assert(got == Seq(
+      (1, "a b", 3L),
+      (2, s"a${J}b a${J}b", 2L),
+      (3, s"a${J}b${J}a${J}b a${J}b", 1L)), s"got $got")
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean prose passes") {
     // interleave unique tokens with required stopwords: long, alphabetic,
     // stopword-bearing AND repetition-free (every 2-gram touches a

@@ -150,6 +150,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "packing funnels through one partition")
   }
 
+  test("pipeline capstone v2 composes only scale-safe shapes") {
+    // scrub → gate → decontaminate → cluster-dedup → sample → pack in
+    // one plan: no cartesian anywhere, and the terminal packing stage
+    // keeps its per-shard windows (no global sort / single partition)
+    val p = plan("x_pipeline_corpus_v2")
+    assert(!p.contains("CartesianProduct"), "capstone v2 plans a cartesian")
+    assert(!p.contains("rangepartitioning"), "capstone v2 sorts globally")
+    assert(!p.contains("SinglePartition"), "capstone v2 funnels through one partition")
+  }
+
   test("incremental near-dup joins stay equi-joins touching the batch only") {
     val p = plan("x_incremental_near_dup_precision")
     assert(!p.contains("CartesianProduct"), "incremental near-dup plans a cartesian")

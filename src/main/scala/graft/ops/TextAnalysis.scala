@@ -252,11 +252,14 @@ object TextAnalysis {
     // bounded octets: 999.999.999.999 and 300.1.1.1 are NOT IPs; the
     // leading \b also spares vN.N.N.N version tags (no boundary in "v1")
     s"\\b($PiiOctet\\.){3}$PiiOctet\\b" -> "<IP>",
-    // IPv6: the full 8-group form plus the '::'-compressed form with a
-    // trailing group (leading-'::' shorthands like ::1 are config, not
-    // worth the prose false-positive surface)
+    // IPv6: the full 8-group form plus the '::'-compressed form. The
+    // trailing group is REQUIRED — with it optional, 'hex::' followed
+    // by any word char matches, and C++/Rust-style paths whose left
+    // segment is hex-alphabet ('bad::cast', 'fd::read') get mangled.
+    // Leading-'::' shorthands like ::1 are config, not worth the prose
+    // false-positive surface.
     ("\\b([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
-      "|\\b([0-9A-Fa-f]{1,4}:){1,6}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5})?\\b") -> "<IPV6>")
+      "|\\b([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5}\\b") -> "<IPV6>")
 
   /** Replace every PII match with its type tag (codegen'd
     * regexp_replace chain — a pure narrow expression at any scale).

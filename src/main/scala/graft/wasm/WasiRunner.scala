@@ -18,7 +18,13 @@ object WasiRunner {
     * instance (isolated memory/globals/table), like the reference's
     * `Instance::new` per call.
     */
-  final class Command(wasmBytes: Array[Byte]) extends Serializable {
+  /** @param maxInitPages instantiation-time memory cap forwarded to
+    *                      [[WasmInterp]] — raise it for a legitimate
+    *                      module whose data segments need more than the
+    *                      default 32 MiB declared minimum
+    */
+  final class Command(wasmBytes: Array[Byte],
+                      maxInitPages: Int = WasmInterp.DefaultMaxInitPages) extends Serializable {
     @transient private lazy val module: WasmModule.Module = WasmModule.parse(wasmBytes)
 
     /** Feed `stdin` to the module's `_start`, return its stdout. */
@@ -85,7 +91,7 @@ object WasiRunner {
         "wasi_snapshot_preview1.args_get" -> { _ => Array(0L) }
       )
 
-      interp = new WasmInterp(module, host)
+      interp = new WasmInterp(module, host, maxInitPages = maxInitPages)
       try {
         interp.runStart()
         interp.invokeExport("_start")

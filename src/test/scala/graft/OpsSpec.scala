@@ -485,7 +485,9 @@ class OpsSpec extends SparkSpec {
       (9L, "call (555) 123-4567 today", "call <PHONE> today", 1),
       (10L, "dial +1 555 123 4567 now", "dial <PHONE> now", 1),
       // IPv6: full 8-group and ::-compressed forms
-      (11L, "addr 2001:db8:0:0:0:0:2:1 and fe80::1 up", "addr <IPV6> and <IPV6> up", 2))
+      (11L, "addr 2001:db8:0:0:0:0:2:1 and fe80::1 up", "addr <IPV6> and <IPV6> up", 2),
+      // hex-alphabet '::' code paths are NOT IPv6 (trailing group required)
+      (12L, "a bad::cast and fd::read call", "a bad::cast and fd::read call", 0))
       .toDF("doc_id", "raw", "want_scrubbed", "want_hits")
     val got = cases.select($"doc_id", $"want_scrubbed", $"want_hits",
         TA.scrubPii($"raw").as("scrubbed"), TA.piiHits($"raw").as("hits"))

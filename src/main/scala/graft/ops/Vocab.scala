@@ -103,6 +103,89 @@ object Vocab {
     merges.toSeq.toDF("merge_rank", "pair", "n")
   }
 
+  /** CCNet-style corpus-LM quality signal: per-doc average natural-log
+    * unigram probability and the derived perplexity, with the unigram
+    * model trained on the corpus itself (add-one smoothing over the
+    * corpus vocabulary — every doc token is in-vocabulary by
+    * construction, smoothing just keeps the estimator proper). Low
+    * log-prob = token-soup/boilerplate, the published perplexity-filter
+    * move (Wenzek et al., "CCNet", LREC'20) with the KenLM stand-in
+    * reduced to portable arithmetic.
+    *
+    * Scale shape: ONE corpus pass builds the (token, count) model (a
+    * wordcount shuffle), whose grand totals reduce to a 1-row frame
+    * cross-joined back (broadcast, nothing on the driver); scoring is
+    * the token explode joined to the model on the token key, then a
+    * per-doc average. Outputs are rounded to 6 decimals so libm `ln`
+    * ulp differences between engines can't flip the DuckDB hash.
+    */
+  def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
+    val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = model.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    val scored = toks.join(model, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col(id),
+        log((col("c") + 1).cast("double") / (col("n_total") + col("v")).cast("double")).as("lp"))
+    // Cross-engine determinism, two rules learned the hard way:
+    //  - SUM in decimal (scale 3): float addition is order-dependent
+    //    across partitionings, decimal is not; and `ln` is libm (≤1 ulp
+    //    JVM-vs-DuckDB) while the engines' double→decimal conversions
+    //    round different decimal expansions, so scale 6 flips a
+    //    boundary with probability ~3e-4 per distinct value (observed
+    //    at sf0.1) — scale 3 widens the margin ~10⁶×.
+    //  - DIVIDE in double, not decimal: the engines' decimal-division
+    //    scale/rounding rules differ at the 1e-6 level (also observed),
+    //    whereas double division of identical inputs is IEEE
+    //    correctly-rounded, hence bit-identical. The decimal→double
+    //    cast itself is correctly rounded on both sides.
+    //  - avg_logprob ships UNROUNDED: the quotient is a low-denominator
+    //    rational (scale-3 sum / token count), so rounding it hits
+    //    EXACT decimal ties (e.g. -272.325/80 = -3.4040625, observed)
+    //    that the engines break differently — while the unrounded
+    //    double is bit-identical by the two rules above. ppl rounds at
+    //    scale 3: exp outputs are transcendental, never exact ties, and
+    //    the libm 1-ulp window is ~1e-11 of the spacing.
+    val stableAvg =
+      sum(col("lp").cast("decimal(18,3)")).cast("double") / count(col("lp")).cast("double")
+    scored.groupBy(col(id))
+      .agg(stableAvg.as("avg_logprob"),
+        round(exp(-stableAvg), 3).as("ppl"))
+  }
+
+  /** Top-`k` TF-IDF terms per document — the topical-keyword extraction
+    * a curation pipeline runs for domain filtering. tf = in-doc count,
+    * idf = ln(nDocs / df); ties broken by term text, so selection is
+    * deterministic cross-engine. One explode + two groupBy shuffles +
+    * a doc-keyed window top-k; the df model and the per-doc scoring
+    * meet in a token-keyed equi-join, never a cross join (the 1-row
+    * doc-count frame broadcasts).
+    */
+  def tfIdfTopTerms(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(id)).distinct().agg(count(lit(1)).as("n_docs"))
+    // scale-3 rounding, same rationale as unigramLogProb: the rank is
+    // computed ON the rounded score, so a cross-engine rounding flip
+    // would reorder the top-k — scale 3 makes that window ~1e-12/value
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 3))
+    val rnk = "__graft_rnk"
+    scored.withColumn(rnk,
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+            .orderBy(col("tfidf").desc, col("token").asc)))
+      .filter(col(rnk) <= k)
+      .select(col(id), col("token"), col("tfidf"))
+  }
+
   /** Top-`k` adjacent BPE pre-token pairs by count — the merge-candidate
     * table of a BPE trainer's first iteration. Pre-tokens follow
     * [[TextAnalysis.bpeTokenCount]]'s portable class (letter runs,

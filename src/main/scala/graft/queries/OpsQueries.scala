@@ -352,6 +352,15 @@ object OpsQueries {
     "x_bpe_merges_k" -> ((s, dir) =>
       graft.ops.Vocab.bpeMergeRounds(Tables.documents(s, dir), col("text"), BpeMergeRounds)),
 
+    // CCNet-style perplexity filter signal: per-doc average unigram
+    // log-prob under the corpus-trained add-one model + derived ppl
+    "x_unigram_logprob" -> ((s, dir) =>
+      graft.ops.Vocab.unigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
+
+    // topical keyword extraction: top-3 TF-IDF terms per doc
+    "x_tfidf_top_terms" -> ((s, dir) =>
+      graft.ops.Vocab.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", col("text"), 3)),
+
     // Gopher-rules quality gate: per-rule booleans + the overall pass,
     // one narrow expression per doc
     "x_gopher_filter" -> ((s, dir) => {
@@ -617,6 +626,28 @@ object OpsQueries {
             |SELECT pair, count(*) AS n FROM pairs GROUP BY 1
             |ORDER BY n DESC, pair LIMIT 500""".stripMargin),
     "x_bpe_merges_k" -> bpeMergesSql(BpeMergeRounds),
+    "x_unigram_logprob" ->
+      (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+            |t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+            |model AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+            |tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM model),
+            |scored AS (SELECT doc_id, ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS lp
+            |  FROM t JOIN model USING (token) CROSS JOIN tot),
+            |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
+            |  FROM scored GROUP BY 1)
+            |SELECT doc_id, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin),
+    "x_tfidf_top_terms" ->
+      (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+            |t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+            |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+            |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            |scored AS (SELECT doc_id, token,
+            |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 3) AS tfidf
+            |  FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+            |r AS (SELECT doc_id, token, tfidf,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM scored)
+            |SELECT doc_id, token, tfidf FROM r WHERE rnk <= 3""".stripMargin),
     "x_gopher_filter" ->
       (s"SELECT doc_id, " +
         TA.gopherRulesSql("text").map { case (n, e) => s"$e AS $n" }.mkString(", ") +

@@ -423,6 +423,31 @@ class OpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("unigram log-prob: rare-token docs score lower; ppl is its inverse signal") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus counts a:2 b:2 c:1, N=5 V=3 → p(a)=p(b)=3/8, p(c)=2/8;
+    // doc1 = ln(3/8); doc2 = (ln(3/8)+ln(2/8))/2 < doc1
+    val lp = graft.ops.Vocab.unigramLogProb(df, "doc_id", $"text")
+      .select($"doc_id", $"avg_logprob", $"ppl")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // per-token log-probs are quantized at scale 3 for cross-engine
+    // determinism, so the avg carries ±5e-4 quantization error
+    assert(math.abs(lp(1L)._1 - math.log(3.0 / 8)) < 1e-3, s"got ${lp(1L)}")
+    assert(lp(2L)._1 < lp(1L)._1, "doc with the rarer token must score lower")
+    assert(lp(2L)._2 > lp(1L)._2, "perplexity orders inversely to log-prob")
+  }
+
+  test("TF-IDF top terms: distinctive tokens win, shared tokens score zero idf") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.ops.Vocab.tfIdfTopTerms(df, "doc_id", $"text", 1)
+      .select($"doc_id", $"token").as[(Long, String)].collect().toMap
+    // idf: a=ln2 (1 of 2 docs), b=0 (both), c=ln2 → doc1's top is a, doc2's is c
+    assert(got == Map(1L -> "a", 2L -> "c"), s"got $got")
+    val all = graft.ops.Vocab.tfIdfTopTerms(df, "doc_id", $"text", 5)
+      .as[(Long, String, Double)].collect()
+    assert(all.filter(_._2 == "b").forall(_._3 == 0.0), "corpus-wide token must have zero idf")
+  }
+
   test("BPE merge rounds: greedy leftmost rewrite, merged symbols feed later rounds, early stop") {
     val J = graft.ops.Vocab.MergeJoiner
     val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")

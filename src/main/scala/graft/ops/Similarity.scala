@@ -198,6 +198,61 @@ object Similarity {
   private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => cosine(vec, typedLit(c.toSeq))): _*)
 
+  /** Bounded deterministic centroid training from a corpus sample —
+    * shared by [[ivfTopK]] and [[semanticDedupPairs]]: systematic
+    * thinning for spread, ordered limit so the driver never holds more
+    * than `maxTrainRows` vectors regardless of corpus size.
+    */
+  private def trainOnCorpus(corpus: DataFrame, id: String, vec: String,
+                            nCentroids: Int, sampleMod: Int, iters: Int,
+                            maxTrainRows: Int): Array[Array[Double]] = {
+    val sample = corpus
+      .filter(pmod(col(id), lit(sampleMod)) === 0)
+      .orderBy(col(id))
+      .limit(maxTrainRows)
+      .select(col(vec))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    trainCentroids(sample, nCentroids, iters)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means cells as the blocking structure, exact
+    * cosine pairs above `threshold` WITHIN each cell. Precision is 1.0
+    * by the exact filter (every emitted pair really is above
+    * threshold); recall misses only pairs whose members land in
+    * different cells — the paper's own trade, tuned by `nCentroids`.
+    *
+    * Scale shape: centroids are tiny driver state (bounded training,
+    * same as IVF); assignment is a narrow argmax expression; the only
+    * shuffle is the cell-keyed self-join, whose identical bucketed
+    * subplan on both sides collapses to a ReusedExchange — the
+    * k-means analog of [[cosineNearDupPairsLsh]], never all-pairs.
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      sampleMod: Int = 10,
+      iters: Int = 3,
+      maxTrainRows: Int = 10000): DataFrame = {
+    val centroids = trainOnCorpus(df, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
+    val sims = centroidSims(col(vec), centroids)
+    val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
+    val assigned = df.select(col(id).as("doc"), col(vec).as("v"), cell.as("cell"))
+      .repartition(col("cell"))
+    assigned.as("l").join(assigned.as("r"), Seq("cell"))
+      .filter(col("l.doc") < col("r.doc"))
+      .filter(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
     * to their nearest coarse centroid once; each query probes the
     * `nProbe` nearest centroid cells and exact cosine re-ranks inside
@@ -217,20 +272,7 @@ object Similarity {
       iters: Int = 3,
       maxTrainRows: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // training sample is HARD-bounded: systematic thinning for spread,
-    // then an ordered limit so the driver never holds more than
-    // maxTrainRows vectors regardless of corpus size
-    val sample = corpus
-      .filter(pmod(col(id), lit(sampleMod)) === 0)
-      .orderBy(col(id))
-      .limit(maxTrainRows)
-      .select(col(vec))
-      .collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
-    val centroids = trainCentroids(sample, nCentroids, iters)
+    val centroids = trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
     val sims = centroidSims(col(vec), centroids)
     // corpus: one cell per vector (argmax over centroid sims)
     val cell = (array_position(sims, array_max(sims)) - 1).cast("int")

@@ -110,6 +110,22 @@ object OpsQueries {
       Similarity.cosineNearDupPairsLsh(
         Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
 
+    // SemDeDup semantic near-dup pairs over the full corpus: k-means
+    // cells + within-cell exact cosine (no oracle — precision-1 subset
+    // of the exact pairs, twin below)
+    "x_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
+    // precision oracle: semdedup pairs on the %10 sample ∪ exact == exact
+    "x_semantic_dedup_precision" -> ((s, dir) => {
+      val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+      Similarity.semanticDedupPairs(sample, "vec_id", "embedding", 0.3, sampleMod = 1)
+        .union(Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3,
+          maxRows = ExactNearDupMaxRows))
+        .distinct()
+    }),
+
     // IVF ANN: coarse k-means cells + nProbe probing (no oracle —
     // recall vs brute force in OpsSpec)
     "x_ann_ivf" -> ((s, dir) => {
@@ -526,6 +542,11 @@ object OpsQueries {
     "x_incremental_near_dup_precision" ->
       s"SELECT id_a, id_b FROM (${jaccardSql(0.8)}) WHERE id_a % 10 = 0 OR id_b % 10 = 0",
     "x_embed_near_dup_lsh_precision" ->
+      ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
+    "x_semantic_dedup_precision" ->
       ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM s a JOIN s b ON a.vec_id < b.vec_id

@@ -389,6 +389,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup (SemDeDup): precision-1 subset of exact pairs, usable recall") {
+    val sample = emb.filter(pmod($"vec_id", lit(10)) === 0)
+    val exact = graft.ops.Similarity.cosineNearDupPairs(sample, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "sample should contain cosine>=0.3 pairs")
+    val sem = graft.ops.Similarity.semanticDedupPairs(
+        sample, "vec_id", "embedding", 0.3, sampleMod = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), s"false positives: ${sem.diff(exact)}")
+    val recall = exact.count(sem.contains).toDouble / exact.size
+    // cells only lose cross-cell pairs; near-dups co-locate, but this
+    // corpus has no planted twins (max cosine ~0.5) so the floor is modest
+    assert(recall >= 0.3, s"semdedup recall $recall (found ${sem.size}, exact ${exact.size})")
+  }
+
   test("near-dup clusters: a 50-doc pairwise chain converges in O(log d) rounds") {
     // the winnowDupPairs shape — copied-passage chains A~B~C without
     // A~C. Plain min-label flooding needs diameter (49) rounds and

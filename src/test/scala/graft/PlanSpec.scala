@@ -112,7 +112,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup and near-dup joins shuffle on derived keys, no cross joins") {
-    for (name <- Seq("x_minhash_lsh", "x_simhash", "x_embed_near_dup_lsh", "x_ngram_jaccard")) {
+    for (name <- Seq("x_minhash_lsh", "x_simhash", "x_embed_near_dup_lsh",
+        "x_ngram_jaccard", "x_semantic_dedup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }

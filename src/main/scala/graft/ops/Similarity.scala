@@ -194,9 +194,64 @@ object Similarity {
     * cosine against unit centroids orders identically to the dot
     * product (it only rescales by the row's own 1/|v|), so argmax cell
     * assignment and probe ranking are unchanged.
+    *
+    * This is the SMALL-k path only: one literal column per centroid is
+    * narrow (zero exchanges) and codegen'd, but caps k at plan-size
+    * limits. Above [[MaxLiteralCentroids]], assignment goes through a
+    * broadcast-joined centroid TABLE instead — see [[assignCells]].
     */
   private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => cosine(vec, typedLit(c.toSeq))): _*)
+
+  /** Above this k, centroid assignment switches from per-centroid
+    * literal columns (narrow, but k columns in the plan) to a broadcast
+    * join against a k-row centroid table (one extra skinny aggregation
+    * exchange, but k is unbounded by plan size — SemDeDup's web-scale
+    * recipe uses tens of thousands of cells).
+    */
+  private[graft] val MaxLiteralCentroids = 64
+
+  /** k-row centroid TABLE — (cell int, cvec array<double>) — the
+    * broadcast side of large-k assignment and probe ranking.
+    */
+  private def centroidTable(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+  }
+
+  /** Nearest-centroid cell per row → (doc, v, cell), argmax ties broken
+    * toward the lowest cell index on BOTH paths:
+    *
+    *   - k ≤ [[MaxLiteralCentroids]]: narrow argmax over per-centroid
+    *     literal cosines — zero exchanges, the plan the tests exercise.
+    *   - k > [[MaxLiteralCentroids]]: cross join against the BROADCAST
+    *     k-row centroid table, then per-doc max. The k candidate rows
+    *     per doc are contiguous in the scan partition, so the partial
+    *     HashAggregate collapses them map-side and the exchange moves
+    *     ONE row per doc — k never multiplies shuffled bytes.
+    *
+    * Both paths compute the same cosines with the same tie-break, so
+    * they assign identically (parity-asserted in OpsSpec).
+    */
+  private[graft] def assignCells(
+      df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]],
+      forceBroadcast: Boolean = false): DataFrame = {
+    val base = df.select(col(id).as("doc"), col(vec).as("v"))
+    if (centroids.length <= MaxLiteralCentroids && !forceBroadcast) {
+      val sims = centroidSims(col("v"), centroids)
+      base.select(col("doc"), col("v"),
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+    } else {
+      base.crossJoin(broadcast(centroidTable(df, centroids)))
+        .select(col("doc"), col("v"),
+          struct(cosine(col("v"), col("cvec")).as("sim"), (-col("cell")).as("negCell")).as("cand"))
+        .groupBy(col("doc"))
+        .agg(max(col("cand")).as("best"), first(col("v")).as("v"))
+        .select(col("doc"), col("v"), (-col("best.negCell")).cast("int").as("cell"))
+    }
+  }
 
   /** Bounded deterministic centroid training from a corpus sample —
     * shared by [[ivfTopK]] and [[semanticDedupPairs]]: systematic
@@ -225,40 +280,93 @@ object Similarity {
     * cosine pairs above `threshold` WITHIN each cell. Precision is 1.0
     * by the exact filter (every emitted pair really is above
     * threshold); recall misses only pairs whose members land in
-    * different cells — the paper's own trade, tuned by `nCentroids`.
+    * different cells — the paper's own trade, tuned by the cell count.
     *
-    * Scale shape: centroids are tiny driver state (bounded training,
-    * same as IVF); assignment is a narrow argmax expression; the only
-    * shuffle is the cell-keyed self-join, whose identical bucketed
-    * subplan on both sides collapses to a ReusedExchange — the
-    * k-means analog of [[cosineNearDupPairsLsh]], never all-pairs.
+    * Scale shape — none of the knobs caps out at web scale:
+    *   - `nCentroids = 0` (default) scales the cell count with the
+    *     corpus: k = clamp(N / targetCellSize, 16, maxTrainRows), the
+    *     paper's own recipe (cluster count grows with corpus size so
+    *     cell population stays roughly constant).
+    *   - Assignment is [[assignCells]]: narrow literal argmax for small
+    *     k, broadcast centroid-table join above [[MaxLiteralCentroids]]
+    *     — k = tens of thousands is expressible, never k plan columns.
+    *   - The within-cell self-join is cell-size-capped: cells larger
+    *     than `maxCellSize` are salted into m = ceil(size/maxCellSize)
+    *     shards and joined block-wise over the (i ≤ j) shard-pair grid,
+    *     each row carried by m+1 block keys. Every within-cell pair
+    *     lands in exactly one block (RECALL-LOSSLESS — OpsSpec asserts
+    *     set equality vs the unsharded join), but per-task work is
+    *     bounded by maxCellSize² instead of the skewed cell's size² —
+    *     a runaway k-means cell can no longer become an all-pairs join
+    *     in one task, and parallelism is k×shards keys, not k.
+    *   - The pair join shuffles on (cell, bi, bj) at the session's full
+    *     shuffle parallelism (no repartition-by-cell ceiling) and only
+    *     surviving id-pairs leave it; the cell-size table broadcast is
+    *     a ReusedExchange across the two sides.
     */
   def semanticDedupPairs(
       df: DataFrame,
       id: String,
       vec: String,
       threshold: Double,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       sampleMod: Int = 10,
       iters: Int = 3,
-      maxTrainRows: Int = 10000): DataFrame = {
-    val centroids = trainOnCorpus(df, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
-    val sims = centroidSims(col(vec), centroids)
-    val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
-    val assigned = df.select(col(id).as("doc"), col(vec).as("v"), cell.as("cell"))
-      .repartition(col("cell"))
-    assigned.as("l").join(assigned.as("r"), Seq("cell"))
-      .filter(col("l.doc") < col("r.doc"))
+      maxTrainRows: Int = 10000,
+      maxCellSize: Int = 4096,
+      targetCellSize: Int = 1024): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else {
+        // metadata-cheap count on a parquet scan; clamp to the training
+        // sample bound so `trainOnCorpus`'s k ≤ sample-size invariant
+        // holds (raise maxTrainRows to push k further)
+        val n = df.count()
+        math.max(16L, math.min(maxTrainRows.toLong, n / targetCellSize)).toInt
+      }
+    val centroids = trainOnCorpus(df, id, vec, k, sampleMod, iters, maxTrainRows)
+    val assigned = assignCells(df, id, vec, centroids)
+    // per-cell shard count from a skinny count agg; broadcast k rows back
+    val cellShards = assigned.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).cast("int").as("m"))
+    val sharded = assigned.join(broadcast(cellShards), Seq("cell"))
+      .withColumn("shard", pmod(hash(col("doc")), col("m")))
+    // block-join grid: a row in shard s is the LEFT of blocks (s, j≥s)
+    // and the RIGHT of blocks (i≤s, s) — cross-shard pairs meet in
+    // exactly one block, same-shard pairs dedup by doc order. Both
+    // roles come from ONE explode lineage; Catalyst pushes each side's
+    // role filter below its join exchange, so the two exchanges
+    // together move exactly the m+1 block copies of each row (no more
+    // than a single combined exchange would), the tiny cell-size
+    // broadcast is a ReusedExchange, and the recomputed part of the
+    // lineage is only the narrow scan→assign→explode chain.
+    val blocks = concat(
+      transform(sequence(col("shard"), col("m") - 1),
+        j => struct(lit(1).as("role"), col("shard").as("bi"), j.as("bj"))),
+      transform(sequence(lit(0), col("shard")),
+        i => struct(lit(2).as("role"), i.as("bi"), col("shard").as("bj"))))
+    val pre = sharded
+      .select(col("cell"), col("doc"), col("v"), explode(blocks).as("b"))
+      .select(col("cell"), col("b.role").as("role"), col("b.bi").as("bi"),
+        col("b.bj").as("bj"), col("doc"), col("v"))
+    pre.filter(col("role") === 1).as("l")
+      .join(pre.filter(col("role") === 2).as("r"), Seq("cell", "bi", "bj"))
+      .filter(col("bi") < col("bj") || col("l.doc") < col("r.doc"))
       .filter(cosine(col("l.v"), col("r.v")) >= threshold)
-      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+        greatest(col("l.doc"), col("r.doc")).as("id_b"))
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
     * to their nearest coarse centroid once; each query probes the
     * `nProbe` nearest centroid cells and exact cosine re-ranks inside
-    * them. The scale shape: candidate generation is an equi-join on
-    * cell ids, the centroid table is tiny driver state, and recall is
-    * tuned by nProbe/nCentroids without touching the stored assignment.
+    * them. The scale shape: candidate generation is a BROADCAST join on
+    * cell ids (the corpus side streams unshuffled — vectors never cross
+    * an exchange), the centroid table is tiny driver state, and recall
+    * is tuned by nProbe/nCentroids without touching the stored
+    * assignment. Assignment and probe ranking both switch from narrow
+    * literal argmax to the broadcast centroid table above
+    * [[MaxLiteralCentroids]], so k is not capped by plan width.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -273,17 +381,28 @@ object Similarity {
       maxTrainRows: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
-    val sims = centroidSims(col(vec), centroids)
-    // corpus: one cell per vector (argmax over centroid sims)
-    val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
-    val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"), cell.as("cell"))
-      .repartition(col("cell"))
-    // queries: nProbe nearest cells, best first (sort (-sim, idx) structs)
-    val ranked = array_sort(zip_with(sims, sequence(lit(0), lit(nCentroids - 1)),
-      (s, i) => struct((-s).as("neg"), i.as("idx"))))
-    val probes = transform(slice(ranked, 1, nProbe), x => x.getField("idx").cast("int"))
-    val q = broadcast(queries
-      .select(col(id).as("query_id"), col(vec).as("qv"), explode(probes).as("cell")))
+    val assigned = assignCells(corpus, id, vec, centroids)
+      .select(col("doc").as("neighbor_id"), col("v").as("cv"), col("cell"))
+    // queries: nProbe nearest cells each, best first, ties to the lower
+    // cell id on both paths
+    val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probed =
+      if (centroids.length <= MaxLiteralCentroids) {
+        val sims = centroidSims(col("qv"), centroids)
+        val ranked = array_sort(zip_with(sims, sequence(lit(0), lit(centroids.length - 1)),
+          (s, i) => struct((-s).as("neg"), i.as("idx"))))
+        qBase.select(col("query_id"), col("qv"),
+          explode(transform(slice(ranked, 1, nProbe), x => x.getField("idx").cast("int"))).as("cell"))
+      } else {
+        val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+        qBase.crossJoin(broadcast(centroidTable(corpus, centroids)))
+          .select(col("query_id"), col("qv"), col("cell"),
+            cosine(col("qv"), col("cvec")).as("csim"))
+          .withColumn("crnk", row_number().over(wq))
+          .filter(col("crnk") <= nProbe)
+          .select(col("query_id"), col("qv"), col("cell"))
+      }
+    val q = broadcast(probed)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     assigned.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -404,6 +404,41 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"semdedup recall $recall (found ${sem.size}, exact ${exact.size})")
   }
 
+  test("semantic dedup: cell-size sharding is recall-lossless (same pair set as unsharded)") {
+    val sample = emb.filter(pmod($"vec_id", lit(10)) === 0)
+    // maxCellSize=4 forces every 16-way cell over ~50 docs into multiple
+    // shards; the block-join grid must still emit every within-cell pair
+    // exactly once
+    val unsharded = graft.ops.Similarity.semanticDedupPairs(
+        sample, "vec_id", "embedding", 0.3, sampleMod = 1, maxCellSize = Int.MaxValue)
+      .as[(Long, Long)].collect()
+    val sharded = graft.ops.Similarity.semanticDedupPairs(
+        sample, "vec_id", "embedding", 0.3, sampleMod = 1, maxCellSize = 4)
+      .as[(Long, Long)].collect()
+    assert(unsharded.length == unsharded.toSet.size, "unsharded emits duplicates")
+    assert(sharded.length == sharded.toSet.size, "sharded emits duplicate pairs")
+    assert(sharded.toSet == unsharded.toSet,
+      s"sharding changed the pair set: missing=${unsharded.toSet.diff(sharded.toSet)} " +
+        s"extra=${sharded.toSet.diff(unsharded.toSet)}")
+  }
+
+  test("assignCells: broadcast centroid-table path assigns identically to the narrow literal path") {
+    val sample = emb.filter(pmod($"vec_id", lit(5)) === 0)
+    val vecs = sample.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = graft.ops.Similarity.trainCentroids(vecs, 24, 2)
+    def assigned(force: Boolean) = graft.ops.Similarity
+      .assignCells(sample, "vec_id", "embedding", centroids, forceBroadcast = force)
+      .select($"doc", $"cell").as[(Long, Int)].collect().toMap
+    val narrow = assigned(force = false)
+    val bcast = assigned(force = true)
+    assert(narrow.size == bcast.size)
+    val diffs = narrow.collect { case (d, c) if bcast(d) != c => (d, c, bcast(d)) }
+    assert(diffs.isEmpty, s"paths disagree on ${diffs.take(5)}")
+    // the assignments should be non-degenerate: more than one cell in use
+    assert(narrow.values.toSet.size > 1)
+  }
+
   test("near-dup clusters: a 50-doc pairwise chain converges in O(log d) rounds") {
     // the winnowDupPairs shape — copied-passage chains A~B~C without
     // A~C. Plain min-label flooding needs diameter (49) rounds and

@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup pair join keys carry the shard salt — no cell-count parallelism ceiling") {
+    // at scale both sides are too big to broadcast; the pair join must
+    // then shuffle on (cell, shard-block) keys at full parallelism, not
+    // on a k-cell repartition whose active-partition count is capped at
+    // the centroid count
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("x_semantic_dedup")
+      assert("hashpartitioning\\(cell#\\d+, bi#\\d+, bj#\\d+".r.findFirstIn(p).isDefined,
+        s"pair join is not keyed by cell + shard block:\n$p")
+      assert(!"REPARTITION_BY_COL".r.findFirstIn(p).isDefined,
+        s"explicit repartition reappeared — that is the k-partition ceiling:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("vocab top-k plans TakeOrderedAndProject, never a global sort") {
     for (name <- Seq("x_vocab_top_tokens", "x_bpe_merge_pairs")) {
       val p = plan(name)

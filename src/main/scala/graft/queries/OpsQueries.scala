@@ -328,30 +328,8 @@ object OpsQueries {
     // composition stays one declarative plan (the cluster rounds are
     // the only iteration) and is hash-matched against the identical
     // DuckDB CTE chain.
-    "x_pipeline_corpus_v2" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scrubbed = docs.filter(col("source") =!= "src0")
-        .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
-      val gated = scrubbed.filter(TA.gopherPass(col("text")))
-      val bench = docs.filter(col("source") === "src0")
-      val gramCounts = gated.select(col("doc_id").as("doc"),
-        size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
-      val contaminated = Dedup.contaminationHits(
-          gated, "doc_id", col("text"), bench, col("text"), 3)
-        .join(gramCounts, Seq("doc"))
-        .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
-        .select(col("doc").as("doc_id"))
-      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-        Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
-      val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
-      val sampled = Sampling.stratifiedSample(
-        deduped.withColumn("lang_guess", TA.langId(col("text"))),
-        col("doc_id"), col("lang_guess"), Map("en" -> 0.2), defaultRate = 1.0)
-      Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
-          shards = 8, budget = 2048)
-        .withColumnRenamed("pack_id", "doc_id")
-    }),
+    "x_pipeline_corpus_v2" -> ((s, dir) =>
+      pipelineCorpusV2(s, dir, gatedReuse = PipelineV2GatedReuse)),
 
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
@@ -461,6 +439,59 @@ object OpsQueries {
   /** Merge-round count of the `x_bpe_merges_k` trainer query — shared
     * by the Spark loop and the unrolled SQL mirror.
     */
+  /** Capstone v2, parametrized for the r10 reuse experiment: the
+    * `gated` frame (PII regex chain + Gopher gate — the most expensive
+    * narrow ops in the engine) feeds THREE subtrees (gram counts, the
+    * contamination join, the anti-join chain) and is recomputed in each
+    * under plain lazy evaluation (`gatedReuse = "lazy"`). Alternatives:
+    * `"localCheckpoint"` cuts the lineage (executor-local
+    * materialization, no shuffle barrier) so the regex chain runs once
+    * but SEVERS recovery — a lost executor kills the job at cluster
+    * scale; `"persist"` materializes to MEMORY_AND_DISK with lineage
+    * intact (lost blocks recompute), the fault-tolerant form of the
+    * same trade. Measured at sf0.1 (ProbeCheckpoint, PLANS.md
+    * "capstone v2 lineage cut — r10").
+    */
+  private[graft] def pipelineCorpusV2(
+      s: SparkSession, dir: String, gatedReuse: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scrubbed = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
+    val gated0 = scrubbed.filter(TA.gopherPass(col("text")))
+    val gated = gatedReuse match {
+      case "localCheckpoint" => gated0.localCheckpoint()
+      case "persist" => gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => gated0
+    }
+    val bench = docs.filter(col("source") === "src0")
+    val gramCounts = gated.select(col("doc_id").as("doc"),
+      size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
+    val contaminated = Dedup.contaminationHits(
+        gated, "doc_id", col("text"), bench, col("text"), 3)
+      .join(gramCounts, Seq("doc"))
+      .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
+      .select(col("doc").as("doc_id"))
+    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+    val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
+    val sampled = Sampling.stratifiedSample(
+      deduped.withColumn("lang_guess", TA.langId(col("text"))),
+      col("doc_id"), col("lang_guess"), Map("en" -> 0.2), defaultRate = 1.0)
+    Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
+        shards = 8, budget = 2048)
+      .withColumnRenamed("pack_id", "doc_id")
+  }
+
+  /** Measured choice for capstone v2's `gated` reuse (ProbeCheckpoint
+    * at sf0.1, r10): lazy 11.7 s / localCheckpoint 8.0 s / persist
+    * (MEMORY_AND_DISK) — see PLANS.md "capstone v2 lineage cut — r10".
+    * `persist` is shipped: same one-materialization win as the lineage
+    * cut, but recoverable on executor loss (a severed lineage is a job
+    * killer on a 1000-executor run).
+    */
+  val PipelineV2GatedReuse = "persist"
+
   val BpeMergeRounds = 4
 
   /** The BPE trainer's `k` rounds unrolled as CTEs: round i counts

@@ -13,6 +13,35 @@ class PipelineSpec extends SparkSpec {
 
   private def load(t: String) = Tables.load(spark, sfDir, t)
 
+  /** Run an AvailableNow query to completion and STOP it. A bare
+    * `awaitTermination(timeout)` is wrong for queries with
+    * processing-time timers (the TTL suppression stream): AvailableNow
+    * consumes the available offsets but the pending timers keep the
+    * query alive, so the await burns its full timeout and the query
+    * outlives the test — to be killed mid-batch at session teardown,
+    * which is exactly the ERROR-log race this helper exists to avoid.
+    * (`processAllAvailable` is no better: on that timer-idle query its
+    * no-new-data signal never fires and it blocks forever.) So: poll
+    * until the query has committed at least one batch and gone idle —
+    * no unprocessed source data, no trigger mid-flight — then stop the
+    * IDLE query, which tears down without touching a live micro-batch.
+    */
+  private def runToTermination(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q.isActive && System.nanoTime() < deadline &&
+        (q.recentProgress.isEmpty || q.status.isDataAvailable || q.status.isTriggerActive))
+      Thread.sleep(50)
+    q.stop()
+    q.awaitTermination(120000)
+  }
+
+  override def afterAll(): Unit = {
+    // belt-and-braces for the same teardown race: no active streaming
+    // query may outlive this suite
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    super.afterAll()
+  }
+
   test("selectTables: skip and only are honored, mutually exclusive") {
     val all = Seq("customer", "orders", "nation")
     assert(Pipeline.selectTables(all, "public",
@@ -59,7 +88,7 @@ class PipelineSpec extends SparkSpec {
     val bindings = Seq(TransformerBinding("public", "customer", "c_name", "email"))
     val stream = StreamingPipeline.transformStream(spark, inDir, cust.schema, bindings)
     assert(stream.isStreaming)
-    StreamingPipeline.sinkAvailableNow(stream, outDir, ckpt).start().awaitTermination(120000)
+    runToTermination(StreamingPipeline.sinkAvailableNow(stream, outDir, ckpt).start())
     val streamed = spark.read.parquet(outDir)
     val batch = graft.transform.Transformers.applyBindings(cust, bindings)
     assert(streamed.count() == batch.count())
@@ -95,7 +124,7 @@ class PipelineSpec extends SparkSpec {
       .schema(spark.read.parquet(inDir).schema).parquet(inDir)
     val deduped = StreamingPipeline.dedupStream(in, Seq("text"), "ts", "6 hours")
     assert(deduped.isStreaming)
-    StreamingPipeline.sinkAvailableNow(deduped, outDir, ckpt).start().awaitTermination(120000)
+    runToTermination(StreamingPipeline.sinkAvailableNow(deduped, outDir, ckpt).start())
     val streamed = spark.read.parquet(outDir)
     assert(streamed.count() == 100)
     assert(streamed.select("text").distinct().count() == 100)
@@ -118,7 +147,7 @@ class PipelineSpec extends SparkSpec {
       .schema(spark.read.parquet(inDir).schema).parquet(inDir)
     val admitted = StreamingPipeline.admitStream(in, corpus, $"text", "ts", "6 hours")
     assert(admitted.isStreaming)
-    StreamingPipeline.sinkAvailableNow(admitted, outDir, ckpt).start().awaitTermination(120000)
+    runToTermination(StreamingPipeline.sinkAvailableNow(admitted, outDir, ckpt).start())
     val got = spark.read.parquet(outDir)
     assert(got.count() == 30, s"expected 30 fresh docs, got ${got.count()}")
     val freshTexts = got.select("text").as[String].collect().toSet
@@ -149,10 +178,11 @@ class PipelineSpec extends SparkSpec {
     val stream = spark.readStream.schema(docs.schema).parquet(inDir)
     val out = StreamingPipeline.nearDupSuppressStream(stream, "doc_id", $"text", 8)
     assert(out.isStreaming)
-    out.toDF("doc_id", "sh").writeStream.format("memory").queryName("neardup_test")
+    runToTermination(out.toDF("doc_id", "sh").writeStream.format("memory")
+      .queryName("neardup_test")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(120000)
+      .start())
     val streamedKept = docs.join(spark.table("neardup_test").select("doc_id"), "doc_id")
     assert(spark.table("neardup_test").count() > 0)
     assert(graft.ops.Dedup.simhashPairs(streamedKept, "doc_id", $"text", 8).isEmpty)
@@ -178,13 +208,21 @@ class PipelineSpec extends SparkSpec {
                 rows: Seq[(Long, String)]): Set[Long] = {
       rows.toDF("doc_id", "text").write.mode("append").parquet(inDir)
       val src = spark.readStream.schema(schema).parquet(inDir)
-      StreamingPipeline.nearDupSuppressStream(src, "doc_id", $"text",
+      // NOT AvailableNow: with processing-time timers armed, AvailableNow
+      // fires continuous no-data timer batches (~2/s), so any stop() can
+      // interrupt one mid-commit and log an abort stack. A long
+      // processing-time trigger processes everything in batch 1, then
+      // idles for 30 s — runToTermination's idle-detected stop() lands in
+      // that gap deterministically. Timer cleanup still happens: the NEXT
+      // pass's data batch fires expired timers, which is what this test
+      // asserts.
+      runToTermination(StreamingPipeline.nearDupSuppressStream(src, "doc_id", $"text",
           maxDistance = 0, idleBucketTtlMs = ttlMs)
         .toDF("doc_id", "sh").writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(120000)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds"))
+        .start())
       spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
     }
     val payload = "the quick brown fox jumps over the lazy dog"
@@ -234,10 +272,10 @@ class PipelineSpec extends SparkSpec {
     // session-window streaming aggs support append (watermark-gated
     // emission) and complete; complete emits every session per batch,
     // which is what a bounded parity test needs
-    sessions.writeStream.format("memory").queryName("sess_test")
+    runToTermination(sessions.writeStream.format("memory").queryName("sess_test")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(120000)
+      .start())
     val streamed = spark.table("sess_test")
     val batch = StreamingPipeline.sessionCounts(events, "6 hours")
     assert(streamed.count() == batch.count())
@@ -266,7 +304,7 @@ class PipelineSpec extends SparkSpec {
       .format("memory").queryName("progress_state").outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    runToTermination(q)
     val last = spark.table("progress_state")
       .groupBy($"user_id").agg(max($"n_events").as("n_events"))
     assert(last.join(batch, Seq("user_id"))

@@ -29,10 +29,21 @@ object Bucketing {
     * `key` — one shuffle now, none on any later `key`-equi-join or
     * `key`-groupBy against it.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Composite-key variant: bucket and sort by `keys` together. A later
+    * equi-join whose keys include ALL of `keys` reads the table
+    * bucket-to-bucket, pre-sorted, with zero Exchange on this side —
+    * the layout lever behind the persisted LSH index
+    * (`Dedup.buildLshIndex` bucketed on (band, bucket), asserted
+    * shuffle-free in `OpsSpec`).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     require(buckets > 0, "bucket count must be positive")
+    require(keys.nonEmpty, "at least one bucket key required")
     df.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 }

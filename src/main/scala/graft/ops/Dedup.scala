@@ -370,16 +370,9 @@ object Dedup {
     // recompute from corpus text only when none is supplied
     val corpusBuckets = corpusIndex.map(_.select(col("doc"), col("band"), col("bucket")))
       .getOrElse(buildLshIndex(corpus, id, text, n, numHashes, bands))
-    // batch × (corpus ∪ batch): canonicalized to id_a < id_b, so the
-    // doubled batch×batch directions collapse in the dedup. Materialized
-    // once (skinny — two longs per pair): read again by the
-    // colliding-doc filter below and by the verify joins.
-    val candidates = batchBuckets.as("l")
-      .join(batchBuckets.unionByName(corpusBuckets).as("r"), Seq("band", "bucket"))
-      .filter(col("l.doc") =!= col("r.doc"))
-      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
-        greatest(col("l.doc"), col("r.doc")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Materialized once (skinny — two longs per pair): read again by
+    // the colliding-doc filter below and by the verify joins.
+    val candidates = incrementalCandidates(batchBuckets, corpusBuckets)
       .localCheckpoint(true)
     // gram arrays (the expensive explode + shuffle) ONLY for docs that
     // actually collide — a semi-join keeps verification collision-
@@ -388,6 +381,34 @@ object Dedup {
       .union(candidates.select(col("id_b").as(id))).distinct()
     val colliding = batch.unionByName(corpus).join(collidingIds, Seq(id), "left_semi")
     verifyJaccard(candidates, docGramArrays(colliding, id, text, n), threshold)
+  }
+
+  /** Candidate pairs touching the batch (canonicalized id_a < id_b,
+    * deduped), from the two frames' (doc, band, bucket) rows.
+    *
+    * batch×batch and batch×corpus are joined SEPARATELY instead of the
+    * equivalent batch×(batch ∪ corpus): a union node discards the
+    * corpus index's physical layout, so a (band, bucket)-bucketed
+    * persisted index ([[buildLshIndex]] + `Bucketing.writeBucketed`)
+    * would be forced through an Exchange on every increment — at
+    * 100 TB that re-shuffles the corpus-sized side to admit a
+    * batch-sized one. Joined directly, the bucketed index streams
+    * bucket-to-bucket with ZERO index-side shuffle and no sort (the
+    * layout is pre-sorted); only the batch side exchanges
+    * (OpsSpec-asserted on the executed plan). The pair set is
+    * identical either way: canonicalization collapses the doubled
+    * batch×batch directions the union form produced.
+    */
+  private[graft] def incrementalCandidates(batchBuckets: DataFrame,
+                                           corpusBuckets: DataFrame): DataFrame = {
+    def pairs(l: DataFrame, r: DataFrame) =
+      l.as("l").join(r.as("r"), Seq("band", "bucket"))
+        .filter(col("l.doc") =!= col("r.doc"))
+        .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+          greatest(col("l.doc"), col("r.doc")).as("id_b"))
+    pairs(batchBuckets, batchBuckets)
+      .union(pairs(batchBuckets, corpusBuckets.select(col("doc"), col("band"), col("bucket"))))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** The `x_minhash_lsh_precision` plan: (LSH band candidates ∪ PPJoin

@@ -750,6 +750,61 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed LSH index: identical pairs, zero Exchange on the index side of the candidate join") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    graft.ops.Bucketing.writeBucketed(
+      Dedup.buildLshIndex(corpus, "doc_id", $"text"),
+      "graft_lsh_idx_spec", Seq("band", "bucket"), 8)
+    val bucketed = spark.table("graft_lsh_idx_spec")
+    // the parameter stamp must survive the managed-table roundtrip too
+    assert(bucketed.schema("band").metadata.contains("graft.bands"),
+      "bucketBy/saveAsTable stripped the buildLshIndex parameter stamp")
+    val live = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val viaBucketed = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", $"text",
+        corpusIndex = Some(bucketed))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(live == viaBucketed && live.nonEmpty,
+      s"bucketed index path diverged: ${live.diff(viaBucketed)} / ${viaBucketed.diff(live)}")
+    // the 100 TB claim: the candidate join streams the persisted index
+    // bucket-to-bucket — the corpus-sized side never re-shuffles; only
+    // the batch side exchanges. AQE's leaf wrapper hides the tree and a
+    // broadcast would dodge the question, so pin both off to inspect.
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchBuckets = Dedup.bandBuckets(
+        Dedup.minhashSigs(batch, "doc_id", $"text", 3, 64), 64, 16)
+      val cands = Dedup.incrementalCandidates(batchBuckets, bucketed)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = cands.queryExecution.executedPlan
+      assert(plan.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
+        s"index was not read as a bucketed scan:\n$plan")
+      // the post-join pair dedup legitimately exchanges skinny (id_a,
+      // id_b) rows; what must NOT exist is a shuffle between the
+      // bucketed scan and its join — that would mean the corpus-sized
+      // index was re-partitioned despite the pre-paid layout
+      def bucketedScanBelowWithoutJoin(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec | _: BroadcastHashJoinExec => false
+        case other => other.children.exists(bucketedScanBelowWithoutJoin)
+      }
+      val shuffledIndex = plan.collect {
+        case s: ShuffleExchangeExec if s.children.exists(bucketedScanBelowWithoutJoin) => s
+      }
+      assert(shuffledIndex.isEmpty, s"bucketed index side still exchanges:\n$plan")
+      assert(cands.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),

@@ -29,16 +29,26 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
-    * a long (`spark.sql.legacy.parquet.nanosAsLong`, set in every graft
-    * session) — normalize to a microsecond timestamp here. DuckDB also
-    * holds timestamps at microsecond precision, so oracle comparisons
-    * agree.
+  /** `events.ts` arrives in two parquet flavors depending on the data
+    * generator: TIMESTAMP(NANOS), which Spark only reads as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in every graft
+    * session), or TIMESTAMP(MICROS) without timezone, which Spark reads
+    * natively as TIMESTAMP_NTZ. Branch on the loaded dtype and
+    * normalize both to a session-timezone (UTC) microsecond timestamp —
+    * DuckDB also holds timestamps at microsecond precision, so oracle
+    * comparisons agree either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.types._
+    val raw = load(spark, sfDir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros((col("ts") / 1000L).cast("long"))
+      case _: TimestampNTZType | _: TimestampType => col("ts").cast(TimestampType)
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet dtype $other")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -23,4 +23,27 @@ class EntrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke SF") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Round 10 lost 5 queries from the CORRECTNESS artifact silently when
+  // testdata schema drift made them fail analysis — the harness dropped
+  // them instead of reporting errors. Pin the declared-query count and
+  // force every query through analysis against the LIVE testdata so a
+  // schema drift fails loudly here, not invisibly in the artifact.
+  test("declared query count is pinned") {
+    assert(SparkEntry.queries.size == EntrySpec.DeclaredQueries,
+      s"query count changed (${SparkEntry.queries.size}); update EntrySpec.DeclaredQueries deliberately")
+  }
+
+  test("every declared query analyzes against the live testdata") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try { q(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, s"queries failing analysis on $sfDir:\n${failures.mkString("\n")}")
+  }
+}
+
+object EntrySpec {
+  /** Bump deliberately when adding/removing queries. */
+  val DeclaredQueries = 96
 }

@@ -1,0 +1,22 @@
+package graft
+
+/** The bench artifact must be self-adjudicating: failures are named,
+  * never recorded as a plausible-looking time (r10 shipped 5 broken
+  * queries with bogus-fast times and no marker), and every timing
+  * carries process-CPU seconds so host contention (cpu ≪ wall) is
+  * distinguishable from a plan regression without a re-run.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("a deliberately broken query surfaces as err, not a time") {
+    val r = Bench.timeQuery("broken", () => throw new IllegalStateException("boom"))
+    assert(r.err.contains("IllegalStateException"))
+  }
+
+  test("a working query records wall and cpu seconds, no err") {
+    val r = Bench.timeQuery("ok", () => { Tables.region(spark, sfDir).count(); () })
+    assert(r.err.isEmpty)
+    assert(r.wall > 0.0)
+    assert(r.cpu >= 0.0, "process CPU time unavailable — contention adjudication broken")
+  }
+}

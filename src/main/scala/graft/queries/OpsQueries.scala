@@ -300,24 +300,7 @@ object OpsQueries {
     // survives benchmark growth where any absolute count would not) →
     // near-dup cluster dedup (keep canonical representatives) — every
     // stage an operator this engine ships, the whole flow one plan
-    "x_pipeline_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val gated = docs.filter(col("source") =!= "src0")
-        .filter(TA.gopherPass(col("text")))
-      val bench = docs.filter(col("source") === "src0")
-      val gramCounts = gated.select(col("doc_id").as("doc"),
-        size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
-      val contaminated = Dedup.contaminationHits(
-          gated, "doc_id", col("text"), bench, col("text"), 3)
-        .join(gramCounts, Seq("doc"))
-        .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
-        .select(col("doc").as("doc_id"))
-      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-        Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
-      clean.join(dropList, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
-    }),
+    "x_pipeline_corpus" -> ((s, dir) => runReleased(pipelineV1Parts(s, dir, persistGated = true))),
 
     // capstone v2 — the FULL preprocessing pipeline as one flow, every
     // r7/r8 stage composed in execution order: PII scrub → Gopher gate
@@ -329,7 +312,7 @@ object OpsQueries {
     // the only iteration) and is hash-matched against the identical
     // DuckDB CTE chain.
     "x_pipeline_corpus_v2" -> ((s, dir) =>
-      pipelineCorpusV2(s, dir, gatedReuse = PipelineV2GatedReuse)),
+      runReleased(pipelineV2Parts(s, dir, gatedReuse = PipelineV2GatedReuse))),
 
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
@@ -453,7 +436,57 @@ object OpsQueries {
     * "capstone v2 lineage cut — r10").
     */
   private[graft] def pipelineCorpusV2(
-      s: SparkSession, dir: String, gatedReuse: String): DataFrame = {
+      s: SparkSession, dir: String, gatedReuse: String): DataFrame =
+    pipelineV2Parts(s, dir, gatedReuse)._1
+
+  /** Cache lifecycle for the capstones (r10 verdict "What's wrong #2"):
+    * a `Dataset.persist` is pinned by the session's CacheManager until
+    * an explicit `unpersist`, so a query that persists an intermediate
+    * and returns lazily strands a corpus-sized cache per execution.
+    * The query entries therefore run EAGERLY: materialize the (small,
+    * terminal) result via `localCheckpoint(true)` — the query-contract
+    * analog of the production sink write — then release the cached
+    * intermediate in a `finally`. Checkpointed result blocks are
+    * reclaimed by the ContextCleaner when the caller drops the frame;
+    * nothing stays registered in the CacheManager.
+    */
+  private def runReleased(parts: (DataFrame, Option[DataFrame])): DataFrame = {
+    val (result, cached) = parts
+    try result.localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
+  }
+
+  /** Capstone v1 plan plus the persisted gated handle (if any) the
+    * caller must release after the terminal action.
+    */
+  private def pipelineV1Parts(
+      s: SparkSession, dir: String, persistGated: Boolean): (DataFrame, Option[DataFrame]) = {
+    val docs = Tables.documents(s, dir)
+    val gated0 = docs.filter(col("source") =!= "src0")
+      .filter(TA.gopherPass(col("text")))
+    // same measured reuse win as v2: the Gopher-gated frame feeds three
+    // subtrees (gram counts, contamination join, anti-join chain) and
+    // recomputes in each without a materialization point
+    val gated = if (persistGated)
+      gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else gated0
+    val bench = docs.filter(col("source") === "src0")
+    val gramCounts = gated.select(col("doc_id").as("doc"),
+      size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
+    val contaminated = Dedup.contaminationHits(
+        gated, "doc_id", col("text"), bench, col("text"), 3)
+      .join(gramCounts, Seq("doc"))
+      .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
+      .select(col("doc").as("doc_id"))
+    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+    val result = clean.join(dropList, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
+    (result, if (persistGated) Some(gated) else None)
+  }
+
+  private def pipelineV2Parts(
+      s: SparkSession, dir: String, gatedReuse: String): (DataFrame, Option[DataFrame]) = {
     val docs = Tables.documents(s, dir)
     val scrubbed = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
@@ -478,9 +511,10 @@ object OpsQueries {
     val sampled = Sampling.stratifiedSample(
       deduped.withColumn("lang_guess", TA.langId(col("text"))),
       col("doc_id"), col("lang_guess"), Map("en" -> 0.2), defaultRate = 1.0)
-    Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
+    val result = Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
         shards = 8, budget = 2048)
       .withColumnRenamed("pack_id", "doc_id")
+    (result, if (gatedReuse == "persist") Some(gated) else None)
   }
 
   /** Measured choice for capstone v2's `gated` reuse (ProbeCheckpoint

@@ -171,8 +171,13 @@ class PlanSpec extends SparkSpec {
   test("pipeline capstone v2 composes only scale-safe shapes") {
     // scrub → gate → decontaminate → cluster-dedup → sample → pack in
     // one plan: no cartesian anywhere, and the terminal packing stage
-    // keeps its per-shard windows (no global sort / single partition)
-    val p = plan("x_pipeline_corpus_v2")
+    // keeps its per-shard windows (no global sort / single partition).
+    // Inspect the LAZY builder — the queries entry materializes the
+    // result eagerly to bound the gated cache's lifecycle, so its plan
+    // is just the checkpointed scan.
+    val p = graft.queries.OpsQueries
+      .pipelineCorpusV2(spark, sfDir, gatedReuse = "lazy")
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"), "capstone v2 plans a cartesian")
     assert(!p.contains("rangepartitioning"), "capstone v2 sorts globally")
     assert(!p.contains("SinglePartition"), "capstone v2 funnels through one partition")

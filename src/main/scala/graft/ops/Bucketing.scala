@@ -38,11 +38,27 @@ object Bucketing {
     * the layout lever behind the persisted LSH index
     * (`Dedup.buildLshIndex` bucketed on (band, bucket), asserted
     * shuffle-free in `OpsSpec`).
+    *
+    * What the layout buys, precisely: the equi-join always runs with
+    * ZERO Exchange on this side. The read-side Sort is additionally
+    * elided only when (a) each bucket holds exactly one file AND
+    * (b) `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (off by default since Spark 3.1 — reporting the ordering requires
+    * listing files at planning time). `repartition(buckets, keys)`
+    * before the write guarantees (a): `HashPartitioning`'s
+    * `pmod(murmur3, n)` is the same function bucketing uses, so each
+    * task holds exactly one bucket's rows and writes its single file —
+    * which also prevents the per-(task, bucket) small-file explosion a
+    * multi-partition df would otherwise write. The extra exchange is
+    * part of the "pay the shuffle once at write time" contract;
+    * OpsSpec asserts the scan reports a non-empty outputOrdering under
+    * the conf.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     require(buckets > 0, "bucket count must be positive")
     require(keys.nonEmpty, "at least one bucket key required")
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }

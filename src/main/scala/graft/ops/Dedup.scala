@@ -393,22 +393,32 @@ object Dedup {
     * would be forced through an Exchange on every increment — at
     * 100 TB that re-shuffles the corpus-sized side to admit a
     * batch-sized one. Joined directly, the bucketed index streams
-    * bucket-to-bucket with ZERO index-side shuffle and no sort (the
-    * layout is pre-sorted); only the batch side exchanges
-    * (OpsSpec-asserted on the executed plan). The pair set is
+    * bucket-to-bucket with ZERO index-side shuffle; only the batch side
+    * exchanges (OpsSpec-asserted on the executed plan). The layout is
+    * also written pre-sorted one-file-per-bucket, which elides the
+    * read-side Sort when `spark.sql.legacy.bucketedTableScan.
+    * outputOrdering` is enabled (see `Bucketing.writeBucketed`). The
+    * pair set is
     * identical either way: canonicalization collapses the doubled
     * batch×batch directions the union form produced.
     */
   private[graft] def incrementalCandidates(batchBuckets: DataFrame,
                                            corpusBuckets: DataFrame): DataFrame = {
-    def pairs(l: DataFrame, r: DataFrame) =
-      l.as("l").join(r.as("r"), Seq("band", "bucket"))
-        .filter(col("l.doc") =!= col("r.doc"))
-        .select(least(col("l.doc"), col("r.doc")).as("id_a"),
-          greatest(col("l.doc"), col("r.doc")).as("id_b"))
-    pairs(batchBuckets, batchBuckets)
-      .union(pairs(batchBuckets, corpusBuckets.select(col("doc"), col("band"), col("bucket"))))
-      .dropDuplicates("id_a", "id_b")
+    // batch×batch self-join: one orientation (doc <) up front, so each
+    // colliding pair is emitted once — least/greatest canonicalization
+    // would double this branch's pre-dedup volume. The batch×corpus
+    // branch keeps least/greatest: there the sides are distinct frames
+    // and the orientation of a collision is arbitrary.
+    val self = batchBuckets.as("l").join(batchBuckets.as("r"), Seq("band", "bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+    val cross = batchBuckets.as("l")
+      .join(corpusBuckets.select(col("doc"), col("band"), col("bucket")).as("r"),
+        Seq("band", "bucket"))
+      .filter(col("l.doc") =!= col("r.doc"))
+      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+        greatest(col("l.doc"), col("r.doc")).as("id_b"))
+    self.union(cross).dropDuplicates("id_a", "id_b")
   }
 
   /** The `x_minhash_lsh_precision` plan: (LSH band candidates ∪ PPJoin

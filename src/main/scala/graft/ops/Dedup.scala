@@ -621,6 +621,49 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** ExactSubstr-style duplicated-span scrub (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * the ExactSubstr variant): REWRITE every document by removing each
+    * k-token span that occurs at least `minCount` times across the
+    * corpus (every occurrence counts, including repeats within one
+    * document), keeping the tokens not covered by any duplicated span.
+    * Complements [[winnowDupPairs]], which only *detects* copied
+    * passages — this is the removal step. Operates on the normalized
+    * token stream (lower + whitespace split, the gram family's
+    * convention); returns (doc, scrubbed, n_removed).
+    *
+    * Scale shape: one gram-hash count shuffle (the duplication
+    * verdict), one hash-keyed join back to gram start positions, one
+    * doc-keyed aggregation of covered starts; the coverage filter is a
+    * narrow higher-order expression over the token array. Document
+    * text never crosses a shuffle — only (doc, position, 60-bit hash)
+    * rows do. Gram identity is the md5-prefix hash, not the gram
+    * string: skinny in the exchanges, cross-engine portable, and a
+    * false removal needs a 60-bit collision. The per-doc covered-start
+    * set is bounded by the doc's own token count, so the aggregate
+    * state is O(doc length), never corpus-sized.
+    */
+  def exactSubstrScrub(
+      df: DataFrame, id: String, text: Column,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k > 0, "span length k must be positive")
+    require(minCount >= 2, "minCount < 2 would scrub every token")
+    val grams = df.select(col(id).as("doc"),
+        posexplode(TextAnalysis.wordNgrams(text, k)).as(Seq("i", "gram")))
+      .select(col("doc"), col("i"), TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select(col("h"))
+    val covered = grams.join(dup, Seq("h"))
+      .groupBy(col("doc")).agg(collect_set(col("i")).as("starts"))
+    df.select(col(id).as("doc"), split(lower(trim(text)), "\\s+").as("toks"))
+      .join(covered, Seq("doc"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"),
+        (_, j) => !exists(col("starts"), s => s <= j && j < s + lit(k))))
+      .select(col("doc"), array_join(col("kept"), " ").as("scrubbed"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Decontamination (benchmark-overlap) sweep: for each corpus doc,
     * the number of DISTINCT word n-grams it shares with a benchmark
     * set — the standard "did the eval set leak into the training

@@ -135,11 +135,7 @@ object Similarity {
     // self-join on the composite key — k seeds cost one shuffle, not k,
     // and the identical bucketed subplan on both sides is a
     // ReusedExchange.
-    val seedBuckets = array(seeds.map(s =>
-      struct(lit(s).as("seed"), lshBucket(col(vec), numPlanes, dim, s).as("bucket"))): _*)
-    val b = df
-      .select(col(id).as("doc"), col(vec).as("v"), explode(seedBuckets).as("sb"))
-      .select(col("doc"), col("v"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    val b = seedBucketRows(df, id, vec, numPlanes, dim, seeds, keepVec = true)
       .repartition(col("seed"), col("bucket"))
     // Order of operations matters at scale: the exact cosine runs
     // map-side straight off the join (no shuffle touches the vectors),
@@ -150,6 +146,119 @@ object Similarity {
       .filter(cosine(col("l.v"), col("r.v")) >= threshold)
       .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** One (doc[, v], seed, bucket) row per (vector, LSH table) — the
+    * shared candidate-generation shape of [[cosineNearDupPairsLsh]]
+    * (with vectors, for the in-plan exact filter) and the persisted
+    * index (without: the index stays skinny; vectors are fetched at
+    * verify time for colliding ids only).
+    */
+  private def seedBucketRows(df: DataFrame, id: String, vec: String,
+                             numPlanes: Int, dim: Int, seeds: Seq[Long],
+                             keepVec: Boolean): DataFrame = {
+    val seedBuckets = array(seeds.map(s =>
+      struct(lit(s).as("seed"), lshBucket(col(vec), numPlanes, dim, s).as("bucket"))): _*)
+    val base = df
+      .select(col(id).as("doc"), col(vec).as("v"), explode(seedBuckets).as("sb"))
+    val cols = (if (keepVec) Seq(col("doc"), col("v")) else Seq(col("doc"))) ++
+      Seq(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    base.select(cols: _*)
+  }
+
+  /** Persisted hyperplane-LSH index rows — (doc, seed, bucket), the
+    * embedding analog of `Dedup.buildLshIndex`: built once at ingest
+    * time, written out (ideally `Bucketing.writeBucketed` on
+    * (seed, bucket)), and re-read by every later
+    * [[incrementalCosinePairs]] admission so the corpus's vectors are
+    * neither re-hashed nor re-shuffled per increment. The LSH
+    * parameters are stamped into the bucket column's metadata
+    * (StructField metadata survives parquet) so an increment under
+    * different parameters is refused instead of silently joining
+    * incompatible bucket spaces.
+    */
+  def buildCosineLshIndex(df: DataFrame, id: String, vec: String,
+                          numPlanes: Int = 4, dim: Int = 64,
+                          seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L)): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.numPlanes", numPlanes.toLong)
+      .putLong("graft.dim", dim.toLong)
+      .putString("graft.seeds", seeds.mkString(","))
+      .build()
+    seedBucketRows(df, id, vec, numPlanes, dim, seeds, keepVec = false)
+      .withColumn("bucket", col("bucket").as("bucket", meta))
+  }
+
+  /** Incremental embedding-cosine near-dup admission: candidate pairs
+    * that TOUCH the new batch — batch×batch and batch×corpus-index,
+    * never corpus×corpus — exact-cosine-verified, so precision is 1.0
+    * and recall is the hyperplane tables' (as in
+    * [[cosineNearDupPairsLsh]]). The embedding analog of
+    * `Dedup.incrementalNearDupPairs`; ids must be disjoint across the
+    * two frames.
+    *
+    * Scale shape: the batch's skinny (doc, seed, bucket) rows equi-join
+    * the persisted index (bucketed on (seed, bucket), the index side
+    * streams with zero shuffle — same layout lever as the text path);
+    * candidate volume scales with batch size × collision rate, not
+    * corpus². Corpus VECTORS are only materialized for docs that
+    * actually collide: a semi-join on the (checkpointed, skinny)
+    * candidate ids gates the vector fetch, so each increment reads
+    * O(collisions) vectors, not the corpus.
+    */
+  def incrementalCosinePairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L),
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    // the stamp is REQUIRED, not best-effort — a parameter mismatch or
+    // a metadata-stripping transformation silently costs recall, which
+    // nothing downstream can detect (same contract as the text index)
+    corpusIndex.foreach { idx =>
+      val m = idx.schema("bucket").metadata
+      require(m.contains("graft.numPlanes") && m.contains("graft.dim") &&
+        m.contains("graft.seeds"),
+        "corpusIndex is missing the buildCosineLshIndex parameter stamp — pass the frame " +
+          "produced by buildCosineLshIndex (or its parquet reread) without projections " +
+          "that strip column metadata")
+      require(m.getLong("graft.numPlanes") == numPlanes && m.getLong("graft.dim") == dim &&
+        m.getString("graft.seeds") == seeds.mkString(","),
+        s"corpusIndex was built with (numPlanes=${m.getLong("graft.numPlanes")}, " +
+          s"dim=${m.getLong("graft.dim")}, seeds=${m.getString("graft.seeds")}) but this " +
+          s"increment uses (numPlanes=$numPlanes, dim=$dim, seeds=${seeds.mkString(",")})")
+    }
+    val batchBuckets = seedBucketRows(batch, id, vec, numPlanes, dim, seeds, keepVec = false)
+    val corpusBuckets = corpusIndex.map(_.select(col("doc"), col("seed"), col("bucket")))
+      .getOrElse(buildCosineLshIndex(corpus, id, vec, numPlanes, dim, seeds))
+    // batch×batch one-oriented; batch×corpus canonicalized (orientation
+    // arbitrary across distinct frames) — same shapes as the text path
+    val self = batchBuckets.as("l").join(batchBuckets.as("r"), Seq("seed", "bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"))
+    val cross = batchBuckets.as("l")
+      .join(corpusBuckets.select(col("doc"), col("seed"), col("bucket")).as("r"),
+        Seq("seed", "bucket"))
+      .filter(col("l.doc") =!= col("r.doc"))
+      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+        greatest(col("l.doc"), col("r.doc")).as("id_b"))
+    // skinny two-long rows, materialized once: read by the colliding-id
+    // semi-join and by both verify joins
+    val candidates = self.union(cross).dropDuplicates("id_a", "id_b").localCheckpoint(true)
+    val collidingIds = candidates.select(col("id_a").as(id))
+      .union(candidates.select(col("id_b").as(id))).distinct()
+    val vecs = batch.select(col(id), col(vec)).unionByName(corpus.select(col(id), col(vec)))
+      .join(collidingIds, Seq(id), "left_semi")
+      .select(col(id).as("doc"), col(vec).as("v"))
+    candidates
+      .join(vecs.select(col("doc").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Deterministic driver-side spherical k-means over a collected

@@ -197,6 +197,39 @@ object OpsQueries {
         .dropDuplicates("id_a", "id_b")
     }),
 
+    // incremental embedding admission, the embed analog of
+    // x_incremental_near_dup_precision: a new batch of vectors
+    // (vec_id%10) admitted against the persisted corpus LSH index
+    // (written once to parquet, reread each increment — the real ingest
+    // lifecycle), precision-oracled as (incremental ∪ exact-touching-
+    // batch) == exact restriction
+    "x_incremental_embed_precision" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+      val corpus = emb.filter(!isBatch(col("vec_id")))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|cos,p=4,d=64,s=42-45,v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-embidx-$key").toString
+      if (!new java.io.File(idxDir, "_SUCCESS").exists())
+        Similarity.buildCosineLshIndex(corpus, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(idxDir)
+      val inc = Similarity.incrementalCosinePairs(
+        corpus, emb.filter(isBatch(col("vec_id"))), "vec_id", "embedding", 0.3,
+        corpusIndex = Some(s.read.parquet(idxDir)))
+      // exact restriction computed batch-sided (batch × corpus, batch
+      // broadcast) — 10× cheaper than all-pairs-then-filter
+      val b = emb.filter(isBatch(col("vec_id")))
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val exact = emb.select(col("vec_id").as("aid"), col("embedding").as("av"))
+        .join(broadcast(b), col("aid") =!= col("bid"))
+        .filter(Similarity.cosine(col("av"), col("bv")) >= 0.3)
+        .select(least(col("aid"), col("bid")).as("id_a"),
+          greatest(col("aid"), col("bid")).as("id_b"))
+      inc.union(exact).dropDuplicates("id_a", "id_b")
+    }),
+
     "x_embed_near_dup_lsh_precision" -> ((s, dir) => {
       val sample = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
       Similarity.cosineNearDupPairsLsh(sample, "vec_id", "embedding", 0.3)
@@ -252,6 +285,15 @@ object OpsQueries {
     "x_winnow_dup_pairs" -> ((s, dir) =>
       Dedup.winnowDupPairs(Tables.documents(s, dir), "doc_id", col("text"),
         k = 4, w = 4, minShared = 2, maxDocFreq = Dedup.WinnowDefaultMaxDocFreq)),
+
+    // ExactSubstr-style span REMOVAL (the rewrite step winnow's
+    // detection lacks): every 8-token span occurring ≥2× corpus-wide is
+    // cut from its documents; output is the rewritten token stream plus
+    // the removed-token count
+    "x_exact_substr_scrub" -> ((s, dir) =>
+      Dedup.exactSubstrScrub(Tables.documents(s, dir), "doc_id", col("text"),
+          k = ExactSubstrK, minCount = 2)
+        .withColumnRenamed("doc", "doc_id")),
 
     // decontamination: distinct 3-gram overlap of every corpus doc with
     // the "benchmark" slice (source = src0) — the pre-training eval-set
@@ -313,6 +355,28 @@ object OpsQueries {
     // DuckDB CTE chain.
     "x_pipeline_corpus_v2" -> ((s, dir) =>
       runReleased(pipelineV2Parts(s, dir, gatedReuse = PipelineV2GatedReuse))),
+
+    // capstone v3 — v2 plus the embedding-space stage the r9/r10 rounds
+    // scale-proofed: after textual cluster dedup, SemDeDup semantic
+    // near-dup pairs over the survivors' embeddings feed a second
+    // cluster-dedup (keep each semantic component's min-id
+    // representative), then mixing and packing run on the semantically
+    // deduped set. Docs without an embedding skip the semantic stage
+    // (they can't pair) and survive on the textual verdict alone. No
+    // oracle by nature (k-means cells are driver state DuckDB can't
+    // re-derive) — the precision twin below is the hash-checked form.
+    "x_pipeline_corpus_v3" -> ((s, dir) =>
+      runReleased(pipelineV3Parts(s, dir, semanticExactUnion = false))),
+
+    // precision twin: the semantic stage's pair set is (SemDeDup ∪
+    // exact); SemDeDup's exact within-cell cosine filter makes it a
+    // precision-1 subset of the exact pairs, so the union EQUALS the
+    // exact pair set and the whole pipeline hash-matches the DuckDB CTE
+    // chain with a quadratic semantic stage — same `approx ∪ exact ==
+    // exact` contract as x_semantic_dedup_precision, composed through
+    // the full pipeline.
+    "x_pipeline_corpus_v3_precision" -> ((s, dir) =>
+      runReleased(pipelineV3Parts(s, dir, semanticExactUnion = true))),
 
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
@@ -450,7 +514,7 @@ object OpsQueries {
     * reclaimed by the ContextCleaner when the caller drops the frame;
     * nothing stays registered in the CacheManager.
     */
-  private def runReleased(parts: (DataFrame, Option[DataFrame])): DataFrame = {
+  private def runReleased(parts: (DataFrame, Seq[DataFrame])): DataFrame = {
     val (result, cached) = parts
     try result.localCheckpoint(true)
     finally cached.foreach(_.unpersist())
@@ -460,7 +524,7 @@ object OpsQueries {
     * caller must release after the terminal action.
     */
   private def pipelineV1Parts(
-      s: SparkSession, dir: String, persistGated: Boolean): (DataFrame, Option[DataFrame]) = {
+      s: SparkSession, dir: String, persistGated: Boolean): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(s, dir)
     val gated0 = docs.filter(col("source") =!= "src0")
       .filter(TA.gopherPass(col("text")))
@@ -482,11 +546,16 @@ object OpsQueries {
       Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
     val result = clean.join(dropList, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
-    (result, if (persistGated) Some(gated) else None)
+    (result, if (persistGated) Seq(gated) else Nil)
   }
 
-  private def pipelineV2Parts(
-      s: SparkSession, dir: String, gatedReuse: String): (DataFrame, Option[DataFrame]) = {
+  /** Shared v2/v3 prefix: PII scrub → Gopher gate → fractional
+    * decontamination → textual near-dup cluster dedup. Returns the
+    * textually deduped (doc_id, text) frame plus the cached handles the
+    * caller must release after its terminal action.
+    */
+  private def pipelineDedupedParts(
+      s: SparkSession, dir: String, gatedReuse: String): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(s, dir)
     val scrubbed = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
@@ -508,14 +577,78 @@ object OpsQueries {
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
     val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
+    (deduped, if (gatedReuse == "persist") Seq(gated) else Nil)
+  }
+
+  /** The shared pipeline tail: stratified corpus mixing (en → 20%) then
+    * sequence packing as the terminal stage.
+    */
+  private def mixAndPack(deduped: DataFrame): DataFrame = {
     val sampled = Sampling.stratifiedSample(
       deduped.withColumn("lang_guess", TA.langId(col("text"))),
       col("doc_id"), col("lang_guess"), Map("en" -> 0.2), defaultRate = 1.0)
-    val result = Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
+    Sampling.packSequences(sampled, col("doc_id"), TA.tokenCount(col("text")),
         shards = 8, budget = 2048)
       .withColumnRenamed("pack_id", "doc_id")
-    (result, if (gatedReuse == "persist") Some(gated) else None)
   }
+
+  private def pipelineV2Parts(
+      s: SparkSession, dir: String, gatedReuse: String): (DataFrame, Seq[DataFrame]) = {
+    val (deduped, cached) = pipelineDedupedParts(s, dir, gatedReuse)
+    (mixAndPack(deduped), cached)
+  }
+
+  /** Capstone v3: the v2 prefix, then the embedding-space SemDeDup
+    * stage on the textual survivors, then the v2 tail.
+    *
+    * Scale shape of the inserted stage:
+    *   - the embeddings table joins the (skinny) survivor id set on an
+    *     equi-key — vectors cross one exchange, text never does;
+    *   - the textually deduped frame is persisted (MEMORY_AND_DISK,
+    *     lineage intact) because the SemDeDup operator drives several
+    *     actions (corpus count for auto-k, the bounded training-sample
+    *     collect, the cell-size probe, both sides of the block join) —
+    *     without a materialization point each would recompute the
+    *     decontamination join and cluster rounds; released by the
+    *     caller after the terminal action (CacheLifecycleSpec);
+    *   - docs without embeddings never enter the pair join and survive
+    *     the stage — the semantic verdict only ever REMOVES a doc on
+    *     positive evidence;
+    *   - `sampleMod = 1`: the training sample is already bounded by
+    *     maxTrainRows (ordered limit — per-partition top-k + driver
+    *     merge, no global sort), and the pipeline's post-dedup survivor
+    *     set at small SFs is too thin for the default 1-in-10 thinning
+    *     to feed k=16 cells.
+    */
+  private def pipelineV3Parts(
+      s: SparkSession, dir: String, semanticExactUnion: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val (deduped0, cached) = pipelineDedupedParts(s, dir, PipelineV2GatedReuse)
+    val deduped = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docVecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(deduped.select(col("doc_id")), Seq("doc_id"))
+    val sem = Similarity.semanticDedupPairs(docVecs, "doc_id", "embedding",
+      SemanticDedupThreshold, sampleMod = 1)
+    val semPairs =
+      if (semanticExactUnion)
+        sem.union(Similarity.cosineNearDupPairs(docVecs, "doc_id", "embedding",
+            SemanticDedupThreshold, maxRows = ExactNearDupMaxRows))
+          .dropDuplicates("id_a", "id_b")
+      else sem
+    val semDrop = Dedup.clusterDropList(Dedup.nearDupClusters(semPairs))
+    (mixAndPack(deduped.join(semDrop, Seq("doc_id"), "left_anti")), deduped +: cached)
+  }
+
+  /** Semantic-stage cosine threshold. The synthetic embeddings plant no
+    * true near-dups (max pairwise cosine ≈ 0.5), so a production-style
+    * 0.9+ would never fire; 0.3 (the standalone x_semantic_dedup
+    * family's floor) is so dense here (990 pairs over 500 vectors) that
+    * component-dedup would collapse most of the corpus. 0.4 is the
+    * calibrated middle: 59 pairs at sf0.01 — the stage demonstrably
+    * drops semantic near-dups without the connected components chaining
+    * into one giant cluster.
+    */
+  val SemanticDedupThreshold = 0.4
 
   /** Measured choice for capstone v2's `gated` reuse (ProbeCheckpoint
     * at sf0.1, r10): lazy 11.7 s / localCheckpoint 8.0 s / persist
@@ -555,7 +688,7 @@ object OpsQueries {
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
          |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] ELSE
          |  [array_to_string(list_slice(t, i, i+2), ' ') FOR i IN range(1, len(t)-1)] END) AS gs FROM toks),
-         |eg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+         |eg AS MATERIALIZED (SELECT doc_id, unnest(gs) AS gram FROM grams),
          |sizes AS (SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY doc_id),
          |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
          |  FROM eg l JOIN eg r USING (gram) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
@@ -563,6 +696,94 @@ object OpsQueries {
          |  round(CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE), 6) AS jaccard
          |FROM pairs JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE) >= $threshold""".stripMargin
+
+  /** Span length of the `x_exact_substr_scrub` query — shared by the
+    * Spark call and the SQL mirror.
+    */
+  val ExactSubstrK = 8
+
+  /** [[graft.ops.Dedup.exactSubstrScrub]] as relational SQL: the
+    * per-position gram hashes come from two lockstep `unnest`s (DuckDB
+    * zips equal-length unnests), duplication is a HAVING over the hash
+    * counts, and the kept token stream is rebuilt by an ordered
+    * string_agg over the positions no duplicated span covers —
+    * 0-based positions to match Spark's `posexplode`/`filter` indices.
+    */
+  private def exactSubstrScrubSql(k: Int, minCount: Int): String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    val gramHash = TA.md5PrefixLongSql(
+      s"array_to_string(list_slice(t, i + 1, i + $k), ' ')", 15)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toks AS t FROM documents),
+       |occ AS MATERIALIZED (SELECT doc_id,
+       |    unnest(CASE WHEN len(t) < $k THEN [] ELSE range(0, len(t) - ${k - 1}) END) AS i,
+       |    unnest(CASE WHEN len(t) < $k THEN [] ELSE [$gramHash FOR i IN range(0, len(t) - ${k - 1})] END) AS h
+       |  FROM toks),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= $minCount),
+       |cov AS MATERIALIZED (SELECT DISTINCT doc_id, i FROM occ JOIN dup USING (h)),
+       |pos AS (SELECT doc_id, unnest(range(0, len(t))) AS j, unnest(t) AS tok FROM toks),
+       |kept AS (SELECT p.doc_id, p.j, p.tok FROM pos p WHERE NOT EXISTS (
+       |  SELECT 1 FROM cov c WHERE c.doc_id = p.doc_id AND c.i <= p.j AND p.j < c.i + $k)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS scrubbed,
+       |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.scrubbed, '') AS scrubbed,
+       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  /** The v2/v3 shared CTE prefix, mirroring [[pipelineDedupedParts]]:
+    * scrub → gate → fractional decontamination → textual cluster dedup,
+    * ending at relation `deduped (doc_id, text)`.
+    *
+    * The multiply-referenced / recursion-feeding CTEs are
+    * `MATERIALIZED`: DuckDB inlines plain CTEs per reference, so `sym`
+    * (referenced by every `reach` iteration) would otherwise re-run the
+    * quadratic gram join per iteration and `deduped` would re-run the
+    * entire chain per downstream consumer — measured 24.5 s → 2.5 s on
+    * the v2 oracle at sf0.01, and the difference between ~21 s and
+    * unbounded (>100 s) once v3 nests a second recursion downstream.
+    */
+  private def pipelineDedupedSqlCtes: String =
+    s"""WITH RECURSIVE
+       |scrubbed AS MATERIALIZED (SELECT doc_id, ${TA.scrubPiiSql("text")} AS text FROM documents
+       |  WHERE source != 'src0'),
+       |gated AS MATERIALIZED (SELECT doc_id, text FROM scrubbed WHERE ${TA.gopherPassSql("text")}),
+       |cg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
+       |bg AS (SELECT DISTINCT unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram
+       |  FROM documents WHERE source = 'src0'),
+       |hits AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id),
+       |gsz AS (SELECT doc_id, count(*) AS g FROM cg GROUP BY doc_id),
+       |contaminated AS (SELECT doc_id FROM hits JOIN gsz USING (doc_id)
+       |  WHERE CAST(n AS DOUBLE) / CAST(g AS DOUBLE) >= 0.5),
+       |clean AS MATERIALIZED (SELECT doc_id, text FROM gated
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |prs AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+       |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+       |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)),
+       |deduped AS MATERIALIZED (SELECT doc_id, text FROM clean
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
+
+  /** The shared pipeline-tail SQL, mirroring [[mixAndPack]]: stratified
+    * mixing then sequence packing over relation `rel (doc_id, text)`.
+    */
+  private def mixPackSql(rel: String): String =
+    s"""sampled AS (SELECT doc_id, text FROM $rel
+       |  WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
+       |    (CASE WHEN ${TA.langIdSql("text")} = 'en' THEN 200 ELSE 1000 END)),
+       |t AS (SELECT doc_id,
+       |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |  ${graft.ops.Sampling.hash32Sql("doc_id")} AS h FROM sampled),
+       |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens AS BIGINT) AS start_off
+       |FROM t)
+       |SELECT doc_id, shard, start_off,
+       |  CAST(start_off // 2048 AS BIGINT) AS bin_first,
+       |  CAST(greatest(start_off, start_off + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
+       |FROM p""".stripMargin
 
   /** Exact brute-force top-`k` (query, neighbor) pairs; `withRank`
     * includes the rank column (the x_ann_bruteforce shape), the
@@ -591,9 +812,9 @@ object OpsQueries {
     "x_minhash_lsh_precision" ->
       s"SELECT id_a, id_b FROM (${jaccardSql(0.8)})",
     "x_near_dup_clusters" ->
-      (s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
+      (s"""WITH RECURSIVE edges AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
           |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
-          |sym AS (SELECT id_a AS src, id_b AS dst FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges UNION ALL SELECT id_b, id_a FROM edges),
           |reach(id, r) AS (
           |  SELECT id, id FROM nodes
           |  UNION
@@ -606,6 +827,11 @@ object OpsQueries {
           |WHERE NOT EXISTS (SELECT 1 FROM fps c WHERE c.doc_id % 10 != 0 AND c.fp = b.fp)""".stripMargin),
     "x_incremental_near_dup_precision" ->
       s"SELECT id_a, id_b FROM (${jaccardSql(0.8)}) WHERE id_a % 10 = 0 OR id_b % 10 = 0",
+    "x_incremental_embed_precision" ->
+      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a, greatest(a.vec_id, b.vec_id) AS id_b
+         |FROM embeddings a JOIN b ON a.vec_id != b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
     "x_embed_near_dup_lsh_precision" ->
       ("""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -622,12 +848,13 @@ object OpsQueries {
     "x_winnow_fingerprint" ->
       s"SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS fp FROM documents",
     "x_winnow_dup_pairs" ->
-      (s"""WITH prints AS (SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS print FROM documents),
+      (s"""WITH prints AS MATERIALIZED (SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS print FROM documents),
           |hot AS (SELECT print FROM prints GROUP BY print HAVING count(*) > ${Dedup.WinnowDefaultMaxDocFreq}),
-          |f AS (SELECT doc_id, print FROM prints WHERE print NOT IN (SELECT print FROM hot)),
+          |f AS MATERIALIZED (SELECT doc_id, print FROM prints WHERE print NOT IN (SELECT print FROM hot)),
           |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
           |  FROM f l JOIN f r USING (print) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
           |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin),
+    "x_exact_substr_scrub" -> exactSubstrScrubSql(ExactSubstrK, 2),
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,
          |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),
@@ -643,20 +870,20 @@ object OpsQueries {
           |  (CASE WHEN lang_guess = 'en' THEN 200 ELSE 1000 END)""".stripMargin),
     "x_pipeline_corpus" ->
       (s"""WITH RECURSIVE
-          |gated AS (SELECT doc_id, text FROM documents
+          |gated AS MATERIALIZED (SELECT doc_id, text FROM documents
           |  WHERE source != 'src0' AND ${TA.gopherPassSql("text")}),
-          |cg AS (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
+          |cg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
           |bg AS (SELECT DISTINCT unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram
           |  FROM documents WHERE source = 'src0'),
           |hits AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id),
           |gsz AS (SELECT doc_id, count(*) AS g FROM cg GROUP BY doc_id),
           |contaminated AS (SELECT doc_id FROM hits JOIN gsz USING (doc_id)
           |  WHERE CAST(n AS DOUBLE) / CAST(g AS DOUBLE) >= 0.5),
-          |clean AS (SELECT doc_id, text FROM gated
+          |clean AS MATERIALIZED (SELECT doc_id, text FROM gated
           |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-          |prs AS (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
+          |prs AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
           |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
-          |sym AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
           |reach(id, r) AS (
           |  SELECT id, id FROM nodes
           |  UNION
@@ -665,42 +892,23 @@ object OpsQueries {
           |SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM clean
           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
     "x_pipeline_corpus_v2" ->
-      (s"""WITH RECURSIVE
-          |scrubbed AS (SELECT doc_id, ${TA.scrubPiiSql("text")} AS text FROM documents
-          |  WHERE source != 'src0'),
-          |gated AS (SELECT doc_id, text FROM scrubbed WHERE ${TA.gopherPassSql("text")}),
-          |cg AS (SELECT doc_id, unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM gated),
-          |bg AS (SELECT DISTINCT unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram
-          |  FROM documents WHERE source = 'src0'),
-          |hits AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id),
-          |gsz AS (SELECT doc_id, count(*) AS g FROM cg GROUP BY doc_id),
-          |contaminated AS (SELECT doc_id FROM hits JOIN gsz USING (doc_id)
-          |  WHERE CAST(n AS DOUBLE) / CAST(g AS DOUBLE) >= 0.5),
-          |clean AS (SELECT doc_id, text FROM gated
-          |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-          |prs AS (SELECT id_a, id_b FROM (${jaccardSql(0.8, "clean")})),
-          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
-          |sym AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
-          |reach(id, r) AS (
-          |  SELECT id, id FROM nodes
+      s"$pipelineDedupedSqlCtes,\n${mixPackSql("deduped")}",
+    "x_pipeline_corpus_v3_precision" ->
+      (s"""$pipelineDedupedSqlCtes,
+          |emb AS MATERIALIZED (SELECT d.doc_id, e.embedding FROM deduped d
+          |  JOIN embeddings e ON e.vec_id = d.doc_id),
+          |sp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM emb a JOIN emb b ON a.doc_id < b.doc_id
+          |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $SemanticDedupThreshold),
+          |snodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM sp UNION SELECT id_b FROM sp)),
+          |ssym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM sp UNION ALL SELECT id_b, id_a FROM sp),
+          |sreach(id, r) AS (
+          |  SELECT id, id FROM snodes
           |  UNION
-          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
-          |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)),
-          |deduped AS (SELECT doc_id, text FROM clean
-          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
-          |sampled AS (SELECT doc_id, text FROM deduped
-          |  WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} <
-          |    (CASE WHEN ${TA.langIdSql("text")} = 'en' THEN 200 ELSE 1000 END)),
-          |t AS (SELECT doc_id,
-          |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,
-          |  ${graft.ops.Sampling.hash32Sql("doc_id")} AS h FROM sampled),
-          |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
-          |  CAST(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens AS BIGINT) AS start_off
-          |FROM t)
-          |SELECT doc_id, shard, start_off,
-          |  CAST(start_off // 2048 AS BIGINT) AS bin_first,
-          |  CAST(greatest(start_off, start_off + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
-          |FROM p""".stripMargin),
+          |  SELECT s.src, sreach.r FROM ssym s JOIN sreach ON sreach.id = s.dst),
+          |sdropped AS (SELECT id AS doc_id FROM sreach GROUP BY id HAVING id != MIN(r)),
+          |semded AS (SELECT doc_id, text FROM deduped
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM sdropped)),
+          |${mixPackSql("semded")}""".stripMargin),
     "x_vocab_top_tokens" ->
       (raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
             |SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY 1

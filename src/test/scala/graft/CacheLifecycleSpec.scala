@@ -26,8 +26,9 @@ class CacheLifecycleSpec extends SparkSpec {
     leftover.isEmpty
   }
 
-  test("capstone v1 and v2 leave no persisted RDD behind") {
-    for (name <- Seq("x_pipeline_corpus", "x_pipeline_corpus_v2")) {
+  test("capstones leave no persisted RDD behind") {
+    for (name <- Seq("x_pipeline_corpus", "x_pipeline_corpus_v2",
+        "x_pipeline_corpus_v3", "x_pipeline_corpus_v3_precision")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       var df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")

@@ -753,6 +753,7 @@ class OpsSpec extends SparkSpec {
   test("bucketed LSH index: identical pairs, zero Exchange on the index side of the candidate join") {
     val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
     val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    try {
     graft.ops.Bucketing.writeBucketed(
       Dedup.buildLshIndex(corpus, "doc_id", $"text"),
       "graft_lsh_idx_spec", Seq("band", "bucket"), 8)
@@ -785,6 +786,19 @@ class OpsSpec extends SparkSpec {
       val plan = cands.queryExecution.executedPlan
       assert(plan.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
         s"index was not read as a bucketed scan:\n$plan")
+      // writeBucketed aligns write tasks with bucket ids (one file per
+      // bucket) — the layout precondition for a sorted read. Spark only
+      // REPORTS the ordering under the legacy conf (planning-time file
+      // listing is expensive), so assert the layout half under it.
+      val savedOrd = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      try {
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        val ordPlan = Dedup.incrementalCandidates(batchBuckets, spark.table("graft_lsh_idx_spec"))
+          .queryExecution.executedPlan
+        val scans = ordPlan.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+        assert(scans.nonEmpty && scans.forall(_.outputOrdering.nonEmpty),
+          s"bucketed scan lost the sortBy ordering (multiple files per bucket?):\n$ordPlan")
+      } finally spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", savedOrd)
       // the post-join pair dedup legitimately exchanges skinny (id_a,
       // id_b) rows; what must NOT exist is a shuffle between the
       // bucketed scan and its join — that would mean the corpus-sized
@@ -803,6 +817,71 @@ class OpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", saved._1)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
     }
+    } finally {
+      // managed table + warehouse files would otherwise outlive the test
+      // in the shared session's catalog
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_spec")
+    }
+  }
+
+  test("incremental embed admission: parquet-index parity with live, stamp refusals, precision 1") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-embidx-spec").toString
+    try {
+      graft.ops.Similarity.buildCosineLshIndex(corpus, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(idxDir)
+      val reread = spark.read.parquet(idxDir)
+      assert(reread.schema("bucket").metadata.contains("graft.numPlanes"),
+        "parameter stamp did not survive the parquet roundtrip")
+      val live = graft.ops.Similarity.incrementalCosinePairs(
+          corpus, batch, "vec_id", "embedding", 0.3)
+        .as[(Long, Long)].collect().toSet
+      val viaParquet = graft.ops.Similarity.incrementalCosinePairs(
+          corpus, batch, "vec_id", "embedding", 0.3, corpusIndex = Some(reread))
+        .as[(Long, Long)].collect().toSet
+      assert(live == viaParquet && live.nonEmpty,
+        s"parquet index path diverged: ${live.diff(viaParquet)} / ${viaParquet.diff(live)}")
+      // every admitted pair must be a true near-dup (precision 1.0) and touch the batch
+      val exact = graft.ops.Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3,
+          maxRows = 10000L)
+        .as[(Long, Long)].collect().toSet
+      assert(live.subsetOf(exact), s"false admissions: ${live.diff(exact)}")
+      assert(live.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+      // parameter mismatch and stripped metadata are refused loudly
+      assertThrows[IllegalArgumentException] {
+        graft.ops.Similarity.incrementalCosinePairs(corpus, batch, "vec_id", "embedding", 0.3,
+          numPlanes = 8, corpusIndex = Some(reread))
+      }
+      assertThrows[IllegalArgumentException] {
+        val stripped = reread.withColumn("bucket", $"bucket".cast("string").cast("long"))
+        graft.ops.Similarity.incrementalCosinePairs(corpus, batch, "vec_id", "embedding", 0.3,
+          corpusIndex = Some(stripped))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
+  }
+
+  test("exact-substring scrub removes corpus-duplicated k-token spans, keeps the rest") {
+    val df = Seq(
+      (1L, "a b c d x"),       // shares "a b c" / "b c d" with doc 2
+      (2L, "a b c d y"),
+      (3L, "u v w z q"),       // unique — untouched
+      (4L, "m n m n m n"))     // intra-doc repeats count toward minCount
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrScrub(df, "doc_id", $"text", k = 3)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    // docs 1/2: starts {0,1} cover tokens 0..3, the differing tail stays
+    assert(out == Seq(
+      (1L, "x", 4L), (2L, "y", 4L), (3L, "u v w z q", 0L), (4L, "", 6L)))
+    assertThrows[IllegalArgumentException] {
+      Dedup.exactSubstrScrub(df, "doc_id", $"text", k = 3, minCount = 1)
+    }
+    // raising minCount above the span's frequency keeps everything
+    assert(Dedup.exactSubstrScrub(df, "doc_id", $"text", k = 3, minCount = 3)
+      .filter($"n_removed" > 0).count() == 0)
   }
 
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {

@@ -178,11 +178,7 @@ object OpsQueries {
       // real ingest lifecycle (index persisted at ingest time, each
       // increment only READS it), and repeated verify/bench runs don't
       // accumulate orphaned temp dirs or re-pay the build
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|n=3,h=64,b=16,v1".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-lsh-idx-$key").toString
+      val idxDir = indexCachePath(dir, "documents.parquet", "n=3,h=64,b=16,v1")
       if (!new java.io.File(idxDir, "_SUCCESS").exists())
         Dedup.buildLshIndex(corpus, "doc_id", col("text"), 3, 64, 16)
           .write.mode("overwrite").parquet(idxDir)
@@ -207,11 +203,7 @@ object OpsQueries {
       val emb = Tables.embeddings(s, dir)
       val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
       val corpus = emb.filter(!isBatch(col("vec_id")))
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|cos,p=4,d=64,s=42-45,v1".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val idxDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-embidx-$key").toString
+      val idxDir = indexCachePath(dir, "embeddings.parquet", "cos,p=4,d=64,s=42-45,v1")
       if (!new java.io.File(idxDir, "_SUCCESS").exists())
         Similarity.buildCosineLshIndex(corpus, "vec_id", "embedding")
           .write.mode("overwrite").parquet(idxDir)
@@ -696,6 +688,22 @@ object OpsQueries {
          |  round(CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE), 6) AS jaccard
          |FROM pairs JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE) >= $threshold""".stripMargin
+
+  /** Deterministic tmp path for a persisted per-dataset index artifact,
+    * keyed by the SOURCE PARQUET'S IDENTITY (path + mtime + size), not
+    * just the path: the driver re-provisions `/root/testdata` in place
+    * (it did between r9 and r10), and a path-only key would silently
+    * serve index rows built from the replaced data — a wrong-answer
+    * class nothing downstream detects. A changed file ⇒ a fresh key ⇒
+    * the index rebuilds.
+    */
+  private def indexCachePath(dir: String, sourceFile: String, params: String): String = {
+    val src = new java.io.File(s"$dir/$sourceFile")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.lastModified}:${src.length}|$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-idx-$key").toString
+  }
 
   /** Span length of the `x_exact_substr_scrub` query — shared by the
     * Spark call and the SQL mirror.

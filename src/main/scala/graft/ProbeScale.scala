@@ -9,6 +9,8 @@ import graft.ops.{Dedup, Similarity}
 object ProbeScale {
   def main(args: Array[String]): Unit = {
     val mult = if (args.length > 0) args(0).toInt else 10
+    // optional stage filter: runMain graft.ProbeScale 30 stageA stageB
+    val only: Set[String] = args.drop(1).toSet
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
@@ -21,11 +23,12 @@ object ProbeScale {
     val vecs = (0 until mult).map(i =>
       emb.select((col("vec_id") + lit(i * nv)).as("vec_id"), col("embedding")))
       .reduce(_ union _)
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"PROBE_SCALE $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"PROBE_SCALE $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     println(s"PROBE_SCALE corpus docs=${n * mult} vecs=${nv * mult}")
     time("ngram_jaccard")(
       Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8).count())
@@ -52,6 +55,22 @@ object ProbeScale {
     time("near_dup_clusters")(
       Dedup.nearDupClusters(
         Dedup.minhashLshPrecisionUnion(docs, "doc_id", col("text"))).count())
+    // worst-case span scrub: every 8-gram occurs `mult` times (the
+    // id-shifted copies), so the dup verdict covers the ENTIRE gram set
+    // and every doc is rewritten — maximal join-back and coverage work.
+    // Aggregate n_removed rather than count(): the scrub's left join is
+    // row-preserving, so a bare count() lets Catalyst eliminate the
+    // join and times only the token scan (measured 0.55 s — a probe
+    // artifact, not the operator).
+    time("exact_substr_scrub")(
+      Dedup.exactSubstrScrub(docs, "doc_id", col("text"))
+        .agg(sum(col("n_removed"))).collect().head.getLong(0))
+    // incremental embed admission under the same worst case as the text
+    // path above: every batch vector collides with its mult-1 twins
+    time("incremental_embed")(
+      Similarity.incrementalCosinePairs(
+        vecs.filter(col("vec_id") >= nv), vecs.filter(col("vec_id") < nv),
+        "vec_id", "embedding", 0.3).count())
     time("embed_near_dup_lsh")(
       Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding", 0.3).count())
     time("ann_lsh")(

@@ -612,7 +612,7 @@ object OpsQueries {
     *     set at small SFs is too thin for the default 1-in-10 thinning
     *     to feed k=16 cells.
     */
-  private def pipelineV3Parts(
+  private[graft] def pipelineV3Parts(
       s: SparkSession, dir: String, semanticExactUnion: Boolean): (DataFrame, Seq[DataFrame]) = {
     val (deduped0, cached) = pipelineDedupedParts(s, dir, PipelineV2GatedReuse)
     val deduped = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -183,6 +183,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "capstone v2 funnels through one partition")
   }
 
+  test("pipeline capstone v3 composes only scale-safe shapes") {
+    // v2's prefix plus the semantic stage: the SemDeDup block join is an
+    // equi-join on (cell, bi, bj) and the drop anti-join an equi-join on
+    // doc_id, so the composed plan must stay cartesian-free and never
+    // funnel through a global sort or single partition. Inspect the
+    // parts builder (the queries entry returns a checkpointed scan) and
+    // release its cached frames afterwards.
+    val (df, cached) = graft.queries.OpsQueries
+      .pipelineV3Parts(spark, sfDir, semanticExactUnion = false)
+    try {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), "capstone v3 plans a cartesian")
+      assert(!p.contains("rangepartitioning"), "capstone v3 sorts globally")
+      assert(!p.contains("SinglePartition"), "capstone v3 funnels through one partition")
+    } finally cached.foreach(_.unpersist())
+  }
+
   test("incremental near-dup joins stay equi-joins touching the batch only") {
     val p = plan("x_incremental_near_dup_precision")
     assert(!p.contains("CartesianProduct"), "incremental near-dup plans a cartesian")

@@ -1,7 +1,8 @@
 package graft
 import java.nio.file.{Files, Paths}
 object Bench {
-  case class QRun(name: String, wall: Double, cpu: Double, err: Option[String])
+  case class QRun(name: String, wall: Double, cpu: Double, err: Option[String],
+                  leaked: Int = 0)
 
   private lazy val osBean = java.lang.management.ManagementFactory
     .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
@@ -14,6 +15,30 @@ object Bench {
     val err = try { run(); None }
               catch { case e: Throwable => Some(e.getClass.getSimpleName) }
     QRun(name, (System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, err)
+  }
+
+  /** [[timeQuery]] plus cache-leak detection: a query that leaves MORE
+    * persisted RDDs registered than it found poisons every later
+    * measurement in the session (r10's capstone leak made its own
+    * pass-2 artificially warm, so min-of-2 reported the flattered
+    * number). Transient `localCheckpoint` blocks also register but
+    * drain via the ContextCleaner once the query's frame is dropped —
+    * so when the raw diff is non-zero, GC-and-poll briefly and count
+    * only what SURVIVES: a CacheManager pin can never be reclaimed, so
+    * the survivors are true leaks, not lifecycle noise. The drain runs
+    * outside the timed window; per-query wall/cpu are unaffected.
+    */
+  def timeQueryChecked(spark: org.apache.spark.sql.SparkSession,
+                       name: String, run: () => Unit): QRun = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = timeQuery(name, run)
+    def left() = spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
+    var n = left()
+    val deadline = System.currentTimeMillis() + 5000
+    while (n > 0 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(100); n = left()
+    }
+    r.copy(leaked = n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,8 +65,9 @@ object Bench {
     def pass(): Seq[QRun] = ordered.map { case (name, fn) =>
       // A failed query must be LOUD in the artifact: r10 carried 5
       // broken queries with bogus-fast times and no marker. Record the
-      // exception class; the headline counts errs.
-      timeQuery(name, () => { fn(spark, sfDir).count(); () })
+      // exception class; the headline counts errs. Leak-checked: a
+      // stranded cache would silently warm every later measurement.
+      timeQueryChecked(spark, name, () => { fn(spark, sfDir).count(); () })
     }
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
@@ -52,9 +78,10 @@ object Bench {
     // in EITHER pass marks the query errored (its times are meaningless).
     val results = passes.head.zip(passes(1)).map { case (a, b) =>
       val best = if (a.wall <= b.wall) a else b
-      best.copy(err = a.err.orElse(b.err))
+      best.copy(err = a.err.orElse(b.err), leaked = a.leaked + b.leaked)
     }
     val errs = results.filter(_.err.isDefined)
+    val leaks = results.filter(_.leaked > 0)
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full
     // double precision).
@@ -68,7 +95,8 @@ object Bench {
     val passesJson = passes.map(p => qmap(p.map(r => r.name -> r.wall))).mkString("[", ",", "]")
     val loadsJson = loads.map(r4).mkString("[", ",", "]")
     val errsJson = errs.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"").mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"n_errs":${errs.length},"errs":$errsJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"loadavg_1m":$loadsJson}"""
+    val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

@@ -118,6 +118,40 @@ object Sampling {
       .drop("__graft_stratum", "__graft_rate")
   }
 
+  /** Temperature-weighted mixture (the α-smoothed sampling of Conneau &
+    * Lample 2019 / the multilingual-BERT exponent; GPT-3's corpus
+    * weighting is the same form): target composition ∝ count^alpha, so
+    * alpha = 1 keeps the natural mix and alpha → 0 approaches
+    * uniform-by-stratum. Keeps the maximum data subject to the target:
+    * the smallest stratum survives whole and every larger one
+    * downsamples by (c_min / c_s)^(1-alpha) — the closed form of
+    * [[mixtureSample]] with shares = c^alpha, so no share map needs
+    * pre-measuring. Decisions hash the row's own id (same determinism
+    * contract as the rest of the family); the per-stratum survival
+    * threshold is rounded to integer per-mille so the transcendental
+    * pow never decides a row at a sub-ulp boundary across engines.
+    *
+    * Scale shape: one skinny count aggregation (one row per stratum,
+    * checkpointed once), a broadcast rate join, then a stateless narrow
+    * filter — the corpus never shuffles.
+    */
+  def temperatureMixture(df: DataFrame, id: Column, stratum: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val tagged = df.filter(id.isNotNull).withColumn("__graft_stratum", stratum)
+    // tiny (one row per stratum) but derived from a full corpus scan —
+    // materialize once, reused by the min and the rates
+    val counts = tagged.groupBy(col("__graft_stratum"))
+      .agg(count(lit(1)).cast("double").as("__graft_c"))
+      .localCheckpoint(true)
+    val cmin = counts.agg(min(col("__graft_c")).as("__graft_cmin"))
+    val rates = counts.crossJoin(cmin)
+      .select(col("__graft_stratum"),
+        round(pow(col("__graft_cmin") / col("__graft_c"), lit(1.0 - alpha)) * 1000).as("__graft_thr"))
+    tagged.join(broadcast(rates), Seq("__graft_stratum"))
+      .filter(hashPermille(id).cast("double") < col("__graft_thr"))
+      .drop("__graft_stratum", "__graft_thr")
+  }
+
   /** 32-bit id hash (md5 prefix): the deterministic stand-in for a
     * pre-training shuffle — used as both the shard key and the
     * within-shard ordering so a re-run (or another engine) reproduces

@@ -437,6 +437,17 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // temperature-weighted mixing: output composition ∝ count^0.5 —
+    // the α-smoothing knob between the natural mix (α=1) and uniform
+    // strata (α→0); smallest stratum kept whole, larger ones
+    // downsampled by (c_min/c)^(1-α)
+    "x_temperature_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang_guess", TA.langId(col("text")))
+      Sampling.temperatureMixture(docs, col("doc_id"), col("lang_guess"), alpha = 0.5)
+        .select(col("doc_id"), col("lang_guess"))
+    }),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -982,6 +993,13 @@ object OpsQueries {
           |rates AS (SELECT stratum, share * t.t / c AS rate FROM j, t)
           |SELECT doc_id, lang_guess FROM l JOIN rates ON rates.stratum = l.lang_guess
           |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < rate * 1000.0""".stripMargin),
+    "x_temperature_mixture" ->
+      (s"""WITH l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
+          |counts AS (SELECT lang_guess, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),
+          |cm AS (SELECT MIN(c) AS cmin FROM counts),
+          |rates AS (SELECT lang_guess, round(power(cmin / c, 0.5) * 1000) AS thr FROM counts, cm)
+          |SELECT doc_id, lang_guess FROM l JOIN rates USING (lang_guess)
+          |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
     "x_top_quality_per_lang" ->
       (s"""WITH scored AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
           |  ${TA.qualityScoreSql("text")} AS quality FROM documents),

@@ -19,4 +19,25 @@ class BenchSpec extends SparkSpec {
     assert(r.wall > 0.0)
     assert(r.cpu >= 0.0, "process CPU time unavailable — contention adjudication broken")
   }
+
+  test("a query that strands a cache is flagged leaked; a clean one is not") {
+    val leaky = Bench.timeQueryChecked(spark, "leaky", () => {
+      val df = Tables.region(spark, sfDir).persist()
+      df.count(); () // persisted, never released
+    })
+    assert(leaky.leaked > 0, "stranded cache not detected")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val clean = Bench.timeQueryChecked(spark, "clean", () => {
+      val df = Tables.region(spark, sfDir).persist()
+      try { df.count(); () } finally df.unpersist()
+    })
+    assert(clean.leaked == 0, s"clean query flagged as leaking ${clean.leaked}")
+    // a transient localCheckpoint registers too, but drains via the
+    // ContextCleaner once the frame is dropped — must NOT be flagged
+    val transient = Bench.timeQueryChecked(spark, "transient", () => {
+      Tables.region(spark, sfDir).localCheckpoint(true).count(); ()
+    })
+    assert(transient.leaked == 0,
+      s"ContextCleaner-reclaimable checkpoint flagged as leak (${transient.leaked})")
+  }
 }

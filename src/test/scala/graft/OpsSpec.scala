@@ -884,6 +884,23 @@ class OpsSpec extends SparkSpec {
       .filter($"n_removed" > 0).count() == 0)
   }
 
+  test("temperature mixture: smallest stratum whole, larger ones cut by (cmin/c)^(1-a)") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small")).toDF("id", "s")
+    val out = Sampling.temperatureMixture(df, $"id", $"s", alpha = 0.5)
+    val by = out.groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(by.getOrElse("small", 0L) == 10L, s"smallest stratum must survive whole: $by")
+    // big's survival threshold is round(sqrt(10/90)*1000) = 333 permille;
+    // the kept set is exactly the hash-rule's verdict, not a random draw
+    val expectedBig = df.filter($"s" === "big")
+      .filter(Sampling.hashPermille($"id") < 333).count()
+    assert(by.getOrElse("big", 0L) == expectedBig, s"big stratum: $by vs expected $expectedBig")
+    // alpha = 1 is the natural mix — everything survives
+    assert(Sampling.temperatureMixture(df, $"id", $"s", alpha = 1.0).count() == 100)
+    assertThrows[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, $"id", $"s", alpha = 0.0)
+    }
+  }
+
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),

@@ -521,6 +521,190 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Product-quantization model (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space is
+    * split into `m` subspaces of `dim/m` dimensions, each with its own
+    * `k`-centroid EUCLIDEAN codebook; a vector encodes to `m` small
+    * codes (log2(k) bits each) — 64-dim float32 at m=8, k=16 is a 64×
+    * compression, the difference between embeddings that fit executor
+    * memory at 100 TB and embeddings that don't. Codebooks are tiny
+    * driver state (m·k·dim/m doubles), trained once per corpus.
+    */
+  case class PqModel(dim: Int, m: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    def k: Int = codebooks(0).length
+    def subDim: Int = dim / m
+  }
+
+  /** Euclidean Lloyd k-means (PQ codebooks quantize raw subvectors, so
+    * the metric is L2 — unlike the spherical [[trainCentroids]]):
+    * deterministic init = first k sample rows, `iters` rounds, empty
+    * cells keep their centroid.
+    */
+  private[graft] def trainCentroidsL2(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"need at least $k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      for (v <- sample) {
+        val best = centroids.indices.minBy(c => (d2(centroids(c), v), c))
+        counts(best) += 1
+        for (i <- 0 until dim) sums(best)(i) += v(i)
+      }
+      centroids = centroids.indices.toArray.map { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** L2-normalized copy of a vector column (unit sphere): PQ ranks by
+    * Euclidean ADC distance, and on normalized vectors L2 order is
+    * exactly cosine order — normalize once at encode/query time and
+    * the PQ family stays rank-compatible with the cosine family.
+    */
+  private[graft] def l2Normalize(vec: Column): Column =
+    TextAnalysis.bound(
+      sqrt(aggregate(vec, lit(0.0), (a, v) => a + v.cast("double") * v.cast("double")))) { norm =>
+      transform(vec, v => v.cast("double") / norm)
+    }
+
+  /** Train PQ codebooks on the corpus sample (same bounded-collect
+    * contract as [[trainOnCorpus]]), over NORMALIZED vectors.
+    */
+  def trainPq(corpus: DataFrame, id: String, vec: String,
+              m: Int = 8, k: Int = 16, sampleMod: Int = 10,
+              iters: Int = 3, maxTrainRows: Int = 10000): PqModel = {
+    val sample = corpus
+      .filter(pmod(col(id), lit(sampleMod)) === 0)
+      .orderBy(col(id))
+      .limit(maxTrainRows)
+      .select(l2Normalize(col(vec)).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val codebooks = (0 until m).toArray.map { j =>
+      trainCentroidsL2(sample.map(_.slice(j * sub, (j + 1) * sub)), k, iters)
+    }
+    PqModel(dim, m, codebooks)
+  }
+
+  /** Per-subspace squared distances to each codebook centroid, as one
+    * flattened length-m·k array column — shared by encoding (argmin per
+    * subspace) and the query-side ADC table. The codebooks ride as ONE
+    * nested (m × k × subDim) literal and the distances are computed by
+    * nested higher-order functions, so the expression tree is constant
+    * size regardless of m·k — an unrolled per-centroid formulation
+    * (m·k aggregate expressions) was measured to cost MINUTES of
+    * planning/codegen per query at m·k = 256+, the plan-width lesson of
+    * MaxLiteralCentroids all over again.
+    */
+  private def subDistTable(model: PqModel, vec: Column): Column = {
+    val cb = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(model.m - 1)), j => {
+      val sub = slice(vec, j * model.subDim + 1, lit(model.subDim))
+      transform(element_at(cb, (j + 1).cast("int")), c =>
+        aggregate(zip_with(sub, c, (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+          lit(0.0), (a, v) => a + v))
+    }))
+  }
+
+  /** Encode a (normalized) vector to its m PQ codes — narrow, per-row,
+    * the one-time ingest cost that buys the 64× storage cut.
+    */
+  def pqEncode(model: PqModel, vec: Column): Column =
+    // bound: the dist table is referenced from inside the per-subspace
+    // lambda — unbounded, CollapseProject would inline (and re-evaluate)
+    // the whole m·k table once per subspace
+    TextAnalysis.bound(subDistTable(model, l2Normalize(vec))) { table =>
+      transform(sequence(lit(0), lit(model.m - 1)), j => {
+        val sub = slice(table, j * model.k + 1, lit(model.k))
+        (array_position(sub, array_min(sub)) - 1).cast("int")
+      })
+    }
+
+  /** Asymmetric-distance (ADC) approximate squared L2 between a query's
+    * precomputed distance table and a corpus row's codes: m lookups and
+    * adds — no vector arithmetic at search time.
+    */
+  private def adcDistance(model: PqModel, dtable: Column, codes: Column): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(model.m - 1)),
+        (code, j) => element_at(dtable, (j * model.k + code + 1).cast("int"))),
+      lit(0.0), (a, v) => a + v)
+
+  /** IVF-PQ approximate top-k: coarse IVF cells (the same spherical
+    * centroids as [[ivfTopK]]) select which corpus slice each query
+    * probes; within the probed cells, ranking is PQ-ADC over the CODES
+    * — the corpus's float vectors are never read at search time. The
+    * 100 TB shape this buys: the search-time corpus artifact is
+    * (doc, cell, m codes) — at m=8, k=16 that is ~5 bytes of payload
+    * per vector vs 256 for float32×64 — and candidate generation stays
+    * a broadcast equi-join on cell ids with the corpus side streaming
+    * unshuffled. Recall is tuned by nProbe and the PQ resolution (m, k)
+    * without touching the stored codes.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      topK: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 16,
+      codebookK: Int = 16,
+      sampleMod: Int = 10,
+      iters: Int = 3,
+      maxTrainRows: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = trainPq(corpus, id, vec, m, codebookK, sampleMod, iters, maxTrainRows)
+    val coarse = trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
+    // the persisted-artifact shape: id + coarse cell + m small codes;
+    // the float vector is DROPPED here and never consulted again
+    val encoded = assignCells(corpus, id, vec, coarse)
+      .select(col("doc").as("neighbor_id"), col("cell"),
+        pqEncode(model, col("v")).as("codes"))
+    val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probed =
+      if (coarse.length <= MaxLiteralCentroids) {
+        val sims = centroidSims(col("qv"), coarse)
+        val ranked = array_sort(zip_with(sims, sequence(lit(0), lit(coarse.length - 1)),
+          (s, i) => struct((-s).as("neg"), i.as("idx"))))
+        qBase.select(col("query_id"), col("qv"),
+          explode(transform(slice(ranked, 1, nProbe), x => x.getField("idx").cast("int"))).as("cell"))
+      } else {
+        val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+        qBase.crossJoin(broadcast(centroidTable(corpus, coarse)))
+          .select(col("query_id"), col("qv"), col("cell"),
+            cosine(col("qv"), col("cvec")).as("csim"))
+          .withColumn("crnk", row_number().over(wq))
+          .filter(col("crnk") <= nProbe)
+          .select(col("query_id"), col("qv"), col("cell"))
+      }
+    // each query carries its m·k ADC table (tiny: 128 doubles at the
+    // defaults) instead of its vector — the join side that broadcasts
+    val q = broadcast(probed.select(col("query_id"), col("cell"),
+      subDistTable(model, l2Normalize(col("qv"))).as("dtable")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id"))
+    encoded.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adcDistance(model, col("dtable"), col("codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Approximate top-k: bucket by hyperplane signature, exact cosine
     * re-rank within buckets. Multi-probe: each query also probes the
     * buckets at Hamming distance ≤ 1 from its own (query-side explode

@@ -26,6 +26,15 @@ object OpsQueries {
     */
   val AnnOracleKPrime = 200
 
+  /** Containment head for the IVF-PQ precision oracle — wider than the
+    * LSH/IVF one because PQ quantization distorts rank, not just
+    * candidate selection: measured worst exact rank of a returned
+    * neighbor is 193 at sf0.01 (m=16, k=16) vs 30 for LSH/IVF, and the
+    * sf0.01→sf0.1 growth factor of ~2.3 observed on the LSH family
+    * projects PQ to ~450 at sf0.1 — 1000 holds both SFs with margin.
+    */
+  val PqOracleKPrime = 1000
+
   /** Row bound for the exact quadratic embedding verifier when invoked
     * from registered queries: the x_embed_near_dup* entries sample
     * vec_id%10, so this holds through SF ~40× the bench SF; the vectors
@@ -132,6 +141,26 @@ object OpsQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+    }),
+
+    // IVF-PQ ANN: coarse cells + product-quantized ADC ranking — the
+    // corpus's float vectors are never read at search time, only
+    // (doc, cell, 16 codes); the 100 TB memory story (no oracle —
+    // recall floor + containment in OpsSpec, precision twin below)
+    "x_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+    }),
+
+    "x_ann_ivfpq_precision" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", PqOracleKPrime)
+          .select(col("query_id"), col("neighbor_id")))
+        .distinct()
     }),
 
     // Precision oracles for the approximate family: `approx ∪ exact ==
@@ -863,6 +892,7 @@ object OpsQueries {
          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
     "x_ann_lsh_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
     "x_ann_ivf_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
+    "x_ann_ivfpq_precision" -> annTopKSql(PqOracleKPrime, withRank = false),
     "x_simhash_md5" -> simhashMd5Sql,
     "x_winnow_fingerprint" ->
       s"SELECT doc_id, unnest(${TA.winnowFingerprintsSql("text")}) AS fp FROM documents",

@@ -163,6 +163,48 @@ object Sampling {
   private[graft] def hash32Sql(id: String): String =
     TextAnalysis.md5PrefixLongSql(s"CAST($id AS VARCHAR)", 8)
 
+  /** Context-window chunking: split each document's whitespace token
+    * stream into `window`-token chunks starting every `stride` tokens
+    * (stride < window ⇒ overlapping chunks, the usual training shape so
+    * no span is ever seen only at a window edge; stride == window ⇒ a
+    * partition of the stream). Emits (doc_id, chunk_idx, chunk_text,
+    * n_chunk_tokens); the final chunks of a doc are shorter than
+    * `window` rather than padded — padding policy belongs to the
+    * trainer, not the corpus.
+    *
+    * Scale shape: pure narrow per-row work — tokenize, one
+    * `sequence`+`explode` over the start offsets, `slice` per chunk.
+    * Zero exchanges, codegen'd end to end; output size is the only
+    * cost, exactly the (window/stride)× blow-up the training recipe
+    * asked for.
+    */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    require(stride <= window, s"stride=$stride > window=$window would drop tokens")
+    val toks = split(lower(trim(text)), "\\s+")
+    df.select(id.as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_idx"),
+        slice(col("t"), col("start") + 1, lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("c")).as("chunk_text"),
+        size(col("c")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** [[chunkTokens]] as DuckDB SQL over relation `documents` — the same
+    * start-offset grid (`range(0, len, stride)` ≡ Spark's
+    * `sequence(0, len-1, stride)`) and 1-based slice bounds.
+    */
+  private[graft] def chunkTokensSql(window: Int, stride: Int): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         |s AS (SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start FROM toks)
+         |SELECT doc_id, CAST(start // $stride AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(t, start + 1, start + $window), ' ') AS chunk_text,
+         |  CAST(len(list_slice(t, start + 1, start + $window)) AS BIGINT) AS n_chunk_tokens
+         |FROM s""".stripMargin
+
   /** GPT-style sequence packing: documents are dealt into `shards` by id
     * hash, concatenated within each shard in hash order, and the token
     * stream cut into fixed `budget`-token windows. Emits per doc its

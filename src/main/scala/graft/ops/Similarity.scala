@@ -643,6 +643,25 @@ object Similarity {
         (code, j) => element_at(dtable, (j * model.k + code + 1).cast("int"))),
       lit(0.0), (a, v) => a + v)
 
+  /** A trained IVF-PQ index: the coarse cell centroids plus the PQ
+    * codebooks. Tiny driver state (k·dim + m·k·dim/m doubles) — in
+    * production this is trained ONCE per corpus, persisted, and reused
+    * by every search; the query pack caches it keyed by the source
+    * parquet's identity the same way the LSH index parquet is.
+    */
+  case class IvfPqIndex(coarse: Array[Array[Double]], pq: PqModel)
+
+  /** Train the coarse quantizer and the PQ codebooks in one pass over
+    * the same bounded corpus sample contract as [[trainOnCorpus]].
+    */
+  def trainIvfPqIndex(
+      corpus: DataFrame, id: String, vec: String,
+      nCentroids: Int = 16, m: Int = 16, codebookK: Int = 16,
+      sampleMod: Int = 10, iters: Int = 3, maxTrainRows: Int = 10000): IvfPqIndex =
+    IvfPqIndex(
+      trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows),
+      trainPq(corpus, id, vec, m, codebookK, sampleMod, iters, maxTrainRows))
+
   /** IVF-PQ approximate top-k: coarse IVF cells (the same spherical
     * centroids as [[ivfTopK]]) select which corpus slice each query
     * probes; within the probed cells, ranking is PQ-ADC over the CODES
@@ -652,7 +671,8 @@ object Similarity {
     * per vector vs 256 for float32×64 — and candidate generation stays
     * a broadcast equi-join on cell ids with the corpus side streaming
     * unshuffled. Recall is tuned by nProbe and the PQ resolution (m, k)
-    * without touching the stored codes.
+    * without touching the stored codes. Pass a pre-trained `index` to
+    * amortize training across searches (the production lifecycle).
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -666,10 +686,36 @@ object Similarity {
       codebookK: Int = 16,
       sampleMod: Int = 10,
       iters: Int = 3,
-      maxTrainRows: Int = 10000): DataFrame = {
+      maxTrainRows: Int = 10000,
+      index: Option[IvfPqIndex] = None): DataFrame =
+    adcShortlist(corpus, queries, id, vec, topK, nCentroids, nProbe, m,
+      codebookK, sampleMod, iters, maxTrainRows, index)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+
+  /** The shared ADC candidate ranking behind [[ivfPqTopK]] (which
+    * returns it directly) and [[ivfPqTopKRefined]] (which re-ranks it
+    * exactly): (query_id, neighbor_id, rnk) — top `shortK` per query by
+    * asymmetric PQ distance within the probed cells.
+    */
+  private def adcShortlist(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      shortK: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      m: Int,
+      codebookK: Int,
+      sampleMod: Int,
+      iters: Int,
+      maxTrainRows: Int,
+      index: Option[IvfPqIndex]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val model = trainPq(corpus, id, vec, m, codebookK, sampleMod, iters, maxTrainRows)
-    val coarse = trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
+    val idx = index.getOrElse(trainIvfPqIndex(
+      corpus, id, vec, nCentroids, m, codebookK, sampleMod, iters, maxTrainRows))
+    val model = idx.pq
+    val coarse = idx.coarse
     // the persisted-artifact shape: id + coarse cell + m small codes;
     // the float vector is DROPPED here and never consulted again
     val encoded = assignCells(corpus, id, vec, coarse)
@@ -700,6 +746,52 @@ object Similarity {
     encoded.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", adcDistance(model, col("dtable"), col("codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortK)
+  }
+
+  /** IVF-PQ with exact re-rank (the "refine" stage of a production
+    * PQ deployment, Jégou et al. 2011 §V): ADC ranks a per-query
+    * shortlist of `refineFactor × topK` candidates over the codes, then
+    * ONLY the shortlisted true vectors are fetched and exact cosine
+    * picks the final top-k. This recovers the rank fidelity PQ
+    * quantization costs (ADC distorts order among close neighbors)
+    * while preserving the memory story: search touches codes for the
+    * full corpus but float vectors for just R = refineFactor·topK rows
+    * per query.
+    *
+    * Plan shape of the fetch: the shortlist (|queries|·R rows of two
+    * ids) BROADCASTS against the corpus scan — the corpus streams
+    * pruned to (id, vec) with no exchange, the semi-join-shaped hash
+    * lookup discards non-shortlisted rows map-side, and the final
+    * window moves only (query, neighbor, sim) rows. One extra corpus
+    * scan vs [[ivfPqTopK]], zero extra shuffles of vector payload.
+    */
+  def ivfPqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      topK: Int,
+      refineFactor: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 16,
+      codebookK: Int = 16,
+      sampleMod: Int = 10,
+      iters: Int = 3,
+      maxTrainRows: Int = 10000,
+      index: Option[IvfPqIndex] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = adcShortlist(corpus, queries, id, vec, refineFactor * topK,
+      nCentroids, nProbe, m, codebookK, sampleMod, iters, maxTrainRows, index)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

@@ -263,6 +263,36 @@ class OpsSpec extends SparkSpec {
     assert(codes1 == codes2, "IVF-PQ is not deterministic across runs")
   }
 
+  test("IVF-PQ refined: exact re-rank lifts recall over raw ADC, tightens the exact head") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = e.filter(pmod($"vec_id", lit(50)) === 0)
+    val exactRank = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 300)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    val exactTop5 = exactRank.collect { case (p, r) if r <= 5 => p }.toSet
+    // one training, shared by both variants — the production lifecycle
+    // (and what makes "refined ≥ raw" a same-codebook comparison)
+    val idx = Similarity.trainIvfPqIndex(e, "vec_id", "embedding")
+    val raw = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding", 5, index = Some(idx))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.ivfPqTopKRefined(e, queries, "vec_id", "embedding", 5,
+        index = Some(idx))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rawRecall = exactTop5.count(raw.contains).toDouble / exactTop5.size
+    val refRecall = exactTop5.count(refined.contains).toDouble / exactTop5.size
+    info(f"IVF-PQ recall@5: raw $rawRecall%.2f, refined $refRecall%.2f")
+    assert(refRecall >= rawRecall,
+      s"exact re-rank must not lose recall (raw $rawRecall, refined $refRecall)")
+    assert(refRecall >= 0.5, s"refined recall $refRecall too low — the re-rank is broken")
+    // the refined containment contract: true-cosine re-rank bounds the
+    // exact rank by candidate selection, not PQ distortion — the
+    // RefinedOracleKPrime=200 oracle head must hold with margin here
+    val ranks = refined.toSeq.map(p => exactRank.getOrElse(p, Int.MaxValue))
+    info(s"refined worst exact rank among returned: ${ranks.max}")
+    assert(ranks.max <= 200, "refined returned a neighbor outside the exact top-200")
+  }
+
   test("embedding near-dup: LSH-blocked pairs are a precision-1 subset of exact") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
@@ -686,6 +716,33 @@ class OpsSpec extends SparkSpec {
     val again = Sampling.packSequences(docs, $"doc_id",
         graft.ops.TextAnalysis.tokenCount($"text"), shards = 4, budget = 128).collect()
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("context-window chunking: offsets tile by stride, partition at stride==window") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),
+      (2L, "single"),
+      (3L, (1 to 7).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Sampling.chunkTokens(df, $"doc_id", $"text", window = 4, stride = 3).collect()
+    // doc 1 (10 tokens): starts 0,3,6,9 → sizes 4,4,4,1, 1-token overlap
+    val d1 = chunks.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(d1.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1(0).getAs[String]("chunk_text") == "tok1 tok2 tok3 tok4")
+    assert(d1(1).getAs[String]("chunk_text") == "tok4 tok5 tok6 tok7")
+    assert(d1(3).getAs[String]("chunk_text") == "tok10")
+    // a doc shorter than the window still yields its (single) chunk
+    val d2 = chunks.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "single")
+    // stride == window partitions the stream: chunks rebuild the doc
+    val rebuilt = Sampling.chunkTokens(df, $"doc_id", $"text", window = 3, stride = 3)
+      .filter($"doc_id" === 3L).orderBy($"chunk_idx")
+      .select($"chunk_text").as[String].collect().mkString(" ")
+    assert(rebuilt == (1 to 7).map(i => s"w$i").mkString(" "))
+    // stride > window would silently drop tokens — refused
+    assertThrows[IllegalArgumentException] {
+      Sampling.chunkTokens(df, $"doc_id", $"text", window = 3, stride = 4)
+    }
   }
 
   test("corpus-shaping ops drop null-id/null-text rows instead of failing or mislabeling") {

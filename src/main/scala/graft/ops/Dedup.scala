@@ -664,6 +664,47 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** C4/CCNet-style line-level dedup (boilerplate removal): every LINE
+    * whose corpus-wide document frequency reaches `minDocFreq` is cut
+    * from all of its documents — the navigation/footer/cookie-banner
+    * class that document-level dedup never sees, removed the way C4
+    * removed its "three-sentence spans seen more than once" and CCNet
+    * its duplicated paragraphs. Documents are preserved (a doc whose
+    * every line is boilerplate survives with empty text); line order is
+    * restored on rebuild.
+    *
+    * Scale shape: explode lines once; the doc-frequency count is a
+    * (doc, line)-distinct then a line-keyed count agg (map-side
+    * partial); hot-line removal is a line-keyed LEFT ANTI equi-join
+    * (the hot set is corpus-wide boilerplate — small, broadcast under
+    * AQE); the ordered rebuild groups by doc with an in-group
+    * array_sort, never a global sort. Document text crosses exactly
+    * the explode and the rebuild shuffles, as line-sized rows.
+    */
+  def lineDedup(
+      df: DataFrame, id: String, text: Column, minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
+    val lines = df.select(col(id).as("doc"),
+      posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    val hot = lines.select(col("doc"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("line"))
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line"))).as("text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(id).as("doc"), (size(split(text, "\n"))).cast("long").as("n_lines"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
   /** Decontamination (benchmark-overlap) sweep: for each corpus doc,
     * the number of DISTINCT word n-grams it shares with a benchmark
     * set — the standard "did the eval set leak into the training

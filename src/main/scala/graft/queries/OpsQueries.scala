@@ -482,6 +482,26 @@ object OpsQueries {
         TA.piiHits(salted).as("n_pii"), TA.scrubPii(salted).as("scrubbed"))
     }),
 
+    // C4/CCNet-style line-level boilerplate removal: the corpus text is
+    // single-line word soup, so (like x_pii_scrub salts PII) the query
+    // first structures it deterministically in BOTH engines — 10-token
+    // lines plus an injected boilerplate header/footer every doc shares
+    // — then every line with document frequency >= 5 is cut from all
+    // its docs and each doc is rebuilt in line order
+    "x_line_dedup" -> ((s, dir) => {
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),
+        i => concat_ws(" ", slice(t, i + 1, lit(10))))
+      val lined = concat_ws("\n", concat(
+        array(lit("subscribe to our newsletter today")),
+        lineArr,
+        array(lit("click here to unsubscribe"))))
+      Dedup.lineDedup(
+          Tables.documents(s, dir).select(col("doc_id"), lined.as("text")),
+          "doc_id", col("text"), LineDedupMinDf)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     // context-window chunking: 64-token windows every 48 tokens
     // (overlapping, so no span is seen only at a window edge) — the
     // doc→training-example split that precedes packing; pure narrow
@@ -821,6 +841,33 @@ object OpsQueries {
   val ChunkWindow = 64
   val ChunkStride = 48
 
+  /** Document-frequency threshold of the `x_line_dedup` query. */
+  val LineDedupMinDf = 5
+
+  /** [[graft.ops.Dedup.lineDedup]]'s oracle: the identical line
+    * structuring (10-token lines + injected boilerplate header/footer),
+    * doc-frequency count, hot-line exclusion, and ordered rebuild.
+    */
+  private def lineDedupSql(minDf: Int): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         |built AS (SELECT doc_id, array_to_string(list_concat(list_concat(
+         |    ['subscribe to our newsletter today'],
+         |    [array_to_string(list_slice(t, i, i + 9), ' ') FOR i IN range(1, len(t) + 1, 10)]),
+         |    ['click here to unsubscribe']), chr(10)) AS text FROM toks),
+         |flat AS MATERIALIZED (SELECT doc_id, s['i'] AS line_no, s['ln'] AS line FROM
+         |  (SELECT doc_id, unnest([{'i': i, 'ln': l[i]} FOR i IN range(1, len(l) + 1)]) AS s
+         |   FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM built))),
+         |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1)
+         |  WHERE df >= $minDf),
+         |kept AS (SELECT doc_id, line_no, line FROM flat WHERE line NOT IN (SELECT line FROM hot)),
+         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+         |  count(*) AS n FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_lines FROM flat GROUP BY 1)
+         |SELECT t.doc_id, coalesce(a.text, '') AS text,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_lines_kept,
+         |  CAST(t.n_lines - coalesce(a.n, 0) AS BIGINT) AS n_lines_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** [[graft.ops.Dedup.exactSubstrScrub]] as relational SQL: the
     * per-position gram hashes come from two lockstep `unnest`s (DuckDB
     * zips equal-length unnests), duplication is a HAVING over the hash
@@ -1076,6 +1123,7 @@ object OpsQueries {
           |FROM s""".stripMargin),
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
+    "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_sequence_pack" ->
       (s"""WITH t AS (SELECT doc_id,
           |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,

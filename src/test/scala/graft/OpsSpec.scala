@@ -718,6 +718,32 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("line dedup: corpus-frequent lines cut, order kept, all-boilerplate docs survive") {
+    val df = Seq(
+      (1L, "keep me\nboiler\nunique one"),
+      (2L, "boiler\nanother keep"),
+      (3L, "boiler"),
+      (4L, "no boiler here\nboiler"),
+      (5L, "dup\ndup")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", $"text", minDocFreq = 3)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped"))))
+      .toMap
+    // "boiler" is in 4 docs (df=4 ≥ 3) → cut everywhere, order preserved
+    assert(out(1L) == (("keep me\nunique one", 2L, 1L)))
+    assert(out(2L) == (("another keep", 1L, 1L)))
+    // a doc that was ALL boilerplate survives, empty
+    assert(out(3L) == (("", 0L, 1L)))
+    assert(out(4L) == (("no boiler here", 1L, 1L)))
+    // within-doc repetition counts its doc ONCE toward df — "dup" has
+    // df=1, both copies stay
+    assert(out(5L) == (("dup\ndup", 2L, 0L)))
+    assert(out.size == 5)
+    assertThrows[IllegalArgumentException] {
+      Dedup.lineDedup(df, "doc_id", $"text", minDocFreq = 1)
+    }
+  }
+
   test("context-window chunking: offsets tile by stride, partition at stride==window") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),

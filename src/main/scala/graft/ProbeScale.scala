@@ -76,6 +76,35 @@ object ProbeScale {
     time("ann_lsh")(
       Similarity.lshTopK(vecs, vecs.filter(pmod(col("vec_id"), lit(1000)) === 0),
         "vec_id", "embedding", 5).count())
+    // IVF-PQ refined at mult×: one training (bounded sample), then the
+    // codes join + the broadcast-shortlist vector fetch — cost must stay
+    // ~linear in the corpus (two corpus scans, no vector shuffle)
+    time("ann_ivfpq_refined") {
+      val idx = Similarity.trainIvfPqIndex(vecs, "vec_id", "embedding")
+      Similarity.ivfPqTopKRefined(vecs,
+        vecs.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", 5, index = Some(idx)).count()
+    }
+    // chunking blows output up by ~(window/stride)× the token count —
+    // pure narrow explode, cost must be output-bound. Aggregate the
+    // token sum to force full chunk materialization (a bare count()
+    // could skip the slice work).
+    time("chunk_documents")(
+      graft.ops.Sampling.chunkTokens(docs, col("doc_id"), col("text"), 64, 48)
+        .agg(sum(col("n_chunk_tokens"))).collect().head.getLong(0))
+    // line dedup at mult×: every structured line occurs `mult` times
+    // (id-shifted copies do not change text), so EVERY line crosses the
+    // hot threshold and every doc rebuilds to empty — maximal anti-join
+    // and rebuild work; sum survivors to force the rebuild
+    time("line_dedup") {
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),
+        i => concat_ws(" ", slice(t, i + 1, lit(10))))
+      val lined = concat_ws("\n", lineArr)
+      Dedup.lineDedup(docs.select(col("doc_id"), lined.as("text")),
+          "doc_id", col("text"), minDocFreq = mult)
+        .agg(sum(col("n_lines_kept"))).collect().head.getLong(0)
+    }
     spark.stop()
   }
 }

@@ -662,6 +662,18 @@ object Similarity {
       trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows),
       trainPq(corpus, id, vec, m, codebookK, sampleMod, iters, maxTrainRows))
 
+  /** The ingest-time IVF-PQ encode: (neighbor_id, cell, codes) — the
+    * search-time corpus artifact. In production this runs ONCE per
+    * corpus and is persisted (parquet); every search then reads codes,
+    * never vectors. The encode is the expensive step (per-row m·k
+    * distance tables), which is exactly why it belongs at ingest.
+    */
+  def encodePqCorpus(corpus: DataFrame, id: String, vec: String,
+                     index: IvfPqIndex): DataFrame =
+    assignCells(corpus, id, vec, index.coarse)
+      .select(col("doc").as("neighbor_id"), col("cell"),
+        pqEncode(index.pq, col("v")).as("codes"))
+
   /** IVF-PQ approximate top-k: coarse IVF cells (the same spherical
     * centroids as [[ivfTopK]]) select which corpus slice each query
     * probes; within the probed cells, ranking is PQ-ADC over the CODES
@@ -671,8 +683,10 @@ object Similarity {
     * per vector vs 256 for float32×64 — and candidate generation stays
     * a broadcast equi-join on cell ids with the corpus side streaming
     * unshuffled. Recall is tuned by nProbe and the PQ resolution (m, k)
-    * without touching the stored codes. Pass a pre-trained `index` to
-    * amortize training across searches (the production lifecycle).
+    * without touching the stored codes. Pass a pre-trained `index` and
+    * a persisted `encoded` codes artifact ([[encodePqCorpus]]) to
+    * amortize training and ingest across searches (the production
+    * lifecycle).
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -687,9 +701,10 @@ object Similarity {
       sampleMod: Int = 10,
       iters: Int = 3,
       maxTrainRows: Int = 10000,
-      index: Option[IvfPqIndex] = None): DataFrame =
+      index: Option[IvfPqIndex] = None,
+      encoded: Option[DataFrame] = None): DataFrame =
     adcShortlist(corpus, queries, id, vec, topK, nCentroids, nProbe, m,
-      codebookK, sampleMod, iters, maxTrainRows, index)
+      codebookK, sampleMod, iters, maxTrainRows, index, encoded)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
 
   /** The shared ADC candidate ranking behind [[ivfPqTopK]] (which
@@ -710,7 +725,8 @@ object Similarity {
       sampleMod: Int,
       iters: Int,
       maxTrainRows: Int,
-      index: Option[IvfPqIndex]): DataFrame = {
+      index: Option[IvfPqIndex],
+      preEncoded: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idx = index.getOrElse(trainIvfPqIndex(
       corpus, id, vec, nCentroids, m, codebookK, sampleMod, iters, maxTrainRows))
@@ -718,9 +734,7 @@ object Similarity {
     val coarse = idx.coarse
     // the persisted-artifact shape: id + coarse cell + m small codes;
     // the float vector is DROPPED here and never consulted again
-    val encoded = assignCells(corpus, id, vec, coarse)
-      .select(col("doc").as("neighbor_id"), col("cell"),
-        pqEncode(model, col("v")).as("codes"))
+    val encoded = preEncoded.getOrElse(encodePqCorpus(corpus, id, vec, idx))
     val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val probed =
       if (coarse.length <= MaxLiteralCentroids) {
@@ -781,10 +795,11 @@ object Similarity {
       sampleMod: Int = 10,
       iters: Int = 3,
       maxTrainRows: Int = 10000,
-      index: Option[IvfPqIndex] = None): DataFrame = {
+      index: Option[IvfPqIndex] = None,
+      encoded: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shortlist = adcShortlist(corpus, queries, id, vec, refineFactor * topK,
-      nCentroids, nProbe, m, codebookK, sampleMod, iters, maxTrainRows, index)
+      nCentroids, nProbe, m, codebookK, sampleMod, iters, maxTrainRows, index, encoded)
       .select(col("query_id"), col("neighbor_id"))
     val qv = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

@@ -163,14 +163,14 @@ object OpsQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5,
-        index = Some(cachedIvfPqIndex(s, dir)))
+        index = Some(cachedIvfPqIndex(s, dir)), encoded = Some(cachedPqCodes(s, dir)))
     }),
 
     "x_ann_ivfpq_precision" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
-          index = Some(cachedIvfPqIndex(s, dir)))
+          index = Some(cachedIvfPqIndex(s, dir)), encoded = Some(cachedPqCodes(s, dir)))
         .select(col("query_id"), col("neighbor_id"))
         .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", PqOracleKPrime)
           .select(col("query_id"), col("neighbor_id")))
@@ -187,14 +187,14 @@ object OpsQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopKRefined(
         emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5,
-        index = Some(cachedIvfPqIndex(s, dir)))
+        index = Some(cachedIvfPqIndex(s, dir)), encoded = Some(cachedPqCodes(s, dir)))
     }),
 
     "x_ann_ivfpq_refined_precision" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       Similarity.ivfPqTopKRefined(emb, q, "vec_id", "embedding", 5,
-          index = Some(cachedIvfPqIndex(s, dir)))
+          index = Some(cachedIvfPqIndex(s, dir)), encoded = Some(cachedPqCodes(s, dir)))
         .select(col("query_id"), col("neighbor_id"))
         .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", RefinedOracleKPrime)
           .select(col("query_id"), col("neighbor_id")))
@@ -827,6 +827,23 @@ object OpsQueries {
     val key = s"$dir|${src.lastModified}:${src.length}|ivfpq,c=16,m=16,k=16,v1"
     ivfPqIndexCache.computeIfAbsent(key, _ =>
       Similarity.trainIvfPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+  }
+
+  /** The persisted PQ codes artifact ([[Similarity.encodePqCorpus]]),
+    * written once per (source-identity, params) and reread by every
+    * search — the ingest-time encode is the expensive step (per-row
+    * m·k distance tables through interpreted HOFs; measured ~5 s of
+    * each ivfpq query at sf0.1 before this), and re-paying it per
+    * query was the one part of the query family that was NOT the
+    * production shape. Same parquet lifecycle as the LSH indexes.
+    */
+  private def cachedPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val codesDir = indexCachePath(dir, "embeddings.parquet", "ivfpq-codes,c=16,m=16,k=16,v1")
+    if (!new java.io.File(codesDir, "_SUCCESS").exists())
+      Similarity.encodePqCorpus(
+          Tables.embeddings(s, dir), "vec_id", "embedding", cachedIvfPqIndex(s, dir))
+        .write.mode("overwrite").parquet(codesDir)
+    s.read.parquet(codesDir)
   }
 
   /** Span length of the `x_exact_substr_scrub` query — shared by the

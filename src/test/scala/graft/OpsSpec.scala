@@ -293,6 +293,27 @@ class OpsSpec extends SparkSpec {
     assert(ranks.max <= 200, "refined returned a neighbor outside the exact top-200")
   }
 
+  test("IVF-PQ persisted codes artifact: search over reread parquet codes equals inline encode") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(pmod($"vec_id", lit(20)) === 0)
+    val idx = Similarity.trainIvfPqIndex(e, "vec_id", "embedding")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-pqcodes-spec").toString
+    Similarity.encodePqCorpus(e, "vec_id", "embedding", idx)
+      .write.mode("overwrite").parquet(dirPath)
+    val inline = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5, index = Some(idx))
+      .collect().map(_.toSeq).toSet
+    val persisted = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5, index = Some(idx),
+        encoded = Some(spark.read.parquet(dirPath)))
+      .collect().map(_.toSeq).toSet
+    assert(inline == persisted, "persisted-codes search diverges from inline encode")
+    val refInline = Similarity.ivfPqTopKRefined(e, q, "vec_id", "embedding", 5, index = Some(idx))
+      .collect().map(_.toSeq).toSet
+    val refPersisted = Similarity.ivfPqTopKRefined(e, q, "vec_id", "embedding", 5,
+        index = Some(idx), encoded = Some(spark.read.parquet(dirPath)))
+      .collect().map(_.toSeq).toSet
+    assert(refInline == refPersisted, "refined persisted-codes search diverges")
+  }
+
   test("embedding near-dup: LSH-blocked pairs are a precision-1 subset of exact") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)

@@ -163,6 +163,66 @@ object Sampling {
   private[graft] def hash32Sql(id: String): String =
     TextAnalysis.md5PrefixLongSql(s"CAST($id AS VARCHAR)", 8)
 
+  /** Token-budget-constrained selection: fill `budgetTokens` with the
+    * best-scoring documents — the "select the best N-token corpus from
+    * this crawl" curation move. Scores quantize to integer per-mille
+    * buckets; whole buckets are taken best-first while they fit, the
+    * boundary bucket is cut by a deterministic per-mille hash rate
+    * `floor((budget - cum_before)·1000 / bucket_tokens)`, and lower
+    * buckets drop. Selection is per-mille-approximate at the boundary
+    * (hash thinning targets the residual fraction), never random:
+    * re-runs and engines agree row-for-row, and a larger budget's
+    * selection is a superset of a smaller one's (rates are monotone in
+    * the budget, hash decisions are thresholded).
+    *
+    * Scale shape: one map-side-combined agg to the ≤1001-row bucket
+    * table; the cumulative window runs over THAT table (bounded rows —
+    * the one place a single-partition window is safe by construction),
+    * rates broadcast back, and the corpus-side verdict is a stateless
+    * narrow filter. The corpus is never globally sorted — the classic
+    * quality-ordered cumsum formulation would serialize 100 TB through
+    * one window partition for the same result.
+    */
+  def budgetSelect(df: DataFrame, id: Column, score: Column,
+                   nTokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = df.select(id.as("doc_id"),
+      round(score * 1000).cast("long").as("bucket"),
+      nTokens.cast("long").as("n_tokens"))
+    val stats = base.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("toks"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rates = stats
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("rate",
+        when(col("cum_before") + col("toks") <= budgetTokens, lit(1000L))
+          .when(col("cum_before") < budgetTokens,
+            floor((lit(budgetTokens) - col("cum_before")) * 1000 / col("toks")))
+          .otherwise(lit(0L)))
+      .select(col("bucket"), col("rate"))
+    base.join(broadcast(rates), Seq("bucket"))
+      .filter(hashPermille(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+  }
+
+  /** [[budgetSelect]] as DuckDB SQL over relation `documents`, with
+    * `score` and `ntok` SQL expressions over column `text` — the same
+    * bucket cumsum and boundary per-mille rate.
+    */
+  private[graft] def budgetSelectSql(scoreSql: String, ntokSql: String,
+                                     budget: Long): String =
+    s"""WITH b AS (SELECT doc_id, CAST(round(($scoreSql) * 1000) AS BIGINT) AS bucket,
+       |  CAST(($ntokSql) AS BIGINT) AS n_tokens FROM documents),
+       |s AS (SELECT bucket, SUM(n_tokens) AS toks FROM b GROUP BY 1),
+       |c AS (SELECT bucket, toks, COALESCE(SUM(toks) OVER (ORDER BY bucket DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM s),
+       |rates AS (SELECT bucket,
+       |  CASE WHEN cum_before + toks <= $budget THEN 1000
+       |       WHEN cum_before < $budget THEN ($budget - cum_before) * 1000 // toks
+       |       ELSE 0 END AS rate FROM c)
+       |SELECT doc_id, bucket, n_tokens FROM b JOIN rates USING (bucket)
+       |WHERE ${hashPermilleSql("doc_id")} < rate""".stripMargin
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `window`-token chunks starting every `stride` tokens
     * (stride < window ⇒ overlapping chunks, the usual training shape so

@@ -543,6 +543,14 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // token-budget curation: fill a 6000-token budget best-quality-
+    // first — whole per-mille quality buckets while they fit, the
+    // boundary bucket cut by a deterministic hash rate, lower buckets
+    // dropped; the corpus-side verdict is a stateless narrow filter
+    "x_budget_select" -> ((s, dir) =>
+      Sampling.budgetSelect(Tables.documents(s, dir), col("doc_id"),
+        TA.qualityScore(col("text")), TA.tokenCount(col("text")), BudgetSelectTokens)),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -861,6 +869,13 @@ object OpsQueries {
   /** Document-frequency threshold of the `x_line_dedup` query. */
   val LineDedupMinDf = 5
 
+  /** Token budget of the `x_budget_select` query: ~1/3 of the sf0.01
+    * corpus's token mass, so both the whole-bucket and the boundary-
+    * rate paths exercise (at sf0.001 the budget exceeds the corpus —
+    * the take-all edge; at sf0.1 it selects the top few percent).
+    */
+  val BudgetSelectTokens = 6000L
+
   /** [[graft.ops.Dedup.lineDedup]]'s oracle: the identical line
     * structuring (10-token lines + injected boilerplate header/footer),
     * doc-frequency count, hot-line exclusion, and ordered rebuild.
@@ -1141,6 +1156,8 @@ object OpsQueries {
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
+    "x_budget_select" -> graft.ops.Sampling.budgetSelectSql(
+      TA.qualityScoreSql("text"), TA.tokenCountSql("text"), BudgetSelectTokens),
     "x_sequence_pack" ->
       (s"""WITH t AS (SELECT doc_id,
           |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,

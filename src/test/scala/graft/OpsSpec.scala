@@ -739,6 +739,39 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("budget select: whole buckets best-first, per-mille boundary cut, monotone in budget") {
+    // buckets: 900 (ids 1,2 — 20 toks), 500 (ids 3..22 — 200 toks),
+    // 100 (id 23 — 10 toks)
+    val mid = (3L to 22L).map(i => (i, 0.5, 10L))
+    val df = (Seq((1L, 0.9, 10L), (2L, 0.9, 10L)) ++ mid :+ ((23L, 0.1, 10L)))
+      .toDF("id", "q", "n")
+    val all = (1L to 23L).toSet
+    def sel(budget: Long): Set[Long] =
+      Sampling.budgetSelect(df, $"id", $"q", $"n", budget)
+        .select($"doc_id").as[Long].collect().toSet
+    // budget ≥ total → take all
+    assert(sel(500L) == all)
+    // budget 120: bucket 900 whole (20), bucket 500 at rate
+    // floor(100·1000/200) = 500‰, bucket 100 dropped. The per-mille cut
+    // is hash-thinning: ~half of the 20 mid docs survive (the chance of
+    // all-or-none at 500‰ over 20 docs is 2·2⁻²⁰ — not flake mass).
+    val s120 = sel(120L)
+    assert(Set(1L, 2L).subsetOf(s120), "whole best bucket must be fully taken")
+    assert(!s120.contains(23L), "bucket below the boundary must drop")
+    val midSel = s120.intersect(mid.map(_._1).toSet)
+    assert(midSel.nonEmpty, "boundary bucket must be partially taken")
+    assert(midSel.size < 20, "boundary bucket must not be fully taken")
+    // budget 20: exactly the top bucket
+    assert(sel(20L) == Set(1L, 2L))
+    // monotone: a larger budget's selection contains a smaller one's
+    assert(sel(20L).subsetOf(s120) && s120.subsetOf(sel(200L)) && sel(200L).subsetOf(sel(500L)))
+    // deterministic
+    assert(sel(120L) == s120)
+    assertThrows[IllegalArgumentException] {
+      Sampling.budgetSelect(df, $"id", $"q", $"n", 0L)
+    }
+  }
+
   test("line dedup: corpus-frequent lines cut, order kept, all-boilerplate docs survive") {
     val df = Seq(
       (1L, "keep me\nboiler\nunique one"),

@@ -158,6 +158,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled against a handful of rate rows")
   }
 
+  test("context-window chunking is a pure narrow explode — zero exchanges") {
+    val p = plan("x_chunk_documents")
+    assert(!p.contains("Exchange"),
+      "chunking must not shuffle: tokenize, offset grid, slice — all per-row")
+  }
+
+  test("budget select: cumsum over the bucket table only, corpus verdict broadcast-joined") {
+    val p = plan("x_budget_select")
+    assert(p.contains("BroadcastHashJoin"), "per-bucket rates should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus sort-merged against a ≤1001-row rate table")
+    // the single-partition window is the BUCKET cumsum (bounded rows by
+    // construction); the corpus itself must never range-partition — a
+    // corpus-wide quality sort would appear as rangepartitioning
+    assert(!p.contains("rangepartitioning"),
+      "corpus globally sorted — the quality-cumsum anti-pattern")
+  }
+
+  test("line dedup: equi-joins on line keys, never a cartesian; ordered rebuild is in-group") {
+    val p = plan("x_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "line dedup must join on the line key")
+    assert(!p.contains("rangepartitioning"),
+      "per-doc rebuild must sort within groups (array_sort), not globally")
+  }
+
   test("sequence packing is one shard shuffle + parallel windows, no global sort") {
     val p = plan("x_sequence_pack")
     // exactly one exchange (the shard hash partitioning); a global

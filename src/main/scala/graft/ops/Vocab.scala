@@ -154,6 +154,48 @@ object Vocab {
         round(exp(-stableAvg), 3).as("ppl"))
   }
 
+  /** Per-doc average add-one BIGRAM log-probability + perplexity — the
+    * conditional-LM upgrade of [[unigramLogProb]] (CCNet-style corpus
+    * LM filtering, one order up): lp(w_i) = ln((c(w_{i-1} w_i) + 1) /
+    * (c(w_{i-1} ·) + V)) with V = distinct unigram vocabulary. Docs
+    * with fewer than two tokens have no bigrams and drop out (both
+    * engines identically).
+    *
+    * Scale shape: one bigram wordcount shuffle builds the model; the
+    * context-count table derives from the MODEL (vocabulary-sized, not
+    * corpus-sized) and meets the per-doc bigrams in a w1-keyed
+    * equi-join; the 1-row vocab total broadcasts. Same decimal-sum /
+    * double-divide / round-only-ppl determinism rules as unigram —
+    * see the comment there for why each is load-bearing.
+    */
+  def bigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
+    val toksA = split(lower(trim(text)), "\\s+")
+    val bigr = TextAnalysis.bound(toksA) { a =>
+      when(size(a) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(a) - 1),
+          i => concat_ws(" ", element_at(a, i), element_at(a, i + 1))))
+    }
+    val docBi = df.select(col(id), explode(bigr).as("bigram"))
+    val model = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    val ctx = model
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c"))
+      .groupBy(col("w1")).agg(sum(col("c")).as("cc"))
+    val vTot = df.select(explode(toksA).as("token"))
+      .filter(col("token") =!= "")
+      .agg(countDistinct(col("token")).as("v"))
+    val scored = docBi.join(model, Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vTot))
+      .select(col(id),
+        log((col("c") + 1).cast("double") / (col("cc") + col("v")).cast("double")).as("lp"))
+    val stableAvg =
+      sum(col("lp").cast("decimal(18,3)")).cast("double") / count(col("lp")).cast("double")
+    scored.groupBy(col(id))
+      .agg(stableAvg.as("avg_logprob"),
+        round(exp(-stableAvg), 3).as("ppl"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the topical-keyword extraction
     * a curation pipeline runs for domain filtering. tf = in-doc count,
     * idf = ln(nDocs / df); ties broken by term text, so selection is

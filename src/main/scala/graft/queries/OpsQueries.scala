@@ -457,6 +457,12 @@ object OpsQueries {
     "x_unigram_logprob" -> ((s, dir) =>
       graft.ops.Vocab.unigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
 
+    // conditional-LM perplexity signal: per-doc average add-one bigram
+    // log-prob under the corpus-trained model (the order-2 upgrade of
+    // x_unigram_logprob)
+    "x_bigram_logprob" -> ((s, dir) =>
+      graft.ops.Vocab.bigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
+
     // topical keyword extraction: top-3 TF-IDF terms per doc
     "x_tfidf_top_terms" -> ((s, dir) =>
       graft.ops.Vocab.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", col("text"), 3)),
@@ -1127,6 +1133,20 @@ object OpsQueries {
             |tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM model),
             |scored AS (SELECT doc_id, ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS lp
             |  FROM t JOIN model USING (token) CROSS JOIN tot),
+            |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
+            |  FROM scored GROUP BY 1)
+            |SELECT doc_id, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin),
+    "x_bigram_logprob" ->
+      (raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+            |bi AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []
+            |  ELSE [a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))] END) AS bigram FROM toks),
+            |model AS (SELECT bigram, count(*) AS c FROM bi GROUP BY 1),
+            |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS cc FROM model GROUP BY 1),
+            |v AS (SELECT COUNT(DISTINCT token) AS v FROM
+            |  (SELECT unnest(a) AS token FROM toks) WHERE token != ''),
+            |scored AS (SELECT doc_id, ln(CAST(c + 1 AS DOUBLE) / CAST(cc + v AS DOUBLE)) AS lp
+            |  FROM bi JOIN model USING (bigram)
+            |  JOIN ctx ON ctx.w1 = split_part(bigram, ' ', 1) CROSS JOIN v),
             |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
             |  FROM scored GROUP BY 1)
             |SELECT doc_id, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin),

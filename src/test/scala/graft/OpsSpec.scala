@@ -568,6 +568,22 @@ class OpsSpec extends SparkSpec {
     assert(lp(2L)._2 > lp(1L)._2, "perplexity orders inversely to log-prob")
   }
 
+  test("bigram log-prob: add-one conditional probs; short docs have no bigrams") {
+    val df = Seq((1L, "a b a b"), (2L, "a"), (3L, "b z")).toDF("doc_id", "text")
+    // bigram counts: "a b":2, "b a":1, "b z":1; ctx: a·:2, b·:2; V=3
+    // doc1 bigrams: ab, ba, ab → lps ln(3/5), ln(2/5), ln(3/5)
+    // doc3 bigram: bz → ln(2/5)
+    val lp = graft.ops.Vocab.bigramLogProb(df, "doc_id", $"text")
+      .select($"doc_id", $"avg_logprob", $"ppl")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!lp.contains(2L), "a one-token doc has no bigrams and must drop out")
+    val exp1 = (2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3
+    assert(math.abs(lp(1L)._1 - exp1) < 1e-3, s"got ${lp(1L)}")
+    assert(math.abs(lp(3L)._1 - math.log(2.0 / 5)) < 1e-3, s"got ${lp(3L)}")
+    assert(lp(3L)._1 < lp(1L)._1 && lp(3L)._2 > lp(1L)._2,
+      "the rarer-bigram doc must score lower / perplex higher")
+  }
+
   test("TF-IDF top terms: distinctive tokens win, shared tokens score zero idf") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = graft.ops.Vocab.tfIdfTopTerms(df, "doc_id", $"text", 1)

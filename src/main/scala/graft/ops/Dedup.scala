@@ -655,6 +655,16 @@ object Dedup {
       .filter(col("n") >= minCount).select(col("h"))
     val covered = grams.join(dup, Seq("h"))
       .groupBy(col("doc")).agg(collect_set(col("i")).as("starts"))
+    scrubCoveredSpans(df, id, text, covered, k)
+  }
+
+  /** Shared rebuild tail of the span scrubbers: drop every token
+    * covered by a flagged k-span start, rejoin, count removals. Docs
+    * with no flagged span pass through via the left join.
+    */
+  private def scrubCoveredSpans(
+      df: DataFrame, id: String, text: Column,
+      covered: DataFrame, k: Int): DataFrame =
     df.select(col(id).as("doc"), split(lower(trim(text)), "\\s+").as("toks"))
       .join(covered, Seq("doc"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
@@ -662,6 +672,35 @@ object Dedup {
         (_, j) => !exists(col("starts"), s => s <= j && j < s + lit(k))))
       .select(col("doc"), array_join(col("kept"), " ").as("scrubbed"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+
+  /** Span-level decontamination (the GPT-3 recipe — Brown et al. 2020,
+    * Appendix C: training documents are kept but every span overlapping
+    * an eval-set n-gram is excised): cut each k-token span of a corpus
+    * doc whose gram appears ANYWHERE in the benchmark set. The
+    * complement of [[contaminationHits]]'s drop-the-doc verdict — used
+    * when the corpus is too valuable to discard over a quoted line.
+    *
+    * Scale shape: corpus grams explode once with positions; the
+    * benchmark's distinct gram hashes are small by nature and meet them
+    * in a broadcast equi-join; covered starts aggregate per doc
+    * (skinny: doc + int set); the rebuild is the same left-join +
+    * narrow filter as [[exactSubstrScrub]] — document text crosses no
+    * shuffle beyond the gram explode.
+    */
+  def decontaminationScrub(
+      corpus: DataFrame, id: String, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, k: Int): DataFrame = {
+    require(k > 0, "span length k must be positive")
+    val grams = corpus.select(col(id).as("doc"),
+        posexplode(TextAnalysis.wordNgrams(corpusText, k)).as(Seq("i", "gram")))
+      .select(col("doc"), col("i"), TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
+    val bg = benchmark
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, k))).as("gram"))
+      .select(TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
+      .distinct()
+    val covered = grams.join(broadcast(bg), Seq("h"))
+      .groupBy(col("doc")).agg(collect_set(col("i")).as("starts"))
+    scrubCoveredSpans(corpus, id, corpusText, covered, k)
   }
 
   /** C4/CCNet-style line-level dedup (boilerplate removal): every LINE

@@ -365,6 +365,18 @@ object OpsQueries {
         .select(col("doc").as("doc_id"), col("n_hits"))
     }),
 
+    // span-level decontamination (the GPT-3 Appendix-C recipe): cut
+    // every 3-gram span a corpus doc shares with the benchmark slice
+    // instead of dropping the doc — the keep-the-doc complement of
+    // x_decontamination
+    "x_decontamination_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminationScrub(
+          docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
+          docs.filter(col("source") === "src0"), col("text"), 3)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     // Gopher-style repetitious-text signal over word 2-grams
     "x_repetition_ratio" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -865,6 +877,33 @@ object OpsQueries {
     */
   val ExactSubstrK = 8
 
+  /** [[graft.ops.Dedup.decontaminationScrub]]'s oracle: corpus-side
+    * positioned gram hashes joined against the benchmark's distinct
+    * gram set, then the exactSubstrScrub rebuild tail.
+    */
+  private def decontaminationScrubSql(k: Int): String = {
+    val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
+    val gramHash = TA.md5PrefixLongSql(
+      s"array_to_string(list_slice(t, i + 1, i + $k), ' ')", 15)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toks AS t FROM documents WHERE source != 'src0'),
+       |occ AS MATERIALIZED (SELECT doc_id,
+       |    unnest(CASE WHEN len(t) < $k THEN [] ELSE range(0, len(t) - ${k - 1}) END) AS i,
+       |    unnest(CASE WHEN len(t) < $k THEN [] ELSE [$gramHash FOR i IN range(0, len(t) - ${k - 1})] END) AS h
+       |  FROM toks),
+       |btoks AS (SELECT $toks AS t FROM documents WHERE source = 'src0'),
+       |bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) < $k THEN []
+       |    ELSE [$gramHash FOR i IN range(0, len(t) - ${k - 1})] END) AS h FROM btoks),
+       |cov AS MATERIALIZED (SELECT DISTINCT doc_id, i FROM occ JOIN bg USING (h)),
+       |pos AS (SELECT doc_id, unnest(range(0, len(t))) AS j, unnest(t) AS tok FROM toks),
+       |kept AS (SELECT p.doc_id, p.j, p.tok FROM pos p WHERE NOT EXISTS (
+       |  SELECT 1 FROM cov c WHERE c.doc_id = p.doc_id AND c.i <= p.j AND p.j < c.i + $k)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS scrubbed,
+       |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.scrubbed, '') AS scrubbed,
+       |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** Window/stride of the `x_chunk_documents` query — 64-token windows
     * every 48 tokens (25% overlap), shared by the Spark call and the
     * SQL mirror.
@@ -1061,6 +1100,7 @@ object OpsQueries {
           |  FROM f l JOIN f r USING (print) WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
           |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin),
     "x_exact_substr_scrub" -> exactSubstrScrubSql(ExactSubstrK, 2),
+    "x_decontamination_scrub" -> decontaminationScrubSql(3),
     "x_decontamination" ->
       s"""WITH eg AS (SELECT doc_id, source,
          |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),

@@ -755,6 +755,25 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("decontamination scrub: benchmark spans excised, clean docs untouched") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally clean text here"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((100L, "xx beta gamma delta yy")).toDF("doc_id", "text")
+    val out = Dedup.decontaminationScrub(corpus, "doc_id", $"text", bench, $"text", 3)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("scrubbed"), r.getAs[Long]("n_removed")))).toMap
+    // doc1 shares the 3-gram "beta gamma delta" → its span (positions
+    // 1..3) is cut; alpha + epsilon survive
+    assert(out(1L) == (("alpha epsilon", 3L)), s"got ${out(1L)}")
+    // doc2 shares nothing → untouched
+    assert(out(2L) == (("totally clean text here", 0L)))
+    // doc3 IS the shared gram → scrubbed to empty, doc preserved
+    assert(out(3L) == (("", 3L)))
+    assert(out.size == 3)
+  }
+
   test("budget select: whole buckets best-first, per-mille boundary cut, monotone in budget") {
     // buckets: 900 (ids 1,2 — 20 toks), 500 (ids 3..22 — 200 toks),
     // 100 (id 23 — 10 toks)

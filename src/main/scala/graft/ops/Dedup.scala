@@ -723,8 +723,13 @@ object Dedup {
   def lineDedup(
       df: DataFrame, id: String, text: Column, minDocFreq: Int): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
-    val lines = df.select(col(id).as("doc"),
-      posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    // null id/text rows drop entirely (the corpus-shaping convention) —
+    // without the guard a null-text doc would surface half-labeled
+    // (empty rebuild, null counts) through the doc-preserving left join
+    val base = df.select(col(id).as("doc"), text.as("__text"))
+      .filter(col("doc").isNotNull && col("__text").isNotNull)
+    val lines = base.select(col("doc"),
+      posexplode(split(col("__text"), "\n")).as(Seq("line_no", "line")))
     val hot = lines.select(col("doc"), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
@@ -736,7 +741,7 @@ object Dedup {
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x.getField("line"))).as("text"),
         count(lit(1)).as("n_lines_kept"))
-    df.select(col(id).as("doc"), (size(split(text, "\n"))).cast("long").as("n_lines"))
+    base.select(col("doc"), (size(split(col("__text"), "\n"))).cast("long").as("n_lines"))
       .join(kept, Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("text"), lit("")).as("text"),

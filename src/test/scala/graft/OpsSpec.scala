@@ -877,6 +877,21 @@ class OpsSpec extends SparkSpec {
     // gopher rules on null text stay null → a filter on `passes` drops them
     assert(df.filter(TA.gopherPass($"text")).count() == 0) // none reach 50 tokens
     assert(df.filter(TA.gopherPass($"text").isNull).count() == 1)
+    // the r11 ops follow the same convention: null rows drop, no NPE,
+    // no half-labeled output
+    val chunkIds = Sampling.chunkTokens(df, $"doc_id", $"text", 4, 4)
+      .select($"doc_id").as[java.lang.Long].collect().toSet
+    assert(chunkIds == Set[java.lang.Long](1L, null), "null TEXT must not chunk")
+    val ld = Dedup.lineDedup(df, "doc_id", $"text", 2)
+      .select($"doc").as[java.lang.Long].collect().toSet
+    assert(ld == Set[java.lang.Long](1L), "null id/text must not surface in line dedup")
+    val bs = Sampling.budgetSelect(df, $"doc_id", lit(0.5),
+        org.apache.spark.sql.functions.coalesce(TA.tokenCount($"text"), lit(0)), 1000L)
+      .select($"doc_id").as[java.lang.Long].collect().toSet
+    assert(!bs.contains(null), "null id must not be selected (null hash drops)")
+    val bg = graft.ops.Vocab.bigramLogProb(df, "doc_id", $"text")
+      .select($"doc_id").as[java.lang.Long].collect().toSet
+    assert(!bg.contains(3L), "null text has no bigrams")
   }
 
   test("mixture sampling: output composition matches targets, arg-min stratum kept whole") {

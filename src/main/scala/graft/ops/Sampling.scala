@@ -210,17 +210,18 @@ object Sampling {
     * bucket cumsum and boundary per-mille rate.
     */
   private[graft] def budgetSelectSql(scoreSql: String, ntokSql: String,
-                                     budget: Long): String =
-    s"""WITH b AS (SELECT doc_id, CAST(round(($scoreSql) * 1000) AS BIGINT) AS bucket,
-       |  CAST(($ntokSql) AS BIGINT) AS n_tokens FROM documents),
-       |s AS (SELECT bucket, SUM(n_tokens) AS toks FROM b GROUP BY 1),
-       |c AS (SELECT bucket, toks, COALESCE(SUM(toks) OVER (ORDER BY bucket DESC
-       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM s),
-       |rates AS (SELECT bucket,
+                                     budget: Long,
+                                     rel: String = "documents"): String =
+    s"""WITH bb AS (SELECT doc_id, CAST(round(($scoreSql) * 1000) AS BIGINT) AS bucket,
+       |  CAST(($ntokSql) AS BIGINT) AS n_tokens FROM $rel),
+       |bs AS (SELECT bucket, SUM(n_tokens) AS toks FROM bb GROUP BY 1),
+       |bc AS (SELECT bucket, toks, COALESCE(SUM(toks) OVER (ORDER BY bucket DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM bs),
+       |brates AS (SELECT bucket,
        |  CASE WHEN cum_before + toks <= $budget THEN 1000
        |       WHEN cum_before < $budget THEN ($budget - cum_before) * 1000 // toks
-       |       ELSE 0 END AS rate FROM c)
-       |SELECT doc_id, bucket, n_tokens FROM b JOIN rates USING (bucket)
+       |       ELSE 0 END AS rate FROM bc)
+       |SELECT doc_id, bucket, n_tokens FROM bb JOIN brates USING (bucket)
        |WHERE ${hashPermilleSql("doc_id")} < rate""".stripMargin
 
   /** Context-window chunking: split each document's whitespace token
@@ -257,13 +258,14 @@ object Sampling {
     * start-offset grid (`range(0, len, stride)` ≡ Spark's
     * `sequence(0, len-1, stride)`) and 1-based slice bounds.
     */
-  private[graft] def chunkTokensSql(window: Int, stride: Int): String =
-    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         |s AS (SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start FROM toks)
+  private[graft] def chunkTokensSql(window: Int, stride: Int,
+                                    rel: String = "documents"): String =
+    raw"""WITH ctoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $rel),
+         |cs AS (SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start FROM ctoks)
          |SELECT doc_id, CAST(start // $stride AS INT) AS chunk_idx,
          |  array_to_string(list_slice(t, start + 1, start + $window), ' ') AS chunk_text,
          |  CAST(len(list_slice(t, start + 1, start + $window)) AS BIGINT) AS n_chunk_tokens
-         |FROM s""".stripMargin
+         |FROM cs""".stripMargin
 
   /** GPT-style sequence packing: documents are dealt into `shards` by id
     * hash, concatenated within each shard in hash order, and the token

@@ -449,6 +449,13 @@ object OpsQueries {
     "x_pipeline_corpus_v3_precision" -> ((s, dir) =>
       runReleased(pipelineV3Parts(s, dir, semanticExactUnion = true))),
 
+    // capstone v4 — the r11 stages composed: PII scrub → Gopher →
+    // span-level decontamination (docs kept, spans cut) → textual
+    // cluster dedup → temperature mixing → token-budget curation →
+    // context-window chunking; fully hash-matched (no precision twin
+    // needed — every stage is exactly SQL-expressible)
+    "x_pipeline_corpus_v4" -> ((s, dir) => runReleased(pipelineV4Parts(s, dir))),
+
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
     // shuffles + per-partition top-k, never a global sort
@@ -763,6 +770,57 @@ object OpsQueries {
     (mixAndPack(deduped.join(semDrop, Seq("doc_id"), "left_anti")), deduped +: cached)
   }
 
+  /** Capstone v4 — the r11 pipeline: PII scrub → Gopher gate →
+    * SPAN-level decontamination (the GPT-3 recipe: benchmark-overlap
+    * spans excised, docs kept — v2/v3 dropped whole docs) → textual
+    * near-dup cluster dedup on the de-spanned text → temperature
+    * (count^0.5) mixing → token-budget curation → context-window
+    * chunking as the terminal doc→training-example stage. Every stage
+    * is exactly SQL-expressible, so unlike v3 the WHOLE pipeline
+    * hash-matches its DuckDB CTE chain with no precision twin.
+    *
+    * Persist points (released by the caller after the terminal action):
+    * `gated` feeds the scrub's gram explode AND its rebuild; `desp`
+    * feeds the jaccard pairs, the cluster anti-join, and the tail;
+    * `mixed` feeds the budget stats agg and the curated join. Each is
+    * MEMORY_AND_DISK with lineage intact — same fault-tolerance trade
+    * as v2 (see [[PipelineV2GatedReuse]]).
+    */
+  private[graft] def pipelineV4Parts(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir)
+    val scrubbed = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
+    val gated = scrubbed.filter(TA.gopherPass(col("text"))).persist(lvl)
+    val bench = docs.filter(col("source") === "src0")
+    val desp = Dedup.decontaminationScrub(
+        gated, "doc_id", col("text"), bench, col("text"), 3)
+      .select(col("doc").as("doc_id"), col("scrubbed").as("text"))
+      .persist(lvl)
+    val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8)))
+    val deduped = desp.join(dropList, Seq("doc_id"), "left_anti")
+    val mixed = Sampling.temperatureMixture(
+        deduped.withColumn("lang_guess", TA.langId(col("text"))),
+        col("doc_id"), col("lang_guess"), 0.5)
+      .select(col("doc_id"), col("text"))
+      .persist(lvl)
+    val selected = Sampling.budgetSelect(mixed, col("doc_id"),
+      TA.qualityScore(col("text")), TA.tokenCount(col("text")), PipelineV4Budget)
+    val curated = mixed.join(selected.select(col("doc_id")), Seq("doc_id"))
+    val chunks = Sampling.chunkTokens(curated, col("doc_id"), col("text"),
+        ChunkWindow, ChunkStride)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+    (chunks, Seq(gated, desp, mixed))
+  }
+
+  /** Token budget of capstone v4's curation stage: below the sf0.01
+    * pipeline survivor mass, so the boundary per-mille path exercises;
+    * at sf0.001 it exceeds the corpus — the take-all edge.
+    */
+  val PipelineV4Budget = 2000L
+
   /** Semantic-stage cosine threshold. The synthetic embeddings plant no
     * true near-dups (max pairwise cosine ≈ 0.5), so a production-style
     * 0.9+ would never fire; 0.3 (the standalone x_semantic_dedup
@@ -881,16 +939,19 @@ object OpsQueries {
     * positioned gram hashes joined against the benchmark's distinct
     * gram set, then the exactSubstrScrub rebuild tail.
     */
-  private def decontaminationScrubSql(k: Int): String = {
+  private def decontaminationScrubSql(
+      k: Int,
+      corpusRel: String = "(SELECT doc_id, text FROM documents WHERE source != 'src0')",
+      benchRel: String = "(SELECT text FROM documents WHERE source = 'src0')"): String = {
     val toks = raw"regexp_split_to_array(lower(trim(text)), '\s+')"
     val gramHash = TA.md5PrefixLongSql(
       s"array_to_string(list_slice(t, i + 1, i + $k), ' ')", 15)
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toks AS t FROM documents WHERE source != 'src0'),
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toks AS t FROM $corpusRel),
        |occ AS MATERIALIZED (SELECT doc_id,
        |    unnest(CASE WHEN len(t) < $k THEN [] ELSE range(0, len(t) - ${k - 1}) END) AS i,
        |    unnest(CASE WHEN len(t) < $k THEN [] ELSE [$gramHash FOR i IN range(0, len(t) - ${k - 1})] END) AS h
        |  FROM toks),
-       |btoks AS (SELECT $toks AS t FROM documents WHERE source = 'src0'),
+       |btoks AS (SELECT $toks AS t FROM $benchRel),
        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) < $k THEN []
        |    ELSE [$gramHash FOR i IN range(0, len(t) - ${k - 1})] END) AS h FROM btoks),
        |cov AS MATERIALIZED (SELECT DISTINCT doc_id, i FROM occ JOIN bg USING (h)),
@@ -1139,6 +1200,35 @@ object OpsQueries {
           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
     "x_pipeline_corpus_v2" ->
       s"$pipelineDedupedSqlCtes,\n${mixPackSql("deduped")}",
+    "x_pipeline_corpus_v4" ->
+      (s"""WITH RECURSIVE
+          |scrubbed AS MATERIALIZED (SELECT doc_id, ${TA.scrubPiiSql("text")} AS text FROM documents
+          |  WHERE source != 'src0'),
+          |gated AS MATERIALIZED (SELECT doc_id, text FROM scrubbed WHERE ${TA.gopherPassSql("text")}),
+          |desp AS MATERIALIZED (SELECT doc_id, scrubbed AS text FROM
+          |  (${decontaminationScrubSql(3, corpusRel = "gated",
+               benchRel = "(SELECT text FROM documents WHERE source = 'src0')")})),
+          |prs AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8, "desp")})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)),
+          |deduped AS MATERIALIZED (SELECT doc_id, text FROM desp
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+          |lng AS (SELECT doc_id, text, ${TA.langIdSql("text")} AS lang FROM deduped),
+          |tcounts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM lng GROUP BY 1),
+          |tcm AS (SELECT MIN(c) AS cmin FROM tcounts),
+          |trates AS (SELECT lang, round(power(cmin / c, 0.5) * 1000) AS thr FROM tcounts, tcm),
+          |mixed AS MATERIALIZED (SELECT doc_id, text FROM lng JOIN trates USING (lang)
+          |  WHERE ${graft.ops.Sampling.hashPermilleSql("doc_id")} < thr),
+          |sel AS (SELECT doc_id FROM (${graft.ops.Sampling.budgetSelectSql(
+               TA.qualityScoreSql("text"), TA.tokenCountSql("text"), PipelineV4Budget, "mixed")})),
+          |cur AS MATERIALIZED (SELECT m.doc_id, m.text FROM mixed m JOIN sel USING (doc_id))
+          |SELECT doc_id, chunk_idx, n_chunk_tokens FROM
+          |  (${graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride, "cur")})""".stripMargin),
     "x_pipeline_corpus_v3_precision" ->
       (s"""$pipelineDedupedSqlCtes,
           |emb AS MATERIALIZED (SELECT d.doc_id, e.embedding FROM deduped d

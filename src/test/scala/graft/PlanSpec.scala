@@ -184,6 +184,21 @@ class PlanSpec extends SparkSpec {
       "per-doc rebuild must sort within groups (array_sort), not globally")
   }
 
+  test("pipeline capstone v4 composes only scale-safe shapes") {
+    // scrub → gate → span decontamination → cluster dedup → temperature
+    // mix → budget curation → chunking: all equi-joins and narrow ops.
+    // SinglePartition IS permitted here — it is budget-select's cumsum
+    // over the ≤1001-row bucket table (bounded by construction), not a
+    // corpus funnel; the corpus itself must stay cartesian-free and
+    // never range-partition (no global sort).
+    val (df, cached) = graft.queries.OpsQueries.pipelineV4Parts(spark, sfDir)
+    try {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), "capstone v4 plans a cartesian")
+      assert(!p.contains("rangepartitioning"), "capstone v4 sorts globally")
+    } finally cached.foreach(_.unpersist())
+  }
+
   test("sequence packing is one shard shuffle + parallel windows, no global sort") {
     val p = plan("x_sequence_pack")
     // exactly one exchange (the shard hash partitioning); a global

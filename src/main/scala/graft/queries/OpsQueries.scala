@@ -507,6 +507,24 @@ object OpsQueries {
         TA.piiHits(salted).as("n_pii"), TA.scrubPii(salted).as("scrubbed"))
     }),
 
+    // JSONL corpus exchange: documents written once as JSONL (the LLM
+    // corpus interchange format) under an identity-keyed path, reread
+    // with the DECLARED schema (inference would be a second full pass
+    // at 100 TB) — the oracle hash-checks the reread content against
+    // the original parquet source, proving the roundtrip is lossless
+    "x_jsonl_roundtrip" -> ((s, dir) => {
+      val outDir = indexCachePath(dir, "documents.parquet", "jsonl,v1")
+      if (!new java.io.File(outDir, "_SUCCESS").exists())
+        graft.ingest.Jsonl.write(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")), outDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      graft.ingest.Jsonl.read(s, outDir, schema)
+        .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // C4/CCNet-style line-level boilerplate removal: the corpus text is
     // single-line word soup, so (like x_pii_scrub salts PII) the query
     // first structures it deterministically in BOTH engines — 10-token
@@ -1306,6 +1324,8 @@ object OpsQueries {
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
+    "x_jsonl_roundtrip" ->
+      s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_budget_select" -> graft.ops.Sampling.budgetSelectSql(
       TA.qualityScoreSql("text"), TA.tokenCountSql("text"), BudgetSelectTokens),
     "x_sequence_pack" ->

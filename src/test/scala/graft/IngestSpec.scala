@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.{Ddl, InsertParser, StatementSplitter}
+import graft.ingest.{Ddl, InsertParser, Jsonl, StatementSplitter}
 import graft.model.StatementKind
 
 /** Splitter/parser tests covering the edge cases the reference's inline
@@ -430,5 +430,43 @@ class IngestSpec extends SparkSpec {
       DumpReader.tableFromDump(stmts, "public", "t")
     }
     assert(err.getMessage.contains("without column lists"))
+  }
+
+  test("JSONL exchange: lossless roundtrip (plain and gzip), corrupt lines quarantined not nulled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = Seq((1L, "hello world"), (2L, "quote \" and \\ backslash \t tab"), (3L, ""))
+      .toDF("doc_id", "text")
+    for (compression <- Seq("none", "gzip")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-jsonl-$compression").toString
+      Jsonl.write(df, dir, compression)
+      val back = Jsonl.read(spark, dir, schema)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      assert(back == Set((1L, "hello world"), (2L, "quote \" and \\ backslash \t tab"), (3L, "")),
+        s"$compression roundtrip lost content")
+    }
+    // a malformed line lands in _corrupt with the good fields of OTHER
+    // rows intact — the count-don't-crash ingest posture
+    val dirtyDir = java.nio.file.Files.createTempDirectory("graft-jsonl-dirty").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dirtyDir, "part-0.json"),
+      """{"doc_id": 1, "text": "good"}
+        |this is not json
+        |{"doc_id": 2, "text": "also good"}
+        |""".stripMargin)
+    // (collect before inspecting _corrupt — Spark disallows queries
+    // touching ONLY the corrupt column on raw json scans)
+    val rows = Jsonl.read(spark, dirtyDir, Jsonl.withCorruptColumn(schema)).collect()
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex(Jsonl.CorruptColumn))) == 1)
+    assert(rows.count(r => r.isNullAt(r.fieldIndex(Jsonl.CorruptColumn))) == 2)
+    // failFast aborts on the first bad line instead
+    val ex = intercept[org.apache.spark.SparkException] {
+      Jsonl.read(spark, dirtyDir, schema, failFast = true).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 }

@@ -94,4 +94,53 @@ class PropertySpec extends SparkSpec {
       assert(k == expected, s"keepFirstDigit($n) = $k, expected $expected")
     }
   }
+
+  test("property: chunk streams reconstruct the token stream for any window/stride") {
+    import graft.ops.Sampling
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val docs = samples(Gen.listOf(wordGen), 100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    for ((w, s) <- Seq((4, 4), (5, 3), (8, 2), (1, 1))) {
+      val out = Sampling.chunkTokens(df, $"doc_id", $"text", w, s)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val chunks = out.getOrElse(id, Array.empty)
+          .sortBy(_.getAs[Int]("chunk_idx")).map(_.getAs[String]("chunk_text")).toSeq
+        // the first `stride` tokens of every chunk but the last, plus
+        // the whole last chunk, must tile the original stream exactly —
+        // no token lost, duplicated, or reordered by the overlap
+        val rebuilt = chunks.dropRight(1).flatMap(_.split(" ").take(s)) ++
+          chunks.takeRight(1).flatMap(_.split(" "))
+        assert(rebuilt == toks, s"(w=$w s=$s) doc $id: $rebuilt != $toks")
+      }
+    }
+  }
+
+  test("property: budget select fills strictly-better buckets first and is monotone") {
+    import graft.ops.Sampling
+    val rows = samples(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(1L, 50L)), 120)
+      .zipWithIndex.map { case ((q, n), i) => (i.toLong, q, n) }
+    val df = rows.toDF("id", "q", "n")
+    val byBucket = rows.groupBy { case (_, q, _) => math.round(q * 1000) }
+    var prev = Set.empty[Long]
+    for (budget <- Seq(50L, 200L, 800L, 3000L, 1000000L)) {
+      val sel = Sampling.budgetSelect(df, $"id", $"q", $"n", budget)
+        .select($"doc_id", $"bucket").as[(Long, Long)].collect()
+      val selIds = sel.map(_._1).toSet
+      assert(prev.subsetOf(selIds), s"budget $budget lost rows a smaller budget selected")
+      prev = selIds
+      // bucket dominance: once ANY row of a bucket is taken, every
+      // strictly better bucket is taken WHOLE
+      val minSel = if (sel.isEmpty) Long.MaxValue else sel.map(_._2).min
+      byBucket.foreach { case (b, rs) =>
+        if (b > minSel)
+          assert(rs.forall(r => selIds.contains(r._1)),
+            s"budget $budget: bucket $b only partially taken though worse bucket $minSel was touched")
+      }
+    }
+    // a budget beyond the corpus takes everything
+    assert(prev == rows.map(_._1).toSet)
+  }
 }

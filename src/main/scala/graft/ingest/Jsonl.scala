@@ -41,6 +41,17 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", CorruptColumn)
       .json(path)
 
+  /** Streaming read of a watched JSONL directory — the continuous
+    * ingest form: new files landing under `path` become micro-batches,
+    * the checkpoint remembers which files were consumed, and an
+    * availableNow trigger processes the backlog then stops (the
+    * reference's bounded one-pass semantics; leave the trigger default
+    * for a long-running watcher). Same declared-schema contract as
+    * [[read]].
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
   val CorruptColumn = "_corrupt"
 
   /** The declared schema plus the corrupt-record column — what a

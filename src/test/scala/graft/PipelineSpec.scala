@@ -130,6 +130,41 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.select("text").distinct().count() == 100)
   }
 
+  test("streaming: JSONL watched-dir admission is exactly-once across availableNow restarts") {
+    import graft.streaming.StreamingPipeline
+    import graft.ingest.Jsonl
+    import org.apache.spark.sql.types._
+    val inDir = Files.createTempDirectory("graft-jsonl-in").toString
+    val outDir = Files.createTempDirectory("graft-jsonl-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-jsonl-ckpt").toString + "/ckpt"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val corpus = Seq((1L, "already ingested"), (2L, "also known")).toDF("doc_id", "text")
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    def ingestPass(lines: Seq[String], file: String): Set[Long] = {
+      Files.writeString(java.nio.file.Paths.get(inDir, file),
+        lines.mkString("", "\n", "\n"))
+      val admitted = StreamingPipeline.admitStream(
+        Jsonl.readStream(spark, inDir, schema), corpus, $"text", "ts", "6 hours")
+      runToTermination(StreamingPipeline.sinkAvailableNow(admitted, outDir, ckpt).start())
+      spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    }
+    // pass 1: doc 2's text is a corpus dup, 3 and 4 are fresh
+    val got1 = ingestPass(Seq(
+      jline(102L, "also known"), jline(103L, "fresh three"), jline(104L, "fresh four")),
+      "batch1.json")
+    assert(got1 == Set(103L, 104L), s"pass 1 admitted $got1")
+    // pass 2, SAME checkpoint: batch1's file is not reprocessed, the
+    // in-stream fingerprint state survived the restart (doc 103's text
+    // again → dropped), only 105 is new
+    val got2 = ingestPass(Seq(
+      jline(203L, "fresh three"), jline(105L, "fresh five")),
+      "batch2.json")
+    assert(got2 == Set(103L, 104L, 105L), s"pass 2 total admitted $got2")
+  }
+
   test("streaming: corpus admission drops known fingerprints and in-stream dups") {
     import graft.streaming.StreamingPipeline
     val inDir = Files.createTempDirectory("graft-admit-in").toString

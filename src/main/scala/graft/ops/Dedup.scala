@@ -749,6 +749,32 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
   }
 
+  /** WITHIN-document duplicate-line removal — C4's "discard duplicate
+    * lines within a page" rule, the in-doc complement of [[lineDedup]]:
+    * every repeat of a line inside one document is cut, the FIRST
+    * occurrence stays, order is preserved on rebuild. Pure per-doc
+    * work: explode, a (doc,line)-keyed min-position agg, ordered
+    * rebuild — two doc-keyed shuffles of line-sized rows, no corpus-
+    * wide state at all.
+    */
+  def lineDedupWithinDoc(df: DataFrame, id: String, text: Column): DataFrame = {
+    val base = df.select(col(id).as("doc"), text.as("__text"))
+      .filter(col("doc").isNotNull && col("__text").isNotNull)
+    val firsts = base.select(col("doc"),
+        posexplode(split(col("__text"), "\n")).as(Seq("line_no", "line")))
+      .groupBy(col("doc"), col("line")).agg(min(col("line_no")).as("line_no"))
+    val kept = firsts.groupBy(col("doc"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line"))).as("text"),
+        count(lit(1)).as("n_lines_kept"))
+    base.select(col("doc"), (size(split(col("__text"), "\n"))).cast("long").as("n_lines"))
+      .join(kept, Seq("doc"))
+      .select(col("doc"), col("text"), col("n_lines_kept"),
+        (col("n_lines") - col("n_lines_kept")).as("n_lines_dropped"))
+  }
+
   /** Decontamination (benchmark-overlap) sweep: for each corpus doc,
     * the number of DISTINCT word n-grams it shares with a benchmark
     * set — the standard "did the eval set leak into the training

@@ -545,6 +545,22 @@ object OpsQueries {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    // C4's within-page rule: repeats of a line INSIDE one doc are cut,
+    // first occurrence kept — exercised by structuring the text with
+    // the same boilerplate line at head AND tail (the footer copy must
+    // drop in every doc)
+    "x_line_dedup_within" -> ((s, dir) => {
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),
+        i => concat_ws(" ", slice(t, i + 1, lit(10))))
+      val boiler = lit("subscribe to our newsletter today")
+      val lined = concat_ws("\n", concat(array(boiler), lineArr, array(boiler)))
+      Dedup.lineDedupWithinDoc(
+          Tables.documents(s, dir).select(col("doc_id"), lined.as("text")),
+          "doc_id", col("text"))
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     // context-window chunking: 64-token windows every 48 tokens
     // (overlapping, so no span is seen only at a window edge) — the
     // doc→training-example split that precedes packing; pure narrow
@@ -1326,6 +1342,23 @@ object OpsQueries {
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_jsonl_roundtrip" ->
       s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_line_dedup_within" ->
+      (raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+            |built AS (SELECT doc_id, array_to_string(list_concat(list_concat(
+            |    ['subscribe to our newsletter today'],
+            |    [array_to_string(list_slice(t, i, i + 9), ' ') FOR i IN range(1, len(t) + 1, 10)]),
+            |    ['subscribe to our newsletter today']), chr(10)) AS text FROM toks),
+            |flat AS MATERIALIZED (SELECT doc_id, s['i'] AS line_no, s['ln'] AS line FROM
+            |  (SELECT doc_id, unnest([{'i': i, 'ln': l[i]} FOR i IN range(1, len(l) + 1)]) AS s
+            |   FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM built))),
+            |firsts AS (SELECT doc_id, line, MIN(line_no) AS line_no FROM flat GROUP BY 1, 2),
+            |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+            |  count(*) AS n_kept FROM firsts GROUP BY 1),
+            |tot AS (SELECT doc_id, count(*) AS n_lines FROM flat GROUP BY 1)
+            |SELECT t.doc_id, a.text,
+            |  CAST(a.n_kept AS BIGINT) AS n_lines_kept,
+            |  CAST(t.n_lines - a.n_kept AS BIGINT) AS n_lines_dropped
+            |FROM tot t JOIN agg a USING (doc_id)""".stripMargin),
     "x_budget_select" -> graft.ops.Sampling.budgetSelectSql(
       TA.qualityScoreSql("text"), TA.tokenCountSql("text"), BudgetSelectTokens),
     "x_sequence_pack" ->

@@ -833,6 +833,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("within-doc line dedup: repeats cut, first kept, order preserved") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\nx\nx"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupWithinDoc(df, "doc_id", $"text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped"))))
+      .toMap
+    assert(out(1L) == (("a\nb\nc", 3L, 2L)), s"got ${out(1L)}")
+    assert(out(2L) == (("x", 1L, 2L)))
+    assert(out(3L) == (("solo", 1L, 0L)))
+    assert(out.size == 3)
+  }
+
   test("context-window chunking: offsets tile by stride, partition at stride==window") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),

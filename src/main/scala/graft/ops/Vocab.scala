@@ -154,6 +154,31 @@ object Vocab {
         round(exp(-stableAvg), 3).as("ppl"))
   }
 
+  /** Apply trained BPE merges to every document — the ENCODE side of
+    * [[bpeMergeRounds]]'s trainer, completing the train→apply
+    * tokenizer lifecycle: `merges` (rank-ordered pair strings from the
+    * trainer) rewrite each doc's pre-token stream in order with the
+    * trainer's exact two-space sentinel scheme (greedy leftmost
+    * non-overlapping application — see the trainer's comment), then
+    * the stream normalizes to single spaces. Emits (doc_id, encoded,
+    * n_bpe_tokens). Pure narrow per-row work: the merge table is tiny
+    * driver state baked into a codegen'd `replace` chain — k merges =
+    * k string passes per row, zero shuffles, no UDF.
+    */
+  def bpeEncode(df: DataFrame, id: String, text: Column,
+                merges: Seq[String]): DataFrame = {
+    val stream0 = concat(lit("  "),
+      concat_ws("  ", regexp_extract_all(lower(text), lit(TextAnalysis.BpeClass), lit(0))),
+      lit("  "))
+    val encoded = merges.foldLeft(stream0) { (s, pair) =>
+      replace(s, lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", MergeJoiner) + " "))
+    }
+    df.select(col(id).as("doc_id"),
+      regexp_replace(trim(encoded), " +", " ").as("encoded"),
+      size(split(trim(encoded), " +")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Per-doc average add-one BIGRAM log-probability + perplexity — the
     * conditional-LM upgrade of [[unigramLogProb]] (CCNet-style corpus
     * LM filtering, one order up): lp(w_i) = ln((c(w_{i-1} w_i) + 1) /

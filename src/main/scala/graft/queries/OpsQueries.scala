@@ -476,6 +476,18 @@ object OpsQueries {
     "x_unigram_logprob" -> ((s, dir) =>
       graft.ops.Vocab.unigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
 
+    // the tokenizer APPLY side: train 4 merges on the corpus (the
+    // x_bpe_merges_k loop), then encode every doc with them — the
+    // oracle re-derives the same merges as unrolled CTEs and re-applies
+    // them, so trainer AND encoder are hash-checked end to end
+    "x_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.Vocab.bpeMergeRounds(docs, col("text"), BpeMergeRounds)
+        .orderBy(col("merge_rank")).select(col("pair"))
+        .collect().map(_.getString(0)).toSeq
+      graft.ops.Vocab.bpeEncode(docs, "doc_id", col("text"), merges)
+    }),
+
     // conditional-LM perplexity signal: per-doc average add-one bigram
     // log-prob under the corpus-trained model (the order-2 upgrade of
     // x_unigram_logprob)
@@ -900,6 +912,30 @@ object OpsQueries {
     sb.toString
   }
 
+  /** [[graft.ops.Vocab.bpeEncode]]'s oracle: re-derive the k merges
+    * with the trainer's unrolled CTEs (doc_id carried through the
+    * rewrites this time) and emit each doc's round-k stream.
+    */
+  private def bpeEncodeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH r0 AS (SELECT doc_id, '  ' || array_to_string(" +
+      raw"regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'), '  ') || '  ' AS s FROM documents)")
+    for (i <- 1 to k) {
+      sb.append(s""",
+         |p$i AS (SELECT unnest(CASE WHEN len(a) < 2 THEN []
+         |    ELSE [a[j] || ' ' || a[j+1] FOR j IN range(1, len(a))] END) AS pair
+         |  FROM (SELECT regexp_split_to_array(trim(s), ' +') AS a FROM r${i - 1})),
+         |top$i AS (SELECT pair, count(*) AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         |r$i AS (SELECT doc_id, replace(s, ' ' || replace((SELECT pair FROM top$i), ' ', '  ') || ' ',
+         |  ' ' || replace((SELECT pair FROM top$i), ' ', chr(1)) || ' ') AS s FROM r${i - 1})""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT doc_id, regexp_replace(trim(s), ' +', ' ', 'g') AS encoded,
+       |  CAST(len(regexp_split_to_array(trim(s), ' +')) AS BIGINT) AS n_bpe_tokens
+       |FROM r$k""".stripMargin)
+    sb.toString
+  }
+
   private def jaccardSql(threshold: Double, relation: String = "documents"): String =
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
          |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] ELSE
@@ -1290,6 +1326,7 @@ object OpsQueries {
             |SELECT pair, count(*) AS n FROM pairs GROUP BY 1
             |ORDER BY n DESC, pair LIMIT 500""".stripMargin),
     "x_bpe_merges_k" -> bpeMergesSql(BpeMergeRounds),
+    "x_bpe_encode" -> bpeEncodeSql(BpeMergeRounds),
     "x_unigram_logprob" ->
       (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
             |t AS (SELECT doc_id, token FROM toks WHERE token != ''),

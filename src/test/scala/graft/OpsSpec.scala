@@ -584,6 +584,27 @@ class OpsSpec extends SparkSpec {
       "the rarer-bigram doc must score lower / perplex higher")
   }
 
+  test("BPE encode: trained merges apply greedily; decode reproduces the pre-token stream") {
+    val df = Seq((1L, "the cat the cat the"), (2L, "the dog"), (3L, "")).toDF("doc_id", "text")
+    val trained = graft.ops.Vocab.bpeMergeRounds(df, $"text", 2)
+      .orderBy($"merge_rank").select($"pair").as[String].collect().toSeq
+    assert(trained.nonEmpty)
+    val out = graft.ops.Vocab.bpeEncode(df, "doc_id", $"text", trained).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("encoded"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    // decode invariant: replacing the merge joiner by a space in the
+    // encoded stream reproduces the original pre-token stream exactly —
+    // encoding is lossless
+    val pre = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r
+    for ((id, text) <- Seq((1L, "the cat the cat the"), (2L, "the dog"), (3L, ""))) {
+      val orig = pre.findAllIn(text.toLowerCase).mkString(" ")
+      assert(out(id)._1.replace("\u0001", " ") == orig, s"doc $id decode mismatch")
+    }
+    // "the cat" merges (top pair) → doc 1 shrinks below its pre-token count
+    assert(out(1L)._2 < 5L, s"merges did not apply: ${out(1L)}")
+    assert(out(1L)._1.contains("\u0001"), "no merged token in the encoded stream")
+  }
+
   test("TF-IDF top terms: distinctive tokens win, shared tokens score zero idf") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = graft.ops.Vocab.tfIdfTopTerms(df, "doc_id", $"text", 1)

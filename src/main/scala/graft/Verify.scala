@@ -13,7 +13,13 @@ object Verify {
     // artifact (r10 lost 5 queries that way: the driver only compares
     // dumps that exist). Record every failure in the dump directory
     // itself so the gap is attributable from the artifacts alone.
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so its 2-arg full run is unchanged
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val failures = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -532,6 +532,41 @@ object Dedup {
   def clusterDropList(clusters: DataFrame): DataFrame =
     clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
 
+  /** Quality-aware representative per near-dup component: instead of the
+    * arbitrary min-id canonical, keep each cluster's BEST member under
+    * `score` (ties to the lower id) — the curation-grade dedup verdict
+    * (near-dup groups usually hold one clean original plus mangled
+    * copies; min-id keeps whichever crawled first, this keeps the
+    * cleanest). Emits every clustered doc labeled with its component
+    * and the component's chosen `rep_id`; the drop list is the rows
+    * with `doc_id != rep_id`.
+    *
+    * Scale shape: [[nearDupClusters]]'s pointer-doubling labels, one
+    * join to the (id, score) frame on the doc key, and a per-cluster
+    * `max_by` aggregation — components are tiny relative to the corpus
+    * (they ARE the duplicates), so the agg's cluster-key shuffle is
+    * balanced by construction; the winner table joins back on the
+    * cluster key. No window over the corpus, nothing on the driver.
+    *
+    * @param quality frame holding `(idCol, scoreCol)` — extra columns
+    *                are ignored; `score` must be cross-engine
+    *                deterministic if the output feeds an oracle check
+    *                (e.g. [[TextAnalysis.qualityScore]])
+    */
+  def clusterRepresentatives(pairs: DataFrame, quality: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val scored = clusters.join(
+      quality.select(col(idCol).as("doc_id"), col(scoreCol).as("__graft_q")), Seq("doc_id"))
+    // max_by over a (score, -id) struct: one agg, ties to the lower id —
+    // negation is safe for the id range (ids are row keys, not Long.Min)
+    val reps = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__graft_q"), (-col("doc_id")).as("neg"))).as("rep_id"))
+    clusters.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
     * the token-hash bits. Near-dups have small Hamming distance.
     * Dispatches to the native codegen'd `SimHash64Expr` (registered via

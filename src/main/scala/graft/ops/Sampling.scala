@@ -267,6 +267,56 @@ object Sampling {
          |  CAST(len(list_slice(t, start + 1, start + $window)) AS BIGINT) AS n_chunk_tokens
          |FROM cs""".stripMargin
 
+  /** Global ordinal rank (1-based) of every row under the total order
+    * `ord` — curriculum ordering at corpus scale. The textbook
+    * formulation (`row_number` over an unpartitioned window) serializes
+    * the corpus through ONE partition; here the corpus is
+    * range-partitioned and sorted on `ord`, each row takes a local
+    * index from `monotonically_increasing_id` (consecutive within a
+    * partition by construction — narrow, no window, no exchange beyond
+    * the range shuffle itself), and each partition's rank offset is the
+    * cumulative row count of earlier range partitions — a ≤P-row
+    * driver-side table broadcast back. Ranks depend only on the total
+    * order, never on where the sampled range boundaries land, so the
+    * output is deterministic even though the partitioning is not; the
+    * boundary/id assignment is pinned with one `localCheckpoint` so the
+    * offset table and the rank join read the SAME materialized
+    * assignment (superseded blocks reclaimed by the ContextCleaner,
+    * same lifecycle as the cluster rounds).
+    *
+    * `ord` must be a total order (break ties with the row id) or ranks
+    * within a tie group are partition-placement-dependent.
+    */
+  def globalRank(df: DataFrame, ord: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    require(ord.nonEmpty, "at least one order column required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val mid = "__graft_mid"
+    val pinned = df.repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    // one row per non-empty range partition: (min id, row count), in
+    // range order (monotonically_increasing_id places the partition
+    // index in the high bits, so min-id order IS partition order)
+    val partStats = pinned.groupBy(shiftright(col(mid), 33).as("pid"))
+      .agg(min(col(mid)).as("mn"), count(lit(1)).as("c"))
+      .orderBy(col("pid"))
+      .select(col("pid"), col("mn"), col("c"))
+      .as[(Long, Long, Long)].collect()
+    var acc = 0L
+    val offsets = partStats.map { case (pid, mn, c) =>
+      val off = acc; acc += c; (pid, mn, off)
+    }.toSeq
+    val offDf = offsets.toDF("__graft_pid", "__graft_mn", "__graft_off")
+    pinned.withColumn("__graft_pid", shiftright(col(mid), 33))
+      .join(broadcast(offDf), Seq("__graft_pid"))
+      .withColumn("rank", col("__graft_off") + (col(mid) - col("__graft_mn")) + 1)
+      .drop("__graft_pid", "__graft_mn", "__graft_off", mid)
+  }
+
   /** GPT-style sequence packing: documents are dealt into `shards` by id
     * hash, concatenated within each shard in hash order, and the token
     * stream cut into fixed `budget`-token windows. Emits per doc its

@@ -253,6 +253,89 @@ object Vocab {
       .select(col(id), col("token"), col("tfidf"))
   }
 
+  /** BM25 top-`k` retrieval (Robertson/Sparck-Jones idf with the usual
+    * +0.5 smoothing; k1/b the standard Okapi defaults): score every
+    * document against `queryTerms` and keep the best `k` — the
+    * benchmark-similar-document mining move (retrieve the corpus docs
+    * closest to an eval set before a decontamination decision) and the
+    * lexical half of any retrieval pipeline.
+    *
+    * Scale shape: document length is a NARROW per-row expression (no
+    * explode for dl); the only corpus-sized shuffle is the tf count,
+    * whose explode is filtered to the query-term set map-side so just
+    * the hits cross the exchange. dfreq and the corpus stats are
+    * tiny-by-construction frames broadcast back, and the final top-k is
+    * `orderBy(...).limit(k)` — TakeOrderedAndProject, never a global
+    * sort. Determinism cross-engine: per-term contributions are IEEE
+    * double arithmetic in mirrored operation order (constants embedded
+    * via `Double.toString` so both engines parse the identical double),
+    * the per-doc sum runs in decimal (order-free; scale 3 keeps the
+    * libm-`ln` ulp window ~1e-12/value), ties break on doc id.
+    * Documents with no query-term hit score nothing and are absent —
+    * retrieval, not scoring-of-everything.
+    */
+  def bm25TopK(df: DataFrame, id: String, text: Column, queryTerms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(queryTerms.nonEmpty, "at least one query term required")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // narrow per-row doc length: the filtered split, no explode
+    val dlExpr = size(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))
+    val dl = df.select(col(id), dlExpr.as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(18,0)")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
+    val dftD = col("dft").cast("double")
+    val tfD = col("tf").cast("double")
+    val contrib = tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq(id))
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (log(lit(1.0) + (col("n_docs") - dftD + lit(0.5)) / (dftD + lit(0.5)))
+          * (tfD * lit(k1 + 1.0))
+          / (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("c"))
+    contrib.groupBy(col(id))
+      .agg(sum(col("c").cast("decimal(18,3)")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** [[bm25TopK]] as DuckDB SQL over relation `documents` — identical
+    * operation order per contribution, identical decimal sum, constants
+    * serialized with `Double.toString` so both engines hold the same
+    * binary double.
+    */
+  private[graft] def bm25TopKSql(queryTerms: Seq[String], k: Int,
+                                 k1: Double = 1.2, b: Double = 0.75,
+                                 rel: String = "documents"): String = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val (k1s, k11s, bs, b1s) = (k1.toString, (k1 + 1.0).toString, b.toString, (1.0 - b).toString)
+    raw"""WITH bmdl AS (SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '')) AS dl
+         |  FROM $rel),
+         |bmstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM bmdl),
+         |bmtoks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM $rel),
+         |bmtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM bmtoks
+         |  WHERE token IN ($terms) GROUP BY 1, 2),
+         |bmdf AS (SELECT token, COUNT(*) AS dft FROM bmtf GROUP BY 1),
+         |bmc AS (SELECT t.doc_id,
+         |    ln(1.0 + (s.n_docs - CAST(d.dft AS DOUBLE) + 0.5) / (CAST(d.dft AS DOUBLE) + 0.5))
+         |      * (CAST(t.tf AS DOUBLE) * $k11s)
+         |      / (CAST(t.tf AS DOUBLE) + $k1s * ($b1s + $bs * CAST(l.dl AS DOUBLE) / s.avgdl)) AS c
+         |  FROM bmtf t JOIN bmdf d USING (token) JOIN bmdl l USING (doc_id) CROSS JOIN bmstats s)
+         |SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,3))) AS DOUBLE) AS bm25
+         |FROM bmc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Top-`k` adjacent BPE pre-token pairs by count — the merge-candidate
     * table of a BPE trainer's first iteration. Pre-tokens follow
     * [[TextAnalysis.bpeTokenCount]]'s portable class (letter runs,

@@ -631,6 +631,35 @@ object OpsQueries {
             TA.qualityScore(col("text")).as("quality")),
         col("lang_guess"), col("quality"), col("doc_id"), 5)),
 
+    // global curriculum rank: every doc's 1-based ordinal under
+    // (quality desc, doc_id) — range-partition + narrow per-partition
+    // local index + a ≤P-row broadcast offset table, never the
+    // single-partition window the textbook row_number would plan
+    "x_curriculum_rank" -> ((s, dir) =>
+      Sampling.globalRank(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TA.qualityScore(col("text")).as("quality")),
+        Seq(col("quality").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("rank"))),
+
+    // BM25 top-20 retrieval for a fixed query-term set — benchmark-
+    // similar document mining; per-term doubles in mirrored op order,
+    // per-doc sums in decimal, top-k via TakeOrdered (never global sort)
+    "x_bm25_topk" -> ((s, dir) =>
+      graft.ops.Vocab.bm25TopK(Tables.documents(s, dir), "doc_id", col("text"),
+        Bm25QueryTerms, 20)),
+
+    // near-dup clusters with QUALITY-chosen representatives (argmax
+    // score, ties to the lower id) — the curation-grade upgrade of
+    // x_near_dup_clusters' arbitrary min-id canonical
+    "x_cluster_best_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterRepresentatives(
+        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+        docs.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
+        "doc_id", "q")
+    }),
+
     // multimodal plumbing: binary column → batched stub decode
     "x_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
@@ -1052,6 +1081,11 @@ object OpsQueries {
     */
   val BudgetSelectTokens = 6000L
 
+  /** Query terms of the `x_bm25_topk` retrieval query — mid-frequency
+    * corpus vocabulary so the idf spread is non-trivial.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "merge")
+
   /** [[graft.ops.Dedup.lineDedup]]'s oracle: the identical line
     * structuring (10-token lines + injected boilerplate header/footer),
     * doc-frequency count, hot-line exclusion, and ordered rebuild.
@@ -1433,6 +1467,27 @@ object OpsQueries {
           |  row_number() OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id) AS rnk
           |FROM scored)
           |SELECT doc_id, lang_guess, quality FROM ranked WHERE rnk <= 5""".stripMargin),
+    "x_curriculum_rank" ->
+      (s"""WITH cscored AS (SELECT doc_id, ${TA.qualityScoreSql("text")} AS quality FROM documents)
+          |SELECT doc_id, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+          |FROM cscored""".stripMargin),
+    "x_bm25_topk" -> graft.ops.Vocab.bm25TopKSql(Bm25QueryTerms, 20),
+    "x_cluster_best_rep" ->
+      (s"""WITH RECURSIVE edges AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |cbclusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |cbq AS (SELECT doc_id, ${TA.qualityScoreSql("text")} AS q FROM documents),
+          |cbranked AS (SELECT c.cluster_id, c.doc_id,
+          |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY cbq.q DESC, c.doc_id) AS rn
+          |  FROM cbclusters c JOIN cbq USING (doc_id)),
+          |cbreps AS (SELECT cluster_id, doc_id AS rep_id FROM cbranked WHERE rn = 1)
+          |SELECT c.doc_id, c.cluster_id, r.rep_id
+          |FROM cbclusters c JOIN cbreps r USING (cluster_id)""".stripMargin),
     "x_token_count" ->
       s"SELECT doc_id, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_bpe_token_count" ->

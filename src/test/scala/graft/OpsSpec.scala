@@ -1167,4 +1167,63 @@ class OpsSpec extends SparkSpec {
       Sampling.topKPerStratum(df, $"lang", $"score", $"id", 0)
     }
   }
+
+  test("global rank: dense 1..N ordinal matching the single-window reference, stable across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", TA.qualityScore($"text").as("q"))
+    val got = Sampling.globalRank(docs, Seq($"q".desc, $"doc_id".asc))
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    val want = docs.withColumn("rank",
+        row_number().over(Window.orderBy($"q".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == want, "global rank diverges from the window reference")
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong),
+      "ranks are not the dense 1..N sequence")
+    // a different partition count must not move any rank (boundaries
+    // shift; the total order does not)
+    val alt = Sampling.globalRank(docs, Seq($"q".desc, $"doc_id".asc), numPartitions = 3)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(alt == want, "rank depends on the range partitioning")
+    assertThrows[IllegalArgumentException] { Sampling.globalRank(docs, Seq.empty) }
+  }
+
+  test("bm25: term-frequency and rarity ordering, hit-only output, k bound") {
+    val df = Seq(
+      (1L, "spark spark spark data data"),   // 3× common term
+      (2L, "spark data data data data"),     // 1× common term
+      (3L, "vector data data data data"),    // 1× rare term
+      (4L, "data data data data data"),      // no query term
+      (5L, "spark vector data data data")    // one of each
+    ).toDF("doc_id", "text")
+    val scores = graft.ops.Vocab.bm25TopK(df, "doc_id", $"text", Seq("spark", "vector"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(!scores.contains(4L), "doc without any query term was scored")
+    assert(scores(1L) > scores(2L), "higher tf must score higher at equal dl")
+    // "vector" appears in 2 docs, "spark" in 3 → rarer term outscores at equal tf/dl
+    assert(scores(3L) > scores(2L), "rarer term must carry higher idf")
+    assert(scores(5L) > scores(1L), "covering both terms beats repeating one")
+    val top1 = graft.ops.Vocab.bm25TopK(df, "doc_id", $"text", Seq("spark", "vector"), 1)
+    assert(top1.count() == 1 && top1.select($"doc_id").as[Long].head() == 5L)
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Vocab.bm25TopK(df, "doc_id", $"text", Seq.empty, 1)
+    }
+  }
+
+  test("cluster representatives: argmax-quality member wins, ties to lower id, every member labeled") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),   // component {1,2,3}: best is 2
+      (10L, 0.7), (11L, 0.7)             // component {10,11}: tie → lower id 10
+    ).toDF("doc_id", "q")
+    val got = Dedup.clusterRepresentatives(pairs, quality, "doc_id", "q")
+      .select($"doc_id", $"cluster_id", $"rep_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (10L, 10L, 10L), (11L, 10L, 10L)))
+    // the quality-chosen drop list differs from the min-id one exactly
+    // on the component whose best member is not its min id
+    val drops = got.filter { case (d, _, rep) => d != rep }.map(_._1)
+    assert(drops == Set(1L, 3L, 11L))
+  }
 }

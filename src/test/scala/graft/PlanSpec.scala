@@ -261,4 +261,26 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"),
       "gram-array exchange not reused — candidates and verify each recompute grams")
   }
+
+  test("global rank: range-partitioned, no window, no single-partition exchange") {
+    // the textbook row_number() plan would show Window + Exchange
+    // SinglePartition — the 100 TB serialization this op exists to avoid
+    val p = plan("x_curriculum_rank")
+    assert(!p.contains("Window"), "global rank fell back to a window")
+    assert(!p.contains("SinglePartition"), "global rank serialized through one partition")
+    // the range shuffle lives inside the pinned (localCheckpoint'ed)
+    // subplan — the final plan reads its blocks (ExistingRDD) and joins
+    // the ≤P-row offset table broadcast; rank correctness across
+    // partitionings is OpsSpec's job
+    assert(p.contains("ExistingRDD"), "pinned range assignment missing from the plan")
+    assert(p.contains("BroadcastHashJoin"), "offset table join must broadcast")
+  }
+
+  test("bm25 top-k: TakeOrdered final, broadcast stats, no cartesian") {
+    val p = plan("x_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned as a global sort")
+    assert(!p.contains("CartesianProduct"), "cartesian in the bm25 plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats / dfreq not broadcast")
+  }
 }

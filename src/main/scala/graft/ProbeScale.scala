@@ -107,6 +107,22 @@ object ProbeScale {
     // (id-shifted copies do not change text), so EVERY line crosses the
     // hot threshold and every doc rebuilds to empty — maximal anti-join
     // and rebuild work; sum survivors to force the rebuild
+    // global rank at mult×: one range shuffle + a narrow local index;
+    // the only driver state is the ≤P-row offset table, so cost must
+    // stay linear in the corpus (forcing max(rank) materializes every
+    // row's rank through the broadcast offset join)
+    time("global_rank")(
+      graft.ops.Sampling.globalRank(
+        docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("q")),
+        Seq(col("q").desc, col("doc_id").asc))
+        .agg(max(col("rank"))).collect().head.getLong(0))
+    // bm25 at mult×: dl is a narrow expression, only query-term hits
+    // cross the tf exchange — cost must track the corpus scan, not the
+    // vocabulary
+    time("bm25_topk")(
+      graft.ops.Vocab.bm25TopK(docs, "doc_id", col("text"),
+        graft.queries.OpsQueries.Bm25QueryTerms, 20).count())
     time("line_dedup") {
       val t = split(lower(trim(col("text"))), "\\s+")
       val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),

@@ -35,4 +35,84 @@ object Joins {
     val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** As-of join: each `left` row picks the LATEST `right` row with the
+    * same `key` and `right.ts <= left.ts` (inclusive) — the
+    * point-in-time lookup (price as of trade time, last session event
+    * before a conversion) that equi-joins can't express and a naive
+    * theta-join explodes to per-key cross products.
+    *
+    * Spark-first shape: both sides union into ONE frame tagged by side,
+    * shuffled ONCE on `key`, and a running `last(payload, ignoreNulls)`
+    * over the (ts, side-tag) order carries each right row forward to
+    * every later left row — O(n log n) per key for any match density,
+    * versus the theta-join's O(left·right) per key. Right rows sort
+    * before left rows at equal ts (inclusive semantics); among several
+    * right rows at the SAME (key, ts) the greatest payload struct wins
+    * (deterministic — pre-aggregate the right side if another rule is
+    * wanted). Left-join semantics: unmatched left rows keep null
+    * payload columns.
+    *
+    * At 100 TB the shuffle is on `key` — per-key history must fit a
+    * task (same bound as any windowed sessionization); a pathological
+    * single-key stream should pre-split by time range.
+    *
+    * @param payload right-side columns to carry (must not collide with
+    *                left column names; the right frame needs only
+    *                `key`, `ts`, and these)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "at least one right payload column required")
+    require(payload.forall(right.columns.contains),
+      s"payload columns missing from right frame: ${payload.filterNot(right.columns.contains).mkString(", ")}")
+    require(!payload.exists(left.columns.contains),
+      s"payload columns collide with left columns: ${payload.filter(left.columns.contains).mkString(", ")}")
+    val tag = "__graft_asof_tag"
+    val pay = "__graft_asof_pay"
+    val leftExtra = left.columns.filterNot(c => c == key || c == ts)
+    val payStruct = struct(payload.map(col): _*)
+    val lTagged = left
+      .withColumn(tag, lit(1))
+      .withColumn(pay, lit(null).cast(right.select(payStruct).schema.head.dataType))
+    val rTagged = leftExtra.foldLeft(
+        right.withColumn(tag, lit(0)).withColumn(pay, payStruct)
+          .select(col(key), col(ts), col(tag), col(pay))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lTagged.columns.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tag).asc, col(pay).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"$pay.$p").as(p)): _*)
+  }
+
+  /** Exact interval-containment join (`left.ts ∈ [start, end]`) without
+    * a nested loop: each interval explodes to the calendar days it
+    * covers, each row bins to its day, and the join becomes an
+    * EQUI-join on the day key with the exact containment predicate as a
+    * residual filter — the standard binned range join. No duplicates:
+    * a row has exactly one day bin, so each (row, interval) pair meets
+    * at most once.
+    *
+    * Scale: the naive form is a BroadcastNestedLoopJoin (every row ×
+    * every interval) that only survives while the interval side is
+    * tiny; binned, it is a shuffle/broadcast HASH join keyed by day
+    * whose cost is rows + interval-days. Bin width is a day because the
+    * day grid is cheap to mirror cross-engine; a production variant
+    * would pick the bin near the median interval length.
+    */
+  def rangeJoinByDay(left: DataFrame, ts: String,
+                     intervals: DataFrame, start: String, end: String): DataFrame = {
+    val bin = "__graft_day"
+    val binned = intervals.withColumn(bin,
+      explode(sequence(to_date(col(start)), to_date(col(end)), expr("interval 1 day"))))
+    left.withColumn(bin, to_date(col(ts)))
+      .join(binned, Seq(bin))
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop(bin)
+  }
 }

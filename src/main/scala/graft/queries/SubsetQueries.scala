@@ -86,6 +86,40 @@ object SubsetQueries {
           CoreQueries.stableSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // J7 (ours): as-of join — each purchase event picks the user's
+    // latest view at-or-before it. One shuffle on the user key + a
+    // running carry-forward window, never the per-key cross product a
+    // theta-join would plan; oracled against DuckDB's native ASOF JOIN.
+    "j7_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // one right row per (user, ts): ASOF is ambiguous under equal-ts
+      // duplicates, so pin max event_id — mirrored in the oracle
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumn("view_ts", col("ts"))
+      graft.ops.Joins.asofJoin(purchases, views, "user_id", "ts",
+        Seq("view_event_id", "view_ts"))
+    }),
+
+    // J8 (ours): exact range-containment join via day binning — the
+    // equi-join-on-bin + residual-filter form of a range join, never a
+    // nested loop. Intervals are each event type's [min ts, max ts]
+    // span; output is per-span traffic.
+    "j8_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spans = ev.groupBy(col("event_type").as("span_type"))
+        .agg(min(col("ts")).as("span_start"), max(col("ts")).as("span_end"))
+      graft.ops.Joins.rangeJoinByDay(
+          ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          spans, "span_start", "span_end")
+        .groupBy(col("span_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // J3: exact dedup with canonical representative (reference's
     // md5-seen-set dedup, subset/src/dedup.rs:9-63, as a groupBy).
     "j3_dedup_exact" -> ((s, dir) =>
@@ -125,6 +159,18 @@ object SubsetQueries {
       ("SELECT o_orderkey, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderkey"),
+    "j7_asof_join" ->
+      ("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, max(event_id) AS view_event_id, ts AS view_ts
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+         |SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin),
+    "j8_range_join" ->
+      ("""WITH iv AS (SELECT event_type AS span_type, min(ts) AS s, max(ts) AS e
+         |  FROM events GROUP BY 1)
+         |SELECT iv.span_type, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+         |FROM events e JOIN iv ON e.ts >= iv.s AND e.ts <= iv.e
+         |GROUP BY 1""".stripMargin),
     "j3_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "j4_passthrough_union" ->

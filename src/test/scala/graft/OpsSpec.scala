@@ -1210,6 +1210,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: latest at-or-before match, inclusive ties, null on no match, max payload on dup ts") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val left = Seq(
+      (1L, 10L, t(100)), // after right rows at 50 and 90 → match 90
+      (2L, 10L, t(50)),  // equal ts to a right row → inclusive match 50
+      (3L, 10L, t(10)),  // before every right row → null
+      (4L, 20L, t(100))  // key with no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t(50), 501L), (10L, t(90), 509L),
+      (30L, t(1), 999L)   // right-only key must not appear
+    ).toDF("user_id", "ts", "match_id")
+    val got = graft.ops.Joins.asofJoin(left, right, "user_id", "ts", Seq("match_id"))
+      .select($"event_id", $"match_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 509L, 2L -> 501L, 3L -> -1L, 4L -> -1L))
+    // several right rows at the SAME (key, ts): greatest payload wins
+    val dup = Seq((10L, t(50), 7L), (10L, t(50), 9L)).toDF("user_id", "ts", "match_id")
+    val pick = graft.ops.Joins.asofJoin(
+        left.filter($"event_id" === 1L), dup, "user_id", "ts", Seq("match_id"))
+      .select($"match_id").as[Long].head()
+    assert(pick == 9L)
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(left, right, "user_id", "ts", Seq("event_id"))
+    }
+  }
+
+  test("binned range join: inclusive bounds, multi-day intervals, no duplicate pairs") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00")), // == interval start: inclusive
+      (2L, t("2024-01-02 12:00:00")), // mid-interval, different day bin
+      (3L, t("2024-01-03 23:59:59")), // == interval end: inclusive
+      (4L, t("2024-01-04 00:00:01"))  // past the end: dropped
+    ).toDF("event_id", "ts")
+    val iv = Seq(("a", t("2024-01-01 00:00:00"), t("2024-01-03 23:59:59")))
+      .toDF("label", "s", "e")
+    val got = graft.ops.Joins.rangeJoinByDay(rows, "ts", iv, "s", "e")
+      .select($"event_id", $"label").as[(Long, String)].collect().toSeq
+    assert(got.sorted == Seq((1L, "a"), (2L, "a"), (3L, "a")),
+      s"range join wrong/duplicated: $got")
+  }
+
   test("cluster representatives: argmax-quality member wins, ties to lower id, every member labeled") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val quality = Seq(

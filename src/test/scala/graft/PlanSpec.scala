@@ -276,6 +276,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "offset table join must broadcast")
   }
 
+  test("as-of join: one key shuffle + carry-forward window, never a theta-join explosion") {
+    val p = plan("j7_asof_join")
+    assert(!p.contains("CartesianProduct"), "as-of planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of planned a nested loop")
+    assert(p.contains("Window"), "carry-forward window missing")
+    assert(!p.contains("SinglePartition"), "as-of window serialized through one partition")
+  }
+
+  test("range join binned to an equi-join — no nested loop, no cartesian") {
+    val p = plan("j8_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested loop — binning regressed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bm25 top-k: TakeOrdered final, broadcast stats, no cartesian") {
     val p = plan("x_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k planned as a global sort")

@@ -331,6 +331,47 @@ object TextAnalysis {
       s"CAST(len($gs) - len(list_distinct($gs)) AS DOUBLE) / CAST(len($gs) AS DOUBLE) END)"
   }
 
+  /** Gopher §A1.1's duplicate-line signals (Rae et al. 2021 — the
+    * repetitious-document class the n-gram [[repetitionRatio]] misses:
+    * whole boilerplate LINES repeated across a page). Pure per-row HOF
+    * expressions — `(occurrences − distinct) / occurrences` over the
+    * newline split — so the metric is a stateless narrow filter at any
+    * scale, unlike a corpus line-frequency join ([[Dedup]]'s lineDedup
+    * is the cross-doc complement).
+    */
+  def dupLineFraction(text: Column): Column =
+    bound(split(text, "\n")) { ls =>
+      when(size(ls) <= 0, lit(0.0)).otherwise(
+        (size(ls) - size(array_distinct(ls))).cast("double") / size(ls).cast("double"))
+    }
+
+  def dupLineFractionSql(x: String): String = {
+    val ls = s"string_split($x, chr(10))"
+    s"(CASE WHEN len($ls) <= 0 THEN 0.0 ELSE " +
+      s"CAST(len($ls) - len(list_distinct($ls)) AS DOUBLE) / CAST(len($ls) AS DOUBLE) END)"
+  }
+
+  /** Fraction of CHARACTERS inside duplicate lines (beyond each line's
+    * first occurrence) — the paper's character-weighted variant, which
+    * catches one huge repeated line among many short unique ones.
+    * total − distinct char sums, both O(lines) per row.
+    */
+  def dupLineCharFraction(text: Column): Column =
+    bound(split(text, "\n")) { ls =>
+      val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l).cast("long"))
+      val uniq = aggregate(array_distinct(ls), lit(0L), (acc, l) => acc + length(l).cast("long"))
+      when(total <= 0L, lit(0.0))
+        .otherwise((total - uniq).cast("double") / total.cast("double"))
+    }
+
+  def dupLineCharFractionSql(x: String): String = {
+    val ls = s"string_split($x, chr(10))"
+    val total = s"CAST(list_sum(list_transform($ls, l -> length(l))) AS BIGINT)"
+    val uniq = s"CAST(list_sum(list_transform(list_distinct($ls), l -> length(l))) AS BIGINT)"
+    s"(CASE WHEN coalesce($total, 0) <= 0 THEN 0.0 ELSE " +
+      s"CAST($total - $uniq AS DOUBLE) / CAST($total AS DOUBLE) END)"
+  }
+
   // shared with the native WinnowExpr so the constants cannot drift
   private[graft] val WinnowB = 1000003L     // polynomial base
   private[graft] val WinnowM = 2147483647L  // 2^31 - 1 — keeps every product < 2^52, signed-safe

@@ -456,6 +456,14 @@ object OpsQueries {
     // needed — every stage is exactly SQL-expressible)
     "x_pipeline_corpus_v4" -> ((s, dir) => runReleased(pipelineV4Parts(s, dir))),
 
+    // capstone v5 — the curriculum pipeline, composing the r11-late
+    // ops: PII scrub → Gopher → span decontamination → near-dup
+    // clusters deduped to their QUALITY-chosen representative (not
+    // min-id) → global curriculum rank over the survivors → top-N cut
+    // → context-window chunking with the rank carried per chunk.
+    // Every stage exactly SQL-expressible ⇒ hash-matched end to end.
+    "x_pipeline_corpus_v5" -> ((s, dir) => runReleased(pipelineV5Parts(s, dir))),
+
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
     // shuffles + per-partition top-k, never a global sort
@@ -555,6 +563,23 @@ object OpsQueries {
           Tables.documents(s, dir).select(col("doc_id"), lined.as("text")),
           "doc_id", col("text"), LineDedupMinDf)
         .withColumnRenamed("doc", "doc_id")
+    }),
+
+    // Gopher §A1.1's duplicate-line signals as per-doc metrics: the
+    // occurrence and character-weighted duplicate-line fractions, pure
+    // narrow HOF expressions (no corpus join — the cross-doc complement
+    // is x_line_dedup). Same boilerplate-at-head-and-tail structuring
+    // as the within-doc dedup query, so every doc carries ≥1 dup line.
+    "x_dup_line_metrics" -> ((s, dir) => {
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),
+        i => concat_ws(" ", slice(t, i + 1, lit(10))))
+      val boiler = lit("subscribe to our newsletter today")
+      val lined = concat_ws("\n", concat(array(boiler), lineArr, array(boiler)))
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(split(lined, "\n")).cast("long").as("n_lines"),
+        TA.dupLineFraction(lined).as("dup_line_frac"),
+        TA.dupLineCharFraction(lined).as("dup_char_frac"))
     }),
 
     // C4's within-page rule: repeats of a line INSIDE one doc are cut,
@@ -895,6 +920,56 @@ object OpsQueries {
     * at sf0.001 it exceeds the corpus — the take-all edge.
     */
   val PipelineV4Budget = 2000L
+
+  /** Capstone v5's curriculum cut: keep the best `PipelineV5Keep`
+    * ranked survivors. Below the sf0.01 survivor count (the cut is
+    * active) and above sf0.001's (the take-all edge).
+    */
+  val PipelineV5Keep = 200L
+
+  /** Capstone v5 — the curriculum pipeline. The v4 front (scrub →
+    * Gopher → span decontamination), then the r11-late curation tail:
+    * near-dup components dedupe to their argmax-quality representative
+    * ([[Dedup.clusterRepresentatives]] — curation-grade, not min-id),
+    * survivors take a GLOBAL curriculum rank under (quality desc,
+    * doc_id) via [[Sampling.globalRank]] (range-partition + offset
+    * table — no single-partition window even though the oracle is the
+    * literal `row_number()`), the best [[PipelineV5Keep]] survive the
+    * cut, and context-window chunking emits training examples with the
+    * doc's rank carried per chunk (what a curriculum loader consumes).
+    *
+    * Persist points released by the caller: `gated` and `desp` as in
+    * v4; `ranked` feeds both the chunk explode and the rank join-back.
+    */
+  private[graft] def pipelineV5Parts(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir)
+    val scrubbed = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
+    val gated = scrubbed.filter(TA.gopherPass(col("text"))).persist(lvl)
+    val bench = docs.filter(col("source") === "src0")
+    val desp = Dedup.decontaminationScrub(
+        gated, "doc_id", col("text"), bench, col("text"), 3)
+      .select(col("doc").as("doc_id"), col("scrubbed").as("text"))
+      .persist(lvl)
+    val labeled = Dedup.clusterRepresentatives(
+      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8),
+      desp.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
+      "doc_id", "q")
+    val dropped = labeled.filter(col("doc_id") =!= col("rep_id")).select(col("doc_id"))
+    val survivors = desp.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), TA.qualityScore(col("text")).as("quality"))
+    val ranked = Sampling.globalRank(survivors,
+        Seq(col("quality").desc, col("doc_id").asc))
+      .filter(col("rank") <= PipelineV5Keep)
+      .persist(lvl)
+    val out = Sampling.chunkTokens(ranked, col("doc_id"), col("text"),
+        ChunkWindow, ChunkStride)
+      .join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
+      .select(col("doc_id"), col("rank"), col("chunk_idx"), col("n_chunk_tokens"))
+    (out, Seq(gated, desp, ranked))
+  }
 
   /** Semantic-stage cosine threshold. The synthetic embeddings plant no
     * true near-dups (max pairwise cosine ≈ 0.5), so a production-style
@@ -1333,6 +1408,36 @@ object OpsQueries {
           |cur AS MATERIALIZED (SELECT m.doc_id, m.text FROM mixed m JOIN sel USING (doc_id))
           |SELECT doc_id, chunk_idx, n_chunk_tokens FROM
           |  (${graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride, "cur")})""".stripMargin),
+    "x_pipeline_corpus_v5" ->
+      (s"""WITH RECURSIVE
+          |scrubbed AS MATERIALIZED (SELECT doc_id, ${TA.scrubPiiSql("text")} AS text FROM documents
+          |  WHERE source != 'src0'),
+          |gated AS MATERIALIZED (SELECT doc_id, text FROM scrubbed WHERE ${TA.gopherPassSql("text")}),
+          |desp AS MATERIALIZED (SELECT doc_id, scrubbed AS text FROM
+          |  (${decontaminationScrubSql(3, corpusRel = "gated",
+               benchRel = "(SELECT text FROM documents WHERE source = 'src0')")})),
+          |prs AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8, "desp")})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |vclusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |vq AS (SELECT doc_id, ${TA.qualityScoreSql("text")} AS q FROM desp),
+          |vranked AS (SELECT c.cluster_id, c.doc_id,
+          |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY vq.q DESC, c.doc_id) AS rn
+          |  FROM vclusters c JOIN vq USING (doc_id)),
+          |vdropped AS (SELECT doc_id FROM vranked WHERE rn > 1),
+          |surv AS MATERIALIZED (SELECT doc_id, text, ${TA.qualityScoreSql("text")} AS quality FROM desp
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM vdropped)),
+          |rk AS MATERIALIZED (SELECT doc_id, text,
+          |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+          |  FROM surv),
+          |kept AS MATERIALIZED (SELECT doc_id, text, rank FROM rk WHERE rank <= $PipelineV5Keep)
+          |SELECT k.doc_id, k.rank, c.chunk_idx, c.n_chunk_tokens
+          |FROM (${graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride, "kept")}) c
+          |JOIN kept k USING (doc_id)""".stripMargin),
     "x_pipeline_corpus_v3_precision" ->
       (s"""$pipelineDedupedSqlCtes,
           |emb AS MATERIALIZED (SELECT d.doc_id, e.embedding FROM deduped d
@@ -1410,6 +1515,16 @@ object OpsQueries {
           |FROM s""".stripMargin),
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
+    "x_dup_line_metrics" ->
+      (raw"""WITH dtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+            |dbuilt AS (SELECT doc_id, array_to_string(list_concat(list_concat(
+            |    ['subscribe to our newsletter today'],
+            |    [array_to_string(list_slice(t, i, i + 9), ' ') FOR i IN range(1, len(t) + 1, 10)]),
+            |    ['subscribe to our newsletter today']), chr(10)) AS text FROM dtoks)
+            |SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+            |  ${TA.dupLineFractionSql("text")} AS dup_line_frac,
+            |  ${TA.dupLineCharFractionSql("text")} AS dup_char_frac
+            |FROM dbuilt""".stripMargin),
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_jsonl_roundtrip" ->
       s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",

@@ -29,7 +29,7 @@ class CacheLifecycleSpec extends SparkSpec {
   test("capstones leave no persisted RDD behind") {
     for (name <- Seq("x_pipeline_corpus", "x_pipeline_corpus_v2",
         "x_pipeline_corpus_v3", "x_pipeline_corpus_v3_precision",
-        "x_pipeline_corpus_v4")) {
+        "x_pipeline_corpus_v4", "x_pipeline_corpus_v5")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       var df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")

@@ -1210,6 +1210,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-line fractions: occurrence and char-weighted, empty-safe") {
+    val df = Seq(
+      (1L, "a\nb\na"),        // 1 of 3 lines is a repeat; 1 of 3 chars
+      (2L, "xx\ny\nxx\nxx"),  // 2 of 4 lines; 4 of 7 chars
+      (3L, "u\nv"),           // no repeats
+      (4L, "")                // degenerate: one empty line, zero chars
+    ).toDF("doc_id", "text")
+    val rows = df.select($"doc_id",
+        TA.dupLineFraction($"text"), TA.dupLineCharFraction($"text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((1.0 / 3.0, 1.0 / 3.0)))
+    assert(rows(2L) == ((0.5, 4.0 / 7.0)))
+    assert(rows(3L) == ((0.0, 0.0)))
+    assert(rows(4L) == ((0.0, 0.0)))
+  }
+
   test("as-of join: latest at-or-before match, inclusive ties, null on no match, max payload on dup ts") {
     import java.sql.Timestamp
     def t(s: Int) = Timestamp.from(java.time.Instant.ofEpochSecond(s))

@@ -199,6 +199,21 @@ class PlanSpec extends SparkSpec {
     } finally cached.foreach(_.unpersist())
   }
 
+  test("pipeline capstone v5 composes only scale-safe shapes") {
+    // scrub → gate → span decontamination → quality-rep cluster dedup →
+    // global rank → cut → chunking + rank join-back. The rank stage's
+    // range shuffle is pinned inside globalRank's checkpoint, so the
+    // final plan must stay cartesian-free with NO corpus-wide window
+    // funnel: the only Window nodes permitted are the per-cluster
+    // argmax (partitioned by cluster_id) — never an empty partitionBy.
+    val (df, cached) = graft.queries.OpsQueries.pipelineV5Parts(spark, sfDir)
+    try {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), "capstone v5 plans a cartesian")
+      assert(!p.contains("SinglePartition"), "capstone v5 funnels the corpus through one partition")
+    } finally cached.foreach(_.unpersist())
+  }
+
   test("sequence packing is one shard shuffle + parallel windows, no global sort") {
     val p = plan("x_sequence_pack")
     // exactly one exchange (the shard hash partitioning); a global

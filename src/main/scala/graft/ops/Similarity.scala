@@ -862,4 +862,30 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
+
+  /** Mean-pool vectors per group — the chunk→document (or
+    * token→sentence) embedding aggregation every embedding pipeline
+    * runs before doc-level dedup/retrieval. Emits the LONG form
+    * (group, pos, mean_val): one row per dimension, which is also the
+    * cross-engine-checkable shape (list construction order is engine
+    * UI, per-element means are not).
+    *
+    * Scale shape: `posexplode` is narrow; the only exchange is the
+    * (group, pos) aggregation with map-side partials — dims are
+    * bounded (e.g. 768), so keys ≈ groups × dim and no key is hot.
+    * Determinism: float addition is order-dependent across
+    * partitionings, and float→decimal casts hit EXACT decimal ties
+    * (binary fractions end in …5) where engines' rounding modes
+    * diverge — so each element floor-quantizes to an exact 1e-9 long
+    * (the double product and `floor` are IEEE-deterministic and
+    * tie-free), the sum runs in exact integers, and the final divides
+    * run in double. The mean is over 1e-9-quantized values — the
+    * portability quantization, ~1e-9 absolute, far below any float
+    * input's own precision.
+    */
+  def meanPool(df: DataFrame, group: String, vec: String): DataFrame =
+    df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(group), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * lit(1.0e9)).cast("long")).cast("double")
+        / lit(1.0e9) / count(lit(1)).cast("double")).as("mean_val"))
 }

@@ -685,6 +685,12 @@ object OpsQueries {
         "doc_id", "q")
     }),
 
+    // chunk→document embedding aggregation: mean-pool vectors per
+    // label group, long form (one row per dimension) — decimal-summed
+    // per dimension so the mean is partitioning- and engine-stable
+    "x_embed_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")),
+
     // multimodal plumbing: binary column → batched stub decode
     "x_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.packText(Tables.documents(s, dir), col("doc_id"), col("text"), "text/plain")
@@ -1582,6 +1588,13 @@ object OpsQueries {
           |  row_number() OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id) AS rnk
           |FROM scored)
           |SELECT doc_id, lang_guess, quality FROM ranked WHERE rnk <= 5""".stripMargin),
+    "x_embed_mean_pool" ->
+      ("""WITH mp AS (SELECT label, unnest(embedding) AS v,
+         |    unnest(range(len(embedding))) AS pos FROM embeddings)
+         |SELECT label, CAST(pos AS INT) AS pos,
+         |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_val
+         |FROM mp GROUP BY 1, 2""".stripMargin),
     "x_curriculum_rank" ->
       (s"""WITH cscored AS (SELECT doc_id, ${TA.qualityScoreSql("text")} AS quality FROM documents)
           |SELECT doc_id, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank

@@ -1210,6 +1210,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mean pool: per-dimension group means, exact on representable values") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (1, Seq(5.0f, -1.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.meanPool(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> -1.0))
+  }
+
   test("duplicate-line fractions: occurrence and char-weighted, empty-safe") {
     val df = Seq(
       (1L, "a\nb\na"),        // 1 of 3 lines is a repeat; 1 of 3 chars

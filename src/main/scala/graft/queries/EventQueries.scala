@@ -60,6 +60,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("max_session_events"),
           sum(col("n_events")).as("n_events_total"))
+    }),
+
+    // Funnel stages per signed-up user: did a view / a purchase follow
+    // the user's FIRST signup? Two aggs + one broadcast-size join —
+    // anchor timestamps are one row per user, the event scan stays the
+    // only corpus-sized pass per stage.
+    "g7_funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val anchor = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      ev.join(anchor, Seq("user_id"))
+        .groupBy(col("user_id"), col("t0"))
+        .agg(
+          max(when(col("event_type") === "view" && col("ts") >= col("t0"), 1)
+            .otherwise(0)).as("viewed_after"),
+          max(when(col("event_type") === "purchase" && col("ts") >= col("t0"), 1)
+            .otherwise(0)).as("purchased_after"))
+        .select(col("user_id"), col("t0"), col("viewed_after"), col("purchased_after"))
     })
   )
 
@@ -78,6 +96,14 @@ object EventQueries {
       ("SELECT user_id, COUNT(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY user_id HAVING COUNT(*) > 10"),
+    "g7_funnel_stages" ->
+      ("""WITH fanchor AS (SELECT user_id, min(ts) AS t0 FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1)
+         |SELECT e.user_id, a.t0,
+         |  max(CASE WHEN e.event_type = 'view' AND e.ts >= a.t0 THEN 1 ELSE 0 END) AS viewed_after,
+         |  max(CASE WHEN e.event_type = 'purchase' AND e.ts >= a.t0 THEN 1 ELSE 0 END) AS purchased_after
+         |FROM events e JOIN fanchor a USING (user_id)
+         |GROUP BY 1, 2""".stripMargin),
     "g6_session_windows" ->
       ("""WITH o AS (SELECT user_id, ts, event_id,
          |  CASE WHEN lag(ts) OVER w IS NULL

@@ -99,6 +99,33 @@ object StreamingPipeline {
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
   }
 
+  /** Stream-stream event-time interval join — the continuous form of
+    * the point-in-time lookup (batch J7/J8): each left event matches
+    * the right events of the same `key` whose `ts` falls in
+    * `[l.ts - lookback, l.ts]` (inclusive both ends). Both sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * so Spark derives state eviction for BOTH sides — state is
+    * (watermark + lookback)-bounded and the join runs forever on
+    * unbounded input. Inner-join matches emit as they arrive (the
+    * watermark only gates state cleanup), so a bounded replay yields
+    * exactly the batch theta-join over the same rows — the parity
+    * PipelineSpec asserts. Both frames must expose an event-time
+    * column named `ts`; disambiguate payload columns before the join.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lookback: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left).as("l")
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") <= col("l.ts") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lookback"))
+  }
+
   /** Streaming exact dedup — J3 as a continuous operator: duplicates
     * arriving within the watermark horizon of the first copy are
     * dropped; state is bounded by the horizon (eviction at watermark),

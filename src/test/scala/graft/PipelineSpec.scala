@@ -317,6 +317,36 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming: interval join matches the batch theta-join over a bounded replay") {
+    import graft.streaming.StreamingPipeline
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("view_id"))
+    val (pDir, vDir) = (Files.createTempDirectory("graft-ij-p").toString,
+      Files.createTempDirectory("graft-ij-v").toString)
+    purchases.write.mode("overwrite").parquet(pDir)
+    views.write.mode("overwrite").parquet(vDir)
+    val pStream = spark.readStream.schema(purchases.schema).parquet(pDir)
+    val vStream = spark.readStream.schema(views.schema).parquet(vDir)
+    val joined = StreamingPipeline.intervalJoinStream(pStream, vStream, "user_id",
+        lookback = "30 minutes", watermark = "1 hour")
+      .select($"purchase_id", $"view_id")
+    assert(joined.isStreaming)
+    runToTermination(joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start())
+    val streamed = spark.table("ij_test")
+    val batch = StreamingPipeline.intervalJoinStream(purchases, views, "user_id",
+        lookback = "30 minutes")
+      .select($"purchase_id", $"view_id")
+    assert(streamed.count() > 0, "interval join emitted nothing")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming: mapGroupsWithState running progress matches batch groupBy") {
     import graft.streaming.StreamingPipeline
     val events = Tables.events(spark, sfDir)

@@ -276,19 +276,29 @@ object Vocab {
     */
   def bm25TopK(df: DataFrame, id: String, text: Column, queryTerms: Seq[String],
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, "k must be positive")
     require(queryTerms.nonEmpty, "at least one query term required")
-    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
     val terms = queryTerms.map(_.toLowerCase).distinct
     // narrow per-row doc length: the filtered split, no explode
     val dlExpr = size(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))
     val dl = df.select(col(id), dlExpr.as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl").cast("decimal(18,0)")).cast("double")
-        / count(lit(1)).cast("double")).as("avgdl"))
     val tf = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    bm25ScoreTopK(tf, dl, id, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: `tf` = (id, token, tf) restricted to the
+    * query terms, `dl` = (id, dl) over the WHOLE corpus. Expression
+    * structure is the contract — [[bm25TopKSql]] mirrors it literally,
+    * so live-scan and indexed paths both hash-match the same oracle.
+    */
+  private def bm25ScoreTopK(tf: DataFrame, dl: DataFrame, id: String,
+                            k: Int, k1: Double, b: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(18,0)")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
     val dftD = col("dft").cast("double")
     val tfD = col("tf").cast("double")
@@ -304,6 +314,39 @@ object Vocab {
       .agg(sum(col("c").cast("decimal(18,3)")).cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col(id).asc)
       .limit(k)
+  }
+
+  /** The retrieval-side ingest artifact: the inverted postings list
+    * (token, doc_id, tf) and the doc-length table (doc_id, dl) —
+    * built once per corpus, persisted (parquet), and read by every
+    * subsequent [[bm25TopKIndexed]] call, which then never re-tokenizes
+    * the corpus. The same ingest-once lifecycle as the persisted LSH /
+    * IVF-PQ-codes artifacts: at 100 TB the corpus text is scanned once
+    * at ingest; steady-state retrieval touches only the postings rows
+    * of the query's terms (an IN filter that reaches the parquet scan —
+    * PlanSpec-asserted) plus the skinny doc-length table.
+    */
+  def buildBm25Index(df: DataFrame, id: String, text: Column): (DataFrame, DataFrame) = {
+    val postings = df
+      .select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col(id)).agg(count(lit(1)).as("tf"))
+    val doclens = df.select(col(id),
+      size(filter(split(lower(trim(text)), "\\s+"), t => t =!= "")).as("dl"))
+    (postings, doclens)
+  }
+
+  /** BM25 top-k against a persisted [[buildBm25Index]] artifact —
+    * result identical to [[bm25TopK]] over the source corpus (same
+    * scoring tail, same oracle), but the per-query cost is the
+    * term-filtered postings scan, not a corpus re-tokenization.
+    */
+  def bm25TopKIndexed(postings: DataFrame, doclens: DataFrame, id: String,
+                      queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term required")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    bm25ScoreTopK(postings.filter(col("token").isin(terms: _*)), doclens, id, k, k1, b)
   }
 
   /** [[bm25TopK]] as DuckDB SQL over relation `documents` — identical

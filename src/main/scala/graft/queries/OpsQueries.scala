@@ -685,6 +685,23 @@ object OpsQueries {
         "doc_id", "q")
     }),
 
+    // BM25 against the PERSISTED inverted-postings artifact — identical
+    // result (and oracle) to x_bm25_topk, but the steady-state path:
+    // corpus tokenized once at ingest; the query reads only its terms'
+    // postings rows (IN filter pushed to the parquet scan) + doc lengths
+    "x_bm25_topk_indexed" -> ((s, dir) => {
+      val idxDir = indexCachePath(dir, "documents.parquet", "bm25,v1")
+      if (!new java.io.File(s"$idxDir/postings/_SUCCESS").exists()) {
+        val (postings, doclens) = graft.ops.Vocab.buildBm25Index(
+          Tables.documents(s, dir), "doc_id", col("text"))
+        postings.write.mode("overwrite").parquet(s"$idxDir/postings")
+        doclens.write.mode("overwrite").parquet(s"$idxDir/doclens")
+      }
+      graft.ops.Vocab.bm25TopKIndexed(
+        s.read.parquet(s"$idxDir/postings"), s.read.parquet(s"$idxDir/doclens"),
+        "doc_id", Bm25QueryTerms, 20)
+    }),
+
     // chunk→document embedding aggregation: mean-pool vectors per
     // label group, long form (one row per dimension) — decimal-summed
     // per dimension so the mean is partitioning- and engine-stable
@@ -1600,6 +1617,8 @@ object OpsQueries {
           |SELECT doc_id, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
           |FROM cscored""".stripMargin),
     "x_bm25_topk" -> graft.ops.Vocab.bm25TopKSql(Bm25QueryTerms, 20),
+    // identical result contract as the live-scan form — one oracle
+    "x_bm25_topk_indexed" -> graft.ops.Vocab.bm25TopKSql(Bm25QueryTerms, 20),
     "x_cluster_best_rep" ->
       (s"""WITH RECURSIVE edges AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
           |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),

@@ -1280,6 +1280,16 @@ class OpsSpec extends SparkSpec {
       s"range join wrong/duplicated: $got")
   }
 
+  test("indexed bm25 equals the live-scan form over the same corpus") {
+    val (postings, doclens) = graft.ops.Vocab.buildBm25Index(docs, "doc_id", $"text")
+    val live = graft.ops.Vocab.bm25TopK(docs, "doc_id", $"text",
+      Seq("spark", "vector"), 15).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = graft.ops.Vocab.bm25TopKIndexed(postings, doclens, "doc_id",
+      Seq("spark", "vector"), 15).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(live.nonEmpty && live.toSeq == indexed.toSeq,
+      "indexed path diverges from live scan")
+  }
+
   test("cluster representatives: argmax-quality member wins, ties to lower id, every member labeled") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val quality = Seq(

@@ -313,4 +313,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "corpus stats / dfreq not broadcast")
   }
+
+  test("indexed bm25: query-term IN filter reaches the postings parquet scan") {
+    // the inverted-index behavior, via layout + pushdown: steady-state
+    // retrieval must read the query's postings rows, not the corpus
+    val p = plan("x_bm25_topk_indexed")
+    assert(p.contains("PushedFilters: [In(token"),
+      "term filter not pushed into the postings scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned as a global sort")
+  }
 }

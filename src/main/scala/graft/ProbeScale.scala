@@ -107,6 +107,26 @@ object ProbeScale {
     // (id-shifted copies do not change text), so EVERY line crosses the
     // hot threshold and every doc rebuilds to empty — maximal anti-join
     // and rebuild work; sum survivors to force the rebuild
+    // as-of join at mult×: events replicated with shifted users AND a
+    // shifted clock per copy; per-key history stays events-per-user
+    // sized, so the one key shuffle + carry-forward window must scale
+    // linearly in total events
+    time("asof_join") {
+      val ev0 = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val ne = ev0.count()
+      val ev = (0 until mult).map(i =>
+        ev0.select((col("event_id") + lit(i * ne)).as("event_id"),
+          (col("user_id") + lit(i * 1000)).as("user_id"), col("ts"), col("event_type")))
+        .reduce(_ union _)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.ops.Joins.asofJoin(purchases, views, "user_id", "ts",
+        Seq("view_event_id")).count()
+    }
     // global rank at mult×: one range shuffle + a narrow local index;
     // the only driver state is the ≤P-row offset table, so cost must
     // stay linear in the corpus (forcing max(rank) materializes every

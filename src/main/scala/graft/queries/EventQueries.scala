@@ -66,6 +66,19 @@ object EventQueries {
     // the user's FIRST signup? Two aggs + one broadcast-size join —
     // anchor timestamps are one row per user, the event scan stays the
     // only corpus-sized pass per stage.
+    // Retention cohorts: users grouped by first-activity day; per
+    // (cohort, day-offset) distinct active users — the cohort matrix.
+    // Two aggs + one join on the per-user anchor; the event scan is
+    // the only corpus-sized pass.
+    "g8_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     "g7_funnel_stages" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val anchor = ev.filter(col("event_type") === "signup")
@@ -96,6 +109,12 @@ object EventQueries {
       ("SELECT user_id, COUNT(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY user_id HAVING COUNT(*) > 10"),
+    "g8_retention" ->
+      ("""WITH ract AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         |rc AS (SELECT user_id, min(day) AS cohort_day FROM ract GROUP BY 1)
+         |SELECT rc.cohort_day, CAST(date_diff('day', rc.cohort_day, a.day) AS INT) AS day_offset,
+         |  COUNT(DISTINCT a.user_id) AS n_active
+         |FROM ract a JOIN rc USING (user_id) GROUP BY 1, 2""".stripMargin),
     "g7_funnel_stages" ->
       ("""WITH fanchor AS (SELECT user_id, min(ts) AS t0 FROM events
          |  WHERE event_type = 'signup' GROUP BY 1)

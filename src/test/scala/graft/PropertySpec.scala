@@ -47,6 +47,51 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: as-of join equals the brute-force latest-at-or-before reference") {
+    import java.sql.Timestamp
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 50L))
+    samples(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen)), 12)
+      .zipWithIndex.foreach { case ((lRows, rRows), caseIdx) =>
+        val left = lRows.zipWithIndex.map { case ((k, t), i) =>
+          (i.toLong, k, Timestamp.from(java.time.Instant.ofEpochSecond(t)))
+        }.toDF("lid", "key", "ts")
+        // dedupe right to one row per (key, ts) — the documented
+        // determinism precondition matched by the max-payload rule
+        val right = rRows.distinct.zipWithIndex.map { case ((k, t), i) =>
+          (k, Timestamp.from(java.time.Instant.ofEpochSecond(t)), 1000L + i)
+        }.groupBy(r => (r._1, r._2)).map { case (_, g) => g.maxBy(_._3) }
+          .toSeq.toDF("key", "ts", "pay")
+        val got = graft.ops.Joins.asofJoin(left, right, "key", "ts", Seq("pay"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+        // brute force on the driver
+        val rSeq = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        val want = left.collect().map { r =>
+          val (lid, k, t) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+          val matches = rSeq.filter(x => x._1 == k && !x._2.after(t))
+          lid -> (if (matches.isEmpty) -1L
+            else matches.maxBy(x => (x._2.getTime, x._3))._3)
+        }.toMap
+        assert(got == want, s"as-of diverges from brute force (case $caseIdx)")
+      }
+  }
+
+  test("property: global rank equals the window reference under duplicate scores") {
+    import org.apache.spark.sql.expressions.Window
+    samples(Gen.listOfN(60, Gen.chooseNum(0, 9)), 8).zipWithIndex.foreach {
+      case (scores, caseIdx) =>
+        val df = scores.zipWithIndex
+          .map { case (s, i) => (i.toLong, s.toDouble) }.toDF("id", "score")
+        val got = graft.ops.Sampling.globalRank(
+            df, Seq($"score".desc, $"id".asc), numPartitions = 7)
+          .select($"id", $"rank").as[(Long, Long)].collect().toMap
+        val want = df.withColumn("rank",
+            row_number().over(Window.orderBy($"score".desc, $"id".asc)).cast("long"))
+          .select($"id", $"rank").as[(Long, Long)].collect().toMap
+        assert(got == want, s"global rank diverges (case $caseIdx)")
+    }
+  }
+
   test("property: splitter never merges or drops statements") {
     val stmtGen = trickyString.map(s =>
       InsertParser.toQuery(InsertParser.Insert(

@@ -395,6 +395,25 @@ object OpsQueries {
           sum(col("n_tokens")).as("total_tokens"),
           CoreQueries.stableAvg(col("quality")).as("avg_quality"))),
 
+    // sketch-based corpus profile — the 100 TB form of x_corpus_stats'
+    // exact aggregates: HyperLogLog++ vocabulary cardinality and
+    // t-digest-style token-length quantiles, both native codegen'd
+    // Catalyst aggregates with bounded state (an exact distinct-count
+    // shuffles the whole vocabulary; the sketch ships kilobytes per
+    // partition). No DuckDB oracle by nature (sketch internals differ
+    // across engines); OpsSpec bounds both against their exact
+    // counterparts (<2% vocab error, quantiles bracketed).
+    "x_corpus_sketches" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      toks.agg(approx_count_distinct(col("token"), 0.01).as("approx_vocab"))
+        .crossJoin(docs.select(TA.tokenCount(col("text")).as("n"))
+          .agg(percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50_tokens"),
+            percentile_approx(col("n"), lit(0.95), lit(10000)).as("p95_tokens")))
+    }),
+
     // deterministic stratified sampling: downsample the dominant
     // language to 20% while keeping the rest — the corpus-mixing move
     // before training. Hash-of-id decisions, so the sample is stable

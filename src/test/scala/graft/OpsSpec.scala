@@ -1280,6 +1280,21 @@ class OpsSpec extends SparkSpec {
       s"range join wrong/duplicated: $got")
   }
 
+  test("corpus sketches: HLL vocab within 2% of exact, quantiles bracket the exact ranks") {
+    val row = SparkEntry.queries("x_corpus_sketches")(spark, sfDir).collect().head
+    val approxVocab = row.getLong(0)
+    val toks = docs.select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val exactVocab = toks.distinct().count()
+    assert(math.abs(approxVocab - exactVocab).toDouble / exactVocab < 0.02,
+      s"HLL vocab $approxVocab vs exact $exactVocab drifts past 2%")
+    // accuracy 10000 ⇒ rank error ≤ n/10000 — exact at this corpus size
+    val ns = docs.select(TA.tokenCount($"text")).as[Int].collect().sorted
+    def rankAt(p: Double) = ns(math.ceil(p * ns.length).toInt.min(ns.length) - 1)
+    assert(row.getInt(1) == rankAt(0.5), "p50 sketch missed the exact rank value")
+    assert(row.getInt(2) == rankAt(0.95), "p95 sketch missed the exact rank value")
+  }
+
   test("indexed bm25 equals the live-scan form over the same corpus") {
     val (postings, doclens) = graft.ops.Vocab.buildBm25Index(docs, "doc_id", $"text")
     val live = graft.ops.Vocab.bm25TopK(docs, "doc_id", $"text",

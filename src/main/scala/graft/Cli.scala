@@ -50,6 +50,13 @@ object Cli {
         graft.transform.Transformers.ids.foreach(out)
         0
 
+      case Seq("corpus", "run", path) =>
+        // the LLM-ops surface behind the reference's config-file UX:
+        // declare the stage chain in YAML, get a parquet artifact out
+        graft.pipeline.CorpusPipeline.run(
+          spark, graft.pipeline.CorpusPipeline.load(path), out)
+        0
+
       case Seq("source", "schema") =>
         // reference `source schema` (`commands/source.rs:10-56`) — live
         // JDBC source when connection_uri is set, parquet dir otherwise

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextAnalysis => TA}
+
+/** One stage of a config-driven corpus pipeline. `kind` selects the
+  * operator; the optional fields are per-kind parameters (unused ones
+  * ignored, same permissive style as the dump config).
+  */
+final case class CorpusStageConf(
+    kind: String,
+    benchmark_source: Option[String],
+    // Numbers deserialize as Option[Number]: Jackson's Scala module
+    // erases Option[Long]/[Double] element types, so `keep: 20` lands
+    // as a boxed Integer and a typed field would ClassCastException at
+    // first unbox. The `*Val` accessors convert at use.
+    n: Option[Number],
+    threshold: Option[Number],
+    alpha: Option[Number],
+    budget_tokens: Option[Number],
+    keep: Option[Number],
+    window: Option[Number],
+    stride: Option[Number],
+    shards: Option[Number],
+    rates: Option[Map[String, Number]],
+    default_rate: Option[Number]) {
+  def nVal(default: Int): Int = n.fold(default)(_.intValue)
+  def thresholdVal(default: Double): Double = threshold.fold(default)(_.doubleValue)
+  def alphaVal(default: Double): Double = alpha.fold(default)(_.doubleValue)
+  def budgetTokensVal: Option[Long] = budget_tokens.map(_.longValue)
+  def keepVal: Option[Long] = keep.map(_.longValue)
+  def windowVal(default: Int): Int = window.fold(default)(_.intValue)
+  def strideVal(default: Int): Int = stride.fold(default)(_.intValue)
+  def shardsVal(default: Int): Int = shards.fold(default)(_.intValue)
+  def ratesVal: Map[String, Double] =
+    rates.getOrElse(Map.empty).map { case (k, v) => k -> v.doubleValue }
+  def defaultRateVal(default: Double): Double = default_rate.fold(default)(_.doubleValue)
+}
+
+/** The corpus-pipeline job config — the LLM-ops analog of the dump
+  * config: declare the stage chain in YAML, run it with
+  * `graft.Cli corpus run <file.yaml>`. A reference user's muscle memory
+  * (config file in, artifact out) applies unchanged to the
+  * training-data surface.
+  */
+final case class CorpusPipelineConf(
+    input_dir: String,
+    output_dir: String,
+    id_column: Option[String],
+    text_column: Option[String],
+    stages: Seq[CorpusStageConf]) {
+  def idCol: String = id_column.getOrElse("doc_id")
+  def textCol: String = text_column.getOrElse("text")
+  def inputDir: String = graft.config.GraftConfig.substituteEnvVar(input_dir)
+  def outputDir: String = graft.config.GraftConfig.substituteEnvVar(output_dir)
+}
+
+object CorpusPipeline {
+
+  val ShapingKinds: Set[String] = Set(
+    "pii_scrub", "gopher_filter", "decontaminate_spans", "dedup_exact",
+    "dedup_near", "quality_rep_dedup", "stratified_sample",
+    "mixture_temperature", "budget_select", "curriculum_rank")
+  val TerminalKinds: Set[String] = Set("chunk", "pack")
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def load(path: String): CorpusPipelineConf =
+    mapper.readValue(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"),
+      classOf[CorpusPipelineConf])
+
+  /** Run the configured stage chain over the input documents table and
+    * write the result to `output_dir` as parquet. Shaping stages
+    * transform the (id, text, …) frame and may append columns (e.g.
+    * `rank`); a terminal stage (chunk/pack) must be last. Per-stage
+    * row counts stream through `out` — the operator's progress report,
+    * derived from one count per stage boundary (tiny driver scalars,
+    * never row data).
+    */
+  def run(spark: SparkSession, conf: CorpusPipelineConf,
+          out: String => Unit): Long = {
+    require(conf.stages.nonEmpty, "corpus pipeline needs at least one stage")
+    val unknown = conf.stages.map(_.kind).filterNot(k =>
+      ShapingKinds.contains(k) || TerminalKinds.contains(k))
+    require(unknown.isEmpty,
+      s"unknown stage kind(s): ${unknown.mkString(", ")} — known: " +
+        (ShapingKinds ++ TerminalKinds).toSeq.sorted.mkString(", "))
+    conf.stages.dropRight(1).filter(s => TerminalKinds.contains(s.kind)) match {
+      case Nil =>
+      case bad => throw new IllegalArgumentException(
+        s"terminal stage(s) ${bad.map(_.kind).mkString(", ")} must be last")
+    }
+    val id = conf.idCol
+    val docs0 = spark.read.parquet(conf.inputDir)
+    out(s"input: ${conf.inputDir}")
+    // carry `source` when present — decontaminate_spans slices the
+    // benchmark by it (its own output drops it again)
+    val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
+      (if (docs0.columns.contains("source") && conf.textCol != "source")
+        Seq(col("source")) else Nil)
+    val result = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
+      val next = applyStage(df, st, id, docs0, conf.textCol)
+      out(f"stage ${st.kind}%-20s rows=${next.count()}")
+      next
+    }
+    result.write.mode("overwrite").parquet(conf.outputDir)
+    val n = spark.read.parquet(conf.outputDir).count()
+    out(s"output: ${conf.outputDir} rows=$n")
+    n
+  }
+
+  private def applyStage(df: DataFrame, st: CorpusStageConf, id: String,
+                         source: DataFrame, textCol: String): DataFrame = {
+    val text: Column = col("text")
+    st.kind match {
+      case "pii_scrub" =>
+        df.withColumn("text", TA.scrubPii(text))
+      case "gopher_filter" =>
+        df.filter(TA.gopherPass(text))
+      case "decontaminate_spans" =>
+        val srcVal = st.benchmark_source.getOrElse(throw new IllegalArgumentException(
+          "decontaminate_spans needs benchmark_source"))
+        require(df.columns.contains("source"),
+          "decontaminate_spans must run before any stage that drops the source column")
+        val bench = source.filter(col("source") === srcVal)
+        Dedup.decontaminationScrub(
+            df.filter(col("source").isNull || col("source") =!= srcVal),
+            id, text, bench, col(textCol), st.nVal(3))
+          .select(col("doc").as(id), col("scrubbed").as("text"))
+      case "dedup_exact" =>
+        val fp = df.select(col(id), TA.fingerprint(text).as("__graft_fp"))
+        val keepIds = fp.groupBy(col("__graft_fp")).agg(min(col(id)).as(id))
+          .select(col(id))
+        df.join(keepIds, Seq(id), "left_semi")
+      case "dedup_near" =>
+        val drops = Dedup.clusterDropList(Dedup.nearDupClusters(
+          Dedup.ngramJaccardPairs(df, id, text,
+            st.nVal(3), st.thresholdVal(0.8))))
+        df.join(drops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
+      case "quality_rep_dedup" =>
+        val labeled = Dedup.clusterRepresentatives(
+          Dedup.ngramJaccardPairs(df, id, text,
+            st.nVal(3), st.thresholdVal(0.8)),
+          df.select(col(id).as("doc_id"), TA.qualityScore(text).as("__graft_q")),
+          "doc_id", "__graft_q")
+        val drops = labeled.filter(col("doc_id") =!= col("rep_id"))
+          .select(col("doc_id").as(id))
+        df.join(drops, Seq(id), "left_anti")
+      case "stratified_sample" =>
+        Sampling.stratifiedSample(
+            df.withColumn("__graft_lang", TA.langId(text)),
+            col(id), col("__graft_lang"),
+            st.ratesVal, st.defaultRateVal(1.0))
+          .drop("__graft_lang")
+      case "mixture_temperature" =>
+        Sampling.temperatureMixture(
+            df.withColumn("__graft_lang", TA.langId(text)),
+            col(id), col("__graft_lang"), st.alphaVal(0.5))
+          .drop("__graft_lang")
+      case "budget_select" =>
+        val budget = st.budgetTokensVal.getOrElse(throw new IllegalArgumentException(
+          "budget_select needs budget_tokens"))
+        val sel = Sampling.budgetSelect(df, col(id),
+            TA.qualityScore(text), TA.tokenCount(text), budget)
+          .select(col("doc_id").as(id))
+        df.join(sel, Seq(id), "left_semi")
+      case "curriculum_rank" =>
+        val ranked = Sampling.globalRank(
+          df.withColumn("__graft_q", TA.qualityScore(text)),
+          Seq(col("__graft_q").desc, col(id).asc)).drop("__graft_q")
+        st.keepVal.fold(ranked)(k => ranked.filter(col("rank") <= k))
+      case "chunk" =>
+        Sampling.chunkTokens(df, col(id), text,
+          st.windowVal(64), st.strideVal(st.windowVal(64)))
+      case "pack" =>
+        Sampling.packSequences(df, col(id), TA.tokenCount(text),
+          st.shardsVal(8), st.windowVal(2048))
+    }
+  }
+}

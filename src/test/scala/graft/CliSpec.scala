@@ -204,6 +204,51 @@ class CliSpec extends SparkSpec {
       "failed copy orphaned its partial spool file")
   }
 
+  test("cli: corpus run executes the YAML stage chain end to end") {
+    val outDir = Files.createTempDirectory("graft-corpus-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-corpus-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: pii_scrub
+         |  - kind: gopher_filter
+         |  - kind: decontaminate_spans
+         |    benchmark_source: src0
+         |  - kind: quality_rep_dedup
+         |  - kind: curriculum_rank
+         |    keep: 20
+         |  - kind: chunk
+         |    window: 64
+         |    stride: 48
+         |""".stripMargin.getBytes("UTF-8"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf), spark, printed += _) == 0)
+    assert(printed.exists(_.startsWith("stage quality_rep_dedup")))
+    val result = spark.read.parquet(outDir)
+    assert(result.count() > 0, "corpus pipeline produced no chunks")
+    assert(result.columns.contains("chunk_idx"))
+    assert(result.select("doc_id").distinct().count() <= 20,
+      "curriculum keep=20 not honored")
+    // misconfigurations fail loudly: unknown kind, terminal not last
+    val bad = conf + ".bad"
+    Files.write(java.nio.file.Paths.get(bad),
+      (s"input_dir: /root/testdata/sf0.001/documents.parquet\noutput_dir: $outDir\n" +
+        "stages:\n  - kind: frobnicate\n").getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusPipeline.run(spark,
+        graft.pipeline.CorpusPipeline.load(bad), _ => ())
+    }
+    val bad2 = conf + ".bad2"
+    Files.write(java.nio.file.Paths.get(bad2),
+      (s"input_dir: /root/testdata/sf0.001/documents.parquet\noutput_dir: $outDir\n" +
+        "stages:\n  - kind: chunk\n  - kind: gopher_filter\n").getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusPipeline.run(spark,
+        graft.pipeline.CorpusPipeline.load(bad2), _ => ())
+    }
+  }
+
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")
@@ -214,6 +259,13 @@ class CliSpec extends SparkSpec {
     assert(c.bindings.exists(b => b.table == "customer" && b.column == "c_name" && b.transformerId == "email"))
     assert(c.datastore.get.rootUri == "/tmp/graft-store")
     assert(c.destination.get.format.contains("parquet"))
+    // and the corpus-pipeline example: loadable, valid kinds, terminal last
+    val cp = graft.pipeline.CorpusPipeline.load("examples/corpus.yaml")
+    assert(cp.stages.nonEmpty)
+    assert(cp.stages.map(_.kind).forall(k =>
+      graft.pipeline.CorpusPipeline.ShapingKinds.contains(k) ||
+        graft.pipeline.CorpusPipeline.TerminalKinds.contains(k)))
+    assert(graft.pipeline.CorpusPipeline.TerminalKinds.contains(cp.stages.last.kind))
   }
 
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {

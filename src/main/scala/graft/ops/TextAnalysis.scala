@@ -147,6 +147,34 @@ object TextAnalysis {
     s"($lenOk * 0.4) + (${stopwordRatioSql(x)} * 0.4) + ($punctOk * 0.2)"
   }
 
+  /** Logistic quality classifier — the shape of a fasttext-style
+    * quality model (CCNet/GPT-3 reference-corpus filtering) with FIXED
+    * interpretable weights over this engine's portable features
+    * (stopword density up, repetition and punctuation down) instead of
+    * learned ones: the plumbing (feature extraction → linear form →
+    * sigmoid → thresholdable score, all codegen'd narrow expressions)
+    * is the real deliverable; a deployment swaps in trained weights.
+    * Sigmoid is transcendental ⇒ the score rounds at scale 3 for the
+    * cross-engine hash (same libm rule as the LM perplexities).
+    */
+  def qualityLogit(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val rep = repetitionRatio(text, 2)
+    val punct = punctCount(text).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val z = lit(-1.0) + lit(4.0) * sw - lit(3.0) * rep - lit(2.0) * punct
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 3)
+  }
+
+  def qualityLogitSql(x: String): String = {
+    val sw = stopwordRatioSql(x)
+    val rep = repetitionRatioSql(x, 2)
+    val punct = s"(CAST(${punctCountSql(x)} AS DOUBLE) / " +
+      s"CAST(greatest(length($x), 1) AS DOUBLE))"
+    val z = s"(-1.0 + 4.0 * $sw - 3.0 * $rep - 2.0 * $punct)"
+    s"round(1.0 / (1.0 + exp(-$z)), 3)"
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercased
     * text — canonical near-exact-dedup key.
     */
@@ -370,6 +398,33 @@ object TextAnalysis {
     val uniq = s"CAST(list_sum(list_transform(list_distinct($ls), l -> length(l))) AS BIGINT)"
     s"(CASE WHEN coalesce($total, 0) <= 0 THEN 0.0 ELSE " +
       s"CAST($total - $uniq AS DOUBLE) / CAST($total AS DOUBLE) END)"
+  }
+
+  /** Gopher §A1.1's "fraction of characters in the most frequent
+    * word n-gram" — the single-dominant-phrase repetition signal
+    * ([[repetitionRatio]] is the all-repeats analog, [[dupLineFraction]]
+    * the line-level one). occurrences(top gram) × len(top gram) over
+    * the doc's character count (whitespace excluded, as the gram chars
+    * are). Pure per-row HOF — the distinct-gram scan is O(G²) equality
+    * checks per doc (G = gram count), a narrow, codegen-friendly cost
+    * that beats a corpus-wide (doc, gram) shuffle for per-doc metrics.
+    */
+  def topNgramCharFraction(text: Column, n: Int): Column =
+    bound(wordNgrams(text, n)) { gs =>
+      val totalChars = length(regexp_replace(text, "\\s", "")).cast("double")
+      val perGram = transform(array_distinct(gs),
+        g => size(filter(gs, x => x === g)) *
+          (length(g) - (n - 1)))  // gram chars minus its joiner spaces
+      when(size(gs) <= 0 || totalChars <= 0.0, lit(0.0))
+        .otherwise(array_max(perGram).cast("double") / totalChars)
+    }
+
+  def topNgramCharFractionSql(x: String, n: Int): String = {
+    val gs = wordNgramsSql(x, n)
+    val totalChars = s"CAST(length(regexp_replace($x, '\\s', '', 'g')) AS DOUBLE)"
+    s"(CASE WHEN len($gs) <= 0 OR $totalChars <= 0.0 THEN 0.0 ELSE " +
+      s"CAST(list_max([len(list_filter($gs, x -> x = g)) * (length(g) - ${n - 1}) " +
+      s"FOR g IN list_distinct($gs)]) AS DOUBLE) / $totalChars END)"
   }
 
   // shared with the native WinnowExpr so the constants cannot drift

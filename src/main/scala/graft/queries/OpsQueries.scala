@@ -584,6 +584,22 @@ object OpsQueries {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    // fasttext-style logistic quality score: features → linear form →
+    // sigmoid, all codegen'd narrow expressions (fixed interpretable
+    // weights; a deployment swaps in trained ones)
+    "x_quality_logit" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.qualityLogit(col("text")).as("logit_score"))),
+
+    // Gopher §A1.1's dominant-phrase signals: fraction of characters
+    // in the MOST frequent 2/3/4-gram — pure narrow HOF metrics, the
+    // single-phrase complement of x_repetition_ratio's all-repeats form
+    "x_top_ngram_char_frac" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.topNgramCharFraction(col("text"), 2).as("top2_frac"),
+        TA.topNgramCharFraction(col("text"), 3).as("top3_frac"),
+        TA.topNgramCharFraction(col("text"), 4).as("top4_frac"))),
+
     // Gopher §A1.1's duplicate-line signals as per-doc metrics: the
     // occurrence and character-weighted duplicate-line fractions, pure
     // narrow HOF expressions (no corpus join — the cross-doc complement
@@ -1578,6 +1594,13 @@ object OpsQueries {
           |FROM s""".stripMargin),
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
+    "x_quality_logit" ->
+      s"SELECT doc_id, ${TA.qualityLogitSql("text")} AS logit_score FROM documents",
+    "x_top_ngram_char_frac" ->
+      (s"""SELECT doc_id, ${TA.topNgramCharFractionSql("text", 2)} AS top2_frac,
+          |  ${TA.topNgramCharFractionSql("text", 3)} AS top3_frac,
+          |  ${TA.topNgramCharFractionSql("text", 4)} AS top4_frac
+          |FROM documents""".stripMargin),
     "x_dup_line_metrics" ->
       (raw"""WITH dtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
             |dbuilt AS (SELECT doc_id, array_to_string(list_concat(list_concat(

@@ -1219,6 +1219,19 @@ class OpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> -1.0))
   }
 
+  test("top n-gram char fraction: dominant-phrase mass over doc chars, short-doc safe") {
+    val df = Seq(
+      (1L, "a b a b c"),   // top 2-gram "a b" ×2, 2 chars each, over 5 chars → 0.8
+      (2L, "x y z"),       // every 2-gram unique: 2/3
+      (3L, "solo")         // shorter than the gram: 0.0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TA.topNgramCharFraction($"text", 2))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.8)
+    assert(got(2L) == 2.0 / 3.0)
+    assert(got(3L) == 0.0)
+  }
+
   test("duplicate-line fractions: occurrence and char-weighted, empty-safe") {
     val df = Seq(
       (1L, "a\nb\na"),        // 1 of 3 lines is a repeat; 1 of 3 chars

@@ -57,6 +57,16 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), out)
         0
 
+      case Seq("corpus", "stream", path) =>
+        // continuous ingest form: watched JSONL dir → stateless stages
+        // → corpus admission → exactly-once parquet append
+        val cp = graft.pipeline.CorpusPipeline.load(path)
+        graft.pipeline.CorpusPipeline.runStream(spark, cp,
+          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
+          cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out)
+        0
+
       case Seq("source", "schema") =>
         // reference `source schema` (`commands/source.rs:10-56`) — live
         // JDBC source when connection_uri is set, parquet dir otherwise

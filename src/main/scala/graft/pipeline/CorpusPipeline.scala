@@ -54,6 +54,11 @@ final case class CorpusPipelineConf(
     output_dir: String,
     id_column: Option[String],
     text_column: Option[String],
+    // streaming-only (corpus stream): checkpoint location, optional
+    // static corpus to admit against, state watermark
+    checkpoint_dir: Option[String],
+    corpus_dir: Option[String],
+    watermark: Option[String],
     stages: Seq[CorpusStageConf]) {
   def idCol: String = id_column.getOrElse("doc_id")
   def textCol: String = text_column.getOrElse("text")
@@ -116,6 +121,64 @@ object CorpusPipeline {
     val n = spark.read.parquet(conf.outputDir).count()
     out(s"output: ${conf.outputDir} rows=$n")
     n
+  }
+
+  /** Stage kinds that are pure per-row transforms — the only ones a
+    * streaming chain admits (everything else needs corpus-wide state
+    * the batch path owns).
+    */
+  val StreamableKinds: Set[String] = Set("pii_scrub", "gopher_filter")
+
+  /** The corpus-exchange schema of the streaming ingest (JSONL lines
+    * `{"doc_id": …, "text": …, "ts": …}`) — declared, never inferred.
+    */
+  val StreamSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+
+  /** Streaming form of [[run]]: watch `input_dir` for JSONL files,
+    * apply the configured STATELESS stages per micro-batch, admit
+    * against the static corpus at `corpus_dir` when set (exact
+    * fingerprint anti-join + in-stream dedup within the watermark,
+    * [[graft.streaming.StreamingPipeline.admitStream]]) or plain
+    * in-stream dedup otherwise, and append parquet under `output_dir`
+    * exactly-once (checkpointed file tracking). Processes the backlog
+    * with an availableNow trigger and stops — re-invoke per backlog;
+    * a production watcher drops the trigger for a continuous run.
+    */
+  def runStream(spark: SparkSession, conf: CorpusPipelineConf,
+                checkpointDir: String, corpusDir: Option[String],
+                watermark: String, out: String => Unit): Unit = {
+    val badKinds = conf.stages.map(_.kind).filterNot(StreamableKinds.contains)
+    require(badKinds.isEmpty,
+      s"streaming chain admits only ${StreamableKinds.toSeq.sorted.mkString(", ")} — " +
+        s"got: ${badKinds.mkString(", ")} (run stateful stages in batch `corpus run`)")
+    val in = graft.ingest.Jsonl.readStream(spark, conf.inputDir, StreamSchema)
+    val shaped = conf.stages.foldLeft(in) { (df, st) =>
+      st.kind match {
+        case "pii_scrub" => df.withColumn("text", TA.scrubPii(col("text")))
+        case "gopher_filter" => df.filter(TA.gopherPass(col("text")))
+      }
+    }
+    val admitted = corpusDir match {
+      case Some(cd) =>
+        graft.streaming.StreamingPipeline.admitStream(
+          shaped, spark.read.parquet(graft.config.GraftConfig.substituteEnvVar(cd)),
+          col("text"), "ts", watermark)
+      case None =>
+        graft.streaming.StreamingPipeline.dedupStream(
+          shaped, Seq("text"), "ts", watermark)
+    }
+    out(s"streaming ${conf.inputDir} -> ${conf.outputDir} (ckpt $checkpointDir)")
+    val q = graft.streaming.StreamingPipeline
+      .sinkAvailableNow(admitted, conf.outputDir, checkpointDir).start()
+    q.awaitTermination()
+    out(s"backlog processed: ${spark.read.parquet(conf.outputDir).count()} rows total")
   }
 
   private def applyStage(df: DataFrame, st: CorpusStageConf, id: String,

@@ -249,6 +249,48 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("cli: corpus stream scrubs, admits against the corpus, appends exactly-once") {
+    val inDir = Files.createTempDirectory("graft-cs-in").toString
+    val outDir = Files.createTempDirectory("graft-cs-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-cs-ck").toString + "/ck"
+    val corpusDir = Files.createTempDirectory("graft-cs-corpus").toString + "/corpus"
+    Seq((1L, "already ingested text")).toDF("doc_id", "text")
+      .write.parquet(corpusDir)
+    val conf = Files.createTempDirectory("graft-cs-conf").toString + "/s.yaml"
+    Files.writeString(java.nio.file.Paths.get(conf),
+      s"""input_dir: $inDir
+         |output_dir: $outDir
+         |checkpoint_dir: $ckpt
+         |corpus_dir: $corpusDir
+         |watermark: 6 hours
+         |stages:
+         |  - kind: pii_scrub
+         |""".stripMargin)
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      Seq(jline(10L, "already ingested text"),
+        jline(11L, "mail bob@example.com about it")).mkString("", "\n", "\n"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "stream", conf), spark, printed += _) == 0)
+    val got = spark.read.parquet(outDir)
+    assert(got.select($"doc_id").as[Long].collect().toSet == Set(11L),
+      "corpus dup should be dropped, fresh doc admitted")
+    assert(got.filter($"text".contains("<EMAIL>")).count() == 1,
+      "pii_scrub stage did not run on the stream")
+    // second invocation, same checkpoint: b1.json is NOT reprocessed
+    assert(Cli.run(Seq("corpus", "stream", conf), spark, printed += _) == 0)
+    assert(spark.read.parquet(outDir).count() == 1, "replay duplicated rows")
+    // stateful stages are refused on the streaming path
+    val bad = conf + ".bad"
+    Files.writeString(java.nio.file.Paths.get(bad),
+      s"input_dir: $inDir\noutput_dir: $outDir\ncheckpoint_dir: $ckpt\n" +
+        "stages:\n  - kind: dedup_near\n")
+    intercept[IllegalArgumentException] {
+      Cli.run(Seq("corpus", "stream", bad), spark, _ => ())
+    }
+  }
+
   test("examples/graft.yaml stays loadable and complete") {
     val c = GraftConfig.load("examples/graft.yaml")
     assert(c.sourceConf.db == "public")

@@ -314,6 +314,17 @@ class PlanSpec extends SparkSpec {
       "corpus stats / dfreq not broadcast")
   }
 
+  test("per-doc metric queries are pure narrow scans — zero exchanges") {
+    // the whole point of the HOF formulations: a per-doc metric must
+    // never shuffle (the corpus-join complements are separate queries)
+    for (q <- Seq("x_quality_logit", "x_top_ngram_char_frac",
+        "x_dup_line_metrics", "x_repetition_ratio", "x_quality_score",
+        "x_gopher_filter", "x_lang_id", "x_token_count")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — narrow metric regressed")
+    }
+  }
+
   test("indexed bm25: query-term IN filter reaches the postings parquet scan") {
     // the inverted-index behavior, via layout + pushdown: steady-state
     // retrieval must read the query's postings rows, not the corpus

@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         literal("graft_winnow", children, 2, "w").intValue)))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatioExpr(children.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineExpr(children.head, children(1))))

@@ -584,6 +584,14 @@ object OpsQueries {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    // compressibility signal (native graft_deflate_ratio expression):
+    // deflated/raw bytes — low ratio = low-entropy boilerplate the
+    // n-gram counts can miss. No DuckDB oracle (no zlib there);
+    // OpsSpec pins parity with a driver-side reference deflate.
+    "x_compression_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))),
+
     // fasttext-style logistic quality score: features → linear form →
     // sigmoid, all codegen'd narrow expressions (fixed interpretable
     // weights; a deployment swaps in trained ones)

@@ -1219,6 +1219,26 @@ class OpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> -1.0))
   }
 
+  test("deflate ratio: parity with reference deflate, repetitive < diverse, empty = 1.0") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rep = ("spam copy " * 80).trim
+    val div = (0 until 80).map(i => s"tok${i * 7919}").mkString(" ")
+    val df = Seq((1L, rep), (2L, div), (3L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", call_function("graft_deflate_ratio", $"text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact parity with the static reference implementation
+    for ((id, s) <- Seq(1L -> rep, 2L -> div, 3L -> ""))
+      assert(got(id) == graft.functions.DeflateRatioExpr.compute(UTF8String.fromString(s)))
+    assert(got(1L) < got(2L), "repetitive text must compress better than diverse")
+    assert(got(3L) == 1.0)
+    // whole-stage codegen keeps the expression in the compiled stage
+    // (a parquet-backed frame — LocalTableScan computes projections
+    // without a codegen stage at all)
+    val p = docs.select(call_function("graft_deflate_ratio", $"text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*("), "deflate ratio fell out of whole-stage codegen")
+  }
+
   test("top n-gram char fraction: dominant-phrase mass over doc chars, short-doc safe") {
     val df = Seq(
       (1L, "a b a b c"),   // top 2-gram "a b" ×2, 2 chars each, over 5 chars → 0.8

@@ -69,8 +69,8 @@ final case class CorpusPipelineConf(
 object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
-    "pii_scrub", "gopher_filter", "decontaminate_spans", "dedup_exact",
-    "dedup_near", "quality_rep_dedup", "stratified_sample",
+    "pii_scrub", "gopher_filter", "compression_filter", "decontaminate_spans",
+    "dedup_exact", "dedup_near", "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank")
   val TerminalKinds: Set[String] = Set("chunk", "pack")
 
@@ -127,7 +127,8 @@ object CorpusPipeline {
     * streaming chain admits (everything else needs corpus-wide state
     * the batch path owns).
     */
-  val StreamableKinds: Set[String] = Set("pii_scrub", "gopher_filter")
+  val StreamableKinds: Set[String] =
+    Set("pii_scrub", "gopher_filter", "compression_filter")
 
   /** The corpus-exchange schema of the streaming ingest (JSONL lines
     * `{"doc_id": …, "text": …, "ts": …}`) — declared, never inferred.
@@ -189,6 +190,10 @@ object CorpusPipeline {
         df.withColumn("text", TA.scrubPii(text))
       case "gopher_filter" =>
         df.filter(TA.gopherPass(text))
+      case "compression_filter" =>
+        // drop low-entropy boilerplate: deflated/raw below the floor
+        df.filter(call_function("graft_deflate_ratio", text) >=
+          st.thresholdVal(0.25))
       case "decontaminate_spans" =>
         val srcVal = st.benchmark_source.getOrElse(throw new IllegalArgumentException(
           "decontaminate_spans needs benchmark_source"))

@@ -286,6 +286,14 @@ object Sampling {
     *
     * `ord` must be a total order (break ties with the row id) or ranks
     * within a tie group are partition-placement-dependent.
+    *
+    * Cost honesty: the checkpoint materializes one corpus-sized copy on
+    * executor memory+disk — the same order of disk the range shuffle
+    * itself writes to shuffle files, so it does not change the job's
+    * asymptotic footprint; it buys the guarantee that the offset table
+    * and the rank join read ONE boundary/id assignment even across
+    * recomputation (range-sampler and shuffle-fetch order are
+    * implementation-deterministic at best).
     */
   def globalRank(df: DataFrame, ord: Seq[Column], numPartitions: Int = 0): DataFrame = {
     require(ord.nonEmpty, "at least one order column required")

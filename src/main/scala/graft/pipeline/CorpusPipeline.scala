@@ -112,12 +112,23 @@ object CorpusPipeline {
     val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
       (if (docs0.columns.contains("source") && conf.textCol != "source")
         Seq(col("source")) else Nil)
-    val result = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
-      val next = applyStage(df, st, id, docs0, conf.textCol)
-      out(f"stage ${st.kind}%-20s rows=${next.count()}")
-      next
-    }
-    result.write.mode("overwrite").parquet(conf.outputDir)
+    // each stage boundary persists before its count, so the count AND
+    // the next stage read materialized blocks — without this, counting
+    // stage k recomputes stages 1..k and the chain is O(stages²) passes
+    // over the corpus. Handles release in finally (same lifecycle as
+    // the capstone queries); MEMORY_AND_DISK keeps lineage for executor
+    // loss.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      val result = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
+        val next = applyStage(df, st, id, docs0, conf.textCol).persist(lvl)
+        persisted += next
+        out(f"stage ${st.kind}%-20s rows=${next.count()}")
+        next
+      }
+      result.write.mode("overwrite").parquet(conf.outputDir)
+    } finally persisted.foreach(_.unpersist())
     val n = spark.read.parquet(conf.outputDir).count()
     out(s"output: ${conf.outputDir} rows=$n")
     n

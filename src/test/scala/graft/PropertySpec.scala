@@ -76,6 +76,32 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: binned range join equals the brute-force containment filter") {
+    import java.sql.Timestamp
+    def t(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val day = 86400L
+    val tsGen = Gen.chooseNum(0L, 5 * day)            // five days of event times
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 4 * day)
+      len <- Gen.chooseNum(0L, 2 * day)               // up to multi-day spans
+    } yield (s, s + len)
+    samples(Gen.zip(Gen.listOfN(30, tsGen), Gen.listOfN(6, ivGen)), 10)
+      .zipWithIndex.foreach { case ((tss, ivs), caseIdx) =>
+        val rows = tss.zipWithIndex.map { case (s, i) => (i.toLong, t(s)) }
+          .toDF("row_id", "ts")
+        val iv = ivs.zipWithIndex.map { case ((s, e), i) => (100L + i, t(s), t(e)) }
+          .toDF("iv_id", "s", "e")
+        val got = graft.ops.Joins.rangeJoinByDay(rows, "ts", iv, "s", "e")
+          .select($"row_id", $"iv_id").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (s, i) <- tss.zipWithIndex
+          ((a, b), j) <- ivs.zipWithIndex
+          if s >= a && s <= b
+        } yield (i.toLong, 100L + j)).toSet
+        assert(got == want, s"range join diverges from brute force (case $caseIdx)")
+      }
+  }
+
   test("property: global rank equals the window reference under duplicate scores") {
     import org.apache.spark.sql.expressions.Window
     samples(Gen.listOfN(60, Gen.chooseNum(0, 9)), 8).zipWithIndex.foreach {

@@ -117,7 +117,10 @@ object ProbeScale {
       val ne = ev0.count()
       val ev = (0 until mult).map(i =>
         ev0.select((col("event_id") + lit(i * ne)).as("event_id"),
-          (col("user_id") + lit(i * 1000)).as("user_id"), col("ts"), col("event_type")))
+          // shift PAST the full user-id range (0..1499 at sf0.1) so
+          // copies never collide on a key and per-key history stays
+          // one user's events
+          (col("user_id") + lit(i * 10000)).as("user_id"), col("ts"), col("event_type")))
         .reduce(_ union _)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))

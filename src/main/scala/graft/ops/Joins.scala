@@ -108,7 +108,10 @@ object Joins {
   def rangeJoinByDay(left: DataFrame, ts: String,
                      intervals: DataFrame, start: String, end: String): DataFrame = {
     val bin = "__graft_day"
-    val binned = intervals.withColumn(bin,
+    // an inverted interval (end < start) contains nothing — drop it up
+    // front rather than let `sequence` reject the descending range and
+    // kill the whole job over one malformed row
+    val binned = intervals.filter(col(start) <= col(end)).withColumn(bin,
       explode(sequence(to_date(col(start)), to_date(col(end)), expr("interval 1 day"))))
     left.withColumn(bin, to_date(col(ts)))
       .join(binned, Seq(bin))

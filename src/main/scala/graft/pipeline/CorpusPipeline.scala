@@ -119,16 +119,19 @@ object CorpusPipeline {
     // the capstone queries); MEMORY_AND_DISK keeps lineage for executor
     // loss.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // at most TWO stages stay cached: once next's count() has
+    // materialized it, the predecessor's blocks are never read again
+    var prev: Option[DataFrame] = None
     try {
       val result = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
         val next = applyStage(df, st, id, docs0, conf.textCol).persist(lvl)
-        persisted += next
         out(f"stage ${st.kind}%-20s rows=${next.count()}")
+        prev.foreach(_.unpersist())
+        prev = Some(next)
         next
       }
       result.write.mode("overwrite").parquet(conf.outputDir)
-    } finally persisted.foreach(_.unpersist())
+    } finally prev.foreach(_.unpersist())
     val n = spark.read.parquet(conf.outputDir).count()
     out(s"output: ${conf.outputDir} rows=$n")
     n
@@ -175,6 +178,9 @@ object CorpusPipeline {
       st.kind match {
         case "pii_scrub" => df.withColumn("text", TA.scrubPii(col("text")))
         case "gopher_filter" => df.filter(TA.gopherPass(col("text")))
+        case "compression_filter" =>
+          df.filter(call_function("graft_deflate_ratio", col("text")) >=
+            st.thresholdVal(0.25))
       }
     }
     val admitted = corpusDir match {
@@ -190,7 +196,11 @@ object CorpusPipeline {
     val q = graft.streaming.StreamingPipeline
       .sinkAvailableNow(admitted, conf.outputDir, checkpointDir).start()
     q.awaitTermination()
-    out(s"backlog processed: ${spark.read.parquet(conf.outputDir).count()} rows total")
+    // an empty backlog commits no batch and never creates output_dir
+    val outPath = new org.apache.hadoop.fs.Path(conf.outputDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = if (fs.exists(outPath)) spark.read.parquet(conf.outputDir).count() else 0L
+    out(s"backlog processed: $total rows total")
   }
 
   private def applyStage(df: DataFrame, st: CorpusStageConf, id: String,
@@ -258,11 +268,19 @@ object CorpusPipeline {
           Seq(col("__graft_q").desc, col(id).asc)).drop("__graft_q")
         st.keepVal.fold(ranked)(k => ranked.filter(col("rank") <= k))
       case "chunk" =>
-        Sampling.chunkTokens(df, col(id), text,
-          st.windowVal(64), st.strideVal(st.windowVal(64)))
+        // honor a custom id_column in the artifact, and carry a
+        // curriculum `rank` through to the chunks (the whole point of
+        // ranking before chunking — same join-back as capstone v5)
+        val chunks = Sampling.chunkTokens(df, col(id), text,
+            st.windowVal(64), st.strideVal(st.windowVal(64)))
+          .withColumnRenamed("doc_id", id)
+        if (df.columns.contains("rank"))
+          chunks.join(df.select(col(id), col("rank")), Seq(id))
+        else chunks
       case "pack" =>
         Sampling.packSequences(df, col(id), TA.tokenCount(text),
-          st.shardsVal(8), st.windowVal(2048))
+            st.shardsVal(8), st.windowVal(2048))
+          .withColumnRenamed("pack_id", id)
     }
   }
 }

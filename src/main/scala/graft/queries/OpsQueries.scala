@@ -734,11 +734,14 @@ object OpsQueries {
     // postings rows (IN filter pushed to the parquet scan) + doc lengths
     "x_bm25_topk_indexed" -> ((s, dir) => {
       val idxDir = indexCachePath(dir, "documents.parquet", "bm25,v1")
-      if (!new java.io.File(s"$idxDir/postings/_SUCCESS").exists()) {
+      // guard on BOTH commit markers: a crash between the two writes
+      // must trigger a rebuild, not serve a half-built index
+      if (!new java.io.File(s"$idxDir/postings/_SUCCESS").exists() ||
+          !new java.io.File(s"$idxDir/doclens/_SUCCESS").exists()) {
         val (postings, doclens) = graft.ops.Vocab.buildBm25Index(
           Tables.documents(s, dir), "doc_id", col("text"))
-        postings.write.mode("overwrite").parquet(s"$idxDir/postings")
         doclens.write.mode("overwrite").parquet(s"$idxDir/doclens")
+        postings.write.mode("overwrite").parquet(s"$idxDir/postings")
       }
       graft.ops.Vocab.bm25TopKIndexed(
         s.read.parquet(s"$idxDir/postings"), s.read.parquet(s"$idxDir/doclens"),

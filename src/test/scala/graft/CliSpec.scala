@@ -228,6 +228,8 @@ class CliSpec extends SparkSpec {
     val result = spark.read.parquet(outDir)
     assert(result.count() > 0, "corpus pipeline produced no chunks")
     assert(result.columns.contains("chunk_idx"))
+    assert(result.columns.contains("rank"),
+      "curriculum rank must be carried through the chunk terminal")
     assert(result.select("doc_id").distinct().count() <= 20,
       "curriculum keep=20 not honored")
     // misconfigurations fail loudly: unknown kind, terminal not last
@@ -265,6 +267,8 @@ class CliSpec extends SparkSpec {
          |watermark: 6 hours
          |stages:
          |  - kind: pii_scrub
+         |  - kind: compression_filter
+         |    threshold: 0.0
          |""".stripMargin)
     def jline(id: Long, text: String) =
       s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""

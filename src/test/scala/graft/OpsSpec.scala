@@ -1311,6 +1311,10 @@ class OpsSpec extends SparkSpec {
       .select($"event_id", $"label").as[(Long, String)].collect().toSeq
     assert(got.sorted == Seq((1L, "a"), (2L, "a"), (3L, "a")),
       s"range join wrong/duplicated: $got")
+    // an inverted interval contains nothing and must not kill the job
+    val inverted = Seq(("bad", t("2024-01-03 00:00:00"), t("2024-01-01 00:00:00")))
+      .toDF("label", "s", "e")
+    assert(graft.ops.Joins.rangeJoinByDay(rows, "ts", inverted, "s", "e").count() == 0)
   }
 
   test("corpus sketches: HLL vocab within 2% of exact, quantiles bracket the exact ranks") {

@@ -278,9 +278,12 @@ object CorpusPipeline {
           chunks.join(df.select(col(id), col("rank")), Seq(id))
         else chunks
       case "pack" =>
-        Sampling.packSequences(df, col(id), TA.tokenCount(text),
+        val packed = Sampling.packSequences(df, col(id), TA.tokenCount(text),
             st.shardsVal(8), st.windowVal(2048))
           .withColumnRenamed("pack_id", id)
+        if (df.columns.contains("rank"))
+          packed.join(df.select(col(id), col("rank")), Seq(id))
+        else packed
     }
   }
 }

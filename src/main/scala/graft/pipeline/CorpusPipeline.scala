@@ -70,8 +70,9 @@ object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
     "pii_scrub", "gopher_filter", "compression_filter", "decontaminate_spans",
-    "dedup_exact", "dedup_near", "quality_rep_dedup", "stratified_sample",
-    "mixture_temperature", "budget_select", "curriculum_rank")
+    "line_dedup", "line_dedup_within", "dedup_exact", "dedup_near",
+    "quality_rep_dedup", "stratified_sample", "mixture_temperature",
+    "budget_select", "curriculum_rank")
   val TerminalKinds: Set[String] = Set("chunk", "pack")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -225,6 +226,20 @@ object CorpusPipeline {
             df.filter(col("source").isNull || col("source") =!= srcVal),
             id, text, bench, col(textCol), st.nVal(3))
           .select(col("doc").as(id), col("scrubbed").as("text"))
+      case "line_dedup" =>
+        // C4/CCNet cross-doc boilerplate removal: lines appearing in
+        // >= n docs are cut from every doc (default 5), text rebuilt;
+        // join-back keeps the frame's other columns (e.g. source)
+        val rebuilt = Dedup.lineDedup(df, id, text, st.nVal(5))
+          .select(col("doc").as(id), col("text").as("__graft_rebuilt"))
+        df.drop("text").join(rebuilt, Seq(id))
+          .withColumnRenamed("__graft_rebuilt", "text")
+      case "line_dedup_within" =>
+        // C4's within-page rule: in-doc repeats cut, first kept
+        val rebuilt = Dedup.lineDedupWithinDoc(df, id, text)
+          .select(col("doc").as(id), col("text").as("__graft_rebuilt"))
+        df.drop("text").join(rebuilt, Seq(id))
+          .withColumnRenamed("__graft_rebuilt", "text")
       case "dedup_exact" =>
         val fp = df.select(col(id), TA.fingerprint(text).as("__graft_fp"))
         val keepIds = fp.groupBy(col("__graft_fp")).agg(min(col(id)).as(id))

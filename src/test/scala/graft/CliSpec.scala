@@ -213,6 +213,7 @@ class CliSpec extends SparkSpec {
          |stages:
          |  - kind: pii_scrub
          |  - kind: gopher_filter
+         |  - kind: line_dedup_within
          |  - kind: decontaminate_spans
          |    benchmark_source: src0
          |  - kind: quality_rep_dedup

@@ -57,12 +57,18 @@ object Joins {
     * task (same bound as any windowed sessionization); a pathological
     * single-key stream should pre-split by time range.
     *
-    * @param payload right-side columns to carry (must not collide with
-    *                left column names; the right frame needs only
-    *                `key`, `ts`, and these)
+    * @param payload   right-side columns to carry (must not collide
+    *                  with left column names; the right frame needs
+    *                  only `key`, `ts`, and these)
+    * @param tolerance optional maximum lookback (e.g. "30 minutes" —
+    *                  any Spark interval literal): a right row older
+    *                  than `left.ts - tolerance` does not match and the
+    *                  payload stays null, the pandas `merge_asof`
+    *                  tolerance semantics. Same plan shape — the bound
+    *                  is a post-carry filter, not a join change.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String], tolerance: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "at least one right payload column required")
     require(payload.forall(right.columns.contains),
       s"payload columns missing from right frame: ${payload.filterNot(right.columns.contains).mkString(", ")}")
@@ -71,7 +77,11 @@ object Joins {
     val tag = "__graft_asof_tag"
     val pay = "__graft_asof_pay"
     val leftExtra = left.columns.filterNot(c => c == key || c == ts)
-    val payStruct = struct(payload.map(col): _*)
+    // the matched right row's own ts rides in the payload struct so a
+    // tolerance bound can be applied after the carry (leading position
+    // keeps the equal-ts tie-break ordering unchanged: ties compare
+    // equal on it and fall through to the payload fields)
+    val payStruct = struct(col(ts).as("__graft_rts") +: payload.map(col): _*)
     val lTagged = left
       .withColumn(tag, lit(1))
       .withColumn(pay, lit(null).cast(right.select(payStruct).schema.head.dataType))
@@ -84,10 +94,14 @@ object Joins {
       .partitionBy(col(key))
       .orderBy(col(ts).asc, col(tag).asc, col(pay).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val inTolerance = tolerance
+      .map(t => col(s"$pay.__graft_rts") >= col(ts) - expr(s"INTERVAL $t"))
+      .getOrElse(lit(true))
     lTagged.unionByName(rTagged)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
-      .select(left.columns.map(col) ++ payload.map(p => col(s"$pay.$p").as(p)): _*)
+      .select(left.columns.map(col) ++
+        payload.map(p => when(inTolerance, col(s"$pay.$p")).as(p)): _*)
   }
 
   /** Exact interval-containment join (`left.ts ∈ [start, end]`) without

@@ -1294,6 +1294,15 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       graft.ops.Joins.asofJoin(left, right, "user_id", "ts", Seq("event_id"))
     }
+    // tolerance: a match older than the lookback bound resolves to null
+    def withTol(tol: String) = graft.ops.Joins.asofJoin(
+        left.filter($"event_id" === 1L), right, "user_id", "ts",
+        Seq("match_id"), tolerance = Some(tol))
+      .select($"match_id").collect().head
+    assert(withTol("15 seconds").getLong(0) == 509L,   // 100-90=10s in bound
+      "in-tolerance match lost")
+    assert(withTol("5 seconds").isNullAt(0),           // 10s exceeds 5s
+      "out-of-tolerance match must null out")
   }
 
   test("binned range join: inclusive bounds, multi-day intervals, no duplicate pairs") {

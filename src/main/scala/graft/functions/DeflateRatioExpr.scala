@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * A native `Expression` because there is no built-in deflate and a
   * Scala UDF would pay serialization per row; codegen emits one static
   * call (same shape as [[WinnowExpr]]), so the expression participates
-  * in whole-stage codegen. One `Deflater` is allocated per call —
-  * correctness first; a per-task reuse needs thread-local state the
-  * static-call contract can't carry safely across codegen'd operators.
+  * in whole-stage codegen. The `Deflater` (a native zlib handle) is
+  * thread-local and `reset()` between rows: expression evaluation is
+  * single-threaded per task, so reuse is safe and avoids per-row JNI
+  * construct/teardown churn on a corpus-scale scan.
   *
   * No DuckDB oracle by nature (no zlib there); OpsSpec pins exact
   * parity with a driver-side reference deflate and the monotone
@@ -48,18 +49,25 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 }
 
 object DeflateRatioExpr {
+  // one native zlib stream per task thread, reset() per row — never
+  // end()'d, but a Deflater holds only a small native buffer and the
+  // executor's task threads are a bounded pool, so the finalizer-free
+  // steady state is a fixed handful of streams per JVM
+  private val localDeflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+  }
+
   /** deflate(text, level 6) length / raw length; 1.0 for empty input. */
   def compute(text: UTF8String): Double = {
     val raw = text.getBytes
     if (raw.isEmpty) return 1.0
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / raw.length.toDouble
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length.toDouble
   }
 }

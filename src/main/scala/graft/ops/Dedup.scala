@@ -558,11 +558,15 @@ object Dedup {
     val clusters = nearDupClusters(pairs)
     val scored = clusters.join(
       quality.select(col(idCol).as("doc_id"), col(scoreCol).as("__graft_q")), Seq("doc_id"))
-    // max_by over a (score, -id) struct: one agg, ties to the lower id —
-    // negation is safe for the id range (ids are row keys, not Long.Min)
+    // min_by over a (-score, id) struct: one agg, highest score wins and
+    // ties go to the lowest id under the id type's OWN ordering — the
+    // score is numeric by contract so negating it is safe, while the id
+    // may be a string (config-driven id_column), so it must never be
+    // negated (UnaryMinus on a string casts to double → null → a
+    // nondeterministic representative among equal-quality members)
     val reps = scored.groupBy(col("cluster_id"))
-      .agg(max_by(col("doc_id"),
-        struct(col("__graft_q"), (-col("doc_id")).as("neg"))).as("rep_id"))
+      .agg(min_by(col("doc_id"),
+        struct((-col("__graft_q").cast("double")).as("negq"), col("doc_id"))).as("rep_id"))
     clusters.join(reps, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("rep_id"))
   }

@@ -121,6 +121,11 @@ object Joins {
     */
   def rangeJoinByDay(left: DataFrame, ts: String,
                      intervals: DataFrame, start: String, end: String): DataFrame = {
+    // same collision contract asofJoin enforces: a column name shared
+    // by both frames would come out duplicated and ambiguous
+    val shared = intervals.columns.toSet.intersect(left.columns.toSet)
+    require(shared.isEmpty,
+      s"interval columns collide with left columns: ${shared.toSeq.sorted.mkString(", ")}")
     val bin = "__graft_day"
     // an inverted interval (end < start) contains nothing — drop it up
     // front rather than let `sequence` reject the descending range and

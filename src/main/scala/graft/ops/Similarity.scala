@@ -886,6 +886,10 @@ object Similarity {
   def meanPool(df: DataFrame, group: String, vec: String): DataFrame =
     df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
       .groupBy(col(group), col("pos"))
+      // divide by count(v), not count(*): the sum skips null elements,
+      // so the mean must too — a null entry (or ragged vector lengths
+      // across a group) averages over the values that exist instead of
+      // silently biasing the per-dimension mean toward zero
       .agg((sum(floor(col("v").cast("double") * lit(1.0e9)).cast("long")).cast("double")
-        / lit(1.0e9) / count(lit(1)).cast("double")).as("mean_val"))
+        / lit(1.0e9) / count(col("v")).cast("double")).as("mean_val"))
 }

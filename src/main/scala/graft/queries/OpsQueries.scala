@@ -245,8 +245,8 @@ object OpsQueries {
       // real ingest lifecycle (index persisted at ingest time, each
       // increment only READS it), and repeated verify/bench runs don't
       // accumulate orphaned temp dirs or re-pay the build
-      val idxDir = indexCachePath(dir, "documents.parquet", "n=3,h=64,b=16,v1")
-      if (!new java.io.File(idxDir, "_SUCCESS").exists())
+      val idxDir = indexCachePath(s, dir, "documents.parquet", "n=3,h=64,b=16,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, idxDir))
         Dedup.buildLshIndex(corpus, "doc_id", col("text"), 3, 64, 16)
           .write.mode("overwrite").parquet(idxDir)
       val inc = Dedup.incrementalNearDupPairs(
@@ -270,8 +270,8 @@ object OpsQueries {
       val emb = Tables.embeddings(s, dir)
       val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
       val corpus = emb.filter(!isBatch(col("vec_id")))
-      val idxDir = indexCachePath(dir, "embeddings.parquet", "cos,p=4,d=64,s=42-45,v1")
-      if (!new java.io.File(idxDir, "_SUCCESS").exists())
+      val idxDir = indexCachePath(s, dir, "embeddings.parquet", "cos,p=4,d=64,s=42-45,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, idxDir))
         Similarity.buildCosineLshIndex(corpus, "vec_id", "embedding")
           .write.mode("overwrite").parquet(idxDir)
       val inc = Similarity.incrementalCosinePairs(
@@ -552,8 +552,8 @@ object OpsQueries {
     // at 100 TB) — the oracle hash-checks the reread content against
     // the original parquet source, proving the roundtrip is lossless
     "x_jsonl_roundtrip" -> ((s, dir) => {
-      val outDir = indexCachePath(dir, "documents.parquet", "jsonl,v1")
-      if (!new java.io.File(outDir, "_SUCCESS").exists())
+      val outDir = indexCachePath(s, dir, "documents.parquet", "jsonl,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, outDir))
         graft.ingest.Jsonl.write(
           Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")), outDir)
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -733,11 +733,11 @@ object OpsQueries {
     // corpus tokenized once at ingest; the query reads only its terms'
     // postings rows (IN filter pushed to the parquet scan) + doc lengths
     "x_bm25_topk_indexed" -> ((s, dir) => {
-      val idxDir = indexCachePath(dir, "documents.parquet", "bm25,v1")
+      val idxDir = indexCachePath(s, dir, "documents.parquet", "bm25,v1")
       // guard on BOTH commit markers: a crash between the two writes
       // must trigger a rebuild, not serve a half-built index
-      if (!new java.io.File(s"$idxDir/postings/_SUCCESS").exists() ||
-          !new java.io.File(s"$idxDir/doclens/_SUCCESS").exists()) {
+      if (!graft.store.ArtifactCache.isComplete(s, s"$idxDir/postings") ||
+          !graft.store.ArtifactCache.isComplete(s, s"$idxDir/doclens")) {
         val (postings, doclens) = graft.ops.Vocab.buildBm25Index(
           Tables.documents(s, dir), "doc_id", col("text"))
         doclens.write.mode("overwrite").parquet(s"$idxDir/doclens")
@@ -932,8 +932,12 @@ object OpsQueries {
     * queries, with per-pass arrays keeping pass 1 visible.
     */
   private def dedupedArtifact(s: SparkSession, dir: String): DataFrame = {
-    val p = indexCachePath(dir, "documents.parquet", "dedupedv2,v1")
-    if (!new java.io.File(p, "_SUCCESS").exists()) {
+    // the tag folds in every knob the artifact's content depends on
+    // (gated-reuse mode, jaccard n/threshold) so changing a constant
+    // invalidates the cache instead of serving a stale survivor set
+    val p = indexCachePath(s, dir, "documents.parquet",
+      s"dedupedv2,reuse=$PipelineV2GatedReuse,n=3,j=0.8,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, p)) {
       val (deduped, cached) = pipelineDedupedParts(s, dir, PipelineV2GatedReuse)
       try deduped.write.mode("overwrite").parquet(p)
       finally cached.foreach(_.unpersist())
@@ -1143,21 +1147,19 @@ object OpsQueries {
          |FROM pairs JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(a.n_grams + b.n_grams - inter AS DOUBLE) >= $threshold""".stripMargin
 
-  /** Deterministic tmp path for a persisted per-dataset index artifact,
+  /** Deterministic path for a persisted per-dataset index artifact,
     * keyed by the SOURCE PARQUET'S IDENTITY (path + mtime + size), not
     * just the path: the driver re-provisions `/root/testdata` in place
     * (it did between r9 and r10), and a path-only key would silently
     * serve index rows built from the replaced data — a wrong-answer
     * class nothing downstream detects. A changed file ⇒ a fresh key ⇒
-    * the index rebuilds.
+    * the index rebuilds. Delegates to [[graft.store.ArtifactCache]]:
+    * Hadoop-FS probes, so the cache root is object-store-capable
+    * (`spark.graft.artifactDir`).
     */
-  private def indexCachePath(dir: String, sourceFile: String, params: String): String = {
-    val src = new java.io.File(s"$dir/$sourceFile")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.lastModified}:${src.length}|$params".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-idx-$key").toString
-  }
+  private def indexCachePath(s: SparkSession, dir: String,
+                             sourceFile: String, params: String): String =
+    graft.store.ArtifactCache.path(s, s"$dir/$sourceFile", params)
 
   /** In-process IVF-PQ index cache, keyed by the SAME source-parquet
     * identity as [[indexCachePath]]: the codebooks + coarse centroids
@@ -1171,8 +1173,8 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
 
   private def cachedIvfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"$dir|${src.lastModified}:${src.length}|ivfpq,c=16,m=16,k=16,v1"
+    val key = graft.store.ArtifactCache.sourceIdentity(s, s"$dir/embeddings.parquet") +
+      "|ivfpq,c=16,m=16,k=16,v1"
     ivfPqIndexCache.computeIfAbsent(key, _ =>
       Similarity.trainIvfPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
   }
@@ -1186,8 +1188,8 @@ object OpsQueries {
     * production shape. Same parquet lifecycle as the LSH indexes.
     */
   private def cachedPqCodes(s: SparkSession, dir: String): DataFrame = {
-    val codesDir = indexCachePath(dir, "embeddings.parquet", "ivfpq-codes,c=16,m=16,k=16,v1")
-    if (!new java.io.File(codesDir, "_SUCCESS").exists())
+    val codesDir = indexCachePath(s, dir, "embeddings.parquet", "ivfpq-codes,c=16,m=16,k=16,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, codesDir))
       Similarity.encodePqCorpus(
           Tables.embeddings(s, dir), "vec_id", "embedding", cachedIvfPqIndex(s, dir))
         .write.mode("overwrite").parquet(codesDir)
@@ -1684,7 +1686,7 @@ object OpsQueries {
          |    unnest(range(len(embedding))) AS pos FROM embeddings)
          |SELECT label, CAST(pos AS INT) AS pos,
          |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
-         |    / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_val
+         |    / 1000000000.0 / CAST(COUNT(v) AS DOUBLE) AS mean_val
          |FROM mp GROUP BY 1, 2""".stripMargin),
     "x_curriculum_rank" ->
       (s"""WITH cscored AS (SELECT doc_id, ${TA.qualityScoreSql("text")} AS quality FROM documents)

@@ -1367,4 +1367,18 @@ class OpsSpec extends SparkSpec {
     val drops = got.filter { case (d, _, rep) => d != rep }.map(_._1)
     assert(drops == Set(1L, 3L, 11L))
   }
+
+  test("cluster representatives: string ids — deterministic tie-break without numeric negation") {
+    // regression: the old tie-break negated the id column, which on a
+    // string id casts to double → null → nondeterministic winner
+    val pairs = Seq(("b", "c"), ("c", "a"), ("y", "z")).toDF("id_a", "id_b")
+    val quality = Seq(
+      ("a", 0.4), ("b", 0.4), ("c", 0.4), // all tied → lexicographic min "a"
+      ("y", 0.1), ("z", 0.8)              // clear winner "z"
+    ).toDF("doc_id", "q")
+    val got = Dedup.clusterRepresentatives(pairs, quality, "doc_id", "q")
+      .select($"doc_id", $"rep_id")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "z", "z" -> "z"))
+  }
 }

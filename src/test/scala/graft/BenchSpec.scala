@@ -40,4 +40,21 @@ class BenchSpec extends SparkSpec {
     assert(transient.leaked == 0,
       s"ContextCleaner-reclaimable checkpoint flagged as leak (${transient.leaked})")
   }
+
+  test("a GC-heavy query records gc seconds; gc never exceeds wall") {
+    // allocate hard enough to force at least one young-gen collection —
+    // retry the burst a few times because a single pass can land inside
+    // an already-charged collection window
+    def burst(): Unit = {
+      var sink = 0L
+      var i = 0
+      while (i < 40) { sink += new Array[Byte](32 << 20).length; i += 1 }
+      assert(sink > 0)
+    }
+    var r = Bench.timeQuery("gc_heavy", burst _)
+    var tries = 0
+    while (r.gc <= 0.0 && tries < 5) { r = Bench.timeQuery("gc_heavy", burst _); tries += 1 }
+    assert(r.gc > 0.0, "GC-heavy allocation burst recorded zero gc_sec")
+    assert(r.gc <= r.wall + 0.5, s"gc ${r.gc} implausibly exceeds wall ${r.wall}")
+  }
 }

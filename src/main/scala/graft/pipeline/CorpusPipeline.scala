@@ -29,8 +29,18 @@ final case class CorpusStageConf(
     stride: Option[Number],
     shards: Option[Number],
     rates: Option[Map[String, Number]],
-    default_rate: Option[Number]) {
+    default_rate: Option[Number],
+    // scrub_exact_substr: spans duplicated >= min_count times are cut
+    min_count: Option[Number],
+    // dedup_semantic: where the (vec_id, embedding) table lives and how
+    // its id column maps onto the document frame's id
+    embeddings_dir: Option[String],
+    vec_id_column: Option[String],
+    vector_column: Option[String],
+    sample_mod: Option[Number]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
+  def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
+  def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
   def thresholdVal(default: Double): Double = threshold.fold(default)(_.doubleValue)
   def alphaVal(default: Double): Double = alpha.fold(default)(_.doubleValue)
   def budgetTokensVal: Option[Long] = budget_tokens.map(_.longValue)
@@ -70,9 +80,9 @@ object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
     "pii_scrub", "gopher_filter", "compression_filter", "decontaminate_spans",
-    "line_dedup", "line_dedup_within", "dedup_exact", "dedup_near",
-    "quality_rep_dedup", "stratified_sample", "mixture_temperature",
-    "budget_select", "curriculum_rank")
+    "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
+    "dedup_near", "dedup_semantic", "quality_rep_dedup", "stratified_sample",
+    "mixture_temperature", "budget_select", "curriculum_rank")
   val TerminalKinds: Set[String] = Set("chunk", "pack")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -226,6 +236,15 @@ object CorpusPipeline {
             df.filter(col("source").isNull || col("source") =!= srcVal),
             id, text, bench, col(textCol), st.nVal(3))
           .select(col("doc").as(id), col("scrubbed").as("text"))
+      case "scrub_exact_substr" =>
+        // ExactSubstr span REMOVAL (Lee et al. 2021): every n-token
+        // span occurring >= min_count times corpus-wide is cut from
+        // its documents; text rebuilt, other columns carried
+        val rebuilt = Dedup.exactSubstrScrub(df, id, text,
+            st.nVal(8), st.minCountVal(2))
+          .select(col("doc").as(id), col("scrubbed").as("__graft_rebuilt"))
+        df.drop("text").join(rebuilt, Seq(id))
+          .withColumnRenamed("__graft_rebuilt", "text")
       case "line_dedup" =>
         // C4/CCNet cross-doc boilerplate removal: lines appearing in
         // >= n docs are cut from every doc (default 5), text rebuilt;
@@ -250,6 +269,22 @@ object CorpusPipeline {
           Dedup.ngramJaccardPairs(df, id, text,
             st.nVal(3), st.thresholdVal(0.8))))
         df.join(drops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
+      case "dedup_semantic" =>
+        // SemDeDup over a sidecar embedding table: vectors join onto
+        // the surviving docs by id, near-identical embedding pairs
+        // cluster, and each cluster keeps one member (min id)
+        val embDir = st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic needs embeddings_dir"))
+        val vecs = df.sparkSession.read
+          .parquet(graft.config.GraftConfig.substituteEnvVar(embDir))
+          .select(col(st.vec_id_column.getOrElse("vec_id")).as("doc_id"),
+            col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+          .join(df.select(col(id).as("doc_id")), Seq("doc_id"))
+        val pairs = graft.ops.Similarity.semanticDedupPairs(
+          vecs, "doc_id", "__graft_vec",
+          st.thresholdVal(0.4), sampleMod = st.sampleModVal(1))
+        val semDrops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
+        df.join(semDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
       case "quality_rep_dedup" =>
         val labeled = Dedup.clusterRepresentatives(
           Dedup.ngramJaccardPairs(df, id, text,

@@ -315,6 +315,45 @@ class CliSpec extends SparkSpec {
     assert(graft.pipeline.CorpusPipeline.TerminalKinds.contains(cp.stages.last.kind))
   }
 
+  test("cli: corpus run chains semantic dedup and exact-substr scrub from config") {
+    val outDir = Files.createTempDirectory("graft-corpus-sem-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-corpus-sem-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: dedup_semantic
+         |    embeddings_dir: /root/testdata/sf0.001/embeddings.parquet
+         |    threshold: 0.4
+         |  - kind: scrub_exact_substr
+         |    n: 8
+         |    min_count: 2
+         |  - kind: pack
+         |    window: 2048
+         |""".stripMargin.getBytes("UTF-8"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf), spark, printed += _) == 0)
+    def stageRows(kind: String): Long = printed
+      .find(_.startsWith(s"stage $kind")).map(_.split("rows=")(1).trim.toLong)
+      .getOrElse(fail(s"no progress line for stage $kind"))
+    // the config path must drop exactly what the ops API drops
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .join(docs.select("doc_id"), Seq("doc_id"))
+    val expectedDrops = graft.ops.Dedup.clusterDropList(graft.ops.Dedup.nearDupClusters(
+      graft.ops.Similarity.semanticDedupPairs(
+        vecs, "doc_id", "embedding", 0.4, sampleMod = 1))).count()
+    val nDocs = docs.count()
+    assert(expectedDrops > 0, "sf0.001 must contain semantic near-dups for this test to bite")
+    assert(stageRows("dedup_semantic") == nDocs - expectedDrops,
+      "config-driven semantic dedup dropped a different set than the ops API")
+    // the scrub rewrites text but never drops documents
+    assert(stageRows("scrub_exact_substr") == stageRows("dedup_semantic"))
+    assert(spark.read.parquet(outDir).count() > 0, "pack terminal produced no sequences")
+  }
+
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {
     assert(!Telemetry.isEnabled)
     Telemetry.capture("ignored") // no sink — must be a no-op

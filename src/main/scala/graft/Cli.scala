@@ -57,6 +57,15 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), out)
         0
 
+      case Seq("corpus", "run", path, "--into", prior) =>
+        // incremental admission: the config's input_dir is a NEW shard,
+        // admitted against the prior run's output + its persisted
+        // fingerprint/LSH artifacts; survivors append, corpus text is
+        // never re-read
+        graft.pipeline.CorpusPipeline.runIncremental(
+          spark, graft.pipeline.CorpusPipeline.load(path), prior, out)
+        0
+
       case Seq("corpus", "stream", path) =>
         // continuous ingest form: watched JSONL dir → stateless stages
         // → corpus admission → exactly-once parquet append

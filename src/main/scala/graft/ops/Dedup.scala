@@ -295,10 +295,15 @@ object Dedup {
     * increment costs O(batch), not O(corpus).
     */
   def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
-                            id: String, text: Column): DataFrame =
+                            id: String, text: Column,
+                            corpusFps: Option[DataFrame] = None): DataFrame =
     batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(col(id)).as(id))
-      .join(corpus.select(TextAnalysis.fingerprint(text).as("fp")).distinct(),
+      // prefer the persisted fingerprint artifact (one `fp` column) —
+      // the ingest-once path where an increment never touches corpus
+      // text; recompute from the corpus only when none is supplied
+      .join(corpusFps.map(_.select(col("fp")))
+          .getOrElse(corpus.select(TextAnalysis.fingerprint(text).as("fp"))).distinct(),
         Seq("fp"), "left_anti")
       .select(col(id), col("fp"))
 

@@ -155,6 +155,124 @@ object CorpusPipeline {
   val StreamableKinds: Set[String] =
     Set("pii_scrub", "gopher_filter", "compression_filter")
 
+  /** Kinds an incremental run admits: per-row shaping plus the two
+    * dedup verdicts that have an O(batch) admission form against a
+    * persisted corpus index.
+    */
+  val IncrementalKinds: Set[String] =
+    StreamableKinds ++ Set("dedup_exact", "dedup_near")
+
+  /** Incremental admission: run the configured chain over a NEW shard
+    * (`input_dir`) against a PRIOR run's output at `priorDir`, appending
+    * only the rows that survive — the 100 TB operational mode, where a
+    * day's crawl is admitted without re-deduplicating the corpus.
+    *
+    * Beside the output, under `<priorDir>.artifacts/`, live the
+    * fingerprint set (`fp/`) and the MinHash-LSH band index (`lsh/`) of
+    * everything admitted so far: built once from the prior output if
+    * absent (the only time corpus text is read), extended with each
+    * increment's survivors, and read — never rebuilt — on every later
+    * run, so an increment costs O(batch), not O(corpus). All paths go
+    * through the Hadoop filesystem API (object-store-capable, like the
+    * datastore).
+    *
+    * Equality contract (CliSpec-pinned): when the shard's ids sort
+    * after the corpus's — the natural shape for append-only ingest —
+    * the output after admission equals a from-scratch run of the same
+    * chain over the union of the inputs: exact admission drops a batch
+    * row whose fingerprint is already ingested (= union's min-id
+    * keeper), near admission drops batch rows landing in a cluster
+    * with an ingested (lower-id) member and keeps each batch-only
+    * cluster's min id. Per-row stages must precede the dedup stages in
+    * the chain, because they rewrite the text the dedup keys hash.
+    */
+  def runIncremental(spark: SparkSession, conf: CorpusPipelineConf,
+                     priorDir: String, out: String => Unit): Long = {
+    import org.apache.hadoop.fs.Path
+    val badKinds = conf.stages.map(_.kind).filterNot(IncrementalKinds.contains)
+    require(badKinds.isEmpty,
+      s"incremental corpus run admits only ${IncrementalKinds.toSeq.sorted.mkString(", ")} — " +
+        s"got: ${badKinds.mkString(", ")} (corpus-wide stages need a from-scratch `corpus run`)")
+    val kinds = conf.stages.map(_.kind)
+    val firstDedup = kinds.indexWhere(k => k == "dedup_exact" || k == "dedup_near")
+    require(firstDedup < 0 || kinds.drop(firstDedup).forall(!StreamableKinds.contains(_)),
+      "per-row stages must precede the dedup stages in an incremental chain " +
+        "(they rewrite the text the dedup keys are hashed from)")
+    val id = conf.idCol
+    val fs = new Path(priorDir).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(priorDir)),
+      s"prior output $priorDir does not exist — run `corpus run` first")
+    val prior = spark.read.parquet(priorDir)
+    val artRoot = new Path(priorDir + ".artifacts")
+    def ready(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+
+    val docs0 = spark.read.parquet(conf.inputDir)
+    out(s"input: ${conf.inputDir} (incremental into $priorDir)")
+    val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
+      (if (docs0.columns.contains("source") && conf.textCol != "source")
+        Seq(col("source")) else Nil)
+    val shaped = conf.stages.filter(s => StreamableKinds.contains(s.kind))
+      .foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
+        applyStage(df, st, id, docs0, conf.textCol) }
+
+    val exactStage = conf.stages.find(_.kind == "dedup_exact")
+    val nearStage = conf.stages.find(_.kind == "dedup_near")
+
+    val afterExact = exactStage.fold(shaped) { _ =>
+      val fpPath = new Path(artRoot, "fp")
+      if (!ready(fpPath)) {
+        out(s"building fingerprint artifact $fpPath from prior output")
+        prior.select(TA.fingerprint(col("text")).as("fp")).distinct()
+          .write.mode("overwrite").parquet(fpPath.toString)
+      }
+      val survivors = Dedup.incrementalExactDedup(prior, shaped, id, col("text"),
+        corpusFps = Some(spark.read.parquet(fpPath.toString)))
+      val next = shaped.join(survivors.select(col(id)), Seq(id), "left_semi")
+      out(f"stage dedup_exact rows=${next.count()}")
+      next
+    }
+    val admitted = nearStage.fold(afterExact) { st =>
+      val lshPath = new Path(artRoot, "lsh")
+      val (n, thr) = (st.nVal(3), st.thresholdVal(0.8))
+      if (!ready(lshPath)) {
+        out(s"building LSH index artifact $lshPath from prior output")
+        Dedup.buildLshIndex(prior, id, col("text"), n)
+          .write.mode("overwrite").parquet(lshPath.toString)
+      }
+      val pairs = Dedup.incrementalNearDupPairs(prior, afterExact, id, col("text"),
+        n = n, threshold = thr,
+        corpusIndex = Some(spark.read.parquet(lshPath.toString)))
+      // drop only BATCH members of each cluster: ingested rows are
+      // immutable, and the cluster label is the component's min id, so
+      // the restriction reproduces the from-scratch keeper when batch
+      // ids sort after corpus ids
+      val drops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
+        .withColumnRenamed("doc_id", id)
+      val next = afterExact.join(drops, Seq(id), "left_anti")
+      out(f"stage dedup_near rows=${next.count()}")
+      next
+    }
+
+    // truncate lineage before touching the target: the admitted frame
+    // is O(batch) by design, and appending to a path the plan also
+    // reads is only safe once the plan no longer reads it
+    val batchOut = admitted.localCheckpoint(true)
+    batchOut.write.mode("append").parquet(priorDir)
+    // extend the artifacts with the survivors so the NEXT increment
+    // admits against the updated corpus without reading its text
+    exactStage.foreach { _ =>
+      batchOut.select(TA.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("append").parquet(new Path(artRoot, "fp").toString)
+    }
+    nearStage.foreach { st =>
+      Dedup.buildLshIndex(batchOut, id, col("text"), st.nVal(3))
+        .write.mode("append").parquet(new Path(artRoot, "lsh").toString)
+    }
+    val appended = batchOut.count()
+    out(s"admitted $appended rows into $priorDir")
+    appended
+  }
+
   /** The corpus-exchange schema of the streaming ingest (JSONL lines
     * `{"doc_id": …, "text": …, "ts": …}`) — declared, never inferred.
     */

@@ -354,6 +354,70 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() > 0, "pack terminal produced no sequences")
   }
 
+  test("cli: corpus run --into admits shards incrementally, equal to from-scratch on the union") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-corpus-inc-").toString
+    // 40-word base texts so a one-word edit stays deep inside the LSH
+    // banding's recall envelope (jaccard ~0.85 → miss odds ~1e-5)
+    def sent(words: Seq[String]): String = words.mkString(" ")
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    val t1 = sent(Seq.tabulate(40)(i => vocab(i % 26)))
+    val t1near = sent(Seq.tabulate(40)(i => if (i == 39) "changed" else vocab(i % 26)))
+    val t2 = sent(Seq.tabulate(40)(i => vocab((i * 3 + 1) % 26)))
+    val t3 = sent(Seq.tabulate(40)(i => vocab((i * 5 + 2) % 26)))
+    val t4 = sent(Seq.tabulate(40)(i => vocab((i * 7 + 3) % 26)))
+    val t4near = sent(Seq.tabulate(40)(i => if (i == 0) "altered" else vocab((i * 7 + 3) % 26)))
+    val t5 = sent(Seq.tabulate(40)(i => vocab((i * 11 + 4) % 26)))
+    val t6 = sent(Seq.tabulate(40)(i => vocab((i * 17 + 5) % 26)))
+    val shard1 = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t3))
+    val shard2 = Seq((101L, t1), (102L, t1near), (103L, t4), (104L, t4near), (105L, t5))
+    val shard3 = Seq((201L, t5), (202L, t6))
+    def writeShard(name: String, rows: Seq[(Long, String)]): String = {
+      val p = s"$root/$name"
+      rows.toDF("doc_id", "text").write.parquet(p)
+      p
+    }
+    val (in1, in2, in3) =
+      (writeShard("shard1", shard1), writeShard("shard2", shard2), writeShard("shard3", shard3))
+    val outDir = s"$root/corpus"
+    def conf(input: String, output: String): String = {
+      val p = s"$root/conf-${input.split('/').last}-${output.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $output
+           |stages:
+           |  - kind: pii_scrub
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.5
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf(in1, outDir)), spark, printed += _) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(in2, outDir), "--into", outDir),
+      spark, printed += _) == 0)
+    // increment 1 had to build the artifacts from the prior output...
+    assert(printed.exists(_.contains("building fingerprint artifact")))
+    assert(printed.exists(_.contains("building LSH index artifact")))
+    printed.clear()
+    assert(Cli.run(Seq("corpus", "run", conf(in3, outDir), "--into", outDir),
+      spark, printed += _) == 0)
+    // ...increment 2 must only READ them (and the extended fp set must
+    // reject 201, a duplicate of a row ADMITTED in increment 1)
+    assert(!printed.exists(_.contains("building")),
+      "second increment rebuilt artifacts instead of reading them")
+    val got = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 3L, 4L, 103L, 105L, 202L))
+    // from-scratch over the union of all three shards = the incremental end state
+    val unionIn = writeShard("union", shard1 ++ shard2 ++ shard3)
+    val scratchOut = s"$root/scratch"
+    assert(Cli.run(Seq("corpus", "run", conf(unionIn, scratchOut)), spark, _ => ()) == 0)
+    val scratch = spark.read.parquet(scratchOut).as[(Long, String)].collect().toSet
+    assert(got == scratch, "incremental admission diverged from the from-scratch union run")
+  }
+
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {
     assert(!Telemetry.isEnabled)
     Telemetry.capture("ignored") // no sink — must be a no-op

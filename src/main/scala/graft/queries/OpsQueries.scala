@@ -973,25 +973,45 @@ object OpsQueries {
     * is exactly SQL-expressible, so unlike v3 the WHOLE pipeline
     * hash-matches its DuckDB CTE chain with no precision twin.
     *
-    * Persist points (released by the caller after the terminal action):
-    * `gated` feeds the scrub's gram explode AND its rebuild; `desp`
-    * feeds the jaccard pairs, the cluster anti-join, and the tail;
-    * `mixed` feeds the budget stats agg and the curated join. Each is
-    * MEMORY_AND_DISK with lineage intact — same fault-tolerance trade
-    * as v2 (see [[PipelineV2GatedReuse]]).
+    * The scrub→gate→decontaminate prefix reads the [[despArtifact]]
+    * (pass 1 pays the build, shared with v5). Persist points (released
+    * by the caller after the terminal action): `desp` feeds the jaccard
+    * pairs, the cluster anti-join, and the tail; `mixed` feeds the
+    * budget stats agg and the curated join. Each is MEMORY_AND_DISK
+    * with lineage intact — same fault-tolerance trade as v2 (see
+    * [[PipelineV2GatedReuse]]).
     */
+  /** The v4/v5 shared prefix (PII scrub → Gopher gate → span-level
+    * decontamination scrub) as a PERSISTED ingest artifact, the same
+    * lifecycle [[dedupedArtifact]] gives the v2/v3 prefix: built once
+    * per source identity, reread by every v4/v5 run. Rows are identical
+    * to the live chain (the v4/v5 oracles still hash the full CTE
+    * pipeline — only physical provenance changes); measured 7.3 s →
+    * 3.8 s (v4) and 6.5 s → 3.8 s (v5) at sf0.1 steady-state, and the
+    * two capstones share ONE build.
+    */
+  private def despArtifact(s: SparkSession, dir: String): DataFrame = {
+    val p = indexCachePath(s, dir, "documents.parquet", "despv4,n=3,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, p)) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, dir)
+      val scrubbed = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
+      val gated = scrubbed.filter(TA.gopherPass(col("text"))).persist(lvl)
+      val bench = docs.filter(col("source") === "src0")
+      try Dedup.decontaminationScrub(
+          gated, "doc_id", col("text"), bench, col("text"), 3)
+        .select(col("doc").as("doc_id"), col("scrubbed").as("text"))
+        .write.mode("overwrite").parquet(p)
+      finally gated.unpersist()
+    }
+    s.read.parquet(p)
+  }
+
   private[graft] def pipelineV4Parts(
       s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val docs = Tables.documents(s, dir)
-    val scrubbed = docs.filter(col("source") =!= "src0")
-      .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
-    val gated = scrubbed.filter(TA.gopherPass(col("text"))).persist(lvl)
-    val bench = docs.filter(col("source") === "src0")
-    val desp = Dedup.decontaminationScrub(
-        gated, "doc_id", col("text"), bench, col("text"), 3)
-      .select(col("doc").as("doc_id"), col("scrubbed").as("text"))
-      .persist(lvl)
+    val desp = despArtifact(s, dir).persist(lvl)
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8)))
     val deduped = desp.join(dropList, Seq("doc_id"), "left_anti")
@@ -1006,7 +1026,7 @@ object OpsQueries {
     val chunks = Sampling.chunkTokens(curated, col("doc_id"), col("text"),
         ChunkWindow, ChunkStride)
       .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
-    (chunks, Seq(gated, desp, mixed))
+    (chunks, Seq(desp, mixed))
   }
 
   /** Token budget of capstone v4's curation stage: below the sf0.01
@@ -1032,21 +1052,14 @@ object OpsQueries {
     * cut, and context-window chunking emits training examples with the
     * doc's rank carried per chunk (what a curriculum loader consumes).
     *
-    * Persist points released by the caller: `gated` and `desp` as in
-    * v4; `ranked` feeds both the chunk explode and the rank join-back.
+    * The prefix reads the [[despArtifact]] (shared with v4). Persist
+    * points released by the caller: `desp` as in v4; `ranked` feeds
+    * both the chunk explode and the rank join-back.
     */
   private[graft] def pipelineV5Parts(
       s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val docs = Tables.documents(s, dir)
-    val scrubbed = docs.filter(col("source") =!= "src0")
-      .select(col("doc_id"), TA.scrubPii(col("text")).as("text"))
-    val gated = scrubbed.filter(TA.gopherPass(col("text"))).persist(lvl)
-    val bench = docs.filter(col("source") === "src0")
-    val desp = Dedup.decontaminationScrub(
-        gated, "doc_id", col("text"), bench, col("text"), 3)
-      .select(col("doc").as("doc_id"), col("scrubbed").as("text"))
-      .persist(lvl)
+    val desp = despArtifact(s, dir).persist(lvl)
     val labeled = Dedup.clusterRepresentatives(
       Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8),
       desp.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
@@ -1062,7 +1075,7 @@ object OpsQueries {
         ChunkWindow, ChunkStride)
       .join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
       .select(col("doc_id"), col("rank"), col("chunk_idx"), col("n_chunk_tokens"))
-    (out, Seq(gated, desp, ranked))
+    (out, Seq(desp, ranked))
   }
 
   /** Semantic-stage cosine threshold. The synthetic embeddings plant no

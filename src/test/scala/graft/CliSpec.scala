@@ -286,6 +286,19 @@ class CliSpec extends SparkSpec {
     // second invocation, same checkpoint: b1.json is NOT reprocessed
     assert(Cli.run(Seq("corpus", "stream", conf), spark, printed += _) == 0)
     assert(spark.read.parquet(outDir).count() == 1, "replay duplicated rows")
+    // a SECOND batch lands after the first commit — the watcher
+    // restarts on the same checkpoint and must process exactly the new
+    // file: 12 is fresh (admitted), 13 repeats doc 11's text (the
+    // in-stream fingerprint state survived the restart), 14 is a
+    // corpus dup
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      Seq(jline(12L, "a genuinely new document"),
+        jline(13L, "mail bob@example.com about it"),
+        jline(14L, "already ingested text")).mkString("", "\n", "\n"))
+    assert(Cli.run(Seq("corpus", "stream", conf), spark, printed += _) == 0)
+    assert(spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      == Set(11L, 12L),
+      "second backlog batch must admit only the fresh doc, exactly once")
     // stateful stages are refused on the streaming path
     val bad = conf + ".bad"
     Files.writeString(java.nio.file.Paths.get(bad),

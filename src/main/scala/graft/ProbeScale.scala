@@ -130,6 +130,47 @@ object ProbeScale {
       graft.ops.Joins.asofJoin(purchases, views, "user_id", "ts",
         Seq("view_event_id")).count()
     }
+    // token-budget curation at mult×: quality+token exprs are narrow,
+    // the only exchanges are the per-mille stats agg and the selection
+    // join — must stay linear in the corpus (budget scales with mult so
+    // the boundary per-mille path stays active, not take-all/take-none)
+    time("budget_select")(
+      graft.ops.Sampling.budgetSelect(docs, col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")),
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        budgetTokens = 2000L * mult).count())
+    // the capstone-shaped chain end to end at mult× (v4 live form, no
+    // artifact): scrub → gate → span decontamination → LSH cluster
+    // dedup → temperature mix → budget curation → chunk. The id-shifted
+    // copies make every doc a mult-clique near-dup worst case for the
+    // cluster stage; the terminal agg forces full chunk materialization
+    time("pipeline_corpus") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val scrubbed = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), graft.ops.TextAnalysis.scrubPii(col("text")).as("text"))
+      val gated = scrubbed.filter(graft.ops.TextAnalysis.gopherPass(col("text"))).persist(lvl)
+      val bench = docs.filter(col("source") === "src0")
+      val desp = Dedup.decontaminationScrub(
+          gated, "doc_id", col("text"), bench, col("text"), 3)
+        .select(col("doc").as("doc_id"), col("scrubbed").as("text")).persist(lvl)
+      try {
+        val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+          Dedup.minhashLshExactPairs(desp, "doc_id", col("text"), 3, 64, 16, 0.8)))
+        val deduped = desp.join(dropList, Seq("doc_id"), "left_anti")
+        val mixed = graft.ops.Sampling.temperatureMixture(
+            deduped.withColumn("lang_guess", graft.ops.TextAnalysis.langId(col("text"))),
+            col("doc_id"), col("lang_guess"), 0.5)
+          .select(col("doc_id"), col("text")).persist(lvl)
+        try {
+          val selected = graft.ops.Sampling.budgetSelect(mixed, col("doc_id"),
+            graft.ops.TextAnalysis.qualityScore(col("text")),
+            graft.ops.TextAnalysis.tokenCount(col("text")), 2000L * mult)
+          val curated = mixed.join(selected.select(col("doc_id")), Seq("doc_id"))
+          graft.ops.Sampling.chunkTokens(curated, col("doc_id"), col("text"), 64, 48)
+            .agg(sum(col("n_chunk_tokens"))).collect().head.getLong(0)
+        } finally mixed.unpersist()
+      } finally { desp.unpersist(); gated.unpersist() }
+    }
     // global rank at mult×: one range shuffle + a narrow local index;
     // the only driver state is the ≤P-row offset table, so cost must
     // stay linear in the corpus (forcing max(rank) materializes every

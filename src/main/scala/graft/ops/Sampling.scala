@@ -118,6 +118,64 @@ object Sampling {
       .drop("__graft_stratum", "__graft_rate")
   }
 
+  /** Target-share mixture WITH upsampling (epoch expansion): hit the
+    * requested composition while holding the output near the corpus
+    * size, repeating small strata instead of throwing the rest away —
+    * the pretraining data-mixing move where a high-quality minority
+    * domain runs for multiple epochs while the dominant crawl
+    * downsamples (the weighted-mix recipe of GPT-3 Table 2.2 /
+    * Llama's per-source epoch factors). Each stratum's repeat factor
+    * is `r = share·T / c` (T = the targeted strata's total rows, c =
+    * the stratum's own — so the output holds the targeted mass and
+    * shares renormalize over the strata actually requested),
+    * capped at `maxRepeat`; every row emits `floor(r)` whole copies
+    * plus one fractional copy decided by the row's own id hash at
+    * integer per-mille — deterministic row-for-row, like the rest of
+    * the family (`floor`, not `round`: the rates are low-denominator
+    * rationals, exactly the decimal-tie class `round` flips on across
+    * engines). Output is the (id, stratum, copy_idx) manifest a
+    * training loader consumes; strata absent from `shares` drop.
+    *
+    * Scale shape: one skinny count agg (one row per stratum), a
+    * broadcast rate join, then a NARROW per-row `sequence`+`explode`
+    * bounded by `maxRepeat` — the corpus never shuffles, and output
+    * volume is the explode's, which is the point.
+    */
+  def epochMixture(df: DataFrame, id: Column, stratum: Column,
+                   shares: Map[String, Double], maxRepeat: Double = 10.0): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be non-empty and positive")
+    require(maxRepeat >= 1.0, "maxRepeat must be at least 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toSeq.toDF("stratum", "share")
+    val tagged = df.filter(id.isNotNull).withColumn("__graft_stratum", stratum)
+    val counts = tagged.groupBy(col("__graft_stratum").as("stratum"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .join(sharesDf, Seq("stratum"))
+      .localCheckpoint(true)
+    val present = counts.select(col("stratum")).as[String].collect().toSet
+    val missing = shares.keySet.diff(present)
+    require(missing.isEmpty,
+      s"epochMixture: no rows for target strata ${missing.mkString(", ")} " +
+        "— the requested composition is unreachable")
+    // T from the checkpointed stratum table — no second corpus scan
+    val t = counts.agg(sum(col("c")).as("t"))
+    val rates = counts.crossJoin(t)
+      .select(col("stratum").as("__graft_stratum"),
+        least(col("share") * col("t") / col("c"), lit(maxRepeat)).as("__graft_r"))
+      .select(col("__graft_stratum"),
+        floor(col("__graft_r")).cast("long").as("__graft_full"),
+        floor((col("__graft_r") - floor(col("__graft_r"))) * 1000).as("__graft_thr"))
+    tagged.join(broadcast(rates), Seq("__graft_stratum"))
+      .select(id.as("doc_id"), col("__graft_stratum").as("stratum"),
+        col("__graft_full"), col("__graft_thr"),
+        explode(sequence(lit(0L), col("__graft_full"))).as("copy_idx"))
+      .filter(col("copy_idx") < col("__graft_full") ||
+        hashPermille(col("doc_id")).cast("double") < col("__graft_thr"))
+      .select(col("doc_id"), col("stratum"), col("copy_idx"))
+  }
+
   /** Temperature-weighted mixture (the α-smoothed sampling of Conneau &
     * Lample 2019 / the multilingual-BERT exponent; GPT-3's corpus
     * weighting is the same form): target composition ∝ count^alpha, so

@@ -671,6 +671,19 @@ object OpsQueries {
         .select(col("doc_id"), col("lang_guess"))
     }),
 
+    // epoch-expansion mixing: hit a 50/50 en/und target while holding
+    // the corpus mass — the minority stratum REPEATS (multi-epoch
+    // upsampling, the GPT-3/Llama weighted-mix recipe) while the
+    // dominant one downsamples; output is the (doc, copy) manifest a
+    // training loader consumes
+    "x_epoch_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang_guess", TA.langId(col("text")))
+      Sampling.epochMixture(docs, col("doc_id"), col("lang_guess"),
+          Map("en" -> 0.5, "und" -> 0.5))
+        .select(col("doc_id"), col("stratum"), col("copy_idx"))
+    }),
+
     // temperature-weighted mixing: output composition ∝ count^0.5 —
     // the α-smoothing knob between the natural mix (α=1) and uniform
     // strata (α→0); smallest stratum kept whole, larger ones
@@ -1680,6 +1693,24 @@ object OpsQueries {
           |rates AS (SELECT stratum, share * t.t / c AS rate FROM j, t)
           |SELECT doc_id, lang_guess FROM l JOIN rates ON rates.stratum = l.lang_guess
           |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < rate * 1000.0""".stripMargin),
+    "x_epoch_mixture" ->
+      (s"""WITH shares(stratum, share) AS (VALUES
+          |  ('en', CAST(0.5 AS DOUBLE)), ('und', CAST(0.5 AS DOUBLE))),
+          |l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
+          |counts AS (SELECT lang_guess AS stratum, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),
+          |j AS (SELECT counts.stratum, counts.c, shares.share FROM counts JOIN shares USING (stratum)),
+          |tot AS (SELECT SUM(c) AS t FROM j),
+          |rr AS (SELECT stratum,
+          |  CAST(floor(LEAST(share * tot.t / c, 10.0)) AS BIGINT) AS fullc,
+          |  floor((LEAST(share * tot.t / c, 10.0) - floor(LEAST(share * tot.t / c, 10.0))) * 1000) AS thr
+          |FROM j, tot),
+          |series AS (SELECT unnest(range(11)) AS copy_idx),
+          |e AS (SELECT doc_id, stratum, fullc, thr, copy_idx
+          |FROM l JOIN rr ON rr.stratum = l.lang_guess
+          |CROSS JOIN series WHERE copy_idx <= fullc)
+          |SELECT doc_id, stratum, CAST(copy_idx AS BIGINT) AS copy_idx FROM e
+          |WHERE copy_idx < fullc
+          |   OR CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
     "x_temperature_mixture" ->
       (s"""WITH l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
           |counts AS (SELECT lang_guess, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),

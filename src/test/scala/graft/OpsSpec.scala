@@ -1154,6 +1154,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("epoch mixture: minority stratum repeats, majority downsamples, cap honored") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small")).toDF("id", "s")
+    // 50/50 target over T=100 → r_small = 50/10 = 5.0 (five whole
+    // epochs, no fractional copy), r_big = 50/90 ≈ 0.5556
+    val out = Sampling.epochMixture(df, $"id", $"s", Map("big" -> 0.5, "small" -> 0.5))
+      .as[(Long, String, Long)].collect()
+    val small = out.filter(_._2 == "small")
+    assert(small.length == 50, s"small must run 5 epochs: ${small.length}")
+    assert(small.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (0L until 5L) },
+      "each small doc must carry contiguous copy indices 0..4")
+    // big's fractional copy: thr = floor(0.5555…·1000) = 555 permille
+    val expectedBig = df.filter($"s" === "big")
+      .filter(Sampling.hashPermille($"id") < 555).count()
+    assert(out.count(_._2 == "big") == expectedBig,
+      "big stratum's single fractional copy must follow the hash rule")
+    // the repeat cap binds: an extreme target cannot explode the output
+    val capped = Sampling.epochMixture(df, $"id", $"s",
+      Map("big" -> 0.01, "small" -> 0.99), maxRepeat = 2.0)
+    assert(capped.filter($"stratum" === "small").count() == 20,
+      "maxRepeat=2 must bound the minority stratum at 2 epochs")
+    // strata outside the target map drop; unreachable targets fail loudly
+    assert(Sampling.epochMixture(df, $"id", $"s", Map("small" -> 1.0))
+      .filter($"stratum" === "big").count() == 0)
+    assertThrows[IllegalArgumentException] {
+      Sampling.epochMixture(df, $"id", $"s", Map("absent" -> 1.0))
+    }
+  }
+
   test("top-k per stratum: k best by score, ties broken by id, short strata intact") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.7),

@@ -76,6 +76,16 @@ object Cli {
           cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out)
         0
 
+      case Seq("corpus", "stream", path, "--into", prior) =>
+        // streaming incremental admission: each JSONL micro-batch runs
+        // the artifact-backed admission and appends its survivors
+        val cp = graft.pipeline.CorpusPipeline.load(path)
+        graft.pipeline.CorpusPipeline.runStreamIncremental(spark, cp, prior,
+          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
+          out)
+        0
+
       case Seq("source", "schema") =>
         // reference `source schema` (`commands/source.rs:10-56`) — live
         // JDBC source when connection_uri is set, parquet dir otherwise

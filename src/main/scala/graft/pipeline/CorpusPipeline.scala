@@ -186,9 +186,8 @@ object CorpusPipeline {
     * cluster's min id. Per-row stages must precede the dedup stages in
     * the chain, because they rewrite the text the dedup keys hash.
     */
-  def runIncremental(spark: SparkSession, conf: CorpusPipelineConf,
-                     priorDir: String, out: String => Unit): Long = {
-    import org.apache.hadoop.fs.Path
+  /** Shared validation for the incremental paths. */
+  private def requireIncrementalChain(conf: CorpusPipelineConf): Unit = {
     val badKinds = conf.stages.map(_.kind).filterNot(IncrementalKinds.contains)
     require(badKinds.isEmpty,
       s"incremental corpus run admits only ${IncrementalKinds.toSeq.sorted.mkString(", ")} — " +
@@ -198,6 +197,25 @@ object CorpusPipeline {
     require(firstDedup < 0 || kinds.drop(firstDedup).forall(!StreamableKinds.contains(_)),
       "per-row stages must precede the dedup stages in an incremental chain " +
         "(they rewrite the text the dedup keys are hashed from)")
+  }
+
+  def runIncremental(spark: SparkSession, conf: CorpusPipelineConf,
+                     priorDir: String, out: String => Unit): Long = {
+    requireIncrementalChain(conf)
+    val docs0 = spark.read.parquet(conf.inputDir)
+    out(s"input: ${conf.inputDir} (incremental into $priorDir)")
+    admitBatch(spark, conf, docs0, priorDir, out)
+  }
+
+  /** The incremental admission core — shared by the batch
+    * (`runIncremental`) and streaming (`runStreamIncremental`) paths:
+    * per-row stages over the shard, exact/near admission against the
+    * persisted artifacts, survivor append, artifact extension.
+    */
+  private def admitBatch(spark: SparkSession, conf: CorpusPipelineConf,
+                         docs0: DataFrame, priorDir: String,
+                         out: String => Unit): Long = {
+    import org.apache.hadoop.fs.Path
     val id = conf.idCol
     val fs = new Path(priorDir).getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(priorDir)),
@@ -206,14 +224,19 @@ object CorpusPipeline {
     val artRoot = new Path(priorDir + ".artifacts")
     def ready(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
 
-    val docs0 = spark.read.parquet(conf.inputDir)
-    out(s"input: ${conf.inputDir} (incremental into $priorDir)")
     val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
       (if (docs0.columns.contains("source") && conf.textCol != "source")
         Seq(col("source")) else Nil)
-    val shaped = conf.stages.filter(s => StreamableKinds.contains(s.kind))
+    val shaped0 = conf.stages.filter(s => StreamableKinds.contains(s.kind))
       .foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
         applyStage(df, st, id, docs0, conf.textCol) }
+    // the appended files must carry the prior output's exact schema —
+    // parquet reads take one footer's schema, so a column present in
+    // only some files would silently vanish from later reads
+    require(prior.columns.forall(shaped0.columns.contains),
+      s"shard lacks prior-output columns: " +
+        prior.columns.filterNot(shaped0.columns.contains).mkString(", "))
+    val shaped = shaped0.select(prior.columns.map(col): _*)
 
     val exactStage = conf.stages.find(_.kind == "dedup_exact")
     val nearStage = conf.stages.find(_.kind == "dedup_near")
@@ -271,6 +294,43 @@ object CorpusPipeline {
     val appended = batchOut.count()
     out(s"admitted $appended rows into $priorDir")
     appended
+  }
+
+  /** Streaming incremental admission: watch `input_dir` for JSONL
+    * shards and run EACH micro-batch through the same artifact-backed
+    * admission as [[runIncremental]] (`foreachBatch` — inside the batch
+    * the full relational admission plan applies, the production shape
+    * for stateful-vs-corpus logic a pure stream-stream operator can't
+    * express). Micro-batches commit sequentially, each extending the
+    * fingerprint/LSH artifacts the next admits against.
+    *
+    * Delivery: the checkpointed file source never re-delivers a
+    * COMMITTED batch; a batch replayed after a crash mid-append is
+    * re-admitted against artifacts that already contain its survivors,
+    * and the mandatory `dedup_exact` stage drops every one of them —
+    * the admission itself makes the append idempotent, which is why
+    * that stage is REQUIRED here (enforced below) while plain
+    * `runIncremental` merely recommends it.
+    */
+  def runStreamIncremental(spark: SparkSession, conf: CorpusPipelineConf,
+                           priorDir: String, checkpointDir: String,
+                           out: String => Unit): Unit = {
+    requireIncrementalChain(conf)
+    require(conf.stages.exists(_.kind == "dedup_exact"),
+      "streaming incremental admission requires a dedup_exact stage — it is " +
+        "what makes a replayed micro-batch idempotent against the artifacts")
+    val in = graft.ingest.Jsonl.readStream(spark, conf.inputDir, StreamSchema)
+    out(s"streaming ${conf.inputDir} incrementally into $priorDir (ckpt $checkpointDir)")
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val n = admitBatch(spark, conf, batch.drop("ts"), priorDir,
+          s => out(s"[batch $batchId] $s"))
+        out(s"[batch $batchId] committed $n rows")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The corpus-exchange schema of the streaming ingest (JSONL lines

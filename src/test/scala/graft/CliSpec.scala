@@ -431,6 +431,69 @@ class CliSpec extends SparkSpec {
     assert(got == scratch, "incremental admission diverged from the from-scratch union run")
   }
 
+  test("cli: corpus stream --into admits JSONL micro-batches against the artifacts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-csi-").toString
+    val vocab = ('a' to 'z').map(c => s"v$c")
+    def sent(f: Int => String): String = Seq.tabulate(40)(f).mkString(" ")
+    val t1 = sent(i => vocab(i % 26))
+    val t1near = sent(i => if (i == 39) "edited" else vocab(i % 26))
+    val t2 = sent(i => vocab((i * 3 + 1) % 26))
+    val t3 = sent(i => vocab((i * 5 + 2) % 26))
+    val t3near = sent(i => if (i == 0) "tweaked" else vocab((i * 5 + 2) % 26))
+    val t4 = sent(i => vocab((i * 7 + 3) % 26))
+    val outDir = s"$root/corpus"
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $outDir
+           |checkpoint_dir: $root/ckpt
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.5
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    val watch = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    def ids(): Set[Long] =
+      spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    val printed = collection.mutable.Buffer[String]()
+    val streamConf = conf(watch)
+    // batch 1: 101 repeats corpus text (fp artifact), 102 near-dups it
+    // (lsh artifact), 103 is fresh
+    Files.writeString(java.nio.file.Paths.get(watch, "b1.json"),
+      Seq(jline(101L, t1), jline(102L, t1near), jline(103L, t3))
+        .mkString("", "\n", "\n"))
+    assert(Cli.run(Seq("corpus", "stream", streamConf, "--into", outDir),
+      spark, printed += _) == 0)
+    assert(ids() == Set(1L, 2L, 103L), s"batch 1 admitted ${ids()}")
+    // batch 2, same checkpoint: b1 is NOT re-delivered; the EXTENDED
+    // artifacts reject 201 (exact dup of 103, admitted by a prior
+    // micro-batch) and 202 (near-dup of 103); 203 is fresh
+    Files.writeString(java.nio.file.Paths.get(watch, "b2.json"),
+      Seq(jline(201L, t3), jline(202L, t3near), jline(203L, t4))
+        .mkString("", "\n", "\n"))
+    assert(Cli.run(Seq("corpus", "stream", streamConf, "--into", outDir),
+      spark, printed += _) == 0)
+    assert(ids() == Set(1L, 2L, 103L, 203L), s"batch 2 admitted ${ids()}")
+    // the idempotence guard is mandatory on the streaming path
+    val bad = s"$root/bad.yaml"
+    Files.writeString(java.nio.file.Paths.get(bad),
+      s"input_dir: $watch\noutput_dir: $outDir\ncheckpoint_dir: $root/ckpt2\n" +
+        "stages:\n  - kind: dedup_near\n")
+    intercept[IllegalArgumentException] {
+      Cli.run(Seq("corpus", "stream", bad, "--into", outDir), spark, _ => ())
+    }
+  }
+
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {
     assert(!Telemetry.isEnabled)
     Telemetry.capture("ignored") // no sink — must be a no-op

@@ -296,16 +296,31 @@ object Dedup {
     */
   def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
                             id: String, text: Column,
-                            corpusFps: Option[DataFrame] = None): DataFrame =
-    batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+                            corpusFps: Option[DataFrame] = None): DataFrame = {
+    val batchKeep = batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(col(id)).as(id))
-      // prefer the persisted fingerprint artifact (one `fp` column) —
-      // the ingest-once path where an increment never touches corpus
-      // text; recompute from the corpus only when none is supplied
-      .join(corpusFps.map(_.select(col("fp")))
-          .getOrElse(corpus.select(TextAnalysis.fingerprint(text).as("fp"))).distinct(),
-        Seq("fp"), "left_anti")
-      .select(col(id), col("fp"))
+    corpusFps match {
+      // the persisted fingerprint artifact (one `fp` column) — the
+      // ingest-once path. Join shape matters at 100 TB: a plain
+      // anti-join would hash-SHUFFLE the corpus-sized artifact on
+      // every increment. Instead the artifact streams MAP-SIDE against
+      // a broadcast of the batch's fps (inner join → the hit set,
+      // batch-bounded), and the batch anti-joins that tiny set — the
+      // only exchanges are batch-sized.
+      case Some(art) =>
+        val hits = art.select(col("fp"))
+          .join(broadcast(batchKeep.select(col("fp"))), Seq("fp"))
+          .distinct()
+        batchKeep.join(hits, Seq("fp"), "left_anti").select(col(id), col("fp"))
+      // no artifact: reduce the corpus text to its fingerprint set
+      // once (the O(corpus) pass a real deployment persists)
+      case None =>
+        batchKeep.join(
+            corpus.select(TextAnalysis.fingerprint(text).as("fp")).distinct(),
+            Seq("fp"), "left_anti")
+          .select(col(id), col("fp"))
+    }
+  }
 
   /** The persistable LSH index of a corpus: exploded (doc, band,
     * bucket) rows. An ingest job writes this once (bucketed by (band,

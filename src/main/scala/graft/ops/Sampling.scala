@@ -142,7 +142,8 @@ object Sampling {
     * volume is the explode's, which is the point.
     */
   def epochMixture(df: DataFrame, id: Column, stratum: Column,
-                   shares: Map[String, Double], maxRepeat: Double = 10.0): DataFrame = {
+                   shares: Map[String, Double], maxRepeat: Double = 10.0,
+                   weight: Column = lit(1L)): DataFrame = {
     require(shares.nonEmpty && shares.values.forall(_ > 0),
       "shares must be non-empty and positive")
     require(maxRepeat >= 1.0, "maxRepeat must be at least 1")
@@ -150,8 +151,14 @@ object Sampling {
     import spark.implicits._
     val sharesDf = shares.toSeq.toDF("stratum", "share")
     val tagged = df.filter(id.isNotNull).withColumn("__graft_stratum", stratum)
+      .withColumn("__graft_w", weight)
+    // `weight` sets the mass the shares target: the default weighs
+    // every doc equally (composition by doc count); pass a token count
+    // to hit the target in TOKEN mass — what a training mix actually
+    // specifies. Integer weights sum exactly (long adds), so the cast
+    // is the only float step and c stays cross-engine bit-stable.
     val counts = tagged.groupBy(col("__graft_stratum").as("stratum"))
-      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(sum(col("__graft_w")).cast("double").as("c"))
       .join(sharesDf, Seq("stratum"))
       .localCheckpoint(true)
     val present = counts.select(col("stratum")).as[String].collect().toSet

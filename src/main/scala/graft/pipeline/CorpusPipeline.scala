@@ -83,7 +83,7 @@ object CorpusPipeline {
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank")
-  val TerminalKinds: Set[String] = Set("chunk", "pack")
+  val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
   mapper.registerModule(DefaultScalaModule)
@@ -505,6 +505,18 @@ object CorpusPipeline {
         if (df.columns.contains("rank"))
           chunks.join(df.select(col(id), col("rank")), Seq(id))
         else chunks
+      case "epoch_mix" =>
+        // terminal: the epoch-expanded (id, stratum, copy_idx) manifest
+        // a training loader consumes — strata are language guesses,
+        // target shares come from `rates`, small strata REPEAT up to
+        // max_repeat epochs (config field reuse: `rates` is the same
+        // map stratified_sample takes; `n` caps the repeats)
+        require(st.ratesVal.nonEmpty, "epoch_mix needs target rates")
+        Sampling.epochMixture(
+            df.withColumn("__graft_lang", TA.langId(text)),
+            col(id), col("__graft_lang"), st.ratesVal,
+            maxRepeat = st.nVal(10).toDouble)
+          .withColumnRenamed("doc_id", id)
       case "pack" =>
         val packed = Sampling.packSequences(df, col(id), TA.tokenCount(text),
             st.shardsVal(8), st.windowVal(2048))

@@ -684,6 +684,17 @@ object OpsQueries {
         .select(col("doc_id"), col("stratum"), col("copy_idx"))
     }),
 
+    // the same epoch expansion targeted in TOKEN mass — what a
+    // training mix actually specifies: each stratum's repeat factor
+    // derives from its token share, not its doc share
+    "x_epoch_mixture_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang_guess", TA.langId(col("text")))
+      Sampling.epochMixture(docs, col("doc_id"), col("lang_guess"),
+          Map("en" -> 0.5, "und" -> 0.5), weight = TA.tokenCount(col("text")))
+        .select(col("doc_id"), col("stratum"), col("copy_idx"))
+    }),
+
     // temperature-weighted mixing: output composition ∝ count^0.5 —
     // the α-smoothing knob between the natural mix (α=1) and uniform
     // strata (α→0); smallest stratum kept whole, larger ones
@@ -1698,6 +1709,25 @@ object OpsQueries {
           |  ('en', CAST(0.5 AS DOUBLE)), ('und', CAST(0.5 AS DOUBLE))),
           |l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess FROM documents),
           |counts AS (SELECT lang_guess AS stratum, CAST(count(*) AS DOUBLE) AS c FROM l GROUP BY 1),
+          |j AS (SELECT counts.stratum, counts.c, shares.share FROM counts JOIN shares USING (stratum)),
+          |tot AS (SELECT SUM(c) AS t FROM j),
+          |rr AS (SELECT stratum,
+          |  CAST(floor(LEAST(share * tot.t / c, 10.0)) AS BIGINT) AS fullc,
+          |  floor((LEAST(share * tot.t / c, 10.0) - floor(LEAST(share * tot.t / c, 10.0))) * 1000) AS thr
+          |FROM j, tot),
+          |series AS (SELECT unnest(range(11)) AS copy_idx),
+          |e AS (SELECT doc_id, stratum, fullc, thr, copy_idx
+          |FROM l JOIN rr ON rr.stratum = l.lang_guess
+          |CROSS JOIN series WHERE copy_idx <= fullc)
+          |SELECT doc_id, stratum, CAST(copy_idx AS BIGINT) AS copy_idx FROM e
+          |WHERE copy_idx < fullc
+          |   OR CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
+    "x_epoch_mixture_tokens" ->
+      (s"""WITH shares(stratum, share) AS (VALUES
+          |  ('en', CAST(0.5 AS DOUBLE)), ('und', CAST(0.5 AS DOUBLE))),
+          |l AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
+          |  ${TA.tokenCountSql("text")} AS ntok FROM documents),
+          |counts AS (SELECT lang_guess AS stratum, CAST(SUM(ntok) AS DOUBLE) AS c FROM l GROUP BY 1),
           |j AS (SELECT counts.stratum, counts.c, shares.share FROM counts JOIN shares USING (stratum)),
           |tot AS (SELECT SUM(c) AS t FROM j),
           |rr AS (SELECT stratum,

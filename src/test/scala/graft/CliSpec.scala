@@ -367,6 +367,26 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() > 0, "pack terminal produced no sequences")
   }
 
+  test("cli: epoch_mix terminal emits the repeat manifest from config") {
+    val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: epoch_mix
+         |    rates:
+         |      en: 0.5
+         |      und: 0.5
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val got = spark.read.parquet(outDir)
+    assert(got.columns.toSet == Set("doc_id", "stratum", "copy_idx"))
+    assert(got.count() > 0)
+    assert(got.agg(org.apache.spark.sql.functions.max($"copy_idx")).head.getLong(0) >= 1L,
+      "the minority stratum should run more than one epoch at a 50/50 target")
+  }
+
   test("cli: corpus run --into admits shards incrementally, equal to from-scratch on the union") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-corpus-inc-").toString

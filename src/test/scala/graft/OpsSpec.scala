@@ -703,6 +703,16 @@ class OpsSpec extends SparkSpec {
     val out = Dedup.incrementalExactDedup(corpus, batch, "doc_id", $"text")
       .select($"doc_id").as[Long].collect().toSet
     assert(out == Set(20L, 40L))
+    // the persisted-artifact path: same verdict, and the corpus-sized
+    // side must never shuffle — it streams map-side against a
+    // broadcast of the batch's fingerprints
+    val art = corpus.select(graft.ops.TextAnalysis.fingerprint($"text").as("fp"))
+    val viaArt = Dedup.incrementalExactDedup(corpus, batch, "doc_id", $"text",
+      corpusFps = Some(art))
+    assert(viaArt.select($"doc_id").as[Long].collect().toSet == Set(20L, 40L))
+    val plan = viaArt.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "artifact admission must not sort-merge (shuffle) the corpus fingerprint set")
   }
 
   test("incremental near-dup: finds planted batch↔corpus pair, never pairs corpus with itself") {

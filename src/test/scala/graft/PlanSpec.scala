@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled against a handful of rate rows")
   }
 
+  test("epoch mixing broadcasts its rate table and explodes narrowly — no corpus shuffle") {
+    val p = plan("x_epoch_mixture")
+    assert(p.contains("BroadcastHashJoin"), "per-stratum repeat factors should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled against a handful of rate rows")
+    assert(p.contains("Generate"), "epoch copies must come from a narrow explode")
+  }
+
   test("context-window chunking is a pure narrow explode — zero exchanges") {
     val p = plan("x_chunk_documents")
     assert(!p.contains("Exchange"),

@@ -160,7 +160,7 @@ object CorpusPipeline {
     * persisted corpus index.
     */
   val IncrementalKinds: Set[String] =
-    StreamableKinds ++ Set("dedup_exact", "dedup_near")
+    StreamableKinds ++ Set("dedup_exact", "dedup_near", "dedup_semantic")
 
   /** Incremental admission: run the configured chain over a NEW shard
     * (`input_dir`) against a PRIOR run's output at `priorDir`, appending
@@ -168,8 +168,10 @@ object CorpusPipeline {
     * day's crawl is admitted without re-deduplicating the corpus.
     *
     * Beside the output, under `<priorDir>.artifacts/`, live the
-    * fingerprint set (`fp/`) and the MinHash-LSH band index (`lsh/`) of
-    * everything admitted so far: built once from the prior output if
+    * fingerprint set (`fp/`), the MinHash-LSH band index (`lsh/`), and
+    * — when a `dedup_semantic` stage is configured — the cosine-LSH
+    * bucket index (`coslsh/`) of everything admitted so far: built
+    * once from the prior output if
     * absent (the only time corpus text is read), extended with each
     * increment's survivors, and read — never rebuilt — on every later
     * run, so an increment costs O(batch), not O(corpus). All paths go
@@ -193,7 +195,8 @@ object CorpusPipeline {
       s"incremental corpus run admits only ${IncrementalKinds.toSeq.sorted.mkString(", ")} — " +
         s"got: ${badKinds.mkString(", ")} (corpus-wide stages need a from-scratch `corpus run`)")
     val kinds = conf.stages.map(_.kind)
-    val firstDedup = kinds.indexWhere(k => k == "dedup_exact" || k == "dedup_near")
+    val firstDedup = kinds.indexWhere(k =>
+      k == "dedup_exact" || k == "dedup_near" || k == "dedup_semantic")
     require(firstDedup < 0 || kinds.drop(firstDedup).forall(!StreamableKinds.contains(_)),
       "per-row stages must precede the dedup stages in an incremental chain " +
         "(they rewrite the text the dedup keys are hashed from)")
@@ -276,10 +279,39 @@ object CorpusPipeline {
       next
     }
 
+    val semStage = conf.stages.find(_.kind == "dedup_semantic")
+    val admittedSem = semStage.fold(admitted) { st =>
+      val embDir = graft.config.GraftConfig.substituteEnvVar(
+        st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic needs embeddings_dir")))
+      // the sidecar must cover BOTH the ingested corpus and the shard —
+      // an upstream embedder maintains it alongside the crawl
+      val emb = spark.read.parquet(embDir)
+        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
+          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+      val cosPath = new Path(artRoot, "coslsh")
+      if (!ready(cosPath)) {
+        out(s"building cosine-LSH index artifact $cosPath from prior output")
+        graft.ops.Similarity.buildCosineLshIndex(
+            emb.join(prior.select(col(id)), Seq(id), "left_semi"), id, "__graft_vec")
+          .write.mode("overwrite").parquet(cosPath.toString)
+      }
+      val batchVecs = emb.join(admitted.select(col(id)), Seq(id), "left_semi")
+      val corpusVecs = emb.join(prior.select(col(id)), Seq(id), "left_semi")
+      val pairs = graft.ops.Similarity.incrementalCosinePairs(
+        corpusVecs, batchVecs, id, "__graft_vec", st.thresholdVal(0.4),
+        corpusIndex = Some(spark.read.parquet(cosPath.toString)))
+      val drops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
+        .withColumnRenamed("doc_id", id)
+      val next = admitted.join(drops, Seq(id), "left_anti")
+      out(f"stage dedup_semantic rows=${next.count()}")
+      next
+    }
+
     // truncate lineage before touching the target: the admitted frame
     // is O(batch) by design, and appending to a path the plan also
     // reads is only safe once the plan no longer reads it
-    val batchOut = admitted.localCheckpoint(true)
+    val batchOut = admittedSem.localCheckpoint(true)
     batchOut.write.mode("append").parquet(priorDir)
     // extend the artifacts with the survivors so the NEXT increment
     // admits against the updated corpus without reading its text
@@ -290,6 +322,15 @@ object CorpusPipeline {
     nearStage.foreach { st =>
       Dedup.buildLshIndex(batchOut, id, col("text"), st.nVal(3))
         .write.mode("append").parquet(new Path(artRoot, "lsh").toString)
+    }
+    semStage.foreach { st =>
+      val emb = spark.read.parquet(graft.config.GraftConfig.substituteEnvVar(
+          st.embeddings_dir.get))
+        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
+          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+      graft.ops.Similarity.buildCosineLshIndex(
+          emb.join(batchOut.select(col(id)), Seq(id), "left_semi"), id, "__graft_vec")
+        .write.mode("append").parquet(new Path(artRoot, "coslsh").toString)
     }
     val appended = batchOut.count()
     out(s"admitted $appended rows into $priorDir")

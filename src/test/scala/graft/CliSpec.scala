@@ -451,6 +451,74 @@ class CliSpec extends SparkSpec {
     assert(got == scratch, "incremental admission diverged from the from-scratch union run")
   }
 
+  test("cli: incremental dedup_semantic admits against the cosine-LSH artifact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-sem-").toString
+    val vocab = ('a' to 'z').map(c => s"u$c")
+    def sent(f: Int => String): String = Seq.tabulate(40)(f).mkString(" ")
+    // textually-unrelated docs; similarity lives in the vectors. The
+    // seed corpus needs >= 16 vectors for the batch run's k-means
+    // training floor.
+    def text(i: Long): String = sent(j => vocab(((j + 1) * (i + 3)).toInt % 26))
+    def basis(k: Int, eps: Float = 0f, k2: Int = 1): Array[Float] = {
+      val v = Array.fill(64)(0f); v(k) = 1f; if (eps != 0f) v(k2) = eps; v
+    }
+    // 101 ≈ corpus vec 1 (cos ≈ 0.99) → dropped; 102 fresh; 103 ≈ 102 →
+    // in-batch semantic dup, min id 102 survives
+    val seedIds = (1L to 20L)
+    val vecs = seedIds.map(i => (i, basis((i - 1).toInt))) ++ Seq(
+      (101L, basis(0, 0.14f, 50)), (102L, basis(30)), (103L, basis(30, 0.14f, 51)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$root/emb")
+    seedIds.map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.parquet(s"$root/seed")
+    Seq(101L, 102L, 103L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.parquet(s"$root/shard")
+    val outDir = s"$root/corpus"
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $outDir
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_semantic
+           |    embeddings_dir: $root/emb
+           |    threshold: 0.4
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/shard"), "--into", outDir),
+      spark, printed += _) == 0)
+    assert(printed.exists(_.contains("building cosine-LSH index artifact")))
+    def ids(): Set[Long] =
+      spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(ids() == seedIds.toSet + 102L, s"semantic admission got ${ids()}")
+    // a second shard: 201 ≈ 102 (admitted LAST increment — proves the
+    // artifact extension), 202 fresh; no rebuild line this time
+    Seq((201L, sent(i => vocab((i * 13 + 5) % 26))),
+        (202L, sent(i => vocab((i * 17 + 6) % 26))))
+      .toDF("doc_id", "text").write.parquet(s"$root/shard2")
+    (vecs ++ Seq((201L, basis(30, 0.1f, 52)), (202L, basis(40))))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$root/emb2")
+    Files.write(java.nio.file.Paths.get(s"$root/conf2.yaml"),
+      s"""input_dir: $root/shard2
+         |output_dir: $outDir
+         |stages:
+         |  - kind: dedup_exact
+         |  - kind: dedup_semantic
+         |    embeddings_dir: $root/emb2
+         |    threshold: 0.4
+         |""".stripMargin.getBytes("UTF-8"))
+    printed.clear()
+    assert(Cli.run(Seq("corpus", "run", s"$root/conf2.yaml", "--into", outDir),
+      spark, printed += _) == 0)
+    assert(!printed.exists(_.contains("building cosine-LSH")),
+      "second increment rebuilt the cosine index instead of reading it")
+    assert(ids() == seedIds.toSet + 102L + 202L, s"second increment got ${ids()}")
+  }
+
   test("cli: corpus stream --into admits JSONL micro-batches against the artifacts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-csi-").toString

@@ -171,6 +171,13 @@ object ProbeScale {
         } finally mixed.unpersist()
       } finally { desp.unpersist(); gated.unpersist() }
     }
+    // epoch mixing at mult×: a skinny stratum agg + broadcast rate join
+    // + bounded narrow explode — cost must track the corpus scan plus
+    // the (share-determined) output volume, never a corpus shuffle
+    time("epoch_mixture")(
+      graft.ops.Sampling.epochMixture(
+        docs.withColumn("lang", graft.ops.TextAnalysis.langId(col("text"))),
+        col("doc_id"), col("lang"), Map("en" -> 0.5, "und" -> 0.5)).count())
     // global rank at mult×: one range shuffle + a narrow local index;
     // the only driver state is the ≤P-row offset table, so cost must
     // stay linear in the corpus (forcing max(rank) materializes every

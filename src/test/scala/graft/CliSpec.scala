@@ -326,6 +326,14 @@ class CliSpec extends SparkSpec {
       graft.pipeline.CorpusPipeline.ShapingKinds.contains(k) ||
         graft.pipeline.CorpusPipeline.TerminalKinds.contains(k)))
     assert(graft.pipeline.CorpusPipeline.TerminalKinds.contains(cp.stages.last.kind))
+    // the incremental example: loadable, every kind admitted by the
+    // incremental path, dedup_exact present (the streaming-idempotence
+    // requirement), checkpoint_dir set for the stream form
+    val ci = graft.pipeline.CorpusPipeline.load("examples/corpus-incremental.yaml")
+    assert(ci.stages.map(_.kind).forall(
+      graft.pipeline.CorpusPipeline.IncrementalKinds.contains))
+    assert(ci.stages.exists(_.kind == "dedup_exact"))
+    assert(ci.checkpoint_dir.nonEmpty)
   }
 
   test("cli: corpus run chains semantic dedup and exact-substr scrub from config") {

@@ -66,14 +66,37 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), prior, out)
         0
 
+      case Seq("corpus", "compact", path) =>
+        // after N incremental admissions the output and every artifact
+        // dir carry N file groups — rewrite each to a few right-sized
+        // files (duplicates collapsed), admission semantics unchanged
+        graft.pipeline.CorpusPipeline.compact(
+          spark, graft.pipeline.CorpusPipeline.load(path), out)
+        0
+
       case Seq("corpus", "stream", path) =>
-        // continuous ingest form: watched JSONL dir → stateless stages
-        // → corpus admission → exactly-once parquet append
+        // bounded ingest form: watched JSONL dir → stateless stages
+        // → corpus admission → exactly-once parquet append; processes
+        // the backlog (availableNow) and stops
         val cp = graft.pipeline.CorpusPipeline.load(path)
         graft.pipeline.CorpusPipeline.runStream(spark, cp,
           cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
             throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
           cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out)
+        0
+
+      case Seq("corpus", "stream", path, "--continuous", restArgs @ _*) =>
+        // continuous watcher: same chain and checkpoint, but the query
+        // stays alive — every new JSONL drop lands as its own
+        // micro-batch until the process is stopped
+        val cp = graft.pipeline.CorpusPipeline.load(path)
+        val interval = restArgs.headOption.getOrElse("10 seconds")
+        graft.pipeline.CorpusPipeline.startStream(spark, cp,
+          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
+          cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+          .awaitTermination()
         0
 
       case Seq("corpus", "stream", path, "--into", prior) =>
@@ -84,6 +107,18 @@ object Cli {
           cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
             throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
           out)
+        0
+
+      case Seq("corpus", "stream", path, "--into", prior, "--continuous", restArgs @ _*) =>
+        // continuous incremental watcher: artifact-backed admission per
+        // micro-batch, query stays alive across drops
+        val cp = graft.pipeline.CorpusPipeline.load(path)
+        val interval = restArgs.headOption.getOrElse("10 seconds")
+        graft.pipeline.CorpusPipeline.startStreamIncremental(spark, cp, prior,
+          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
+          out, org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+          .awaitTermination()
         0
 
       case Seq("source", "schema") =>

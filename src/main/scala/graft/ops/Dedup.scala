@@ -296,8 +296,9 @@ object Dedup {
     */
   def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
                             id: String, text: Column,
-                            corpusFps: Option[DataFrame] = None): DataFrame = {
-    val batchKeep = batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+                            corpusFps: Option[DataFrame] = None,
+                            broadcastMaxRows: Long = ProbeMaxKeys): DataFrame = {
+    val batchKeep0 = batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(col(id)).as(id))
     corpusFps match {
       // the persisted fingerprint artifact (one `fp` column) — the
@@ -306,20 +307,57 @@ object Dedup {
       // every increment. Instead the artifact streams MAP-SIDE against
       // a broadcast of the batch's fps (inner join → the hit set,
       // batch-bounded), and the batch anti-joins that tiny set — the
-      // only exchanges are batch-sized.
+      // only exchanges are batch-sized. The broadcast is guarded: a
+      // batch too large to ship to every executor (driver memory, the
+      // hard broadcast-size cap) falls back to the plain artifact
+      // anti-join — at that batch size the corpus-side shuffle is
+      // proportionally acceptable, and failing the increment is not.
       case Some(art) =>
-        val hits = art.select(col("fp"))
-          .join(broadcast(batchKeep.select(col("fp"))), Seq("fp"))
-          .distinct()
-        batchKeep.join(hits, Seq("fp"), "left_anti").select(col(id), col("fp"))
+        val batchKeep = batchKeep0.localCheckpoint(true)
+        if (batchKeep.count() <= broadcastMaxRows) {
+          val hits = art.select(col("fp"))
+            .join(broadcast(batchKeep.select(col("fp"))), Seq("fp"))
+            .distinct()
+          batchKeep.join(hits, Seq("fp"), "left_anti").select(col(id), col("fp"))
+        } else
+          batchKeep.join(art.select(col("fp")), Seq("fp"), "left_anti")
+            .select(col(id), col("fp"))
       // no artifact: reduce the corpus text to its fingerprint set
       // once (the O(corpus) pass a real deployment persists)
       case None =>
-        batchKeep.join(
+        batchKeep0.join(
             corpus.select(TextAnalysis.fingerprint(text).as("fp")).distinct(),
             Seq("fp"), "left_anti")
           .select(col(id), col("fp"))
     }
+  }
+
+  /** Default cap on probe-set size for the map-side index probes below:
+    * keys/fingerprints up to this count broadcast (a hash set every
+    * executor holds — at 2M skinny rows, tens of MB); above it the
+    * probe degrades gracefully to a plain join the optimizer plans.
+    */
+  val ProbeMaxKeys: Long = 2000000L
+
+  /** Map-side probe of a persisted corpus-sized index: restrict the
+    * index scan to the batch's own bucket keys by inner-joining it
+    * against a BROADCAST of those keys BEFORE candidate generation —
+    * the index then streams through a broadcast-hash join with ZERO
+    * index-side Exchange, and everything downstream is bounded by
+    * batch size × collision rate. Without this, once the batch side
+    * outgrows the auto-broadcast threshold, the candidate equi-join
+    * re-shuffles the corpus-sized index on EVERY increment — the exact
+    * cost the fingerprint path engineered away. The probe is guarded
+    * like the fingerprint broadcast: a batch whose distinct key set
+    * exceeds `maxKeys` passes the index through un-probed (plain join,
+    * AQE decides — or the caller supplies a bucketed index, whose
+    * layout already makes the join shuffle-free on this side).
+    */
+  private[graft] def probeIndex(index: DataFrame, batchRows: DataFrame,
+                                keyCols: Seq[String],
+                                maxKeys: Long = ProbeMaxKeys): DataFrame = {
+    val keys = batchRows.select(keyCols.map(col): _*).distinct().localCheckpoint(true)
+    if (keys.count() <= maxKeys) index.join(broadcast(keys), keyCols) else index
   }
 
   /** The persistable LSH index of a corpus: exploded (doc, band,
@@ -385,11 +423,23 @@ object Dedup {
         s"corpusIndex was built with (n=$in, numHashes=$ih, bands=$ib) " +
           s"but this increment uses (n=$n, numHashes=$numHashes, bands=$bands)")
     }
+    // checkpointed (skinny — three longs a row): read by the probe-key
+    // distinct, the self-join, and the cross join below
     val batchBuckets = bandBuckets(minhashSigs(batch, id, text, n, numHashes), numHashes, bands)
+      .localCheckpoint(true)
     // prefer the persisted index (the 100 TB path — see buildLshIndex);
-    // recompute from corpus text only when none is supplied
-    val corpusBuckets = corpusIndex.map(_.select(col("doc"), col("band"), col("bucket")))
-      .getOrElse(buildLshIndex(corpus, id, text, n, numHashes, bands))
+    // recompute from corpus text only when none is supplied. A supplied
+    // index is PROBED map-side (see [[probeIndex]]) so the candidate
+    // join never re-shuffles the corpus-sized side — this holds even
+    // for the plain-parquet layout the CLI admission persists, not just
+    // the bucketed one (OpsSpec asserts zero index-side Exchange on
+    // both, with AQE and auto-broadcast disabled).
+    val corpusBuckets = corpusIndex match {
+      case Some(idx) =>
+        probeIndex(idx.select(col("doc"), col("band"), col("bucket")),
+          batchBuckets, Seq("band", "bucket"))
+      case None => buildLshIndex(corpus, id, text, n, numHashes, bands)
+    }
     // Materialized once (skinny — two longs per pair): read again by
     // the colliding-doc filter below and by the verify joins.
     val candidates = incrementalCandidates(batchBuckets, corpusBuckets)

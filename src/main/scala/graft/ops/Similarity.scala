@@ -232,9 +232,20 @@ object Similarity {
           s"dim=${m.getLong("graft.dim")}, seeds=${m.getString("graft.seeds")}) but this " +
           s"increment uses (numPlanes=$numPlanes, dim=$dim, seeds=${seeds.mkString(",")})")
     }
+    // checkpointed (skinny): read by the probe-key distinct and both
+    // candidate joins
     val batchBuckets = seedBucketRows(batch, id, vec, numPlanes, dim, seeds, keepVec = false)
-    val corpusBuckets = corpusIndex.map(_.select(col("doc"), col("seed"), col("bucket")))
-      .getOrElse(buildCosineLshIndex(corpus, id, vec, numPlanes, dim, seeds))
+      .localCheckpoint(true)
+    // a supplied index is probed map-side against a broadcast of the
+    // batch's own (seed, bucket) keys, so the candidate join never
+    // re-shuffles the corpus-sized side even when the index is plain
+    // parquet (same lever as the text path — Dedup.probeIndex)
+    val corpusBuckets = corpusIndex match {
+      case Some(idx) =>
+        Dedup.probeIndex(idx.select(col("doc"), col("seed"), col("bucket")),
+          batchBuckets, Seq("seed", "bucket"))
+      case None => buildCosineLshIndex(corpus, id, vec, numPlanes, dim, seeds)
+    }
     // batch×batch one-oriented; batch×corpus canonicalized (orientation
     // arbitrary across distinct frames) — same shapes as the text path
     val self = batchBuckets.as("l").join(batchBuckets.as("r"), Seq("seed", "bucket"))

@@ -30,6 +30,9 @@ final case class CorpusStageConf(
     shards: Option[Number],
     rates: Option[Map[String, Number]],
     default_rate: Option[Number],
+    // epoch_mix: what mass the target shares weigh — "docs" (default)
+    // or "tokens" (what a training mix actually specifies)
+    weight: Option[String],
     // scrub_exact_substr: spans duplicated >= min_count times are cut
     min_count: Option[Number],
     // dedup_semantic: where the (vec_id, embedding) table lives and how
@@ -179,14 +182,25 @@ object CorpusPipeline {
     * datastore).
     *
     * Equality contract (CliSpec-pinned): when the shard's ids sort
-    * after the corpus's — the natural shape for append-only ingest —
-    * the output after admission equals a from-scratch run of the same
-    * chain over the union of the inputs: exact admission drops a batch
-    * row whose fingerprint is already ingested (= union's min-id
-    * keeper), near admission drops batch rows landing in a cluster
-    * with an ingested (lower-id) member and keeps each batch-only
-    * cluster's min id. Per-row stages must precede the dedup stages in
-    * the chain, because they rewrite the text the dedup keys hash.
+    * after the corpus's — the natural shape for append-only ingest,
+    * ENFORCED loudly in `admitBatch` — the output after admission
+    * equals a from-scratch run of the same chain over the union of the
+    * inputs: exact admission drops a batch row whose fingerprint is
+    * already ingested (= union's min-id keeper), near admission drops
+    * batch rows landing in a cluster with an ingested (lower-id)
+    * member and keeps each batch-only cluster's min id. The contract
+    * is TRANSITIVE across increments: the artifacts index not just
+    * survivors but every row an increment dedup-dropped (fingerprints
+    * of all shaped rows; LSH rows plus `near_dropped/` text for
+    * near/semantic drops; `sem_dropped/` ids for the vector lookup),
+    * so a later shard row duplicating a previously DROPPED row is
+    * still rejected, exactly as the union run rejects it via the
+    * transitive cluster. The one scoped exception: rows the INITIAL
+    * from-scratch `corpus run` dropped are not in the bootstrap-built
+    * artifacts (that run records no drop set), so equality is over the
+    * union of the prior OUTPUT and the shards. Per-row stages must
+    * precede the dedup stages in the chain, because they rewrite the
+    * text the dedup keys hash.
     */
   /** Shared validation for the incremental paths. */
   private def requireIncrementalChain(conf: CorpusPipelineConf): Unit = {
@@ -217,7 +231,8 @@ object CorpusPipeline {
     */
   private def admitBatch(spark: SparkSession, conf: CorpusPipelineConf,
                          docs0: DataFrame, priorDir: String,
-                         out: String => Unit): Long = {
+                         out: String => Unit,
+                         streamBatchId: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val id = conf.idCol
     val fs = new Path(priorDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -226,6 +241,16 @@ object CorpusPipeline {
     val prior = spark.read.parquet(priorDir)
     val artRoot = new Path(priorDir + ".artifacts")
     def ready(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+
+    // streaming replay, fast path: a batch whose completion marker
+    // committed was FULLY admitted (output appended, every artifact
+    // extended) — skip it outright. The marker is written as the LAST
+    // step below, so its existence proves every earlier append landed.
+    val marker = streamBatchId.map(b => new Path(artRoot, s"_batch-$b"))
+    if (marker.exists(fs.exists(_))) {
+      out(s"batch marker ${marker.get.getName} present — already admitted, skipping replay")
+      return 0L
+    }
 
     val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
       (if (docs0.columns.contains("source") && conf.textCol != "source")
@@ -243,17 +268,87 @@ object CorpusPipeline {
 
     val exactStage = conf.stages.find(_.kind == "dedup_exact")
     val nearStage = conf.stages.find(_.kind == "dedup_near")
+    val semStage = conf.stages.find(_.kind == "dedup_semantic")
+    val embFrame: Option[DataFrame] = semStage.map { st =>
+      val embDir = graft.config.GraftConfig.substituteEnvVar(
+        st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic needs embeddings_dir")))
+      // the sidecar must cover BOTH the ingested corpus and the shard —
+      // an upstream embedder maintains it alongside the crawl
+      spark.read.parquet(embDir)
+        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
+          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+    }
+    def extendIndexes(rows: DataFrame): Unit = {
+      exactStage.foreach { _ =>
+        rows.select(TA.fingerprint(col("text")).as("fp")).distinct()
+          .write.mode("append").parquet(new Path(artRoot, "fp").toString)
+      }
+      nearStage.foreach { st =>
+        Dedup.buildLshIndex(rows, id, col("text"), st.nVal(3))
+          .write.mode("append").parquet(new Path(artRoot, "lsh").toString)
+      }
+      semStage.foreach { _ =>
+        graft.ops.Similarity.buildCosineLshIndex(
+            embFrame.get.join(rows.select(col(id)), Seq(id), "left_semi"),
+            id, "__graft_vec")
+          .write.mode("append").parquet(new Path(artRoot, "coslsh").toString)
+      }
+    }
 
-    val afterExact = exactStage.fold(shaped) { _ =>
+    // The equality contract (see the scaladoc above runIncremental)
+    // requires batch ids to sort strictly AFTER everything already
+    // admitted. Batch mode enforces it loudly — an id-reusing shard
+    // would otherwise DIVERGE SILENTLY from the from-scratch union (the
+    // union's keeper would be the batch row; the incremental path keeps
+    // the immutable corpus row) and a duplicate id double-appends.
+    // Streaming mode instead treats overlap as what the checkpointed
+    // source makes it: a crash-replayed micro-batch whose corpus append
+    // committed but whose artifact extensions may not have — the
+    // already-admitted rows are dropped from the batch and the indexes
+    // are re-extended with them FIRST (duplicate index rows are
+    // harmless: every consumer dedups), so the remainder re-admits
+    // against complete artifacts. This is also why a streaming shard
+    // must keep the same monotone-id discipline: a reused id is
+    // indistinguishable from a replay and is treated as already
+    // admitted.
+    val batchIn = streamBatchId match {
+      case None =>
+        val chk = shaped.select(min(col(id)).as("bmin"))
+          .crossJoin(prior.select(max(col(id)).as("pmax"))).first()
+        if (!chk.isNullAt(0) && !chk.isNullAt(1)) {
+          val (bmin, pmax) = (chk.get(0), chk.get(1))
+          require(bmin.asInstanceOf[Comparable[Any]].compareTo(pmax) > 0,
+            s"shard ids must sort after the admitted corpus's (batch min $id=$bmin " +
+              s"<= prior max $id=$pmax) — the incremental==from-scratch equality " +
+              "contract breaks otherwise. If this is a retry of a crashed " +
+              "`corpus run --into`, use `corpus stream --into` (replay-safe) or " +
+              "restore the prior output from before the crash.")
+        }
+        shaped
+      case Some(_) =>
+        val overlap = shaped.join(prior.select(col(id)), Seq(id), "left_semi")
+          .localCheckpoint(true)
+        if (overlap.count() == 0) shaped
+        else {
+          out(s"replayed batch: ${overlap.count()} rows already admitted — " +
+            "re-extending artifacts, re-admitting the remainder")
+          extendIndexes(overlap)
+          shaped.join(prior.select(col(id)), Seq(id), "left_anti")
+        }
+    }
+
+    val afterExact = exactStage.fold(batchIn) { _ =>
       val fpPath = new Path(artRoot, "fp")
       if (!ready(fpPath)) {
         out(s"building fingerprint artifact $fpPath from prior output")
         prior.select(TA.fingerprint(col("text")).as("fp")).distinct()
           .write.mode("overwrite").parquet(fpPath.toString)
       }
-      val survivors = Dedup.incrementalExactDedup(prior, shaped, id, col("text"),
+      val survivors = Dedup.incrementalExactDedup(prior, batchIn, id, col("text"),
         corpusFps = Some(spark.read.parquet(fpPath.toString)))
-      val next = shaped.join(survivors.select(col(id)), Seq(id), "left_semi")
+      val next = batchIn.join(survivors.select(col(id)), Seq(id), "left_semi")
+        .localCheckpoint(true)
       out(f"stage dedup_exact rows=${next.count()}")
       next
     }
@@ -265,7 +360,20 @@ object CorpusPipeline {
         Dedup.buildLshIndex(prior, id, col("text"), n)
           .write.mode("overwrite").parquet(lshPath.toString)
       }
-      val pairs = Dedup.incrementalNearDupPairs(prior, afterExact, id, col("text"),
+      // the verification text side covers everything the index covers:
+      // the prior OUTPUT plus rows past increments near/semantic-
+      // DROPPED (`near_dropped/`) — so a batch row transitively
+      // duplicating a dropped row (B∼dropped D∼keeper K, without B∼K)
+      // is verified against D's text and rejected, exactly as the
+      // from-scratch union run rejects it via the transitive cluster
+      val nearDroppedPath = new Path(artRoot, "near_dropped")
+      val corpusTexts0 = prior.select(col(id), col("text"))
+      val corpusTexts =
+        if (fs.exists(nearDroppedPath))
+          corpusTexts0.unionByName(spark.read.parquet(nearDroppedPath.toString))
+        else corpusTexts0
+      val pairs = Dedup.incrementalNearDupPairs(
+        corpusTexts, afterExact.select(col(id), col("text")), id, col("text"),
         n = n, threshold = thr,
         corpusIndex = Some(spark.read.parquet(lshPath.toString)))
       // drop only BATCH members of each cluster: ingested rows are
@@ -274,21 +382,13 @@ object CorpusPipeline {
       // ids sort after corpus ids
       val drops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
         .withColumnRenamed("doc_id", id)
-      val next = afterExact.join(drops, Seq(id), "left_anti")
+      val next = afterExact.join(drops, Seq(id), "left_anti").localCheckpoint(true)
       out(f"stage dedup_near rows=${next.count()}")
       next
     }
 
-    val semStage = conf.stages.find(_.kind == "dedup_semantic")
     val admittedSem = semStage.fold(admitted) { st =>
-      val embDir = graft.config.GraftConfig.substituteEnvVar(
-        st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
-          "dedup_semantic needs embeddings_dir")))
-      // the sidecar must cover BOTH the ingested corpus and the shard —
-      // an upstream embedder maintains it alongside the crawl
-      val emb = spark.read.parquet(embDir)
-        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
-          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+      val emb = embFrame.get
       val cosPath = new Path(artRoot, "coslsh")
       if (!ready(cosPath)) {
         out(s"building cosine-LSH index artifact $cosPath from prior output")
@@ -297,7 +397,15 @@ object CorpusPipeline {
           .write.mode("overwrite").parquet(cosPath.toString)
       }
       val batchVecs = emb.join(admitted.select(col(id)), Seq(id), "left_semi")
-      val corpusVecs = emb.join(prior.select(col(id)), Seq(id), "left_semi")
+      // vector lookup must cover every id the coslsh index holds — the
+      // prior output plus past increments' semantically-dropped ids
+      // (`sem_dropped/`; their vectors still live in the sidecar)
+      val semDroppedPath = new Path(artRoot, "sem_dropped")
+      val indexedIds =
+        if (fs.exists(semDroppedPath))
+          prior.select(col(id)).unionByName(spark.read.parquet(semDroppedPath.toString))
+        else prior.select(col(id))
+      val corpusVecs = emb.join(indexedIds, Seq(id), "left_semi")
       val pairs = graft.ops.Similarity.incrementalCosinePairs(
         corpusVecs, batchVecs, id, "__graft_vec", st.thresholdVal(0.4),
         corpusIndex = Some(spark.read.parquet(cosPath.toString)))
@@ -313,28 +421,104 @@ object CorpusPipeline {
     // reads is only safe once the plan no longer reads it
     val batchOut = admittedSem.localCheckpoint(true)
     batchOut.write.mode("append").parquet(priorDir)
-    // extend the artifacts with the survivors so the NEXT increment
-    // admits against the updated corpus without reading its text
+    // Extend the artifacts so the NEXT increment admits against the
+    // updated corpus without reading its text. Coverage is deliberately
+    // WIDER than the survivors — it is what makes admission transitive
+    // across increments, matching the from-scratch union run:
+    //   fp     ← every shaped batch row (a future exact-dup of a row
+    //            this increment dropped anywhere must still be
+    //            rejected, as exact dedup over the union would);
+    //   lsh    ← every exact-survivor (near/semantic-dropped rows stay
+    //            indexed; their text goes to near_dropped/ below so
+    //            future collisions against them verify);
+    //   coslsh ← every row that reached the semantic stage.
     exactStage.foreach { _ =>
-      batchOut.select(TA.fingerprint(col("text")).as("fp")).distinct()
+      batchIn.select(TA.fingerprint(col("text")).as("fp")).distinct()
         .write.mode("append").parquet(new Path(artRoot, "fp").toString)
     }
     nearStage.foreach { st =>
-      Dedup.buildLshIndex(batchOut, id, col("text"), st.nVal(3))
+      Dedup.buildLshIndex(afterExact, id, col("text"), st.nVal(3))
         .write.mode("append").parquet(new Path(artRoot, "lsh").toString)
+      // rows in the lsh index but NOT in the output — their text backs
+      // exact-Jaccard verification of future collisions against them
+      afterExact.join(batchOut.select(col(id)), Seq(id), "left_anti")
+        .select(col(id), col("text"))
+        .write.mode("append").parquet(new Path(artRoot, "near_dropped").toString)
     }
-    semStage.foreach { st =>
-      val emb = spark.read.parquet(graft.config.GraftConfig.substituteEnvVar(
-          st.embeddings_dir.get))
-        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
-          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+    semStage.foreach { _ =>
       graft.ops.Similarity.buildCosineLshIndex(
-          emb.join(batchOut.select(col(id)), Seq(id), "left_semi"), id, "__graft_vec")
+          embFrame.get.join(admitted.select(col(id)), Seq(id), "left_semi"),
+          id, "__graft_vec")
         .write.mode("append").parquet(new Path(artRoot, "coslsh").toString)
+      admitted.join(batchOut.select(col(id)), Seq(id), "left_anti")
+        .select(col(id))
+        .write.mode("append").parquet(new Path(artRoot, "sem_dropped").toString)
     }
+    // the completion marker commits LAST: its existence proves the
+    // output append AND every artifact extension landed, so a replay
+    // of this batch is a pure no-op (see the top of this method)
+    marker.foreach(m => fs.create(m, true).close())
     val appended = batchOut.count()
     out(s"admitted $appended rows into $priorDir")
     appended
+  }
+
+  /** Compact an incremental-admission target: every `corpus run --into`
+    * appends one more file group to the output parquet AND to each
+    * artifact under `<output>.artifacts/` (and the transitive-coverage
+    * artifacts accumulate duplicate rows by design) — after hundreds of
+    * daily admissions that is the classic small-files problem on
+    * exactly the tables every later admission reads. One pass rewrites
+    * each directory to a few size-targeted files with duplicates
+    * collapsed; admission SEMANTICS are unchanged (CliSpec: increments
+    * → compact → next increment equals the uncompacted timeline), and
+    * the batch completion markers are preserved. Rewriting the output
+    * refreshes its modification time, so any `ArtifactCache`-keyed
+    * artifact derived FROM it rebuilds on next use — the identity
+    * convention working as designed (a stale key would be the bug).
+    *
+    * Each directory swaps via write-to-temp → rename-away → rename-in →
+    * delete-old, so the vulnerable window is two filesystem metadata
+    * ops, and a crash leaves both the old and new copies on disk.
+    */
+  def compact(spark: SparkSession, conf: CorpusPipelineConf,
+              out: String => Unit, targetFileBytes: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = conf.outputDir
+    val fs = new Path(target).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(target)), s"nothing to compact: $target does not exist")
+    val id = conf.idCol
+
+    def rewrite(dir: Path, dedup: DataFrame => DataFrame): Unit = {
+      if (!fs.exists(new Path(dir, "_SUCCESS"))) return
+      val before = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+      val bytes = fs.getContentSummary(dir).getLength
+      val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val df = dedup(spark.read.parquet(dir.toString)).repartition(files)
+      val tmp = new Path(dir.getParent, dir.getName + ".compact-tmp")
+      val old = new Path(dir.getParent, dir.getName + ".compact-old")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(dir, old), s"compact: could not move $dir aside")
+      require(fs.rename(tmp, dir), s"compact: could not move $tmp into place " +
+        s"(previous data preserved at $old)")
+      fs.delete(old, true)
+      val after = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+      out(s"compacted $dir: $before -> $after files")
+    }
+
+    // output rows are unique by the admission contract — rewrite only
+    rewrite(new Path(target), identity)
+    val artRoot = new Path(target + ".artifacts")
+    if (fs.exists(artRoot)) {
+      rewrite(new Path(artRoot, "fp"), _.distinct())
+      // duplicate index rows (replay re-extension, transitive coverage)
+      // collapse here; dropDuplicates keeps the parameter-stamp column
+      // metadata the increments require
+      rewrite(new Path(artRoot, "lsh"), _.dropDuplicates())
+      rewrite(new Path(artRoot, "coslsh"), _.dropDuplicates())
+      rewrite(new Path(artRoot, "near_dropped"), _.dropDuplicates(Seq(id)))
+      rewrite(new Path(artRoot, "sem_dropped"), _.distinct())
+    }
   }
 
   /** Streaming incremental admission: watch `input_dir` for JSONL
@@ -346,32 +530,53 @@ object CorpusPipeline {
     * fingerprint/LSH artifacts the next admits against.
     *
     * Delivery: the checkpointed file source never re-delivers a
-    * COMMITTED batch; a batch replayed after a crash mid-append is
-    * re-admitted against artifacts that already contain its survivors,
-    * and the mandatory `dedup_exact` stage drops every one of them —
-    * the admission itself makes the append idempotent, which is why
-    * that stage is REQUIRED here (enforced below) while plain
-    * `runIncremental` merely recommends it.
+    * COMMITTED batch, and a batch replayed after a crash MID-admission
+    * is made idempotent end to end by the per-batch completion marker
+    * (`_batch-<id>` under `<priorDir>.artifacts/`, written as the LAST
+    * step of admission): a marked batch is skipped outright, and an
+    * unmarked replay first drops the rows whose corpus append already
+    * committed (id anti-join against the prior output), re-extends the
+    * indexes with exactly those rows (closing the crash window where
+    * the output append landed but an artifact extension did not —
+    * duplicate index rows are harmless, every consumer dedups), then
+    * re-admits the remainder against the now-complete artifacts. The
+    * mandatory `dedup_exact` stage (enforced below) keeps the
+    * degenerate no-marker, no-crash replay a no-op as before.
     */
   def runStreamIncremental(spark: SparkSession, conf: CorpusPipelineConf,
                            priorDir: String, checkpointDir: String,
-                           out: String => Unit): Unit = {
+                           out: String => Unit): Unit =
+    startStreamIncremental(spark, conf, priorDir, checkpointDir, out,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+
+  /** Start (and return) the incremental-admission stream under an
+    * arbitrary trigger — `Trigger.AvailableNow()` gives the
+    * process-the-backlog-and-stop batch shape ([[runStreamIncremental]]);
+    * a `Trigger.ProcessingTime(…)` gives the CONTINUOUS watcher the CLI
+    * exposes as `corpus stream … --continuous`: the query keeps running,
+    * each new JSONL drop admits as its own micro-batch behind the same
+    * checkpoint, and the caller owns stop/awaitTermination.
+    */
+  def startStreamIncremental(spark: SparkSession, conf: CorpusPipelineConf,
+                             priorDir: String, checkpointDir: String,
+                             out: String => Unit,
+                             trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     requireIncrementalChain(conf)
     require(conf.stages.exists(_.kind == "dedup_exact"),
       "streaming incremental admission requires a dedup_exact stage — it is " +
         "what makes a replayed micro-batch idempotent against the artifacts")
     val in = graft.ingest.Jsonl.readStream(spark, conf.inputDir, StreamSchema)
     out(s"streaming ${conf.inputDir} incrementally into $priorDir (ckpt $checkpointDir)")
-    val q = in.writeStream
+    in.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val n = admitBatch(spark, conf, batch.drop("ts"), priorDir,
-          s => out(s"[batch $batchId] $s"))
+          s => out(s"[batch $batchId] $s"), streamBatchId = Some(batchId))
         out(s"[batch $batchId] committed $n rows")
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 
   /** The corpus-exchange schema of the streaming ingest (JSONL lines
@@ -399,6 +604,25 @@ object CorpusPipeline {
   def runStream(spark: SparkSession, conf: CorpusPipelineConf,
                 checkpointDir: String, corpusDir: Option[String],
                 watermark: String, out: String => Unit): Unit = {
+    startStream(spark, conf, checkpointDir, corpusDir, watermark, out,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+    // an empty backlog commits no batch and never creates output_dir
+    val outPath = new org.apache.hadoop.fs.Path(conf.outputDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = if (fs.exists(outPath)) spark.read.parquet(conf.outputDir).count() else 0L
+    out(s"backlog processed: $total rows total")
+  }
+
+  /** Start (and return) the stateless-admission stream under an
+    * arbitrary trigger — the continuous-watcher form of [[runStream]]
+    * (same chain, same checkpoint; `Trigger.ProcessingTime` keeps the
+    * query alive across JSONL drops, caller owns stop/await).
+    */
+  def startStream(spark: SparkSession, conf: CorpusPipelineConf,
+                  checkpointDir: String, corpusDir: Option[String],
+                  watermark: String, out: String => Unit,
+                  trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val badKinds = conf.stages.map(_.kind).filterNot(StreamableKinds.contains)
     require(badKinds.isEmpty,
       s"streaming chain admits only ${StreamableKinds.toSeq.sorted.mkString(", ")} — " +
@@ -423,14 +647,9 @@ object CorpusPipeline {
           shaped, Seq("text"), "ts", watermark)
     }
     out(s"streaming ${conf.inputDir} -> ${conf.outputDir} (ckpt $checkpointDir)")
-    val q = graft.streaming.StreamingPipeline
-      .sinkAvailableNow(admitted, conf.outputDir, checkpointDir).start()
-    q.awaitTermination()
-    // an empty backlog commits no batch and never creates output_dir
-    val outPath = new org.apache.hadoop.fs.Path(conf.outputDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = if (fs.exists(outPath)) spark.read.parquet(conf.outputDir).count() else 0L
-    out(s"backlog processed: $total rows total")
+    graft.streaming.StreamingPipeline
+      .sink(admitted, conf.outputDir, checkpointDir, trigger)
+      .start()
   }
 
   private def applyStage(df: DataFrame, st: CorpusStageConf, id: String,
@@ -551,12 +770,21 @@ object CorpusPipeline {
         // a training loader consumes — strata are language guesses,
         // target shares come from `rates`, small strata REPEAT up to
         // max_repeat epochs (config field reuse: `rates` is the same
-        // map stratified_sample takes; `n` caps the repeats)
+        // map stratified_sample takes; `n` caps the repeats).
+        // `weight: tokens` targets the shares in TOKEN mass — the
+        // composition a training mix actually specifies — instead of
+        // the doc-count default.
         require(st.ratesVal.nonEmpty, "epoch_mix needs target rates")
+        val w = st.weight match {
+          case Some("tokens") => TA.tokenCount(text)
+          case Some("docs") | None => lit(1L)
+          case Some(other) => throw new IllegalArgumentException(
+            s"epoch_mix weight must be 'docs' or 'tokens', got '$other'")
+        }
         Sampling.epochMixture(
             df.withColumn("__graft_lang", TA.langId(text)),
             col(id), col("__graft_lang"), st.ratesVal,
-            maxRepeat = st.nVal(10).toDouble)
+            maxRepeat = st.nVal(10).toDouble, weight = w)
           .withColumnRenamed("doc_id", id)
       case "pack" =>
         val packed = Sampling.packSequences(df, col(id), TA.tokenCount(text),

@@ -27,13 +27,32 @@ object ArtifactCache {
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** Identity string for a source file/dir: scheme-qualified path plus
-    * modification time and length from the live `FileStatus`.
+    * modification time and length. A plain file takes them from its
+    * own `FileStatus`; a DIRECTORY derives them from a recursive
+    * listing summary (file count, total length, max file mtime) —
+    * on the object stores this class advertises (`s3a:`, `gs:`) a
+    * directory's own status is synthetic (mtime/len ~0), which would
+    * silently degrade the key to path-only and reintroduce the
+    * stale-artifact wrong-answer class the key exists to prevent. The
+    * listing is the same driver-side metadata pass Spark's own file
+    * index performs on read.
     */
   def sourceIdentity(spark: SparkSession, source: String): String = {
     val p = new Path(source)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
-    s"${fs.makeQualified(p)}|${st.getModificationTime}:${st.getLen}"
+    if (!st.isDirectory)
+      s"${fs.makeQualified(p)}|${st.getModificationTime}:${st.getLen}"
+    else {
+      var (n, len, maxM) = (0L, 0L, 0L)
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; len += f.getLen
+        if (f.getModificationTime > maxM) maxM = f.getModificationTime
+      }
+      s"${fs.makeQualified(p)}|files:$n:$len:$maxM"
+    }
   }
 
   /** Deterministic artifact directory for (source identity, params). */

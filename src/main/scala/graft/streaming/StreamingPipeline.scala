@@ -245,15 +245,24 @@ object StreamingPipeline {
       }
   }
 
+  /** Write a transformed stream to parquet under the given trigger —
+    * `Trigger.AvailableNow()` ([[sinkAvailableNow]]) processes
+    * everything present then stops; a `ProcessingTime` trigger keeps
+    * the same checkpointed query alive as a continuous watcher.
+    */
+  def sink(df: DataFrame, outDir: String, checkpointDir: String,
+           trigger: Trigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   /** Write a transformed stream to parquet in availableNow mode —
     * processes everything present, then stops: the exact semantic of
     * the reference's bounded one-pass dump (bounded input, streaming
     * execution, backpressured chunks).
     */
   def sinkAvailableNow(df: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+    sink(df, outDir, checkpointDir, Trigger.AvailableNow())
 }

@@ -1087,6 +1087,87 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("plain-parquet LSH index: map-side probe keeps the corpus index Exchange-free") {
+    // the layout the CLI admission actually persists (`<out>.artifacts/
+    // lsh` is plain parquet, not a bucketed table) — past the broadcast
+    // threshold a naive candidate equi-join would re-shuffle this
+    // corpus-sized side on EVERY increment; the probe joins the scan
+    // against a broadcast of the batch's own bucket keys instead, so
+    // the index streams map-side and everything downstream is
+    // batch-bounded. Pin AQE and AUTO-broadcast off: the probe's
+    // explicit hint must hold on its own.
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-idx-").toString
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      Dedup.buildLshIndex(corpus, "doc_id", $"text").write.mode("overwrite").parquet(dir)
+      val reread = spark.read.parquet(dir)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchBuckets = Dedup.bandBuckets(
+        Dedup.minhashSigs(batch, "doc_id", $"text", 3, 64), 64, 16).localCheckpoint(true)
+      val probed = Dedup.probeIndex(reread.select($"doc", $"band", $"bucket"),
+        batchBuckets, Seq("band", "bucket"))
+      val cands = Dedup.incrementalCandidates(batchBuckets, probed)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = cands.queryExecution.executedPlan
+      // the index is the ONLY parquet scan in this plan (the batch side
+      // is a checkpointed RDD) — it must reach its first join with no
+      // Exchange under it
+      assert(plan.collect { case f: FileSourceScanExec => f }.nonEmpty,
+        s"expected the index parquet scan in the plan:\n$plan")
+      def scanBelowWithoutJoin(p: SparkPlan): Boolean = p match {
+        case _: FileSourceScanExec => true
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec | _: BroadcastHashJoinExec => false
+        case other => other.children.exists(scanBelowWithoutJoin)
+      }
+      val shuffledIndex = plan.collect {
+        case s: ShuffleExchangeExec if s.children.exists(scanBelowWithoutJoin) => s
+      }
+      assert(shuffledIndex.isEmpty, s"probed index side still exchanges:\n$plan")
+      // and the probe itself must be the broadcast join the hint forces
+      val probeJoins = plan.collect {
+        case b: BroadcastHashJoinExec if b.children.exists(scanBelowWithoutJoin) => b
+      }
+      assert(probeJoins.nonEmpty, s"probe did not plan as a broadcast join:\n$plan")
+      // parity: probing only removes index rows whose keys the batch
+      // lacks — the candidate pairs are identical to the un-probed join
+      val unprobed = Dedup.incrementalCandidates(
+          batchBuckets, reread.select($"doc", $"band", $"bucket"))
+        .as[(Long, Long)].collect().toSet
+      val got = cands.as[(Long, Long)].collect().toSet
+      assert(got == unprobed && got.nonEmpty,
+        s"probe changed candidates: ${got.diff(unprobed)} / ${unprobed.diff(got)}")
+      // the cosine admission shares the same probe on (seed, bucket) —
+      // pin its plan shape too, on the cosine artifact layout
+      val eCorpus = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+      val eBatch = emb.filter(pmod($"vec_id", lit(10)) === 0)
+      val cosDir = new java.io.File(dir, "cos").toString
+      Similarity.buildCosineLshIndex(eCorpus, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(cosDir)
+      val cosBatchRows = Similarity.buildCosineLshIndex(eBatch, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val cosProbed = Dedup.probeIndex(
+        spark.read.parquet(cosDir).select($"doc", $"seed", $"bucket"),
+        cosBatchRows, Seq("seed", "bucket"))
+      val cosPlan = cosBatchRows.as("l")
+        .join(cosProbed.as("r"), Seq("seed", "bucket"))
+        .filter($"l.doc" =!= $"r.doc")
+        .queryExecution.executedPlan
+      assert(cosPlan.collect {
+        case s: ShuffleExchangeExec if s.children.exists(scanBelowWithoutJoin) => s
+      }.isEmpty, s"probed cosine index side still exchanges:\n$cosPlan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("incremental embed admission: parquet-index parity with live, stamp refusals, precision 1") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)

@@ -50,6 +50,24 @@ object ProbeScale {
       Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") >= n), docs.filter(col("doc_id") < n),
         "doc_id", col("text")).count())
+    // the same admission against a PERSISTED plain-parquet index (the
+    // layout the CLI writes): the build is the once-per-corpus ingest
+    // cost; the admission must then skip every corpus-side minhash and
+    // stream the index through the broadcast key probe — at mult× the
+    // gap between the live and indexed runs is what the artifact buys
+    if (only.isEmpty || only.contains("incremental_indexed")) {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-lshidx").toString
+      timeAlways("lsh_index_build") {
+        Dedup.buildLshIndex(docs.filter(col("doc_id") >= n), "doc_id", col("text"))
+          .write.mode("overwrite").parquet(idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      timeAlways("incremental_near_dup_indexed")(
+        Dedup.incrementalNearDupPairs(
+          docs.filter(col("doc_id") >= n), docs.filter(col("doc_id") < n),
+          "doc_id", col("text"),
+          corpusIndex = Some(spark.read.parquet(idxDir))).count())
+    }
     // the dup-heavy worst case for clustering: every doc sits in a
     // mult-sized clique, so components are MANY and label propagation
     // must converge in ~1 round despite ~100× pair volume

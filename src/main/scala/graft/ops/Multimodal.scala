@@ -6,15 +6,68 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Pluggable media codec — the ONE seam between the Spark-side
+  * plumbing ([[Multimodal]]'s schemas, batching, partitioning) and the
+  * actual byte decoding this container cannot perform (no image/audio
+  * libraries installed). A deployment with javax.imageio / ffmpeg
+  * bindings implements these three methods and passes a factory to the
+  * operators — nothing else changes.
+  *
+  * Implementations are constructed PER PARTITION from the zero-arg
+  * factory the operators take: real codecs hold native or otherwise
+  * non-serializable state, so only the factory closure crosses the
+  * serialization boundary, and setup cost amortizes over the
+  * partition, not per row.
+  */
+trait MediaCodec {
+  /** Decode one payload to (width, height, feature vector). */
+  def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Double])
+
+  /** Re-encode one payload at the requested dimensions. */
+  def resize(bytes: Array[Byte], mediaType: String, width: Int, height: Int): Array[Byte]
+
+  /** Demux one payload into its frames, in order. */
+  def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]]
+}
+
+/** The honest environment-block stand-in: deterministic pseudo-outputs
+  * derived from the payload bytes (md5 features, truncate/cycle
+  * "resize", fixed-width byte windows as "frames"). Keeps every
+  * operator testable end to end with the exact batch shape a real
+  * codec drops into.
+  */
+final class StubCodec(frameBytes: Int = 256) extends MediaCodec {
+  def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Double]) = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val width = ((d(0) & 0xff) % 64) + 1
+    val height = ((d(1) & 0xff) % 64) + 1
+    val feature = d.take(8).map(b => (b & 0xff) / 255.0)
+    (width, height, feature)
+  }
+
+  def resize(bytes: Array[Byte], mediaType: String, width: Int, height: Int): Array[Byte] = {
+    val n = math.max(1, width * height / 64)
+    Array.tabulate(n)(i => if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length))
+  }
+
+  def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]] = {
+    val nFrames = math.max(1, bytes.length / frameBytes)
+    (0 until nFrames).iterator.map { f =>
+      val from = f * frameBytes
+      java.util.Arrays.copyOfRange(bytes, from, math.min(bytes.length, from + frameBytes))
+    }
+  }
+}
+
 /** Multimodal columns: image/audio/video as opaque `binary` cells with
   * typed metadata, processed in executor-side batches.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `fakeDecode` derives deterministic pseudo-features from the bytes'
-  * md5. Everything around it is the real production shape — binary
+  * The decode step is delegated to a [[MediaCodec]] (default: the
+  * deterministic [[StubCodec]] — this container has no image/audio
+  * codecs). Everything around it is the real production shape — binary
   * schema, batch iteration (the JVM analog of a Pandas-UDF batch),
-  * per-partition amortized "codec" setup, and a typed feature schema —
-  * so swapping in a real codec touches exactly one function.
+  * per-partition codec construction, and typed output schemas — so a
+  * real decoder drops in as one factory argument.
   */
 object Multimodal {
 
@@ -45,37 +98,25 @@ object Multimodal {
     octet_length(media).as("n_bytes"),
     md5(media).as("checksum"))
 
-  /** STUB decode — deterministic fake features from the md5 of the
-    * bytes. Replace the body with a real codec (javax.imageio, ffmpeg
-    * bindings, …) to productionize; signature and batch shape stay.
-    */
-  private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
-    val width = ((d(0) & 0xff) % 64) + 1
-    val height = ((d(1) & 0xff) % 64) + 1
-    val feature = d.take(8).map(b => (b & 0xff) / 255.0)
-    (width, height, feature)
-  }
-
   /** Batched feature extraction over (media_id, media, media_type) rows.
-    * `batchSize` mirrors a Pandas-UDF's arrow batch: the stub codec is
-    * "initialized" once per partition and fed fixed-size groups — the
-    * shape a real vectorized decoder needs.
+    * `batchSize` mirrors a Pandas-UDF's arrow batch: the codec is
+    * constructed once per partition (from `codec`) and fed fixed-size
+    * groups — the shape a real vectorized decoder needs.
     */
-  def decodeFeatures(df: DataFrame, batchSize: Int = 128): DataFrame = {
+  def decodeFeatures(df: DataFrame, batchSize: Int = 128,
+                     codec: () => MediaCodec = () => new StubCodec()): DataFrame = {
     val enc = Encoders.row(featureSchema)
     df.select(col("media_id"), col("media"), col("media_type"))
       .mapPartitions { rows =>
-        // per-partition codec setup would happen here (once, not per row)
-        val digestWarm = MessageDigest.getInstance("MD5")
-        digestWarm.reset()
+        // per-partition codec construction — once, not per row
+        val c = codec()
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
             val mtype = if (r.isNullAt(2)) null else r.getString(2)
             val checksum = md5Hex(bytes)
-            val (w, h, feat) = fakeDecode(bytes)
+            val (w, h, feat) = c.decode(bytes, mtype)
             Row(id, mtype, bytes.length.toLong, checksum, w, h, feat.toSeq)
           }
         }
@@ -93,21 +134,21 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false)))
 
   /** Batched resize — binary→binary map, the second canonical media
-    * op shape (same row count, transformed payload). STUB codec: the
-    * "resized" payload is the original bytes truncated/cycled to
-    * w·h/64 length, deterministic; a real implementation swaps in an
-    * image library per partition.
+    * op shape (same row count, transformed payload). The codec factory
+    * supplies the re-encoder; the default [[StubCodec]] truncates/
+    * cycles bytes deterministically.
     */
-  def resize(df: DataFrame, width: Int, height: Int, batchSize: Int = 128): DataFrame = {
+  def resize(df: DataFrame, width: Int, height: Int, batchSize: Int = 128,
+             codec: () => MediaCodec = () => new StubCodec()): DataFrame = {
     val enc = Encoders.row(resizedSchema)
     df.select(col("media_id"), col("media"), col("media_type"))
       .mapPartitions { rows =>
+        val c = codec()
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]](1)
-            val n = math.max(1, width * height / 64)
-            val out = Array.tabulate(n)(i => if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length))
-            Row(r.getLong(0), out, if (r.isNullAt(2)) null else r.getString(2), width, height)
+            val mtype = if (r.isNullAt(2)) null else r.getString(2)
+            Row(r.getLong(0), c.resize(bytes, mtype, width, height), mtype, width, height)
           }
         }
       }(enc)
@@ -120,23 +161,27 @@ object Multimodal {
 
   /** Frame sampling — the one-to-many media shape (video → every
     * `everyNth` frame as its own row), an executor-side generator like
-    * a Pandas-UDF returning more rows than it got. STUB codec: frames
-    * are fixed-width byte windows (`frameBytes`), frame count derives
-    * from payload length; a real demuxer replaces the body only.
+    * a Pandas-UDF returning more rows than it got. The codec demuxes;
+    * the default [[StubCodec]] emits fixed-width byte windows
+    * (`frameBytes`) so frame count derives from payload length.
     */
-  def frameSample(df: DataFrame, everyNth: Int, frameBytes: Int = 256, batchSize: Int = 128): DataFrame = {
+  def frameSample(df: DataFrame, everyNth: Int, frameBytes: Int = 256, batchSize: Int = 128,
+                  codec: Option[() => MediaCodec] = None): DataFrame = {
     require(everyNth > 0, "everyNth must be positive")
+    // the default wires the operator's frameBytes into the stub — an
+    // explicit factory owns its own framing
+    val mk: () => MediaCodec = codec.getOrElse(() => new StubCodec(frameBytes))
     val enc = Encoders.row(frameSchema)
-    df.select(col("media_id"), col("media"))
+    df.select(col("media_id"), col("media"), col("media_type"))
       .mapPartitions { rows =>
+        val c = mk()
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val nFrames = math.max(1, bytes.length / frameBytes)
-            (0 until nFrames by everyNth).iterator.map { f =>
-              val from = f * frameBytes
-              Row(id, f, java.util.Arrays.copyOfRange(bytes, from, math.min(bytes.length, from + frameBytes)))
+            val mtype = if (r.isNullAt(2)) null else r.getString(2)
+            c.frames(bytes, mtype).zipWithIndex.collect {
+              case (frame, f) if f % everyNth == 0 => Row(id, f, frame)
             }
           }
         }

@@ -232,7 +232,7 @@ object CorpusPipeline {
   private def admitBatch(spark: SparkSession, conf: CorpusPipelineConf,
                          docs0: DataFrame, priorDir: String,
                          out: String => Unit,
-                         streamBatchId: Option[Long] = None): Long = {
+                         streamBatchId: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     val id = conf.idCol
     val fs = new Path(priorDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -246,7 +246,15 @@ object CorpusPipeline {
     // committed was FULLY admitted (output appended, every artifact
     // extended) — skip it outright. The marker is written as the LAST
     // step below, so its existence proves every earlier append landed.
-    val marker = streamBatchId.map(b => new Path(artRoot, s"_batch-$b"))
+    // Batch ids only mean anything within ONE checkpoint lineage, so
+    // the marker is keyed by the checkpoint's identity too — a stream
+    // restarted under a FRESH checkpoint restarts ids at 0 and must
+    // not false-match the old lineage's markers.
+    val marker = streamBatchId.map { case (ckpt, b) =>
+      val ck = java.security.MessageDigest.getInstance("MD5")
+        .digest(ckpt.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      new Path(artRoot, s"_batch-$ck-$b")
+    }
     if (marker.exists(fs.exists(_))) {
       out(s"batch marker ${marker.get.getName} present — already admitted, skipping replay")
       return 0L
@@ -295,6 +303,40 @@ object CorpusPipeline {
           .write.mode("append").parquet(new Path(artRoot, "coslsh").toString)
       }
     }
+    // Bootstrap (once, from the prior output — the only time corpus
+    // text is re-read): each index an active stage needs, if absent.
+    // Centralized so the replay-recovery path can force it BEFORE it
+    // appends to an index — an append to a never-bootstrapped path
+    // would create a partial artifact whose `_SUCCESS` marker then
+    // masks the missing corpus coverage.
+    def ensureArtifacts(): Unit = {
+      exactStage.foreach { _ =>
+        val fpPath = new Path(artRoot, "fp")
+        if (!ready(fpPath)) {
+          out(s"building fingerprint artifact $fpPath from prior output")
+          prior.select(TA.fingerprint(col("text")).as("fp")).distinct()
+            .write.mode("overwrite").parquet(fpPath.toString)
+        }
+      }
+      nearStage.foreach { st =>
+        val lshPath = new Path(artRoot, "lsh")
+        if (!ready(lshPath)) {
+          out(s"building LSH index artifact $lshPath from prior output")
+          Dedup.buildLshIndex(prior, id, col("text"), st.nVal(3))
+            .write.mode("overwrite").parquet(lshPath.toString)
+        }
+      }
+      semStage.foreach { _ =>
+        val cosPath = new Path(artRoot, "coslsh")
+        if (!ready(cosPath)) {
+          out(s"building cosine-LSH index artifact $cosPath from prior output")
+          graft.ops.Similarity.buildCosineLshIndex(
+              embFrame.get.join(prior.select(col(id)), Seq(id), "left_semi"),
+              id, "__graft_vec")
+            .write.mode("overwrite").parquet(cosPath.toString)
+        }
+      }
+    }
 
     // The equality contract (see the scaladoc above runIncremental)
     // requires batch ids to sort strictly AFTER everything already
@@ -333,18 +375,17 @@ object CorpusPipeline {
         else {
           out(s"replayed batch: ${overlap.count()} rows already admitted — " +
             "re-extending artifacts, re-admitting the remainder")
+          // bootstrap first: appending recovery rows to an absent index
+          // must not leave a partial artifact masquerading as complete
+          ensureArtifacts()
           extendIndexes(overlap)
           shaped.join(prior.select(col(id)), Seq(id), "left_anti")
         }
     }
 
+    ensureArtifacts()
     val afterExact = exactStage.fold(batchIn) { _ =>
       val fpPath = new Path(artRoot, "fp")
-      if (!ready(fpPath)) {
-        out(s"building fingerprint artifact $fpPath from prior output")
-        prior.select(TA.fingerprint(col("text")).as("fp")).distinct()
-          .write.mode("overwrite").parquet(fpPath.toString)
-      }
       val survivors = Dedup.incrementalExactDedup(prior, batchIn, id, col("text"),
         corpusFps = Some(spark.read.parquet(fpPath.toString)))
       val next = batchIn.join(survivors.select(col(id)), Seq(id), "left_semi")
@@ -355,11 +396,6 @@ object CorpusPipeline {
     val admitted = nearStage.fold(afterExact) { st =>
       val lshPath = new Path(artRoot, "lsh")
       val (n, thr) = (st.nVal(3), st.thresholdVal(0.8))
-      if (!ready(lshPath)) {
-        out(s"building LSH index artifact $lshPath from prior output")
-        Dedup.buildLshIndex(prior, id, col("text"), n)
-          .write.mode("overwrite").parquet(lshPath.toString)
-      }
       // the verification text side covers everything the index covers:
       // the prior OUTPUT plus rows past increments near/semantic-
       // DROPPED (`near_dropped/`) — so a batch row transitively
@@ -390,12 +426,6 @@ object CorpusPipeline {
     val admittedSem = semStage.fold(admitted) { st =>
       val emb = embFrame.get
       val cosPath = new Path(artRoot, "coslsh")
-      if (!ready(cosPath)) {
-        out(s"building cosine-LSH index artifact $cosPath from prior output")
-        graft.ops.Similarity.buildCosineLshIndex(
-            emb.join(prior.select(col(id)), Seq(id), "left_semi"), id, "__graft_vec")
-          .write.mode("overwrite").parquet(cosPath.toString)
-      }
       val batchVecs = emb.join(admitted.select(col(id)), Seq(id), "left_semi")
       // vector lookup must cover every id the coslsh index holds — the
       // prior output plus past increments' semantically-dropped ids
@@ -532,7 +562,8 @@ object CorpusPipeline {
     * Delivery: the checkpointed file source never re-delivers a
     * COMMITTED batch, and a batch replayed after a crash MID-admission
     * is made idempotent end to end by the per-batch completion marker
-    * (`_batch-<id>` under `<priorDir>.artifacts/`, written as the LAST
+    * (`_batch-<checkpoint-hash>-<id>` under `<priorDir>.artifacts/`,
+    * written as the LAST
     * step of admission): a marked batch is skipped outright, and an
     * unmarked replay first drops the rows whose corpus append already
     * committed (id anti-join against the prior output), re-extends the
@@ -571,7 +602,8 @@ object CorpusPipeline {
     in.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val n = admitBatch(spark, conf, batch.drop("ts"), priorDir,
-          s => out(s"[batch $batchId] $s"), streamBatchId = Some(batchId))
+          s => out(s"[batch $batchId] $s"),
+          streamBatchId = Some((checkpointDir, batchId)))
         out(s"[batch $batchId] committed $n rows")
       }
       .option("checkpointLocation", checkpointDir)

@@ -459,6 +459,191 @@ class CliSpec extends SparkSpec {
     assert(got == scratch, "incremental admission diverged from the from-scratch union run")
   }
 
+  test("cli: corpus run --into rejects a shard whose ids do not sort after the corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-idguard-").toString
+    val t = Seq.tabulate(40)(i => s"g$i").mkString(" ")
+    Seq((10L, t)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    // id 5 under-cuts the admitted corpus's max (10): the from-scratch
+    // union would keep 5 as the exact-dup keeper, the incremental path
+    // keeps the immutable corpus row — silent divergence, so it must
+    // raise instead
+    Seq((5L, t + " fresh")).toDF("doc_id", "text").write.parquet(s"$root/shard")
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"input_dir: $input\noutput_dir: $root/corpus\nstages:\n  - kind: dedup_exact\n"
+          .getBytes("UTF-8"))
+      p
+    }
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    val ex = intercept[IllegalArgumentException] {
+      Cli.run(Seq("corpus", "run", conf(s"$root/shard"), "--into", s"$root/corpus"),
+        spark, _ => ())
+    }
+    assert(ex.getMessage.contains("sort after"), ex.getMessage)
+    // nothing was appended by the refused shard
+    assert(spark.read.parquet(s"$root/corpus").count() == 1L)
+  }
+
+  test("cli: incremental admission rejects transitive duplicates bridged by dropped rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-trans-").toString
+    val vocab = ('a' to 'z').map(c => s"t$c")
+    val base = Seq.tabulate(40)(i => vocab(i % 26))
+    val tK = base.mkString(" ")
+    // D differs from K in one word (jaccard ≈ 0.85 on 3-grams), F
+    // differs from D in ANOTHER word — so F∼D (≈0.85) but F vs K has
+    // two edits (≈0.73, below the 0.8 threshold). The only route from
+    // F to the cluster is THROUGH the dropped bridge D.
+    val tD = base.updated(39, "bridgeword").mkString(" ")
+    val tF = base.updated(39, "bridgeword").updated(20, "farword").mkString(" ")
+    Seq((1L, tK)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    Seq((101L, tD)).toDF("doc_id", "text").write.parquet(s"$root/shardA")
+    // 201 near-dups the DROPPED 101; 202 exact-dups the DROPPED 101
+    Seq((201L, tF), (202L, tD)).toDF("doc_id", "text").write.parquet(s"$root/shardB")
+    def conf(input: String, output: String): String = {
+      val p = s"$root/conf-${input.split('/').last}-${output.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $output
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.8
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    val outDir = s"$root/corpus"
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed", outDir)), spark, _ => ()) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/shardA", outDir), "--into", outDir),
+      spark, _ => ()) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/shardB", outDir), "--into", outDir),
+      spark, _ => ()) == 0)
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select($"doc_id").as[Long].collect().toSet
+    // from-scratch over the union: cluster {1, 101, 201} via the
+    // transitive pair chain keeps 1; 202 dies in exact dedup against
+    // the dropped 101
+    Seq((1L, tK), (101L, tD), (201L, tF), (202L, tD)).toDF("doc_id", "text")
+      .write.parquet(s"$root/union")
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/union", s"$root/scratch")),
+      spark, _ => ()) == 0)
+    assert(ids(s"$root/scratch") == Set(1L), "from-scratch baseline surprised us")
+    assert(ids(outDir) == Set(1L),
+      s"transitive duplicates leaked through dropped-row bridges: ${ids(outDir)}")
+    // the artifacts that carry the coverage exist
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$outDir.artifacts/near_dropped")),
+      "near_dropped text artifact missing")
+  }
+
+  test("cli: corpus compact collapses file groups, admission results unchanged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-compact-").toString
+    val vocab = ('a' to 'z').map(c => s"c$c")
+    def sent(f: Int => String): String = Seq.tabulate(40)(f).mkString(" ")
+    def fresh(k: Int): String = sent(i => vocab((i * (2 * k + 3) + k) % 26))
+    Seq((1L, fresh(1)), (2L, fresh(2))).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    Seq((101L, fresh(3)), (102L, fresh(1))).toDF("doc_id", "text").write.parquet(s"$root/s1")
+    Seq((201L, fresh(4)),
+        (202L, fresh(3).replace(vocab(0), "edited"))).toDF("doc_id", "text")
+      .write.parquet(s"$root/s2")
+    // 301 near-dups 202 (DROPPED in increment 2): post-compact this
+    // still rejects only if compaction preserved near_dropped coverage
+    Seq((301L, fresh(3).replace(vocab(0), "edited").replace(vocab(1), "moved")),
+        (302L, fresh(5))).toDF("doc_id", "text").write.parquet(s"$root/s3")
+    val outDir = s"$root/corpus"
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $outDir
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.75
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/s1"), "--into", outDir), spark, _ => ()) == 0)
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/s2"), "--into", outDir), spark, _ => ()) == 0)
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def parquetFiles(dir: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    def ids(): Set[Long] =
+      spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    val (beforeIds, beforeOut, beforeLsh) =
+      (ids(), parquetFiles(outDir), parquetFiles(s"$outDir.artifacts/lsh"))
+    assert(beforeOut >= 3 && beforeLsh >= 2, s"fixture too small: $beforeOut/$beforeLsh")
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "compact", conf(s"$root/seed")), spark, printed += _) == 0)
+    assert(printed.exists(_.contains("compacted")), printed.mkString("\n"))
+    assert(ids() == beforeIds, "compaction changed the corpus rows")
+    assert(parquetFiles(outDir) < beforeOut, "output file count did not shrink")
+    assert(parquetFiles(s"$outDir.artifacts/lsh") < beforeLsh, "lsh file count did not shrink")
+    // the parameter stamp must survive compaction — increments refuse
+    // the index without it
+    assert(spark.read.parquet(s"$outDir.artifacts/lsh").schema("band")
+      .metadata.contains("graft.bands"), "compaction stripped the parameter stamp")
+    // the next increment still admits correctly: 301 rejected through
+    // the compacted near_dropped bridge, 302 fresh
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/s3"), "--into", outDir), spark, _ => ()) == 0)
+    assert(ids() == beforeIds + 302L, s"post-compact increment got ${ids()}")
+  }
+
+  test("cli: epoch_mix weight tokens targets the mix in token mass") {
+    import org.apache.spark.sql.functions._
+    val outDir = Files.createTempDirectory("graft-epoch-tok-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-epoch-tok-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: epoch_mix
+         |    weight: tokens
+         |    rates:
+         |      en: 0.5
+         |      und: 0.5
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val got = spark.read.parquet(outDir)
+      .select($"doc_id", $"stratum", $"copy_idx").as[(Long, String, Long)].collect().toSet
+    // config path ≡ ops API with the token-count weight
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("lang", graft.ops.TextAnalysis.langId($"text"))
+    val want = graft.ops.Sampling.epochMixture(docs, $"doc_id", $"lang",
+        Map("en" -> 0.5, "und" -> 0.5),
+        weight = graft.ops.TextAnalysis.tokenCount($"text"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, "config token weighting diverged from the ops API")
+    // and it actually differs from the doc-count default on this data
+    val docWeighted = graft.ops.Sampling.epochMixture(docs, $"doc_id", $"lang",
+        Map("en" -> 0.5, "und" -> 0.5))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got != docWeighted, "token weighting was indistinguishable from doc weighting")
+    // a bogus weight value is refused loudly
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir-bad
+         |stages:
+         |  - kind: epoch_mix
+         |    weight: bytes
+         |    rates:
+         |      en: 0.5
+         |""".stripMargin.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Cli.run(Seq("corpus", "run", conf), spark, _ => ())
+    }
+  }
+
   test("cli: incremental dedup_semantic admits against the cosine-LSH artifact") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-inc-sem-").toString
@@ -588,6 +773,96 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Cli.run(Seq("corpus", "stream", bad, "--into", outDir), spark, _ => ())
     }
+  }
+
+  test("cli: corpus stream --into replays a crashed micro-batch without duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-csi-replay-").toString
+    val vocab = ('a' to 'z').map(c => s"r$c")
+    def sent(f: Int => String): String = Seq.tabulate(40)(f).mkString(" ")
+    val t1 = sent(i => vocab(i % 26))
+    val t2 = sent(i => vocab((i * 3 + 1) % 26))
+    val t4 = sent(i => vocab((i * 7 + 3) % 26))
+    val t4near = sent(i => if (i == 0) "revised" else vocab((i * 7 + 3) % 26))
+    val t5 = sent(i => vocab((i * 11 + 4) % 26))
+    val outDir = s"$root/corpus"
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $outDir
+           |checkpoint_dir: $root/ckpt
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.5
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    val watch = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    val streamConf = conf(watch)
+    // SIMULATED CRASH: a batch containing 111 died after its corpus
+    // append committed but BEFORE any artifact extension or checkpoint
+    // commit — 111 sits in the output, the indexes have never heard of
+    // it, and the file source will deliver the whole file again
+    Seq((111L, t4)).toDF("doc_id", "text").write.mode("append").parquet(outDir)
+    Files.writeString(java.nio.file.Paths.get(watch, "b1.json"),
+      Seq(jline(111L, t4), jline(112L, t4near), jline(113L, t5))
+        .mkString("", "\n", "\n"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "stream", streamConf, "--into", outDir),
+      spark, printed += _) == 0)
+    assert(printed.exists(_.contains("re-extending artifacts")),
+      s"replay recovery did not trigger:\n${printed.mkString("\n")}")
+    val rows = spark.read.parquet(outDir).as[(Long, String)].collect().toSeq
+    // 111 exactly once (no double append), 112 rejected as a near-dup
+    // of the REPLAYED 111 — possible only because recovery re-extended
+    // the lsh index before re-admitting the rest — 113 fresh
+    assert(rows.count(_._1 == 111L) == 1, s"replayed row duplicated: $rows")
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 111L, 113L),
+      s"replay admitted ${rows.map(_._1).toSet}")
+    // marker fast path: the same files under a FRESH checkpoint restart
+    // batch ids at 0, and the marker must NOT false-match the old
+    // lineage's batch 0 — the batch re-admits (and dedup keeps it a
+    // no-op) instead of being skipped
+    val conf2 = s"$root/conf2.yaml"
+    Files.writeString(java.nio.file.Paths.get(conf2),
+      s"input_dir: $watch\noutput_dir: $outDir\ncheckpoint_dir: $root/ckpt-fresh\n" +
+        "stages:\n  - kind: dedup_exact\n  - kind: dedup_near\n    n: 3\n    threshold: 0.5\n")
+    printed.clear()
+    assert(Cli.run(Seq("corpus", "stream", conf2, "--into", outDir),
+      spark, printed += _) == 0)
+    assert(!printed.exists(_.contains("skipping replay")),
+      "fresh-checkpoint lineage false-matched an old marker")
+    assert(spark.read.parquet(outDir).as[(Long, String)].collect()
+      .map(_._1).toSet == Set(1L, 2L, 111L, 113L), "fresh-lineage replay changed the corpus")
+    // and a marked batch within the SAME lineage is skipped outright:
+    // pre-mark the lineage's next batch id (1) and verify its rows are
+    // treated as already admitted
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir.artifacts"))
+      .map(_.getPath.getName).filter(_.startsWith("_batch-"))
+    assert(markers.nonEmpty, "no completion markers were written")
+    val ck = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root/ckpt".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(markers.contains(s"_batch-$ck-0"), s"unexpected marker names: ${markers.toSeq}")
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir.artifacts/_batch-$ck-1"), true).close()
+    Files.writeString(java.nio.file.Paths.get(watch, "b2.json"),
+      jline(115L, sent(i => vocab((i * 17 + 6) % 26))) + "\n")
+    printed.clear()
+    assert(Cli.run(Seq("corpus", "stream", streamConf, "--into", outDir),
+      spark, printed += _) == 0)
+    assert(printed.exists(_.contains("skipping replay")),
+      s"marked batch was not skipped:\n${printed.mkString("\n")}")
+    assert(spark.read.parquet(outDir).as[(Long, String)].collect()
+      .map(_._1).toSet == Set(1L, 2L, 111L, 113L), "a marked batch still appended rows")
   }
 
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {

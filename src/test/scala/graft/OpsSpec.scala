@@ -407,6 +407,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: a custom MediaCodec drops in through the factory seam") {
+    // the verdict on the env-blocked decode: the operators must accept
+    // a real codec without being touched — prove the seam with a
+    // deterministic custom implementation for all three shapes
+    val media = Multimodal.packText(
+      Seq((1L, "hello codec world payload")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "image/png")
+    val mk = () => OpsSpec.FixedCodec
+    val feat = Multimodal.decodeFeatures(media, codec = mk).head()
+    assert(feat.getAs[Int]("width") == 7 && feat.getAs[Int]("height") == 9)
+    assert(feat.getSeq[Double](feat.fieldIndex("feature")).toSeq == Seq(1.0, 2.0, 3.0))
+    // metadata stays plumbing-side (checksum of the ORIGINAL bytes)
+    assert(feat.getAs[String]("media_type") == "image/png")
+    val rs = Multimodal.resize(media, 2, 3, codec = mk).head()
+    assert(rs.getAs[Array[Byte]]("media").toSeq == Array.fill(6)(0x2a.toByte).toSeq)
+    val fr = Multimodal.frameSample(media, everyNth = 1, codec = Some(mk))
+      .select($"frame_idx").as[Int].collect().toSeq
+    assert(fr == Seq(0), "custom demuxer should emit one whole-payload frame")
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic features") {
     val media = Multimodal.packText(docs, $"doc_id", $"text", "text/plain")
     val feats = Multimodal.decodeFeatures(media, batchSize = 7)
@@ -1500,5 +1520,19 @@ class OpsSpec extends SparkSpec {
       .select($"doc_id", $"rep_id")
       .as[(String, String)].collect().toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "z", "z" -> "z"))
+  }
+}
+
+object OpsSpec {
+  /** Deterministic stand-in for a real decoder — top-level so the
+    * factory lambda serializes without dragging the suite along.
+    */
+  object FixedCodec extends graft.ops.MediaCodec {
+    def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Double]) =
+      (7, 9, Array(1.0, 2.0, 3.0))
+    def resize(bytes: Array[Byte], mediaType: String, width: Int, height: Int): Array[Byte] =
+      Array.fill(width * height)(0x2a.toByte)
+    def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]] =
+      Iterator(bytes)
   }
 }

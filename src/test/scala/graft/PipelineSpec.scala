@@ -165,6 +165,53 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == Set(103L, 104L, 105L), s"pass 2 total admitted $got2")
   }
 
+  test("streaming: continuous-trigger incremental admission lands two JSONL drops in one running query") {
+    import graft.pipeline.CorpusPipeline
+    val root = Files.createTempDirectory("graft-cont-").toString
+    val outDir = s"$root/corpus"
+    val watch = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    Seq((1L, "seed text one of the corpus"), (2L, "seed text two of the corpus"))
+      .toDF("doc_id", "text").write.parquet(outDir)
+    val confPath = s"$root/c.yaml"
+    Files.writeString(java.nio.file.Paths.get(confPath),
+      s"input_dir: $watch\noutput_dir: $outDir\ncheckpoint_dir: $root/ckpt\n" +
+        "stages:\n  - kind: dedup_exact\n")
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    def ids(): Set[Long] =
+      spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    def awaitIds(want: Set[Long], what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (ids() != want && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(ids() == want, s"$what: got ${ids()} want $want")
+    }
+    // the watcher mode the CLI exposes as `--continuous`: ONE running
+    // query, multiple drops — no restart between them
+    val q = CorpusPipeline.startStreamIncremental(spark,
+      CorpusPipeline.load(confPath), outDir, s"$root/ckpt", _ => (),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      // drop 1: 101 fresh, 102 exact-dups the seed corpus
+      Files.writeString(java.nio.file.Paths.get(watch, "d1.json"),
+        Seq(jline(101L, "first drop fresh text"),
+          jline(102L, "seed text one of the corpus")).mkString("", "\n", "\n"))
+      awaitIds(Set(1L, 2L, 101L), "first drop")
+      assert(q.isActive, "query stopped after the first drop")
+      // drop 2 into the SAME running query: 202 exact-dups a row the
+      // FIRST drop admitted — the artifact extension happened inside
+      // the live query — 201 is fresh
+      Files.writeString(java.nio.file.Paths.get(watch, "d2.json"),
+        Seq(jline(201L, "second drop fresh text"),
+          jline(202L, "first drop fresh text")).mkString("", "\n", "\n"))
+      awaitIds(Set(1L, 2L, 101L, 201L), "second drop")
+      assert(q.isActive, "query stopped after the second drop")
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
   test("streaming: corpus admission drops known fingerprints and in-stream dups") {
     import graft.streaming.StreamingPipeline
     val inDir = Files.createTempDirectory("graft-admit-in").toString

@@ -66,59 +66,60 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), prior, out)
         0
 
-      case Seq("corpus", "compact", path) =>
+      case Seq("corpus", "compact", path, tail @ _*) =>
         // after N incremental admissions the output and every artifact
         // dir carry N file groups — rewrite each to a few right-sized
-        // files (duplicates collapsed), admission semantics unchanged
+        // files (duplicates collapsed), admission semantics unchanged.
+        // `--into <prior>` names an admission target that differs from
+        // the config's output_dir, mirroring run/stream.
+        val target = tail match {
+          case Seq() => None
+          case Seq("--into", p) => Some(p)
+          case other => throw new IllegalArgumentException(
+            s"unrecognized corpus compact argument(s): ${other.mkString(" ")}")
+        }
         graft.pipeline.CorpusPipeline.compact(
-          spark, graft.pipeline.CorpusPipeline.load(path), out)
+          spark, graft.pipeline.CorpusPipeline.load(path), out, targetDir = target)
         0
 
-      case Seq("corpus", "stream", path) =>
-        // bounded ingest form: watched JSONL dir → stateless stages
-        // → corpus admission → exactly-once parquet append; processes
-        // the backlog (availableNow) and stops
+      case Seq("corpus", "stream", path, tail @ _*) =>
+        // watched-JSONL ingest: stateless stages → corpus admission →
+        // exactly-once parquet append. Flags compose in ANY order —
+        // silently dropping a trailing `--into` would run the wrong
+        // (non-admitting) pipeline against the corpus:
+        //   --into <prior>            incremental artifact-backed admission
+        //   --continuous [interval]   keep ONE query alive across drops
+        //                             (default: process backlog, stop)
+        var into: Option[String] = None
+        var continuous: Option[String] = None
+        var rest = tail.toList
+        while (rest.nonEmpty) rest = rest match {
+          case "--into" :: p :: t => into = Some(p); t
+          case "--continuous" :: iv :: t if !iv.startsWith("--") =>
+            continuous = Some(iv); t
+          case "--continuous" :: t => continuous = Some("10 seconds"); t
+          case bad :: _ => throw new IllegalArgumentException(
+            s"unrecognized corpus stream argument: $bad")
+        }
         val cp = graft.pipeline.CorpusPipeline.load(path)
-        graft.pipeline.CorpusPipeline.runStream(spark, cp,
-          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
-            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
-          cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out)
-        0
-
-      case Seq("corpus", "stream", path, "--continuous", restArgs @ _*) =>
-        // continuous watcher: same chain and checkpoint, but the query
-        // stays alive — every new JSONL drop lands as its own
-        // micro-batch until the process is stopped
-        val cp = graft.pipeline.CorpusPipeline.load(path)
-        val interval = restArgs.headOption.getOrElse("10 seconds")
-        graft.pipeline.CorpusPipeline.startStream(spark, cp,
-          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
-            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
-          cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out,
-          org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
-          .awaitTermination()
-        0
-
-      case Seq("corpus", "stream", path, "--into", prior) =>
-        // streaming incremental admission: each JSONL micro-batch runs
-        // the artifact-backed admission and appends its survivors
-        val cp = graft.pipeline.CorpusPipeline.load(path)
-        graft.pipeline.CorpusPipeline.runStreamIncremental(spark, cp, prior,
-          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
-            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
-          out)
-        0
-
-      case Seq("corpus", "stream", path, "--into", prior, "--continuous", restArgs @ _*) =>
-        // continuous incremental watcher: artifact-backed admission per
-        // micro-batch, query stays alive across drops
-        val cp = graft.pipeline.CorpusPipeline.load(path)
-        val interval = restArgs.headOption.getOrElse("10 seconds")
-        graft.pipeline.CorpusPipeline.startStreamIncremental(spark, cp, prior,
-          cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
-            throw new IllegalArgumentException("corpus stream needs checkpoint_dir")),
-          out, org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
-          .awaitTermination()
+        def ckpt = cp.checkpoint_dir.map(GraftConfig.substituteEnvVar).getOrElse(
+          throw new IllegalArgumentException("corpus stream needs checkpoint_dir"))
+        (into, continuous) match {
+          case (Some(prior), None) =>
+            graft.pipeline.CorpusPipeline.runStreamIncremental(spark, cp, prior, ckpt, out)
+          case (Some(prior), Some(interval)) =>
+            graft.pipeline.CorpusPipeline.startStreamIncremental(spark, cp, prior, ckpt,
+              out, org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+              .awaitTermination()
+          case (None, None) =>
+            graft.pipeline.CorpusPipeline.runStream(spark, cp, ckpt,
+              cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out)
+          case (None, Some(interval)) =>
+            graft.pipeline.CorpusPipeline.startStream(spark, cp, ckpt,
+              cp.corpus_dir, cp.watermark.getOrElse("6 hours"), out,
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+              .awaitTermination()
+        }
         0
 
       case Seq("source", "schema") =>

@@ -57,16 +57,18 @@ object ProbeScale {
     // gap between the live and indexed runs is what the artifact buys
     if (only.isEmpty || only.contains("incremental_indexed")) {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-lshidx").toString
-      timeAlways("lsh_index_build") {
-        Dedup.buildLshIndex(docs.filter(col("doc_id") >= n), "doc_id", col("text"))
-          .write.mode("overwrite").parquet(idxDir)
-        spark.read.parquet(idxDir).count()
-      }
-      timeAlways("incremental_near_dup_indexed")(
-        Dedup.incrementalNearDupPairs(
-          docs.filter(col("doc_id") >= n), docs.filter(col("doc_id") < n),
-          "doc_id", col("text"),
-          corpusIndex = Some(spark.read.parquet(idxDir))).count())
+      try {
+        timeAlways("lsh_index_build") {
+          Dedup.buildLshIndex(docs.filter(col("doc_id") >= n), "doc_id", col("text"))
+            .write.mode("overwrite").parquet(idxDir)
+          spark.read.parquet(idxDir).count()
+        }
+        timeAlways("incremental_near_dup_indexed")(
+          Dedup.incrementalNearDupPairs(
+            docs.filter(col("doc_id") >= n), docs.filter(col("doc_id") < n),
+            "doc_id", col("text"),
+            corpusIndex = Some(spark.read.parquet(idxDir))).count())
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
     }
     // the dup-heavy worst case for clustering: every doc sits in a
     // mult-sized clique, so components are MANY and label propagation
@@ -103,16 +105,18 @@ object ProbeScale {
     if (only.isEmpty || only.contains("ann_ivfpq_refined")) {
       val idx = Similarity.trainIvfPqIndex(vecs, "vec_id", "embedding")
       val codesDir = java.nio.file.Files.createTempDirectory("graft-probe-pq").toString
-      timeAlways("ann_ivfpq_encode") {
-        Similarity.encodePqCorpus(vecs, "vec_id", "embedding", idx)
-          .write.mode("overwrite").parquet(codesDir)
-        spark.read.parquet(codesDir).count()
-      }
-      timeAlways("ann_ivfpq_refined_search")(
-        Similarity.ivfPqTopKRefined(vecs,
-          vecs.filter(pmod(col("vec_id"), lit(1000)) === 0),
-          "vec_id", "embedding", 5, index = Some(idx),
-          encoded = Some(spark.read.parquet(codesDir))).count())
+      try {
+        timeAlways("ann_ivfpq_encode") {
+          Similarity.encodePqCorpus(vecs, "vec_id", "embedding", idx)
+            .write.mode("overwrite").parquet(codesDir)
+          spark.read.parquet(codesDir).count()
+        }
+        timeAlways("ann_ivfpq_refined_search")(
+          Similarity.ivfPqTopKRefined(vecs,
+            vecs.filter(pmod(col("vec_id"), lit(1000)) === 0),
+            "vec_id", "embedding", 5, index = Some(idx),
+            encoded = Some(spark.read.parquet(codesDir))).count())
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(codesDir))
     }
     // chunking blows output up by ~(window/stride)× the token count —
     // pure narrow explode, cost must be output-bound. Aggregate the

@@ -133,22 +133,104 @@ object CorpusPipeline {
     // the capstone queries); MEMORY_AND_DISK keeps lineage for executor
     // loss.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // at most TWO stages stay cached: once next's count() has
-    // materialized it, the predecessor's blocks are never read again
+    // Eager admission artifacts: when the chain is exactly what an
+    // incremental run admits (per-row stages + dedup verdicts), this
+    // run already HAS everything the `<output>.artifacts/` indexes
+    // need — the frames ENTERING each dedup stage, drops included.
+    // Writing them now (a) spares the first `--into` increment its only
+    // O(corpus) text re-read (the lazy bootstrap) and (b) closes the
+    // bootstrap scoping gap: rows THIS run dropped stay indexed, so an
+    // increment rejects their future duplicates exactly as the union
+    // run would — the equality contract holds with no exception. The
+    // entering frames stay persisted (disk-backed) until the artifact
+    // writes; the alternative — recomputing each from lineage — costs
+    // O(dedup stages) extra corpus passes on the ingest job.
+    val dedupKinds = Set("dedup_exact", "dedup_near", "dedup_semantic")
+    // eligibility must match requireIncrementalChain EXACTLY — kinds
+    // AND ordering. A chain like [dedup_exact, pii_scrub] has only
+    // incremental kinds but rewrites text AFTER the dedup keys were
+    // hashed: eager artifacts from it would hold pre-rewrite
+    // fingerprints no increment's (correctly ordered) chain could ever
+    // match, silently re-admitting duplicates. Such a chain keeps the
+    // lazy bootstrap (which fingerprints the final output).
+    val kinds = conf.stages.map(_.kind)
+    val firstDedup = kinds.indexWhere(dedupKinds.contains)
+    val eager = kinds.forall(IncrementalKinds.contains) &&
+      (firstDedup < 0 || kinds.drop(firstDedup).forall(!StreamableKinds.contains(_)))
+    val entering = collection.mutable.Map[String, DataFrame]()
+    // at most TWO stages stay cached (once next's count() has
+    // materialized it, the predecessor's blocks are never read again) —
+    // plus the retained dedup-entering frames when writing eagerly
     var prev: Option[DataFrame] = None
+    val kept = collection.mutable.ListBuffer[DataFrame]()
     try {
       val result = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
+        if (eager && dedupKinds.contains(st.kind) && !entering.contains(st.kind))
+          entering(st.kind) = df
         val next = applyStage(df, st, id, docs0, conf.textCol).persist(lvl)
         out(f"stage ${st.kind}%-20s rows=${next.count()}")
-        prev.foreach(_.unpersist())
+        prev.foreach { p =>
+          if (entering.values.exists(_ eq p)) kept += p else p.unpersist()
+        }
         prev = Some(next)
         next
       }
       result.write.mode("overwrite").parquet(conf.outputDir)
-    } finally prev.foreach(_.unpersist())
+      // stale-artifact hygiene: overwriting the output invalidates any
+      // admission artifacts a previous incremental sequence left beside
+      // it — a later `--into` must never admit against an index of data
+      // this run just replaced
+      val artRoot = new org.apache.hadoop.fs.Path(conf.outputDir + ".artifacts")
+      artRoot.getFileSystem(spark.sessionState.newHadoopConf()).delete(artRoot, true)
+      if (eager && entering.nonEmpty) writeEagerArtifacts(spark, conf, entering.toMap, out)
+    } finally {
+      prev.foreach(_.unpersist())
+      kept.foreach(_.unpersist())
+    }
     val n = spark.read.parquet(conf.outputDir).count()
     out(s"output: ${conf.outputDir} rows=$n")
     n
+  }
+
+  /** Write the admission artifacts a from-scratch incremental-
+    * compatible run can produce as a by-product — same layout and
+    * coverage as [[admitBatch]]'s extensions: `fp/` from every row
+    * entering `dedup_exact`, `lsh/` + `near_dropped/` text from rows
+    * entering `dedup_near` (drops = entering ∖ output), `coslsh/` +
+    * `sem_dropped/` ids from rows entering `dedup_semantic`.
+    */
+  private def writeEagerArtifacts(spark: SparkSession, conf: CorpusPipelineConf,
+                                  entering: Map[String, DataFrame],
+                                  out: String => Unit): Unit = {
+    val id = conf.idCol
+    val artRoot = conf.outputDir + ".artifacts"
+    val output = spark.read.parquet(conf.outputDir)
+    entering.get("dedup_exact").foreach { df =>
+      df.select(TA.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$artRoot/fp")
+    }
+    conf.stages.find(_.kind == "dedup_near").foreach { st =>
+      val df = entering("dedup_near")
+      Dedup.buildLshIndex(df, id, col("text"), st.nVal(3))
+        .write.mode("overwrite").parquet(s"$artRoot/lsh")
+      df.join(output.select(col(id)), Seq(id), "left_anti")
+        .select(col(id), col("text"))
+        .write.mode("overwrite").parquet(s"$artRoot/near_dropped")
+    }
+    conf.stages.find(_.kind == "dedup_semantic").foreach { st =>
+      val df = entering("dedup_semantic")
+      val emb = spark.read.parquet(graft.config.GraftConfig.substituteEnvVar(
+          st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+            "dedup_semantic needs embeddings_dir"))))
+        .select(col(st.vec_id_column.getOrElse("vec_id")).as(id),
+          col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+      graft.ops.Similarity.buildCosineLshIndex(
+          emb.join(df.select(col(id)), Seq(id), "left_semi"), id, "__graft_vec")
+        .write.mode("overwrite").parquet(s"$artRoot/coslsh")
+      df.join(output.select(col(id)), Seq(id), "left_anti").select(col(id))
+        .write.mode("overwrite").parquet(s"$artRoot/sem_dropped")
+    }
+    out(s"admission artifacts written beside the output at $artRoot")
   }
 
   /** Stage kinds that are pure per-row transforms — the only ones a
@@ -195,12 +277,16 @@ object CorpusPipeline {
     * near/semantic drops; `sem_dropped/` ids for the vector lookup),
     * so a later shard row duplicating a previously DROPPED row is
     * still rejected, exactly as the union run rejects it via the
-    * transitive cluster. The one scoped exception: rows the INITIAL
-    * from-scratch `corpus run` dropped are not in the bootstrap-built
-    * artifacts (that run records no drop set), so equality is over the
-    * union of the prior OUTPUT and the shards. Per-row stages must
-    * precede the dedup stages in the chain, because they rewrite the
-    * text the dedup keys hash.
+    * transitive cluster. A from-scratch `corpus run` whose chain is
+    * itself incremental-compatible writes these artifacts EAGERLY
+    * (drops included, see [[writeEagerArtifacts]]), so the contract
+    * holds over the full union of all inputs. Only for an output
+    * produced some other way (an external parquet dir, a chain with
+    * corpus-wide stages) does the first increment fall back to the
+    * lazy bootstrap, which can only index the output's SURVIVORS —
+    * there, equality is scoped to the union of the prior output and
+    * the shards. Per-row stages must precede the dedup stages in the
+    * chain, because they rewrite the text the dedup keys hash.
     */
   /** Shared validation for the incremental paths. */
   private def requireIncrementalChain(conf: CorpusPipelineConf): Unit = {
@@ -272,7 +358,10 @@ object CorpusPipeline {
     require(prior.columns.forall(shaped0.columns.contains),
       s"shard lacks prior-output columns: " +
         prior.columns.filterNot(shaped0.columns.contains).mkString(", "))
-    val shaped = shaped0.select(prior.columns.map(col): _*)
+    // checkpointed: read by the id guard, the overlap joins (streaming),
+    // the exact stage twice, and the fp extension — without it every
+    // consumer re-reads the shard and re-runs the per-row chain
+    val shaped = shaped0.select(prior.columns.map(col): _*).localCheckpoint(true)
 
     val exactStage = conf.stages.find(_.kind == "dedup_exact")
     val nearStage = conf.stages.find(_.kind == "dedup_near")
@@ -373,6 +462,23 @@ object CorpusPipeline {
           .localCheckpoint(true)
         if (overlap.count() == 0) shaped
         else {
+          // a true replay carries the SAME rows the crashed attempt
+          // admitted — verify it before re-extending: an id-reusing
+          // producer bug (new text under an admitted id) would
+          // otherwise poison the indexes with fingerprints of text
+          // that exists nowhere, silently rejecting its future
+          // duplicates forever. Fingerprints compare post-per-row-
+          // stage text on both sides (prior rows were shaped by the
+          // same chain when admitted).
+          val mismatched = overlap
+            .select(col(id), TA.fingerprint(col("text")).as("__graft_bfp"))
+            .join(prior.select(col(id), TA.fingerprint(col("text")).as("__graft_pfp")),
+              Seq(id))
+            .filter(col("__graft_bfp") =!= col("__graft_pfp")).count()
+          require(mismatched == 0,
+            s"$mismatched batch row(s) reuse already-admitted ids with DIFFERENT " +
+              "text — not a crash replay but an id-discipline violation; refusing " +
+              "to treat them as admitted. Fix the producer to mint fresh ids.")
           out(s"replayed batch: ${overlap.count()} rows already admitted — " +
             "re-extending artifacts, re-admitting the remainder")
           // bootstrap first: appending recovery rows to an absent index
@@ -462,10 +568,14 @@ object CorpusPipeline {
     //            indexed; their text goes to near_dropped/ below so
     //            future collisions against them verify);
     //   coslsh ← every row that reached the semantic stage.
-    exactStage.foreach { _ =>
-      batchIn.select(TA.fingerprint(col("text")).as("fp")).distinct()
-        .write.mode("append").parquet(new Path(artRoot, "fp").toString)
-    }
+    // ORDER matters for crash-replay: the fp append commits LAST of the
+    // extensions. If it committed first and the crash hit before the
+    // lsh/near_dropped appends, a replay would exact-drop the dropped
+    // rows against their OWN fingerprints — they would never reach the
+    // near stage again and their lsh/near_dropped coverage would be
+    // lost for good. With fp last, an un-fp'd replay re-runs those rows
+    // through the near/semantic stages, which re-drops them and
+    // re-appends their (idempotent, dedup-consumed) index rows.
     nearStage.foreach { st =>
       Dedup.buildLshIndex(afterExact, id, col("text"), st.nVal(3))
         .write.mode("append").parquet(new Path(artRoot, "lsh").toString)
@@ -483,6 +593,10 @@ object CorpusPipeline {
       admitted.join(batchOut.select(col(id)), Seq(id), "left_anti")
         .select(col(id))
         .write.mode("append").parquet(new Path(artRoot, "sem_dropped").toString)
+    }
+    exactStage.foreach { _ =>
+      batchIn.select(TA.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("append").parquet(new Path(artRoot, "fp").toString)
     }
     // the completion marker commits LAST: its existence proves the
     // output append AND every artifact extension landed, so a replay
@@ -512,9 +626,13 @@ object CorpusPipeline {
     * ops, and a crash leaves both the old and new copies on disk.
     */
   def compact(spark: SparkSession, conf: CorpusPipelineConf,
-              out: String => Unit, targetFileBytes: Long = 128L << 20): Unit = {
+              out: String => Unit, targetFileBytes: Long = 128L << 20,
+              targetDir: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    val target = conf.outputDir
+    // `targetDir` mirrors run/stream's `--into`: an admission target
+    // that differs from the config's output_dir (the CLI permits
+    // `--into <prior>` anywhere) is compacted by naming it explicitly
+    val target = targetDir.getOrElse(conf.outputDir)
     val fs = new Path(target).getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(target)), s"nothing to compact: $target does not exist")
     val id = conf.idCol

@@ -437,6 +437,13 @@ class CliSpec extends SparkSpec {
     }
     val printed = collection.mutable.Buffer[String]()
     assert(Cli.run(Seq("corpus", "run", conf(in1, outDir)), spark, printed += _) == 0)
+    // the seed run wrote its artifacts eagerly; DELETE them here to pin
+    // the LAZY bootstrap path an externally-produced output takes
+    // (the eager path has its own test below)
+    val fsArt = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fsArt.delete(new org.apache.hadoop.fs.Path(s"$outDir.artifacts"), true),
+      "seed run should have written eager artifacts")
     assert(Cli.run(Seq("corpus", "run", conf(in2, outDir), "--into", outDir),
       spark, printed += _) == 0)
     // increment 1 had to build the artifacts from the prior output...
@@ -538,6 +545,70 @@ class CliSpec extends SparkSpec {
       spark.sessionState.newHadoopConf())
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$outDir.artifacts/near_dropped")),
       "near_dropped text artifact missing")
+  }
+
+  test("cli: from-scratch runs write admission artifacts eagerly, covering their own drops") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-eager-art-").toString
+    val vocab = ('a' to 'z').map(c => s"e$c")
+    val base = Seq.tabulate(40)(i => vocab(i % 26))
+    val tK = base.mkString(" ")
+    val tD = base.updated(39, "bridgeword").mkString(" ")          // ∼K (0.897)
+    val tF = base.updated(39, "bridgeword").updated(20, "farword") // ∼D (0.81) but not ∼K (0.72)
+      .mkString(" ")
+    // the FROM-SCRATCH run drops D (near-dup of K) — previously that
+    // drop was unrecoverable (the lazy bootstrap indexes survivors
+    // only) and a later duplicate of D slipped through
+    Seq((1L, tK), (2L, tD)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    Seq((201L, tF), (202L, tD)).toDF("doc_id", "text").write.parquet(s"$root/shard")
+    def conf(input: String, output: String): String = {
+      val p = s"$root/conf-${input.split('/').last}-${output.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $output
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.8
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    val outDir = s"$root/corpus"
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed", outDir)), spark, printed += _) == 0)
+    assert(printed.exists(_.contains("admission artifacts written")), printed.mkString("\n"))
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for (a <- Seq("fp", "lsh", "near_dropped"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$outDir.artifacts/$a/_SUCCESS")),
+        s"eager artifact $a missing")
+    // the dropped bridge D is in the text coverage
+    assert(spark.read.parquet(s"$outDir.artifacts/near_dropped")
+      .select($"doc_id").as[Long].collect().toSet == Set(2L))
+    // the increment must NOT re-read corpus text (no lazy bootstrap)…
+    printed.clear()
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/shard", outDir), "--into", outDir),
+      spark, printed += _) == 0)
+    assert(!printed.exists(_.contains("building")),
+      s"increment re-built artifacts despite the eager write:\n${printed.mkString("\n")}")
+    // …and must reject 201 (∼ the from-scratch-dropped D only) and 202
+    // (exact dup of D), matching the from-scratch union exactly
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select($"doc_id").as[Long].collect().toSet
+    assert(ids(outDir) == Set(1L),
+      s"duplicates of from-scratch-dropped rows leaked: ${ids(outDir)}")
+    Seq((1L, tK), (2L, tD), (201L, tF), (202L, tD)).toDF("doc_id", "text")
+      .write.parquet(s"$root/union")
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/union", s"$root/scratch")),
+      spark, _ => ()) == 0)
+    assert(ids(s"$root/scratch") == ids(outDir), "diverged from the from-scratch union")
+    // a re-run of `corpus run` over the same output replaces the
+    // artifacts (stale-artifact hygiene on the overwrite path)
+    Seq((1L, tK)).toDF("doc_id", "text").write.parquet(s"$root/seed2")
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed2", outDir)), spark, _ => ()) == 0)
+    assert(spark.read.parquet(s"$outDir.artifacts/near_dropped").count() == 0L,
+      "overwriting the output left stale drop coverage beside it")
   }
 
   test("cli: corpus compact collapses file groups, admission results unchanged") {
@@ -682,6 +753,10 @@ class CliSpec extends SparkSpec {
     }
     val printed = collection.mutable.Buffer[String]()
     assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    // pin the LAZY cosine bootstrap: drop the seed run's eager artifacts
+    new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(s"$outDir.artifacts"), true)
     assert(Cli.run(Seq("corpus", "run", conf(s"$root/shard"), "--into", outDir),
       spark, printed += _) == 0)
     assert(printed.exists(_.contains("building cosine-LSH index artifact")))
@@ -863,6 +938,88 @@ class CliSpec extends SparkSpec {
       s"marked batch was not skipped:\n${printed.mkString("\n")}")
     assert(spark.read.parquet(outDir).as[(Long, String)].collect()
       .map(_._1).toSet == Set(1L, 2L, 111L, 113L), "a marked batch still appended rows")
+  }
+
+  test("cli: replay recovers a crash between the index appends and the fingerprint append") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-csi-fpwin-").toString
+    val vocab = ('a' to 'z').map(c => s"f$c")
+    def sent(f: Int => String): String = Seq.tabulate(40)(f).mkString(" ")
+    val t1 = sent(i => vocab(i % 26))
+    val t2 = sent(i => vocab((i * 3 + 1) % 26))
+    val t2near = sent(i => if (i == 0) "patched" else vocab((i * 3 + 1) % 26))
+    val t5 = sent(i => vocab((i * 11 + 4) % 26))
+    val outDir = s"$root/corpus"
+    Seq((1L, t1)).toDF("doc_id", "text").write.parquet(s"$root/seed")
+    def conf(input: String): String = {
+      val p = s"$root/conf-${input.split('/').last}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        s"""input_dir: $input
+           |output_dir: $outDir
+           |checkpoint_dir: $root/ckpt
+           |stages:
+           |  - kind: dedup_exact
+           |  - kind: dedup_near
+           |    n: 3
+           |    threshold: 0.5
+           |""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    assert(Cli.run(Seq("corpus", "run", conf(s"$root/seed")), spark, _ => ()) == 0)
+    // SIMULATED CRASH deeper than the no-extensions window: the batch
+    // {101: t2 (admitted), 102: t2near (near-dropped)} committed its
+    // output append AND its lsh + near_dropped extensions, then died
+    // BEFORE the fingerprint append (which deliberately commits last)
+    // and the marker. If fp had committed first, the replayed 102
+    // would be exact-dropped against its own fingerprint and its index
+    // coverage lost forever.
+    Seq((101L, t2)).toDF("doc_id", "text").write.mode("append").parquet(outDir)
+    val crashed = Seq((101L, t2), (102L, t2near)).toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(crashed, "doc_id", $"text", 3)
+      .write.mode("append").parquet(s"$outDir.artifacts/lsh")
+    Seq((102L, t2near)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$outDir.artifacts/near_dropped")
+    val watch = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "ts": "2026-01-01T00:00:00.000Z"}"""
+    Files.writeString(java.nio.file.Paths.get(watch, "b1.json"),
+      Seq(jline(101L, t2), jline(102L, t2near)).mkString("", "\n", "\n"))
+    assert(Cli.run(Seq("corpus", "stream", conf(watch), "--into", outDir),
+      spark, _ => ()) == 0)
+    def rows(): Seq[(Long, String)] =
+      spark.read.parquet(outDir).as[(Long, String)].collect().toSeq
+    assert(rows().count(_._1 == 101L) == 1, s"survivor duplicated: ${rows()}")
+    assert(rows().map(_._1).toSet == Set(1L, 101L),
+      s"replay admitted ${rows().map(_._1).toSet}")
+    // the replay must have re-processed 102 through the near stage and
+    // finished the crashed attempt's missing fp coverage: a later batch
+    // exact-duplicating the SURVIVOR (201), the DROPPED row (202), or
+    // near-duplicating the dropped row's text (all rejected), plus a
+    // fresh doc (203, admitted)
+    Files.writeString(java.nio.file.Paths.get(watch, "b2.json"),
+      Seq(jline(201L, t2), jline(202L, t2near), jline(203L, t5))
+        .mkString("", "\n", "\n"))
+    assert(Cli.run(Seq("corpus", "stream", conf(watch), "--into", outDir),
+      spark, _ => ()) == 0)
+    assert(rows().map(_._1).toSet == Set(1L, 101L, 203L),
+      s"post-recovery admission got ${rows().map(_._1).toSet}")
+    // the id-discipline guard still fires on a NON-replay reuse: same
+    // id 101 with brand-new text must be refused, not absorbed (the
+    // require fires inside foreachBatch, so the streaming engine wraps
+    // it — scan the cause chain)
+    Files.writeString(java.nio.file.Paths.get(watch, "b3.json"),
+      jline(101L, sent(i => vocab((i * 17 + 6) % 26))) + "\n")
+    val ex = intercept[Exception] {
+      Cli.run(Seq("corpus", "stream", conf(watch), "--into", outDir), spark, _ => ())
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("id-discipline")),
+      s"expected the id-discipline refusal, got: $ex")
+    assert(rows().map(_._1).toSet == Set(1L, 101L, 203L),
+      "the refused batch must not have appended anything")
   }
 
   test("telemetry: off by default, local JSONL capture when enabled, never throws") {

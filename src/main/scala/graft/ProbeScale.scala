@@ -70,6 +70,28 @@ object ProbeScale {
             corpusIndex = Some(spark.read.parquet(idxDir))).count())
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
     }
+    // the O(batch) claim isolated: a batch with NO corpus collisions
+    // (token-reversed text → disjoint gram space) admitted against a
+    // mult×-corpus index. Run at two mults: the cost must stay ~flat
+    // as the corpus grows — the probe's broadcast key filter touches
+    // only index rows whose buckets the batch actually has, and a
+    // fresh batch has (almost) none.
+    if (only.isEmpty || only.contains("incremental_fresh")) {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-freshidx").toString
+      try {
+        val corpus = docs.filter(col("doc_id") >= n)
+        Dedup.buildLshIndex(corpus, "doc_id", col("text"))
+          .write.mode("overwrite").parquet(idxDir)
+        val freshBatch = docs.filter(col("doc_id") < n)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        timeAlways("incremental_fresh_indexed")(
+          Dedup.incrementalNearDupPairs(
+            corpus.select(col("doc_id"), col("text")), freshBatch,
+            "doc_id", col("text"),
+            corpusIndex = Some(spark.read.parquet(idxDir))).count())
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
     // the dup-heavy worst case for clustering: every doc sits in a
     // mult-sized clique, so components are MANY and label propagation
     // must converge in ~1 round despite ~100× pair volume

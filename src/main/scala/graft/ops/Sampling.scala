@@ -289,6 +289,88 @@ object Sampling {
        |SELECT doc_id, bucket, n_tokens FROM bb JOIN brates USING (bucket)
        |WHERE ${hashPermilleSql("doc_id")} < rate""".stripMargin
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): distribute a token budget uniformly over
+    * strata (languages / domains), capping every stratum at `maxEpochs`
+    * passes over its own data — the waterfill closed form of the
+    * paper's greedy. Strata ascend by cap; a stratum is capped while
+    * its cap fits the uniform share of the budget remaining at its
+    * position, and the first stratum whose cap exceeds that share fixes
+    * the constant share every remaining (larger) stratum receives.
+    * The budget is `budgetFrac` of the corpus's total weight so the
+    * whole computation (and its oracle) derives from the data alone.
+    * Emits one row per stratum: (stratum, n_tokens, cap_tokens, capped,
+    * alloc_tokens, epochs).
+    *
+    * Scale shape: ONE skinny stratum-count aggregation is the only
+    * corpus pass; the waterfill itself windows over the STRATUM table —
+    * languages/domains number in the hundreds, so the unpartitioned
+    * window frame is metadata-sized by construction (same bound as
+    * [[mixtureSample]]'s strata list). Cross-engine determinism: counts
+    * are exact longs, every double op (cap product, ordered cumulative
+    * sum, share division) runs in the same fixed order on identical
+    * inputs, so results are bit-identical unrounded.
+    */
+  def uniMaxAllocation(df: DataFrame, stratum: Column, nTokens: Column,
+                       budgetFrac: Double, maxEpochs: Double): DataFrame = {
+    require(budgetFrac > 0, "budgetFrac must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(sum(nTokens.cast("long")).as("n_tok"))
+    val wOrd = Window.orderBy(col("cap"), col("stratum"))
+    val wAll = Window.partitionBy(lit(1))
+    val capped = col("b_rn").isNull || col("rn") < col("b_rn")
+    val alloc = when(capped, col("cap")).otherwise(col("s_star"))
+    counts
+      .withColumn("cap", col("n_tok").cast("double") * lit(maxEpochs))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum_prev", coalesce(
+        sum(col("cap")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("n_strata", count(lit(1)).over(wAll))
+      .withColumn("budget",
+        lit(budgetFrac) * sum(col("n_tok")).over(wAll).cast("double"))
+      .withColumn("share",
+        (col("budget") - col("cum_prev")) /
+          (col("n_strata") - col("rn") + 1).cast("double"))
+      .withColumn("b_rn",
+        min(when(col("cap") > col("share"), col("rn"))).over(wAll))
+      .withColumn("s_star",
+        max(when(col("rn") === col("b_rn"), col("share"))).over(wAll))
+      .select(col("stratum"), col("n_tok").as("n_tokens"),
+        col("cap").as("cap_tokens"), capped.as("capped"),
+        alloc.as("alloc_tokens"),
+        (alloc / col("n_tok").cast("double")).as("epochs"))
+  }
+
+  /** [[uniMaxAllocation]] as DuckDB SQL over relation `rel`, with
+    * `stratumSql`/`ntokSql` expressions — the same ascending-cap
+    * waterfill, window for window.
+    */
+  private[graft] def uniMaxAllocationSql(stratumSql: String, ntokSql: String,
+                                         budgetFrac: Double, maxEpochs: Double,
+                                         rel: String = "documents"): String = {
+    val e = maxEpochs.toString
+    s"""WITH umc AS (SELECT $stratumSql AS stratum, CAST(SUM($ntokSql) AS BIGINT) AS n_tok
+       |  FROM $rel GROUP BY 1),
+       |ump AS (SELECT stratum, n_tok, CAST(n_tok AS DOUBLE) * $e AS cap,
+       |   row_number() OVER (ORDER BY CAST(n_tok AS DOUBLE) * $e, stratum) AS rn,
+       |   coalesce(SUM(CAST(n_tok AS DOUBLE) * $e) OVER (ORDER BY CAST(n_tok AS DOUBLE) * $e, stratum
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev,
+       |   COUNT(*) OVER () AS n_strata,
+       |   ${budgetFrac.toString} * CAST(SUM(n_tok) OVER () AS DOUBLE) AS budget
+       |  FROM umc),
+       |ums AS (SELECT *, (budget - cum_prev) / CAST(n_strata - rn + 1 AS DOUBLE) AS share FROM ump),
+       |umg AS (SELECT *, MIN(CASE WHEN cap > share THEN rn END) OVER () AS b_rn FROM ums),
+       |umh AS (SELECT *, MAX(CASE WHEN rn = b_rn THEN share END) OVER () AS s_star FROM umg)
+       |SELECT stratum, n_tok AS n_tokens, cap AS cap_tokens,
+       |  (b_rn IS NULL OR rn < b_rn) AS capped,
+       |  CASE WHEN b_rn IS NULL OR rn < b_rn THEN cap ELSE s_star END AS alloc_tokens,
+       |  CASE WHEN b_rn IS NULL OR rn < b_rn THEN cap ELSE s_star END / CAST(n_tok AS DOUBLE) AS epochs
+       |FROM umh""".stripMargin
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `window`-token chunks starting every `stride` tokens
     * (stride < window ⇒ overlapping chunks, the usual training shape so

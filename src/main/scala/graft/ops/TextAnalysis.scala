@@ -259,6 +259,43 @@ object TextAnalysis {
   def gopherPassSql(x: String): String =
     gopherRulesSql(x).map(_._2).mkString("(", " AND ", ")")
 
+  /** C4 cleaning heuristics (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    * 2020, §2.2 — the C4 corpus-construction rules), in the line-array
+    * form a curation pipeline applies after line splitting: a line is
+    * retained iff it ends in a terminal punctuation mark, carries at
+    * least [[C4MinLineWords]] words, and does not mention javascript;
+    * a page passes iff at least [[C4MinKeptLines]] lines survive (the
+    * paper's ≥3-sentence floor) and the raw page mentions neither
+    * "lorem ipsum" nor a curly bracket.
+    *
+    * Scale shape: pure narrow per-row HOFs over the line array — no
+    * explode, no shuffle, codegen'd end to end at any corpus size.
+    */
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+
+  def c4KeepLines(lines: Column): Column =
+    filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= C4MinLineWords &&
+        !l.contains("javascript"))
+
+  def c4KeepLinesSql(lines: String): String =
+    s"""list_filter($lines, l -> right(l, 1) IN ('.', '!', '?', '"') """ +
+      s"AND len(string_split(l, ' ')) >= $C4MinLineWords " +
+      s"AND l NOT LIKE '%javascript%')"
+
+  def c4PagePass(lines: Column, kept: Column): Column =
+    size(kept) >= C4MinKeptLines &&
+      !array_join(lines, "\n").contains("lorem ipsum") &&
+      !array_join(lines, "\n").contains("{")
+
+  def c4PagePassSql(lines: String, kept: String): String =
+    s"(len($kept) >= $C4MinKeptLines" +
+      s" AND array_to_string($lines, chr(10)) NOT LIKE '%lorem ipsum%'" +
+      s" AND array_to_string($lines, chr(10)) NOT LIKE '%{%')"
+
   /** PII patterns scrubbed from free text before training — the
     * in-text counterpart of the column-level transformers (emails,
     * phones, card numbers, IPv4s). One ordered list shared by the

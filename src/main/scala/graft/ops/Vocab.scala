@@ -221,6 +221,37 @@ object Vocab {
         round(exp(-stableAvg), 3).as("ppl"))
   }
 
+  /** CCNet-style per-language perplexity tiers (Wenzek et al., "CCNet",
+    * LREC 2020 §4.4): score every doc with the corpus-trained unigram LM
+    * ([[unigramLogProb]]), then split each language into equal head /
+    * middle / tail terciles by perplexity ascending — head is the
+    * fluent third the paper keeps for LM pretraining, tail the
+    * boilerplate third it drops. Ties break on doc id so the tiling is
+    * a total order and cross-engine deterministic (ppl is already
+    * rounded to scale 3 by the scorer, so the sort key itself is
+    * hash-stable).
+    *
+    * Scale shape: the model pass is unigramLogProb's (one wordcount
+    * shuffle + a token-keyed equi-join); the tiling windows over the
+    * SKINNY (doc, lang, ppl) projection partitioned by language — the
+    * text never enters the sort, and the per-language partitions are
+    * the natural shuffle unit. At extreme scale swap the exact tercile
+    * for threshold assignment off a sampled quantile sketch (a narrow
+    * map against broadcast cutoffs); the exact form is what the oracle
+    * can hash-check.
+    */
+  def perplexityBuckets(df: DataFrame, id: String, text: Column,
+                        lang: Column): DataFrame = {
+    val ppl = unigramLogProb(df, id, text).select(col(id), col("ppl"))
+    val tercile = org.apache.spark.sql.functions.ntile(3).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ppl"), col(id)))
+    df.select(col(id), lang.as("lang")).join(ppl, Seq(id))
+      .select(col(id), col("lang"), col("ppl"),
+        when(tercile === 1, "head").when(tercile === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the topical-keyword extraction
     * a curation pipeline runs for domain filtering. tf = in-doc count,
     * idf = ln(nDocs / df); ties broken by term text, so selection is

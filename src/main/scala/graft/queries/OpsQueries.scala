@@ -521,6 +521,14 @@ object OpsQueries {
     "x_bigram_logprob" -> ((s, dir) =>
       graft.ops.Vocab.bigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
 
+    // CCNet head/middle/tail: per-language perplexity terciles under
+    // the corpus-trained unigram LM — the published keep-the-fluent-
+    // third filter; the tiling windows only the skinny (doc, lang,
+    // ppl) projection
+    "x_perplexity_buckets" -> ((s, dir) =>
+      graft.ops.Vocab.perplexityBuckets(
+        Tables.documents(s, dir), "doc_id", col("text"), col("lang"))),
+
     // topical keyword extraction: top-3 TF-IDF terms per doc
     "x_tfidf_top_terms" -> ((s, dir) =>
       graft.ops.Vocab.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", col("text"), 3)),
@@ -531,6 +539,35 @@ object OpsQueries {
       val ruleCols = TA.gopherRules(col("text")).map { case (name, c) => c.as(name) }
       Tables.documents(s, dir).select(
         col("doc_id") +: ruleCols :+ TA.gopherPass(col("text")).as("passes"): _*)
+    }),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): the corpus text is
+    // single-line word soup, so (like x_line_dedup) the query first
+    // structures it deterministically in BOTH engines — 10-token lines
+    // with every third left unterminated, plus doc-seeded boilerplate
+    // exercising each page rule — then the line filter (terminal
+    // punctuation + ≥5 words + no javascript) and the page gate
+    // (≥3 kept lines, no lorem ipsum, no curly brace) run as pure
+    // narrow HOFs
+    "x_c4_filter" -> ((s, dir) => {
+      val t = split(lower(trim(col("text"))), "\\s+")
+      val lineIdx = sequence(lit(0), floor((size(t) - lit(1)) / lit(10)).cast("int"))
+      val baseLines = transform(lineIdx, i =>
+        concat(concat_ws(" ", slice(t, i * 10 + 1, lit(10))),
+          when(pmod(col("doc_id") + i, lit(3)) =!= 0, lit(".")).otherwise(lit(""))))
+      def saltLine(m: Int, line: String) =
+        when(pmod(col("doc_id"), lit(m)) === 0, array(lit(line)))
+          .otherwise(array().cast("array<string>"))
+      val lines = concat(baseLines,
+        saltLine(7, "please enable javascript to view this page."),
+        saltLine(97, "lorem ipsum dolor sit amet sample filler."),
+        saltLine(89, "window.config = { theme: dark }"))
+      val kept = TA.c4KeepLines(lines)
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_lines_kept"),
+        TA.c4PagePass(lines, kept).as("passes"),
+        concat_ws("\n", kept).as("cleaned"))
     }),
 
     // in-text PII scrubbing (emails/phones/cards/IPs → type tags) — the
@@ -713,6 +750,15 @@ object OpsQueries {
     "x_budget_select" -> ((s, dir) =>
       Sampling.budgetSelect(Tables.documents(s, dir), col("doc_id"),
         TA.qualityScore(col("text")), TA.tokenCount(col("text")), BudgetSelectTokens)),
+
+    // UniMax language sampling (Chung et al., ICLR 2023): waterfill a
+    // 90%-of-corpus token budget uniformly over the declared languages
+    // with a 1-epoch repeat cap — low-resource langs take their full
+    // epoch, the head language absorbs the remainder at <1 epoch; one
+    // skinny count shuffle, the waterfill windows a strata-sized table
+    "x_unimax_alloc" -> ((s, dir) =>
+      Sampling.uniMaxAllocation(Tables.documents(s, dir), col("lang"),
+        TA.tokenCount(col("text")), UniMaxBudgetFrac, UniMaxEpochCap)),
 
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
@@ -1290,6 +1336,14 @@ object OpsQueries {
     */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "merge")
 
+  /** `x_unimax_alloc` parameters: 90% of the corpus's tokens at a
+    * 1-epoch cap puts the four low-resource languages at their full
+    * epoch and leaves the head language the (smaller) remainder — both
+    * waterfill branches exercised on the declared-lang distribution.
+    */
+  val UniMaxBudgetFrac = 0.9
+  val UniMaxEpochCap = 1.0
+
   /** [[graft.ops.Dedup.lineDedup]]'s oracle: the identical line
     * structuring (10-token lines + injected boilerplate header/footer),
     * doc-frequency count, hot-line exclusion, and ordered rebuild.
@@ -1619,6 +1673,21 @@ object OpsQueries {
             |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
             |  FROM scored GROUP BY 1)
             |SELECT doc_id, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin),
+    "x_perplexity_buckets" ->
+      (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+            |t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+            |model AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+            |tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM model),
+            |scored AS (SELECT doc_id, ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS lp
+            |  FROM t JOIN model USING (token) CROSS JOIN tot),
+            |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
+            |  FROM scored GROUP BY 1),
+            |p AS (SELECT doc_id, round(exp(-avg_lp), 3) AS ppl FROM a),
+            |b AS (SELECT d.doc_id, d.lang, p.ppl,
+            |  ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, d.doc_id) AS t3
+            |  FROM documents d JOIN p USING (doc_id))
+            |SELECT doc_id, lang, ppl,
+            |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM b""".stripMargin),
     "x_tfidf_top_terms" ->
       (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
             |t AS (SELECT doc_id, token FROM toks WHERE token != ''),
@@ -1635,6 +1704,22 @@ object OpsQueries {
       (s"SELECT doc_id, " +
         TA.gopherRulesSql("text").map { case (n, e) => s"$e AS $n" }.mkString(", ") +
         s", ${TA.gopherPassSql("text")} AS passes FROM documents"),
+    "x_c4_filter" ->
+      (raw"""WITH c4toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+            |c4built AS (SELECT doc_id, list_concat(list_concat(list_concat(
+            |    [array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') ||
+            |       CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END
+            |     FOR i IN range(0, (len(t) + 9) // 10)],
+            |    CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript to view this page.'] ELSE [] END),
+            |    CASE WHEN doc_id % 97 = 0 THEN ['lorem ipsum dolor sit amet sample filler.'] ELSE [] END),
+            |    CASE WHEN doc_id % 89 = 0 THEN ['window.config = { theme: dark }'] ELSE [] END) AS lines
+            |  FROM c4toks),
+            |c4k AS (SELECT doc_id, lines, ${TA.c4KeepLinesSql("lines")} AS kept FROM c4built)
+            |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+            |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+            |  ${TA.c4PagePassSql("lines", "kept")} AS passes,
+            |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+            |FROM c4k""".stripMargin),
     "x_pii_scrub" ->
       (s"""WITH s AS (SELECT doc_id,
           |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -1683,6 +1768,8 @@ object OpsQueries {
             |FROM tot t JOIN agg a USING (doc_id)""".stripMargin),
     "x_budget_select" -> graft.ops.Sampling.budgetSelectSql(
       TA.qualityScoreSql("text"), TA.tokenCountSql("text"), BudgetSelectTokens),
+    "x_unimax_alloc" -> graft.ops.Sampling.uniMaxAllocationSql(
+      "lang", TA.tokenCountSql("text"), UniMaxBudgetFrac, UniMaxEpochCap),
     "x_sequence_pack" ->
       (s"""WITH t AS (SELECT doc_id,
           |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,

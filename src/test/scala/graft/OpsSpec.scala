@@ -681,6 +681,73 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("c4 rules: line filter and page gate each trip on their own pathology") {
+    val good = "one two three four five six."
+    val df = Seq(
+      // 3 good lines → passes
+      (1L, Seq(good, good, good), true, 3),
+      // unterminated line dropped → only 2 kept → page fails
+      (2L, Seq(good, good, "one two three four five six"), false, 2),
+      // short line dropped despite terminal punctuation
+      (3L, Seq(good, good, "too short."), false, 2),
+      // javascript line dropped even though well-formed
+      (4L, Seq(good, good, "please enable javascript to continue here."), false, 2),
+      // lorem ipsum: line survives the LINE filter, page gate kills
+      (5L, Seq(good, good, "lorem ipsum dolor sit amet filler."), false, 3),
+      // curly brace anywhere on the page kills it
+      (6L, Seq(good, good, "call me later { maybe today }."), false, 3),
+      // question/exclamation/quote all count as terminal
+      (7L, Seq("is one two three four five?", "go one two three four five!",
+        "he said one two three \"five\""), true, 3))
+      .toDF("doc_id", "lines", "want_pass", "want_kept")
+    val kept = TA.c4KeepLines($"lines")
+    val got = df.select($"doc_id", $"want_pass", $"want_kept",
+      size(kept).as("n_kept"), TA.c4PagePass($"lines", kept).as("passes"))
+    got.collect().foreach { r =>
+      assert(r.getAs[Int]("n_kept") == r.getAs[Int]("want_kept"),
+        s"doc ${r.getAs[Long]("doc_id")}: kept")
+      assert(r.getAs[Boolean]("passes") == r.getAs[Boolean]("want_pass"),
+        s"doc ${r.getAs[Long]("doc_id")}: passes")
+    }
+  }
+
+  test("perplexity buckets: per-lang terciles, lowest ppl lands in head") {
+    val got = graft.ops.Vocab.perplexityBuckets(docs, "doc_id", $"text", $"lang")
+    val byLang = got.groupBy($"lang").pivot($"bucket", Seq("head", "middle", "tail"))
+      .count().collect()
+    byLang.foreach { r =>
+      val (h, m, t) = (r.getAs[Long]("head"), r.getAs[Long]("middle"), r.getAs[Long]("tail"))
+      // ntile: sizes differ by at most 1, earlier tiles take the extra
+      assert(h >= m && m >= t && h - t <= 1, s"lang ${r.getAs[String]("lang")}: $h/$m/$t")
+    }
+    // the minimum-perplexity doc of every language must be in head
+    val minPpl = got.groupBy($"lang").agg(min(struct($"ppl", $"doc_id")).as("m"))
+      .select($"lang", $"m.doc_id".as("doc_id"))
+    val joined = got.join(minPpl, Seq("lang", "doc_id")).select($"bucket").as[String].collect()
+    assert(joined.nonEmpty && joined.forall(_ == "head"))
+  }
+
+  test("unimax allocation: waterfill caps small strata, remainder to the head, budget conserved") {
+    // 3 strata: 100 + 200 + 700 = 1000 tokens; budget 0.8*1000 = 800,
+    // cap 2 epochs. Waterfill ascending: a(cap 200) vs share 800/3=266.7
+    // → capped at 200; b(cap 400) vs (800-200)/2=300 → NOT capped →
+    // share 300 fixed; c gets 300 too. Total = 200+300+300 = 800.
+    val df = (Seq.fill(1)(("a", 100)) ++ Seq.fill(2)(("b", 100)) ++ Seq.fill(7)(("c", 100)))
+      .zipWithIndex.map { case ((s1, n), i) => (i.toLong, s1, n) }
+      .toDF("doc_id", "stratum", "n")
+    val got = Sampling.uniMaxAllocation(df, $"stratum", $"n", budgetFrac = 0.8, maxEpochs = 2.0)
+      .orderBy($"stratum")
+      .as[(String, Long, Double, Boolean, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 200.0, true, 200.0, 2.0),
+      ("b", 200L, 400.0, false, 300.0, 1.5),
+      ("c", 700L, 1400.0, false, 300.0, 300.0 / 700.0)), s"got $got")
+    // degenerate: budget above all caps → everything capped at maxEpochs
+    val all = Sampling.uniMaxAllocation(df, $"stratum", $"n", budgetFrac = 5.0, maxEpochs = 1.0)
+      .select($"capped", $"epochs").as[(Boolean, Double)].collect()
+    assert(all.forall { case (c, e) => c && e == 1.0 })
+  }
+
   test("PII scrub: each pattern tagged, counts match, clean text untouched") {
     val cases = Seq(
       (1L, "mail me at jane.doe+x@sub.example.org now", "mail me at <EMAIL> now", 1),

@@ -327,7 +327,7 @@ class PlanSpec extends SparkSpec {
     // never shuffle (the corpus-join complements are separate queries)
     for (q <- Seq("x_quality_logit", "x_top_ngram_char_frac",
         "x_dup_line_metrics", "x_repetition_ratio", "x_quality_score",
-        "x_gopher_filter", "x_lang_id", "x_token_count")) {
+        "x_gopher_filter", "x_lang_id", "x_token_count", "x_c4_filter")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles — narrow metric regressed")
     }

@@ -371,6 +371,34 @@ object Sampling {
        |FROM umh""".stripMargin
   }
 
+  /** Expand the corpus into the training manifest [[uniMaxAllocation]]
+    * prescribes: every doc of a stratum repeats floor(epochs) times,
+    * plus one more copy for the deterministic per-mille fraction of
+    * ids covering the fractional epoch — the same (doc_id, stratum,
+    * copy_idx) manifest shape as [[epochMixture]], with the repeat
+    * rate coming from the waterfill instead of target shares.
+    *
+    * Scale shape: the allocation is strata-sized and broadcasts; the
+    * expansion is a narrow explode bounded by ceil(maxEpochs); the
+    * corpus itself never shuffles.
+    */
+  def uniMaxManifest(df: DataFrame, id: Column, stratum: Column, nTokens: Column,
+                     budgetFrac: Double, maxEpochs: Double): DataFrame = {
+    val base = df.filter(id.isNotNull)
+    val rates = uniMaxAllocation(base, stratum, nTokens, budgetFrac, maxEpochs)
+      .select(col("stratum").as("__graft_stratum"),
+        floor(col("epochs")).cast("long").as("__graft_full"),
+        floor((col("epochs") - floor(col("epochs"))) * 1000).as("__graft_thr"))
+    base.withColumn("__graft_stratum", stratum)
+      .join(broadcast(rates), Seq("__graft_stratum"))
+      .select(id.as("doc_id"), col("__graft_stratum").as("stratum"),
+        col("__graft_full"), col("__graft_thr"),
+        explode(sequence(lit(0L), col("__graft_full"))).as("copy_idx"))
+      .filter(col("copy_idx") < col("__graft_full") ||
+        hashPermille(col("doc_id")).cast("double") < col("__graft_thr"))
+      .select(col("doc_id"), col("stratum"), col("copy_idx"))
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `window`-token chunks starting every `stride` tokens
     * (stride < window ⇒ overlapping chunks, the usual training shape so

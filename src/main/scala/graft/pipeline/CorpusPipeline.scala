@@ -40,7 +40,11 @@ final case class CorpusStageConf(
     embeddings_dir: Option[String],
     vec_id_column: Option[String],
     vector_column: Option[String],
-    sample_mod: Option[Number]) {
+    sample_mod: Option[Number],
+    // unimax_mix: what fraction of the corpus's total weight the token
+    // budget is, and the per-stratum repeat cap (epochs)
+    budget_frac: Option[Number],
+    max_epochs: Option[Number]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -54,6 +58,8 @@ final case class CorpusStageConf(
   def ratesVal: Map[String, Double] =
     rates.getOrElse(Map.empty).map { case (k, v) => k -> v.doubleValue }
   def defaultRateVal(default: Double): Double = default_rate.fold(default)(_.doubleValue)
+  def budgetFracVal(default: Double): Double = budget_frac.fold(default)(_.doubleValue)
+  def maxEpochsVal(default: Double): Double = max_epochs.fold(default)(_.doubleValue)
 }
 
 /** The corpus-pipeline job config — the LLM-ops analog of the dump
@@ -82,11 +88,12 @@ final case class CorpusPipelineConf(
 object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
-    "pii_scrub", "gopher_filter", "compression_filter", "decontaminate_spans",
+    "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
+    "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank")
-  val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix")
+  val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
   mapper.registerModule(DefaultScalaModule)
@@ -238,7 +245,7 @@ object CorpusPipeline {
     * the batch path owns).
     */
   val StreamableKinds: Set[String] =
-    Set("pii_scrub", "gopher_filter", "compression_filter")
+    Set("pii_scrub", "gopher_filter", "compression_filter", "c4_clean")
 
   /** Kinds an incremental run admits: per-row shaping plus the two
     * dedup verdicts that have an O(batch) admission form against a
@@ -785,6 +792,7 @@ object CorpusPipeline {
         case "compression_filter" =>
           df.filter(call_function("graft_deflate_ratio", col("text")) >=
             st.thresholdVal(0.25))
+        case "c4_clean" => c4CleanStage(df, col("text"))
       }
     }
     val admitted = corpusDir match {
@@ -814,6 +822,20 @@ object CorpusPipeline {
         // drop low-entropy boilerplate: deflated/raw below the floor
         df.filter(call_function("graft_deflate_ratio", text) >=
           st.thresholdVal(0.25))
+      case "c4_clean" =>
+        c4CleanStage(df, text)
+      case "perplexity_filter" =>
+        // CCNet tiering: keep the most fluent `keep` of the 3
+        // per-language perplexity terciles under the corpus-trained
+        // unigram LM (default 1 = head only)
+        val keepTiers = st.keepVal.getOrElse(1L)
+        require(keepTiers >= 1 && keepTiers <= 3,
+          s"perplexity_filter keep must be 1..3 terciles, got $keepTiers")
+        val allowed = Seq("head", "middle", "tail").take(keepTiers.toInt)
+        val sel = graft.ops.Vocab
+          .perplexityBuckets(df, id, text, TA.langId(text))
+          .filter(col("bucket").isin(allowed: _*)).select(col(id))
+        df.join(sel, Seq(id), "left_semi")
       case "decontaminate_spans" =>
         val srcVal = st.benchmark_source.getOrElse(throw new IllegalArgumentException(
           "decontaminate_spans needs benchmark_source"))
@@ -943,6 +965,34 @@ object CorpusPipeline {
         if (df.columns.contains("rank"))
           packed.join(df.select(col(id), col("rank")), Seq(id))
         else packed
+      case "unimax_mix" =>
+        // terminal: UniMax waterfill (budget_frac of the corpus's
+        // weight, max_epochs repeat cap) applied as the (id, stratum,
+        // copy_idx) manifest; weight defaults to TOKEN mass — the
+        // paper's unit — `weight: docs` counts docs instead
+        val w = st.weight match {
+          case Some("tokens") | None => TA.tokenCount(text)
+          case Some("docs") => lit(1L)
+          case Some(other) => throw new IllegalArgumentException(
+            s"unimax_mix weight must be 'docs' or 'tokens', got '$other'")
+        }
+        Sampling.uniMaxManifest(
+            df.withColumn("__graft_lang", TA.langId(text)),
+            col(id), col("__graft_lang"), w,
+            st.budgetFracVal(0.9), st.maxEpochsVal(2.0))
+          .withColumnRenamed("doc_id", id)
     }
+  }
+
+  /** The C4 page clean as a frame stage: filter pages by the gate over
+    * the raw lines, then rewrite `text` to the surviving lines — pure
+    * narrow per-row HOFs, so it is streamable and
+    * incremental-admission-safe (deterministic text rewrite before any
+    * dedup keys are hashed, same class as pii_scrub).
+    */
+  private def c4CleanStage(df: DataFrame, text: Column): DataFrame = {
+    val lines = split(text, "\n")
+    df.filter(TA.c4PagePass(lines, TA.c4KeepLines(lines)))
+      .withColumn("text", concat_ws("\n", TA.c4KeepLines(split(text, "\n"))))
   }
 }

@@ -760,6 +760,15 @@ object OpsQueries {
       Sampling.uniMaxAllocation(Tables.documents(s, dir), col("lang"),
         TA.tokenCount(col("text")), UniMaxBudgetFrac, UniMaxEpochCap)),
 
+    // the allocation APPLIED: the (doc_id, stratum, copy_idx) manifest
+    // a training loader consumes — capped languages repeat their full
+    // epochs, the head language's fractional epoch samples docs by the
+    // deterministic per-mille hash; broadcast rates + bounded narrow
+    // explode, the corpus never shuffles
+    "x_unimax_manifest" -> ((s, dir) =>
+      Sampling.uniMaxManifest(Tables.documents(s, dir), col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")), UniMaxBudgetFrac, UniMaxEpochCap)),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -1770,6 +1779,18 @@ object OpsQueries {
       TA.qualityScoreSql("text"), TA.tokenCountSql("text"), BudgetSelectTokens),
     "x_unimax_alloc" -> graft.ops.Sampling.uniMaxAllocationSql(
       "lang", TA.tokenCountSql("text"), UniMaxBudgetFrac, UniMaxEpochCap),
+    "x_unimax_manifest" ->
+      (s"""WITH alloc AS (${graft.ops.Sampling.uniMaxAllocationSql(
+             "lang", TA.tokenCountSql("text"), UniMaxBudgetFrac, UniMaxEpochCap)}),
+          |rr AS (SELECT stratum, CAST(floor(epochs) AS BIGINT) AS fullc,
+          |  floor((epochs - floor(epochs)) * 1000) AS thr FROM alloc),
+          |series AS (SELECT unnest(range(${math.ceil(UniMaxEpochCap).toLong + 1})) AS copy_idx),
+          |e AS (SELECT d.doc_id, rr.stratum, fullc, thr, copy_idx
+          |FROM documents d JOIN rr ON rr.stratum = d.lang
+          |CROSS JOIN series WHERE copy_idx <= fullc)
+          |SELECT doc_id, stratum, CAST(copy_idx AS BIGINT) AS copy_idx FROM e
+          |WHERE copy_idx < fullc
+          |   OR CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
     "x_sequence_pack" ->
       (s"""WITH t AS (SELECT doc_id,
           |  CAST(${TA.tokenCountSql("text")} AS BIGINT) AS n_tokens,

@@ -395,6 +395,53 @@ class CliSpec extends SparkSpec {
       "the minority stratum should run more than one epoch at a 50/50 target")
   }
 
+  test("cli: c4_clean, perplexity_filter and unimax_mix run from config, equal to the ops API") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Sampling, TextAnalysis => TA}
+    val root = Files.createTempDirectory("graft-c4conf-").toString
+    val out = s"$root/out"
+    val conf = s"$root/c.yaml"
+    // line-structured prose in two stopword languages; doc 0 carries a
+    // curly brace so the C4 page gate drops it outright
+    def en(k: Int) = Seq.tabulate(4)(j => s"the cat and dog number $k$j sits here.").mkString("\n")
+    def de(k: Int) = Seq.tabulate(4)(j => s"der hund und die katze nummer $k$j ist.").mkString("\n")
+    val rows = ((0 until 6).map(k => (k.toLong, en(k))) ++
+      (6 until 12).map(k => (k.toLong, de(k))))
+      .updated(0, (0L, en(0) + "\nthis bad line has a { brace inside."))
+    rows.toDF("doc_id", "text").write.parquet(s"$root/in")
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $root/in
+         |output_dir: $out
+         |stages:
+         |  - kind: c4_clean
+         |  - kind: perplexity_filter
+         |    keep: 2
+         |  - kind: unimax_mix
+         |    budget_frac: 0.8
+         |    max_epochs: 2
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSet == Set("doc_id", "stratum", "copy_idx"))
+    assert(!got.select("doc_id").as[Long].collect().contains(0L),
+      "the brace page survived the C4 gate")
+    // ops-API mirror of the exact chain
+    val docs = rows.toDF("doc_id", "text")
+    val lines = split($"text", "\n")
+    val cleaned = docs.filter(TA.c4PagePass(lines, TA.c4KeepLines(lines)))
+      .withColumn("text", concat_ws("\n", TA.c4KeepLines(split($"text", "\n"))))
+    val sel = graft.ops.Vocab
+      .perplexityBuckets(cleaned, "doc_id", $"text", TA.langId($"text"))
+      .filter($"bucket".isin("head", "middle")).select($"doc_id")
+    val filtered = cleaned.join(sel, Seq("doc_id"), "left_semi")
+    val want = Sampling.uniMaxManifest(
+      filtered.withColumn("__l", TA.langId($"text")),
+      $"doc_id", $"__l", TA.tokenCount($"text"), 0.8, 2.0)
+    assert(got.select("doc_id", "stratum", "copy_idx").as[(Long, String, Long)].collect().toSet ==
+      want.as[(Long, String, Long)].collect().toSet,
+      "config-driven chain diverged from the ops API")
+  }
+
   test("cli: corpus run --into admits shards incrementally, equal to from-scratch on the union") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-corpus-inc-").toString

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Selection, Similarity, TextAnalysis => TA}
 
 /** LLM-data-pipeline operator queries over `documents`/`embeddings`.
   *
@@ -769,6 +769,30 @@ object OpsQueries {
       Sampling.uniMaxManifest(Tables.documents(s, dir), col("doc_id"), col("lang"),
         TA.tokenCount(col("text")), UniMaxBudgetFrac, UniMaxEpochCap)),
 
+    // DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+    // unigram+bigram bag, add-one-smoothed target(en)/raw log-ratio,
+    // floor-quantized to millionths so the per-doc weight is an exact
+    // long sum; fit = two skinny bucket aggregations, scoring = pure
+    // narrow HOF over the broadcast 4096-long model — zero corpus
+    // shuffle
+    "x_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lam = Selection.fitDsir(docs, docs.filter(col("lang") === "en"),
+        col("text"), DsirBuckets)
+      docs.select(col("doc_id"), Selection.dsirWeightQ(col("text"), lam).as("dsir_wq"))
+    }),
+
+    // DSIR selection: Gumbel top-k over the importance weights —
+    // sampling without replacement proportional to the weight, with
+    // the Gumbel draw deterministic from the doc-id md5; distributed
+    // TakeOrdered, not a global sort
+    "x_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Selection.dsirSelect(docs, docs.filter(col("lang") === "en"),
+          col("doc_id"), col("text"), DsirSelectK, DsirBuckets)
+        .select(col("doc_id"), col("dsir_wq"), col("gumbel_score"))
+    }),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -1353,6 +1377,20 @@ object OpsQueries {
   val UniMaxBudgetFrac = 0.9
   val UniMaxEpochCap = 1.0
 
+  /** `x_dsir_*` parameters: 512 hash buckets keeps the broadcast model
+    * literal small while leaving real collision-smoothing at sf0.01
+    * (500 docs ≈ 60k gram occurrences); k=100 selects a strict subset
+    * at sf0.01+ and degrades to take-all at sf0.001 — both paths seen.
+    */
+  val DsirBuckets = 512
+  val DsirSelectK = 100
+
+  /** DuckDB FROM-sources for the DSIR raw/target split: the whole
+    * corpus vs its English slice (the paper's "curated target").
+    */
+  private val DsirRawSql = "documents"
+  private val DsirTargetSql = "(SELECT * FROM documents WHERE lang = 'en')"
+
   /** [[graft.ops.Dedup.lineDedup]]'s oracle: the identical line
     * structuring (10-token lines + injected boilerplate header/footer),
     * doc-frequency count, hot-line exclusion, and ordered rebuild.
@@ -1856,6 +1894,10 @@ object OpsQueries {
           |rates AS (SELECT lang_guess, round(power(cmin / c, 0.5) * 1000) AS thr FROM counts, cm)
           |SELECT doc_id, lang_guess FROM l JOIN rates USING (lang_guess)
           |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
+    "x_dsir_weights" -> graft.ops.Selection.dsirWeightsSql(
+      "doc_id", "text", DsirRawSql, DsirTargetSql, DsirBuckets),
+    "x_dsir_select" -> graft.ops.Selection.dsirSelectSql(
+      "doc_id", "text", DsirRawSql, DsirTargetSql, DsirSelectK, DsirBuckets),
     "x_top_quality_per_lang" ->
       (s"""WITH scored AS (SELECT doc_id, ${TA.langIdSql("text")} AS lang_guess,
           |  ${TA.qualityScoreSql("text")} AS quality FROM documents),

@@ -44,7 +44,12 @@ final case class CorpusStageConf(
     // unimax_mix: what fraction of the corpus's total weight the token
     // budget is, and the per-stratum repeat cap (epochs)
     budget_frac: Option[Number],
-    max_epochs: Option[Number]) {
+    max_epochs: Option[Number],
+    // dsir_select: the curated target corpus — an external parquet dir
+    // (same text column name) or the input slice whose guessed
+    // language matches
+    target_dir: Option[String],
+    target_lang: Option[String]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -92,7 +97,7 @@ object CorpusPipeline {
     "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "quality_rep_dedup", "stratified_sample",
-    "mixture_temperature", "budget_select", "curriculum_rank")
+    "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -927,6 +932,30 @@ object CorpusPipeline {
           df.withColumn("__graft_q", TA.qualityScore(text)),
           Seq(col("__graft_q").desc, col(id).asc)).drop("__graft_q")
         st.keepVal.fold(ranked)(k => ranked.filter(col("rank") <= k))
+      case "dsir_select" =>
+        // DSIR (Xie et al. 2023): keep the `keep` docs whose
+        // hashed-n-gram distribution best matches the target corpus —
+        // deterministic Gumbel top-k over quantized importance
+        // weights (sampling-without-replacement ∝ weight). Target is
+        // an external curated parquet (`target_dir`) or the input
+        // slice whose guessed language matches `target_lang`.
+        val k = st.keepVal.getOrElse(throw new IllegalArgumentException(
+          "dsir_select needs keep (the number of documents to select)"))
+        val target = (st.target_dir, st.target_lang) match {
+          case (Some(dir), None) =>
+            df.sparkSession.read
+              .parquet(graft.config.GraftConfig.substituteEnvVar(dir))
+              .select(col(textCol).as("text"))
+          case (None, Some(lang)) =>
+            df.filter(TA.langId(text) === lang).select(text)
+          case _ => throw new IllegalArgumentException(
+            "dsir_select needs exactly one of target_dir / target_lang")
+        }
+        val sel = graft.ops.Selection.dsirSelect(df.select(col(id), text),
+            target, col(id), text, k.toInt,
+            st.nVal(graft.ops.Selection.DefaultBuckets))
+          .select(col(id))
+        df.join(sel, Seq(id), "left_semi")
       case "chunk" =>
         // honor a custom id_column in the artifact, and carry a
         // curriculum `rank` through to the chunks (the whole point of

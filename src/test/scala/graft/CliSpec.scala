@@ -395,6 +395,58 @@ class CliSpec extends SparkSpec {
       "the minority stratum should run more than one epoch at a 50/50 target")
   }
 
+  test("cli: dsir_select runs from config (both target forms), equal to the ops API") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Selection, TextAnalysis => TA}
+    val root = Files.createTempDirectory("graft-dsirconf-").toString
+    val rows = ((0 until 6).map(k => (k.toLong, s"the cat and the dog number $k sit in the house")) ++
+      (6 until 12).map(k => (k.toLong, s"zqx wvu ponm lkj number $k hgf dsa qqq www"))).toSeq
+    rows.toDF("doc_id", "text").write.parquet(s"$root/in")
+    // external curated target: more of the english-ish sublanguage
+    Seq((100L, "the cat sat with the dog in the house"),
+        (101L, "the dog ran to the cat on the mat")).toDF("doc_id", "text")
+      .write.parquet(s"$root/target")
+    def runConf(targetLine: String, out: String): Set[Long] = {
+      val conf = s"$root/c-${out.hashCode.toHexString}.yaml"
+      Files.write(java.nio.file.Paths.get(conf),
+        s"""input_dir: $root/in
+           |output_dir: $root/$out
+           |stages:
+           |  - kind: dsir_select
+           |    keep: 4
+           |    n: 64
+           |    $targetLine
+           |""".stripMargin.getBytes("UTF-8"))
+      assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+      spark.read.parquet(s"$root/$out").select("doc_id").as[Long].collect().toSet
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val wantDir = Selection.dsirSelect(docs, spark.read.parquet(s"$root/target"),
+        $"doc_id", $"text", 4, 64).select("doc_id").as[Long].collect().toSet
+    assert(runConf(s"target_dir: $root/target", "out-dir") == wantDir,
+      "target_dir config path diverged from the ops API")
+    val wantLang = Selection.dsirSelect(docs, docs.filter(TA.langId($"text") === "en").select($"text"),
+        $"doc_id", $"text", 4, 64).select("doc_id").as[Long].collect().toSet
+    assert(runConf("target_lang: en", "out-lang") == wantLang,
+      "target_lang config path diverged from the ops API")
+    // the weight gap should pick the target-like slice
+    assert(wantDir.forall(_ < 6L), s"expected english-ish docs selected, got $wantDir")
+    // corpus-global: refused by incremental admission
+    val conf2 = s"$root/c2.yaml"
+    Files.write(java.nio.file.Paths.get(conf2),
+      s"""input_dir: $root/in
+         |output_dir: $root/out2
+         |stages:
+         |  - kind: dedup_exact
+         |  - kind: dsir_select
+         |    keep: 4
+         |    target_lang: en
+         |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      Cli.run(Seq("corpus", "run", conf2, "--into", s"$root/out-lang"), spark, _ => ()))
+    assert(e.getMessage.contains("incremental"), e.getMessage)
+  }
+
   test("cli: c4_clean, perplexity_filter and unimax_mix run from config, equal to the ops API") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Sampling, TextAnalysis => TA}

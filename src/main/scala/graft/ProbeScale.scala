@@ -238,6 +238,27 @@ object ProbeScale {
     time("bm25_topk")(
       graft.ops.Vocab.bm25TopK(docs, "doc_id", col("text"),
         graft.queries.OpsQueries.Bm25QueryTerms, 20).count())
+    // DSIR at mult×: the fit is two corpus passes partial-aggregating
+    // to ≤buckets rows (driver sees only the bucket table), scoring is
+    // a narrow HOF over the broadcast model, selection a distributed
+    // top-k — cost must stay linear in the corpus with no new shuffle
+    // as mult grows. Target = the src0 slice (grows with mult too).
+    time("dsir_select")(
+      graft.ops.Selection.dsirSelect(docs,
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        k = 100 * mult, buckets = 4096).count())
+    // CCNet terciles at mult×: the window runs over the skinny
+    // (doc, lang, ppl) projection after the LM fit's vocab-sized aggs
+    time("perplexity_buckets")(
+      graft.ops.Vocab.perplexityBuckets(docs, "doc_id", col("text"),
+        graft.ops.TextAnalysis.langId(col("text"))).count())
+    // UniMax manifest at mult×: waterfill over the ≤strata count table,
+    // then the same broadcast-rate narrow explode as epoch mixing
+    time("unimax_manifest")(
+      graft.ops.Sampling.uniMaxManifest(
+        docs.withColumn("lang", graft.ops.TextAnalysis.langId(col("text"))),
+        col("doc_id"), col("lang"),
+        graft.ops.TextAnalysis.tokenCount(col("text")), 0.9, 2.0).count())
     time("line_dedup") {
       val t = split(lower(trim(col("text"))), "\\s+")
       val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),

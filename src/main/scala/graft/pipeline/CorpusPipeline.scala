@@ -120,8 +120,7 @@ object CorpusPipeline {
     * derived from one count per stage boundary (tiny driver scalars,
     * never row data).
     */
-  def run(spark: SparkSession, conf: CorpusPipelineConf,
-          out: String => Unit): Long = {
+  private def validateStages(conf: CorpusPipelineConf): Unit = {
     require(conf.stages.nonEmpty, "corpus pipeline needs at least one stage")
     val unknown = conf.stages.map(_.kind).filterNot(k =>
       ShapingKinds.contains(k) || TerminalKinds.contains(k))
@@ -133,6 +132,56 @@ object CorpusPipeline {
       case bad => throw new IllegalArgumentException(
         s"terminal stage(s) ${bad.map(_.kind).mkString(", ")} must be last")
     }
+  }
+
+  /** Dry-run plan transparency — `corpus explain <conf>`: validate the
+    * config, build the configured chain WITHOUT executing it, and
+    * report the cumulative physical-plan shape (parquet scans, shuffle
+    * Exchanges) at every stage boundary, then the final formatted
+    * plan. Nothing corpus-sized runs: no persist, no count, no write.
+    * (Model-fitting stages — dsir_select's bucket aggregations, a
+    * perplexity LM's vocab counts — still execute their BOUNDED fit
+    * jobs where the model is driver state baked into the plan; the
+    * corpus-wide transform itself stays unexecuted.) The per-stage
+    * Exchange count is the number a 100 TB operator reviews before
+    * committing a cluster to the chain.
+    */
+  def explain(spark: SparkSession, conf: CorpusPipelineConf,
+              out: String => Unit): Unit = {
+    validateStages(conf)
+    // plan with AQE off so EnsureRequirements' Exchanges are visible
+    // as concrete nodes (under AQE the executed plan hides its inner
+    // tree until runtime); restored afterwards — nothing here executes
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val id = conf.idCol
+      val docs0 = spark.read.parquet(conf.inputDir)
+      out(s"input: ${conf.inputDir}")
+      val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
+        (if (docs0.columns.contains("source") && conf.textCol != "source")
+          Seq(col("source")) else Nil)
+      val finalDf = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
+        val next = applyStage(df, st, id, docs0, conf.textCol)
+        val plan = next.queryExecution.executedPlan
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.length
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.length
+        val broadcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }.length
+        out(f"stage ${st.kind}%-20s scans=$scans exchanges=$exchanges " +
+          s"broadcasts=$broadcasts columns=${next.columns.mkString(",")}")
+        next
+      }
+      out(finalDf.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
+  def run(spark: SparkSession, conf: CorpusPipelineConf,
+          out: String => Unit): Long = {
+    validateStages(conf)
     val id = conf.idCol
     val docs0 = spark.read.parquet(conf.inputDir)
     out(s"input: ${conf.inputDir}")

@@ -799,6 +799,23 @@ object OpsQueries {
         .select(col("doc_id"), col("dsir_wq"), col("gumbel_score"))
     }),
 
+    // corpus snapshot diff: the output-regression check between two
+    // pipeline runs — fingerprint-compare under the shared id, report
+    // added/removed/changed (the "next" snapshot is derived
+    // deterministically: every 10th doc dropped, every 7th rewritten,
+    // every 13th re-added under a shifted id)
+    "x_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val next = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + lit(1000000)).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs, next, "doc_id", col("text"))
+        .filter(col("status") =!= "unchanged")
+    }),
+
     // per-language top-5 by quality (tie-broken by doc_id): the
     // curation selection — one window over a lang-keyed shuffle
     "x_top_quality_per_lang" -> ((s, dir) =>
@@ -1901,6 +1918,20 @@ object OpsQueries {
           |rates AS (SELECT lang_guess, round(power(cmin / c, 0.5) * 1000) AS thr FROM counts, cm)
           |SELECT doc_id, lang_guess FROM l JOIN rates USING (lang_guess)
           |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("doc_id")} AS DOUBLE) < thr""".stripMargin),
+    "x_corpus_diff" ->
+      (raw"""WITH nxt0 AS (
+            |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+            |  FROM documents WHERE doc_id % 10 != 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+            |prev AS (SELECT doc_id, ${TA.fingerprintSql("text")} AS fp_prev FROM documents),
+            |nxt AS (SELECT doc_id, ${TA.fingerprintSql("text")} AS fp_next FROM nxt0),
+            |d AS (SELECT doc_id,
+            |  CASE WHEN fp_prev IS NULL THEN 'added'
+            |       WHEN fp_next IS NULL THEN 'removed'
+            |       WHEN fp_prev = fp_next THEN 'unchanged' ELSE 'changed' END AS status
+            |  FROM prev FULL OUTER JOIN nxt USING (doc_id))
+            |SELECT doc_id, status FROM d WHERE status != 'unchanged'""".stripMargin),
     "x_dsir_weights" -> graft.ops.Selection.dsirWeightsSql(
       "doc_id", "text", DsirRawSql, DsirTargetSql, DsirBuckets),
     "x_dsir_select" -> graft.ops.Selection.dsirSelectSql(

@@ -447,6 +447,34 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("incremental"), e.getMessage)
   }
 
+  test("cli: corpus explain reports per-stage plan shape without executing the chain") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-explain-").toString
+    (0 until 8).map(k => (k.toLong, s"the cat and dog number $k sit here quietly"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in")
+    val conf = s"$root/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $root/in
+         |output_dir: $root/out
+         |stages:
+         |  - kind: pii_scrub
+         |  - kind: gopher_filter
+         |  - kind: dedup_exact
+         |""".stripMargin.getBytes("UTF-8"))
+    val lines = collection.mutable.ListBuffer[String]()
+    assert(Cli.run(Seq("corpus", "explain", conf), spark, lines += _) == 0)
+    val stageLines = lines.filter(_.startsWith("stage "))
+    assert(stageLines.size == 3, s"one line per stage: $stageLines")
+    // the per-row stages are pure narrow scans — zero exchanges is the
+    // number the command exists to surface
+    assert(stageLines.take(2).forall(_.contains("exchanges=0")), s"$stageLines")
+    // dedup_exact introduces its fingerprint agg + semi-join shuffles
+    assert(!stageLines(2).contains("exchanges=0"), s"$stageLines")
+    assert(lines.exists(_.contains("Scan parquet")), "final formatted plan missing")
+    // nothing executed: no output written
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/out")))
+  }
+
   test("cli: perplexity_filter model kn_bigram scores with the KN LM, equal to the ops API") {
     import org.apache.spark.sql.functions._
     import graft.ops.{TextAnalysis => TA, Vocab}

@@ -604,6 +604,15 @@ class OpsSpec extends SparkSpec {
       "the rarer-bigram doc must score lower / perplex higher")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; whitespace-insensitive") {
+    val prev = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept doc")).toDF("doc_id", "text")
+    val next = Seq((2L, "gamma CHANGED"), (3L, "kept   DOC"), (4L, "brand new")).toDF("doc_id", "text")
+    val d = graft.ops.Dedup.corpusDiff(prev, next, "doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged", 4L -> "added"),
+      s"got $d") // 3 is unchanged: fingerprint normalizes case + runs of whitespace
+  }
+
   test("Kneser-Ney bigram: per-context kernel sums to 1; hand-check on a tiny corpus") {
     val df = Seq((1L, "a b a b"), (2L, "a"), (3L, "b z")).toDF("doc_id", "text")
     // bigram types: (a,b):2 (b,a):1 (b,z):1 → ctx a: cc=2 n1f=1; b: cc=2 n1f=2

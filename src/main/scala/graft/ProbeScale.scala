@@ -259,6 +259,13 @@ object ProbeScale {
         docs.withColumn("lang", graft.ops.TextAnalysis.langId(col("text"))),
         col("doc_id"), col("lang"),
         graft.ops.TextAnalysis.tokenCount(col("text")), 0.9, 2.0).count())
+    // D4 diversification at mult×: centroid training is the bounded
+    // driver sample; the corpus pays one narrow assignment pass plus
+    // one skinny (doc, cell, sim) window shuffle — linear, no vector
+    // ever crossing an exchange (plan-pinned in OpsSpec)
+    time("diversify")(
+      graft.ops.Similarity.diversify(vecs, "vec_id", "embedding", 0.25,
+        nCentroids = 64, sampleMod = 1).filter(col("action") === "kept").count())
     time("line_dedup") {
       val t = split(lower(trim(col("text"))), "\\s+")
       val lineArr = transform(sequence(lit(0), size(t) - 1, lit(10)),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -894,6 +895,113 @@ object Similarity {
     * portability quantization, ~1e-9 absolute, far below any float
     * input's own precision.
     */
+  /** Per-row (doc, cell, sim): cell assignment PLUS the similarity to
+    * the assigned centroid — the rank key of prototype pruning. Same
+    * two paths and lowest-cell tie-break as [[assignCells]], so the
+    * assignment is identical (parity-asserted in OpsSpec); the literal
+    * path reads the winning sim straight from the sims array, the
+    * broadcast path from the winning struct.
+    */
+  private[graft] def assignWithSim(
+      df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]],
+      forceBroadcast: Boolean = false): DataFrame = {
+    val base = df.select(col(id).as("doc"), col(vec).as("v"))
+    if (centroids.length <= MaxLiteralCentroids && !forceBroadcast) {
+      val sims = centroidSims(col("v"), centroids)
+      base.select(col("doc"), sims.as("sims"))
+        .select(col("doc"),
+          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int").as("cell"),
+          array_max(col("sims")).as("sim"))
+    } else {
+      base.crossJoin(broadcast(centroidTable(df, centroids)))
+        .select(col("doc"),
+          struct(cosine(col("v"), col("cvec")).as("sim"), (-col("cell")).as("negCell")).as("cand"))
+        .groupBy(col("doc"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("doc"), (-col("best.negCell")).cast("int").as("cell"),
+          col("best.sim").as("sim"))
+    }
+  }
+
+  /** Rank each cell by similarity-to-centroid (most prototypical
+    * first, doc id ascending on exact ties) and mark the top
+    * `ceil(dropFrac * cellSize)` rows `dropped`, the rest `kept`.
+    * One window over the skinny (doc, cell, sim) projection — the
+    * count and the rank share the cell partitioning, so the corpus
+    * pays a single skinny shuffle and neither text nor vectors cross
+    * it.
+    */
+  private def prototypePrune(assigned: DataFrame, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac <= 1.0,
+      s"dropFrac must be in [0, 1], got $dropFrac")
+    val byProto = Window.partitionBy(col("cell")).orderBy(col("sim").desc, col("doc").asc)
+    val cellW = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("rnk", row_number().over(byProto))
+      .withColumn("n", count(lit(1)).over(cellW))
+      .select(col("doc"), col("cell"),
+        when(col("rnk") <= ceil(lit(dropFrac) * col("n")), "dropped")
+          .otherwise("kept").as("action"))
+  }
+
+  /** D4-style cluster-prototype diversification (Tirumala, Simig,
+    * Aghajanyan & Morcos 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification" — the SSL-prototypes
+    * pruning stage): cluster the corpus's embeddings with the same
+    * bounded spherical k-means SemDeDup uses, rank each cluster by
+    * cosine to its own centroid, and DROP the most prototypical
+    * `dropFrac` of every cluster — the near-centroid mass is the
+    * least informative to train on; the cluster's periphery carries
+    * the diversity. Run it after semantic dedup for the paper's full
+    * D4 recipe. Returns (doc, cell, action ∈ kept|dropped).
+    *
+    * Scale: centroid training is the bounded driver-side sample
+    * (k·dim doubles of state); the corpus then pays ONE narrow
+    * assignment pass (literal or broadcast centroids, zero
+    * corpus-side exchange) and ONE window shuffle of the skinny
+    * (doc, cell, sim) projection. Vectors and text never cross a
+    * shuffle.
+    */
+  def diversify(
+      df: DataFrame, id: String, vec: String, dropFrac: Double,
+      nCentroids: Int = 0, sampleMod: Int = 1, iters: Int = 3,
+      maxTrainRows: Int = 10000, targetCellSize: Int = 1024,
+      forceBroadcast: Boolean = false): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = df.count()
+        math.max(16L, math.min(maxTrainRows.toLong, n / targetCellSize)).toInt
+      }
+    val centroids = trainOnCorpus(df, id, vec, k, sampleMod, iters, maxTrainRows)
+    prototypePrune(assignWithSim(df, id, vec, centroids, forceBroadcast), dropFrac)
+  }
+
+  /** Landmark-centroid diversification: the centroids are the
+    * corpus's own k lowest-id vectors with `id % landmarkMod == 0` —
+    * a deterministic Voronoi partition with no training loop, so the
+    * FULL pruning decision (cell, kept/dropped) is cross-engine
+    * reproducible and DuckDB-oracle-checked (`x_cluster_diversify`);
+    * [[diversify]] is the trained production form of the same
+    * machinery. Landmark collection is k rows regardless of corpus
+    * size; cosine is normalization-invariant so the raw landmark
+    * vectors serve as centroids directly.
+    */
+  def diversifyLandmarks(
+      df: DataFrame, id: String, vec: String, dropFrac: Double,
+      k: Int, landmarkMod: Int, forceBroadcast: Boolean = false): DataFrame = {
+    val centroids = df.filter(pmod(col(id), lit(landmarkMod)) === 0)
+      .orderBy(col(id)).limit(k).select(col(vec)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(centroids.length == k,
+      s"need $k landmark vectors with $id % $landmarkMod == 0, found ${centroids.length}")
+    prototypePrune(assignWithSim(df, id, vec, centroids, forceBroadcast), dropFrac)
+  }
+
   def meanPool(df: DataFrame, group: String, vec: String): DataFrame =
     df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
       .groupBy(col(group), col("pos"))

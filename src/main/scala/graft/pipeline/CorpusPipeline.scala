@@ -35,12 +35,15 @@ final case class CorpusStageConf(
     weight: Option[String],
     // scrub_exact_substr: spans duplicated >= min_count times are cut
     min_count: Option[Number],
-    // dedup_semantic: where the (vec_id, embedding) table lives and how
-    // its id column maps onto the document frame's id
+    // dedup_semantic / diversify: where the (vec_id, embedding) table
+    // lives and how its id column maps onto the document frame's id
     embeddings_dir: Option[String],
     vec_id_column: Option[String],
     vector_column: Option[String],
     sample_mod: Option[Number],
+    // diversify: the fraction of each cluster's most prototypical
+    // (nearest-centroid) documents to drop — D4's diversification knob
+    drop_frac: Option[Number],
     // unimax_mix: what fraction of the corpus's total weight the token
     // budget is, and the per-stratum repeat cap (epochs)
     budget_frac: Option[Number],
@@ -56,6 +59,7 @@ final case class CorpusStageConf(
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
+  def dropFracVal(default: Double): Double = drop_frac.fold(default)(_.doubleValue)
   def thresholdVal(default: Double): Double = threshold.fold(default)(_.doubleValue)
   def alphaVal(default: Double): Double = alpha.fold(default)(_.doubleValue)
   def budgetTokensVal: Option[Long] = budget_tokens.map(_.longValue)
@@ -99,7 +103,7 @@ object CorpusPipeline {
     "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
     "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
-    "dedup_near", "dedup_semantic", "quality_rep_dedup", "stratified_sample",
+    "dedup_near", "dedup_semantic", "diversify", "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
@@ -963,6 +967,25 @@ object CorpusPipeline {
           st.thresholdVal(0.4), sampleMod = st.sampleModVal(1))
         val semDrops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
         df.join(semDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
+      case "diversify" =>
+        // D4 cluster-prototype pruning (Tirumala et al. 2023) over the
+        // same sidecar embedding convention as dedup_semantic: cluster
+        // the surviving docs' vectors, drop each cluster's most
+        // prototypical drop_frac. Docs with no embedding pass through
+        // (left_anti on the drop list), matching dedup_semantic.
+        val embDir = st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+          "diversify needs embeddings_dir"))
+        val vecs = df.sparkSession.read
+          .parquet(graft.config.GraftConfig.substituteEnvVar(embDir))
+          .select(col(st.vec_id_column.getOrElse("vec_id")).as("doc_id"),
+            col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+          .join(df.select(col(id).as("doc_id")), Seq("doc_id"))
+        val verdicts = graft.ops.Similarity.diversify(
+          vecs, "doc_id", "__graft_vec", st.dropFracVal(0.25),
+          nCentroids = st.nVal(0), sampleMod = st.sampleModVal(1))
+        val protoDrops = verdicts.filter(col("action") === "dropped")
+          .select(col("doc").as(id))
+        df.join(protoDrops, Seq(id), "left_anti")
       case "quality_rep_dedup" =>
         val labeled = Dedup.clusterRepresentatives(
           Dedup.ngramJaccardPairs(df, id, text,

@@ -147,6 +147,24 @@ object OpsQueries {
         .distinct()
     }),
 
+    // D4-style cluster diversification (Tirumala et al. 2023) over
+    // deterministic landmark cells: nearest-landmark Voronoi assignment
+    // + per-cell prototype pruning — the FULL kept/dropped decision is
+    // DuckDB-oracle-checked because the centroids are corpus rows, not
+    // a training loop
+    "x_cluster_diversify" -> ((s, dir) =>
+      Similarity.diversifyLandmarks(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.25, 16, 25)
+        .withColumnRenamed("doc", "vec_id")),
+
+    // production D4: trained spherical k-means cells, same pruning (no
+    // oracle — the Lloyd loop isn't SQL; invariants, literal/broadcast
+    // parity and the landmark twin above are the checks, in OpsSpec)
+    "x_d4_diversify" -> ((s, dir) =>
+      Similarity.diversify(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.25, nCentroids = 16, sampleMod = 1)
+        .withColumnRenamed("doc", "vec_id")),
+
     // IVF ANN: coarse k-means cells + nProbe probing (no oracle —
     // recall vs brute force in OpsSpec)
     "x_ann_ivf" -> ((s, dir) => {
@@ -1995,6 +2013,20 @@ object OpsQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
+    "x_cluster_diversify" ->
+      ("""WITH lm0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16),
+         |lm AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec FROM lm0),
+         |scored AS (SELECT e.vec_id, lm.cell, list_cosine_similarity(e.embedding, lm.cvec) AS sim
+         |  FROM embeddings e CROSS JOIN lm),
+         |best AS (SELECT vec_id, cell, sim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r FROM scored),
+         |a AS (SELECT vec_id, cell, sim FROM best WHERE r = 1),
+         |ranked AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY cell) AS n FROM a)
+         |SELECT vec_id, CAST(cell AS INT) AS cell,
+         |  CASE WHEN rnk <= ceil(0.25 * n) THEN 'dropped' ELSE 'kept' END AS action
+         |FROM ranked""".stripMargin),
     "x_ann_bruteforce" -> annTopKSql(5, withRank = true),
     "x_multimodal_features" ->
       ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

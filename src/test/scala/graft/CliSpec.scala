@@ -375,6 +375,34 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() > 0, "pack terminal produced no sequences")
   }
 
+  test("cli: diversify stage prunes cluster prototypes from config, equal to the ops API") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft-corpus-div-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-corpus-div-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: diversify
+         |    embeddings_dir: /root/testdata/sf0.001/embeddings.parquet
+         |    drop_frac: 0.2
+         |    n: 8
+         |""".stripMargin.getBytes("UTF-8"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf), spark, printed += _) == 0)
+    // the config path must drop exactly what the ops API drops
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("__graft_vec"))
+      .join(docs.select("doc_id"), Seq("doc_id"))
+    val expectedDrops = graft.ops.Similarity.diversify(
+        vecs, "doc_id", "__graft_vec", 0.2, nCentroids = 8, sampleMod = 1)
+      .filter(col("action") === "dropped").count()
+    assert(expectedDrops > 0, "drop_frac 0.2 must prune something")
+    assert(spark.read.parquet(outDir).count() == docs.count() - expectedDrops,
+      "config-driven diversify dropped a different set than the ops API")
+  }
+
   test("cli: epoch_mix terminal emits the repeat manifest from config") {
     val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
     val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"

@@ -523,6 +523,73 @@ class OpsSpec extends SparkSpec {
         s"extra=${sharded.toSet.diff(unsharded.toSet)}")
   }
 
+  test("diversify (D4): landmark pruning drops the ceil(frac*n) most prototypical per cell") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.8f, 0.2f, 0.0f)),
+      (3L, Seq(0.7f, 0.3f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f)),
+      (6L, Seq(0.0f, 0.1f, 0.9f)),
+      (7L, Seq(0.0f, 0.2f, 0.8f)),
+      (8L, Seq(0.0f, 0.3f, 0.7f))).toDF("vec_id", "embedding")
+    val d = graft.ops.Similarity
+      .diversifyLandmarks(rows, "vec_id", "embedding", 0.5, 2, 5)
+      .as[(Long, Int, String)].collect()
+    val byDoc = d.map { case (doc, cell, act) => doc -> (cell, act) }.toMap
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L))
+    // landmarks: ids 0 (cell 0) and 5 (cell 1); x-axis docs go to 0
+    assert(Seq(0L, 1L, 2L, 3L).forall(byDoc(_)._1 == 0), s"$byDoc")
+    assert(Seq(5L, 6L, 7L, 8L).forall(byDoc(_)._1 == 1), s"$byDoc")
+    // dropFrac 0.5 over 4-doc cells: the landmark itself (sim 1.0) and
+    // its nearest neighbor are the prototypes that go; the periphery stays
+    assert(d.filter(_._3 == "dropped").map(_._1).toSet == Set(0L, 1L, 5L, 6L), s"$byDoc")
+    // broadcast-table assignment path prunes identically
+    val bcast = graft.ops.Similarity
+      .diversifyLandmarks(rows, "vec_id", "embedding", 0.5, 2, 5, forceBroadcast = true)
+      .as[(Long, Int, String)].collect()
+    assert(bcast.sortBy(_._1).toSeq == d.sortBy(_._1).toSeq)
+  }
+
+  test("diversify (D4): trained k-means pruning meets per-cell drop quotas and partitions the corpus") {
+    val sample = emb.filter(pmod($"vec_id", lit(5)) === 0)
+    val n = sample.count()
+    val d = graft.ops.Similarity
+      .diversify(sample, "vec_id", "embedding", 0.25, nCentroids = 8, sampleMod = 1)
+      .as[(Long, Int, String)].collect()
+    assert(d.length == n, "diversify must emit one verdict per input row")
+    assert(d.map(_._1).distinct.length == d.length, "duplicate verdicts")
+    val perCell = d.groupBy(_._2)
+    perCell.foreach { case (cell, members) =>
+      val dropped = members.count(_._3 == "dropped")
+      val quota = math.ceil(0.25 * members.length).toLong
+      assert(dropped == quota, s"cell $cell: dropped $dropped of ${members.length}, want $quota")
+    }
+    assert(perCell.size > 1, "degenerate clustering: everything in one cell")
+  }
+
+  test("diversify: no vector ever crosses a shuffle — every exchange is the skinny projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off so EnsureRequirements' exchanges are visible as nodes
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (force <- Seq(false, true)) {
+        val plan = graft.ops.Similarity
+          .diversifyLandmarks(emb, "vec_id", "embedding", 0.25, 16, 25,
+            forceBroadcast = force)
+          .queryExecution.executedPlan
+        val wide = plan.collect {
+          case e: ShuffleExchangeExec
+            if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+        }
+        assert(wide.isEmpty,
+          s"force=$force: vector-bearing exchange(s): ${wide.map(_.output.map(_.name))}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("assignCells: broadcast centroid-table path assigns identically to the narrow literal path") {
     val sample = emb.filter(pmod($"vec_id", lit(5)) === 0)
     val vecs = sample.select($"embedding").collect()

@@ -178,6 +178,58 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the whitespace-normalized lowercased
     * text — canonical near-exact-dedup key.
     */
+  /** HTML→text extraction — the ingest step ahead of every text
+    * curation stage in a CCNet/RefinedWeb-style pipeline (web corpora
+    * arrive as markup; the curation operators want prose): drop
+    * `<script>`/`<style>` blocks and comments wholesale, cut every
+    * remaining tag (tags may span lines), decode the core named
+    * entities (`&amp;` last, so `&amp;lt;` stays literal), collapse
+    * whitespace. Regex-portable and RE2-safe (no backreferences, lazy
+    * quantifiers only) so the Spark and DuckDB mirrors share the exact
+    * rules; a pure per-row narrow expression at any scale.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(
+      noTags, lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  def stripHtmlSql(x: String): String = {
+    val noScript = s"regexp_replace($x, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '(?s)<[^>]+>', ' ', 'g')"
+    val ent = "replace(replace(replace(replace(replace(replace(" +
+      s"$noTags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), " +
+      "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+    raw"trim(regexp_replace($ent, '\s+', ' ', 'g'))"
+  }
+
+  /** The document's `<title>` inner text, raw (no entity decode);
+    * empty string when absent — the per-page metadata a web-corpus
+    * ingest keeps beside the extracted body.
+    */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  def htmlTitleSql(x: String): String =
+    s"regexp_extract($x, '(?is)<title[^>]*>(.*?)</title>', 1)"
+
+  /** Outbound-link count (`<a…` opening tags, line breaks allowed) —
+    * the RefinedWeb-style link-density quality signal.
+    */
+  def htmlLinkCount(html: Column): Column =
+    regexp_count(html, lit("(?i)<a[\\s>]")).cast("long")
+
+  def htmlLinkCountSql(x: String): String =
+    raw"CAST(len(regexp_extract_all($x, '(?i)<a[\s>]')) AS BIGINT)"
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

@@ -100,7 +100,7 @@ final case class CorpusPipelineConf(
 object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
-    "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
+    "html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
     "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "diversify", "quality_rep_dedup", "stratified_sample",
@@ -306,7 +306,7 @@ object CorpusPipeline {
     * the batch path owns).
     */
   val StreamableKinds: Set[String] =
-    Set("pii_scrub", "gopher_filter", "compression_filter", "c4_clean")
+    Set("html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean")
 
   /** Kinds an incremental run admits: per-row shaping plus the two
     * dedup verdicts that have an O(batch) admission form against a
@@ -848,6 +848,9 @@ object CorpusPipeline {
     val in = graft.ingest.Jsonl.readStream(spark, conf.inputDir, StreamSchema)
     val shaped = conf.stages.foldLeft(in) { (df, st) =>
       st.kind match {
+        case "html_strip" =>
+          // markup→prose extraction ahead of the text stages
+          df.withColumn("text", TA.stripHtml(col("text")))
         case "pii_scrub" => df.withColumn("text", TA.scrubPii(col("text")))
         case "gopher_filter" => df.filter(TA.gopherPass(col("text")))
         case "compression_filter" =>
@@ -875,6 +878,9 @@ object CorpusPipeline {
                          source: DataFrame, textCol: String): DataFrame = {
     val text: Column = col("text")
     st.kind match {
+      case "html_strip" =>
+        // markup→prose extraction ahead of the text stages
+        df.withColumn("text", TA.stripHtml(text))
       case "pii_scrub" =>
         df.withColumn("text", TA.scrubPii(text))
       case "gopher_filter" =>

@@ -607,6 +607,25 @@ object OpsQueries {
         TA.piiHits(salted).as("n_pii"), TA.scrubPii(salted).as("scrubbed"))
     }),
 
+    // HTML→text extraction (the web-corpus ingest step): the corpus is
+    // plain prose, so each doc is wrapped in deterministic markup —
+    // title, style + script blocks, a comment, entities, a tag spanning
+    // a line break — identically in both engines; the oracle then
+    // checks title extract, link count and the full strip chain
+    "x_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><style>p { color: #fff; }</style>"),
+        lit("<script>if (1 &lt; 2) { x(); }</script></head><body><!-- id "),
+        col("doc_id").cast("string"),
+        lit(" --><p>"), replace(col("text"), lit(" and "), lit(" &amp; ")),
+        lit("</p><a href=\"#ref\">see</a> <a\nhref=\"#2\">also</a>&nbsp;&quot;end&quot;</body></html>"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.htmlTitle(html).as("title"),
+        TA.htmlLinkCount(html).as("n_links"),
+        TA.stripHtml(html).as("clean_text"))
+    }),
+
     // JSONL corpus exchange: documents written once as JSONL (the LLM
     // corpus interchange format) under an identity-keyed path, reread
     // with the DECLARED schema (inference would be a second full pass
@@ -1816,6 +1835,20 @@ object OpsQueries {
           |  CAST(doc_id % 254 AS VARCHAR) AS t FROM documents)
           |SELECT doc_id, ${TA.piiHitsSql("t")} AS n_pii, ${TA.scrubPiiSql("t")} AS scrubbed
           |FROM s""".stripMargin),
+    "x_html_extract" ->
+      (s"""WITH h AS (SELECT doc_id,
+          |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |  ' &amp; friends</title><style>p { color: #fff; }</style>' ||
+          |  '<script>if (1 &lt; 2) { x(); }</script></head><body><!-- id ' ||
+          |  CAST(doc_id AS VARCHAR) || ' --><p>' ||
+          |  replace(text, ' and ', ' &amp; ') ||
+          |  '</p><a href="#ref">see</a> <a' || chr(10) ||
+          |  'href="#2">also</a>&nbsp;&quot;end&quot;</body></html>' AS html
+          |  FROM documents)
+          |SELECT doc_id, ${TA.htmlTitleSql("html")} AS title,
+          |  ${TA.htmlLinkCountSql("html")} AS n_links,
+          |  ${TA.stripHtmlSql("html")} AS clean_text
+          |FROM h""".stripMargin),
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
     "x_quality_logit" ->

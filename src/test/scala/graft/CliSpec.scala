@@ -375,6 +375,23 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() > 0, "pack terminal produced no sequences")
   }
 
+  test("cli: html_strip stage extracts markup to prose from config") {
+    val root = Files.createTempDirectory("graft-html-").toString
+    Seq((1L, "<p>alpha &amp; beta</p>"), (2L, "<b>gamma</b>\ndelta<!-- x -->"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in")
+    val conf = s"$root/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $root/in
+         |output_dir: $root/out
+         |stages:
+         |  - kind: html_strip
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val texts = spark.read.parquet(s"$root/out")
+      .select("text").as[String].collect().toSet
+    assert(texts == Set("alpha & beta", "gamma delta"), s"$texts")
+  }
+
   test("cli: diversify stage prunes cluster prototypes from config, equal to the ops API") {
     import org.apache.spark.sql.functions.col
     val outDir = Files.createTempDirectory("graft-corpus-div-").toString + "/out"

@@ -523,6 +523,24 @@ class OpsSpec extends SparkSpec {
         s"extra=${sharded.toSet.diff(unsharded.toSet)}")
   }
 
+  test("stripHtml: blocks, comments, multiline tags and entities extract to clean prose") {
+    val html = "<html><head><title>T &amp; U</title><style>p{x:1}</style>" +
+      "<script>if(1 &lt; 2){}</script></head><body><!-- note -->" +
+      "<p>alpha &amp; beta &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+      "<a href=\"#1\">one</a> <a\nhref=\"#2\">two</a></body></html>"
+    val r = Seq((1L, html)).toDF("doc_id", "text").select(
+      graft.ops.TextAnalysis.htmlTitle($"text").as("t"),
+      graft.ops.TextAnalysis.htmlLinkCount($"text").as("n"),
+      graft.ops.TextAnalysis.stripHtml($"text").as("c")).head
+    assert(r.getString(0) == "T &amp; U", s"title: ${r.getString(0)}")
+    assert(r.getLong(1) == 2L, s"links: ${r.getLong(1)}")
+    // script/style/comment gone wholesale (incl. the &lt; inside the
+    // script), tags cut across the line break, entities decoded with
+    // &amp; last, whitespace collapsed
+    assert(r.getString(2) == "T & U alpha & beta <tag> \"q\" 's' end one two",
+      s"clean: '${r.getString(2)}'")
+  }
+
   test("diversify (D4): landmark pruning drops the ceil(frac*n) most prototypical per cell") {
     val rows = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

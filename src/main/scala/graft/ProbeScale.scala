@@ -41,6 +41,10 @@ object ProbeScale {
       Dedup.contaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
         docs.filter(col("source") === "src0"), col("text"), 3).count())
+    time("decontamination_bloom")(
+      Dedup.contaminationHitsBloom(
+        docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 3).count())
     // incremental admission of one sf0.1 batch against the other
     // mult-1 copies: EVERY batch doc collides with mult-1 corpus twins —
     // worst-case collision rate; cost must track batch-side work, with

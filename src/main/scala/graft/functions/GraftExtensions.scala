@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DeflateRatioExpr(children.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomContainsExpr(children.head, children(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineExpr(children.head, children(1))))

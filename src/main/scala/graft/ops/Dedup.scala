@@ -909,6 +909,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] with a map-side Bloom prefilter — the
+    * 100 TB shuffle cut. The plain form explodes EVERY corpus doc's
+    * n-grams into the equi-join against the benchmark gram set; when
+    * the benchmark side outgrows the broadcast threshold that join
+    * hash-shuffles the full corpus gram stream. Here a Bloom filter of
+    * the benchmark gram hashes (built once with Spark's own sketch
+    * aggregate, `fpp` sized) tests each corpus gram MAP-SIDE
+    * (`graft_bloom_contains`, codegen'd), so only true hits plus an
+    * `fpp` sliver of false positives ever reach the exchange; the
+    * exact equi-join downstream confirms, and because a Bloom has no
+    * false negatives the result is IDENTICAL to [[contaminationHits]]
+    * (spec-pinned; `x_decontamination_bloom` reuses the exact-join
+    * oracle verbatim). A 10M-gram eval suite at 1% fpp is ~12 MB of
+    * plan-shipped filter.
+    */
+  def contaminationHitsBloom(
+      corpus: DataFrame, id: String, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val bg = benchmark
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .distinct()
+    // the benchmark side is small by contract (it broadcast-joins in
+    // the plain form); counting it exactly sizes the filter
+    val expected = math.max(1024L, bg.count())
+    val bloom = bg.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val cg = corpus
+      .select(col(id).as("doc"),
+        explode(array_distinct(TextAnalysis.wordNgrams(corpusText, n))).as("gram"))
+      .filter(call_function("graft_bloom_contains",
+        lit(bytes), xxhash64(col("gram"))))
+    cg.join(bg, Seq("gram"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Cross-engine-portable SimHash: 60-bit signature over md5-derived
     * token hashes (15 hex chars = 60 bits, so the hash and every shifted
     * bit stay inside a signed long under ANSI arithmetic in BOTH Spark

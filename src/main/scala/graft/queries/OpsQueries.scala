@@ -383,6 +383,18 @@ object OpsQueries {
         .select(col("doc").as("doc_id"), col("n_hits"))
     }),
 
+    // decontamination with the map-side Bloom prefilter: same hits as
+    // x_decontamination by construction (no false negatives; the exact
+    // join confirms), so it shares that oracle verbatim — only the
+    // plan differs (corpus grams thinned BEFORE the join exchange)
+    "x_decontamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationHitsBloom(
+        docs.filter(col("source") =!= "src0"), "doc_id", col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 3)
+        .select(col("doc").as("doc_id"), col("n_hits"))
+    }),
+
     // span-level decontamination (the GPT-3 Appendix-C recipe): cut
     // every 3-gram span a corpus doc shares with the benchmark slice
     // instead of dropping the doc — the keep-the-doc complement of
@@ -1562,6 +1574,17 @@ object OpsQueries {
     * includes the rank column (the x_ann_bruteforce shape), the
     * pairs-only form backs the ANN containment oracles.
     */
+  /** Shared by `x_decontamination` and `x_decontamination_bloom`: the
+    * Bloom form is exact (prefilter only, no false negatives), so both
+    * queries answer the same SQL.
+    */
+  private val DecontaminationSql: String =
+    s"""WITH eg AS (SELECT doc_id, source,
+       |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),
+       |bench AS (SELECT DISTINCT gram FROM eg WHERE source = 'src0')
+       |SELECT e.doc_id, count(*) AS n_hits FROM eg e JOIN bench b USING (gram)
+       |WHERE e.source != 'src0' GROUP BY 1""".stripMargin
+
   private def annTopKSql(k: Int, withRank: Boolean): String = {
     val sel = if (withRank) "query_id, neighbor_id, rnk" else "query_id, neighbor_id"
     raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -1631,12 +1654,9 @@ object OpsQueries {
           |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""".stripMargin),
     "x_exact_substr_scrub" -> exactSubstrScrubSql(ExactSubstrK, 2),
     "x_decontamination_scrub" -> decontaminationScrubSql(3),
-    "x_decontamination" ->
-      s"""WITH eg AS (SELECT doc_id, source,
-         |    unnest(list_distinct(${TA.wordNgramsSql("text", 3)})) AS gram FROM documents),
-         |bench AS (SELECT DISTINCT gram FROM eg WHERE source = 'src0')
-         |SELECT e.doc_id, count(*) AS n_hits FROM eg e JOIN bench b USING (gram)
-         |WHERE e.source != 'src0' GROUP BY 1""".stripMargin,
+    "x_decontamination" -> DecontaminationSql,
+    // the Bloom-prefiltered form is exact by construction — same oracle
+    "x_decontamination_bloom" -> DecontaminationSql,
     "x_repetition_ratio" ->
       s"SELECT doc_id, ${TA.repetitionRatioSql("text", 2)} AS rep_ratio FROM documents",
     "x_stratified_sample" ->

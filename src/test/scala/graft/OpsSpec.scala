@@ -141,6 +141,58 @@ class OpsSpec extends SparkSpec {
     assert(hits == Map(1L -> 2L))
   }
 
+  test("bloom prefilter: no false negatives; bloom decontamination equals the exact join") {
+    // expression semantics over a hand-built filter
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val verdicts = Seq(1L, 2L, 3L, 999999L).toDF("h")
+      .select(call_function("graft_bloom_contains", lit(bos.toByteArray), $"h").as("m"))
+      .as[Boolean].collect()
+    assert(verdicts.take(3).forall(identity), "a Bloom filter must never miss a member")
+    // hit-for-hit equality with contaminationHits on the live corpus —
+    // the property that lets x_decontamination_bloom reuse the oracle
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val exact = Dedup.contaminationHits(corpus, "doc_id", $"text", bench, $"text", 3)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = Dedup.contaminationHitsBloom(corpus, "doc_id", $"text", bench, $"text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "testdata must contain benchmark overlap")
+    assert(bloomed == exact,
+      s"bloom path diverged: only-exact=${(exact.toSet -- bloomed.toSet).take(3)} " +
+        s"only-bloom=${(bloomed.toSet -- exact.toSet).take(3)}")
+  }
+
+  test("bloom decontamination: the prefilter sits BELOW the corpus-side join exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      // force the shuffle-join regime the prefilter exists for
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.ops.Dedup.contaminationHitsBloom(
+          docs.filter($"source" =!= "src0"), "doc_id", $"text",
+          docs.filter($"source" === "src0"), $"text", 3)
+        .queryExecution.executedPlan
+      val guarded = plan.collect {
+        case e: ShuffleExchangeExec if e.exists {
+          case f: FilterExec => f.condition.toString.contains("graft_bloom_contains")
+          case _ => false
+        } => e
+      }
+      assert(guarded.nonEmpty,
+        "no shuffle exchange has the bloom prefilter below it — corpus grams " +
+          "would cross the wire unthinned")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
   test("simhash: identical docs distance 0, near-dups close, pairs found") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

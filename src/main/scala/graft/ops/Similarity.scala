@@ -990,7 +990,19 @@ object Similarity {
     */
   def diversifyLandmarks(
       df: DataFrame, id: String, vec: String, dropFrac: Double,
-      k: Int, landmarkMod: Int, forceBroadcast: Boolean = false): DataFrame = {
+      k: Int, landmarkMod: Int, forceBroadcast: Boolean = false): DataFrame =
+    prototypePrune(
+      assignWithSim(df, id, vec, landmarkCentroids(df, id, vec, k, landmarkMod),
+        forceBroadcast),
+      dropFrac)
+
+  /** The corpus's own k lowest-id vectors with `id % landmarkMod == 0`
+    * as a deterministic centroid set — k rows of driver state
+    * regardless of corpus size; cosine is normalization-invariant so
+    * the raw vectors serve as centroids directly.
+    */
+  private def landmarkCentroids(df: DataFrame, id: String, vec: String,
+                                k: Int, landmarkMod: Int): Array[Array[Double]] = {
     val centroids = df.filter(pmod(col(id), lit(landmarkMod)) === 0)
       .orderBy(col(id)).limit(k).select(col(vec)).collect()
       .map(_.getSeq[Any](0).map {
@@ -999,7 +1011,54 @@ object Similarity {
       }.toArray)
     require(centroids.length == k,
       s"need $k landmark vectors with $id % $landmarkMod == 0, found ${centroids.length}")
-    prototypePrune(assignWithSim(df, id, vec, centroids, forceBroadcast), dropFrac)
+    centroids
+  }
+
+  /** Cluster-balanced (topic-balanced) sampling — the semantic analog
+    * of the language-keyed stratified sampler: assign each vector to
+    * its nearest centroid cell, then downsample every cell to the
+    * SMALLEST cell's mass with the deterministic id-hash permille
+    * filter, so no topic dominates the mix (the DataComp-LM-style
+    * rebalancing move; SemDeDup's cluster machinery reused for
+    * mixture shaping instead of dedup). Returns the kept (doc, cell)
+    * rows; the verdict is per-row reproducible — same id, same fate.
+    *
+    * Scale: one narrow assignment pass, a skinny per-cell count agg,
+    * a broadcast k-row rate table joined back, and a stateless filter
+    * — the corpus never shuffles and vectors never cross an exchange.
+    */
+  def clusterBalancedSample(
+      df: DataFrame, id: String, vec: String,
+      nCentroids: Int = 0, sampleMod: Int = 1, iters: Int = 3,
+      maxTrainRows: Int = 10000, targetCellSize: Int = 1024): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = df.count()
+        math.max(16L, math.min(maxTrainRows.toLong, n / targetCellSize)).toInt
+      }
+    clusterBalance(assignWithSim(df, id, vec,
+      trainOnCorpus(df, id, vec, k, sampleMod, iters, maxTrainRows)))
+  }
+
+  /** Landmark-centroid variant of [[clusterBalancedSample]] — fully
+    * DuckDB-oracle-checked (`x_cluster_balanced_sample`), same
+    * assignment and rate machinery.
+    */
+  def clusterBalancedSampleLandmarks(
+      df: DataFrame, id: String, vec: String,
+      k: Int, landmarkMod: Int): DataFrame =
+    clusterBalance(assignWithSim(df, id, vec,
+      landmarkCentroids(df, id, vec, k, landmarkMod)))
+
+  private def clusterBalance(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val cmin = counts.agg(min(col("c")).as("cmin"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col("cell"), (col("cmin").cast("double") / col("c")).as("__rate"))
+    assigned.join(broadcast(rates), Seq("cell"))
+      .filter(Sampling.hashPermille(col("doc")).cast("double") < col("__rate") * 1000.0)
+      .select(col("doc"), col("cell"))
   }
 
   def meanPool(df: DataFrame, group: String, vec: String): DataFrame =

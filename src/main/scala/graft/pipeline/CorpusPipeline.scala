@@ -103,7 +103,8 @@ object CorpusPipeline {
     "html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
     "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
-    "dedup_near", "dedup_semantic", "diversify", "quality_rep_dedup", "stratified_sample",
+    "dedup_near", "dedup_semantic", "diversify", "cluster_balance",
+    "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
@@ -992,6 +993,24 @@ object CorpusPipeline {
         val protoDrops = verdicts.filter(col("action") === "dropped")
           .select(col("doc").as(id))
         df.join(protoDrops, Seq(id), "left_anti")
+      case "cluster_balance" =>
+        // topic-balanced sampling over the same sidecar-embedding
+        // convention: each embedding cell downsampled to the smallest
+        // cell's mass; docs without an embedding pass through
+        val embDir = st.embeddings_dir.getOrElse(throw new IllegalArgumentException(
+          "cluster_balance needs embeddings_dir"))
+        val vecs = df.sparkSession.read
+          .parquet(graft.config.GraftConfig.substituteEnvVar(embDir))
+          .select(col(st.vec_id_column.getOrElse("vec_id")).as("doc_id"),
+            col(st.vector_column.getOrElse("embedding")).as("__graft_vec"))
+          .join(df.select(col(id).as("doc_id")), Seq("doc_id"))
+        val keptIds = graft.ops.Similarity.clusterBalancedSample(
+          vecs, "doc_id", "__graft_vec",
+          nCentroids = st.nVal(0), sampleMod = st.sampleModVal(1))
+          .select(col("doc").as(id))
+        val balanceDrops = vecs.select(col("doc_id").as(id))
+          .join(keptIds, Seq(id), "left_anti")
+        df.join(balanceDrops, Seq(id), "left_anti")
       case "quality_rep_dedup" =>
         val labeled = Dedup.clusterRepresentatives(
           Dedup.ngramJaccardPairs(df, id, text,

@@ -157,6 +157,14 @@ object OpsQueries {
           "vec_id", "embedding", 0.25, 16, 25)
         .withColumnRenamed("doc", "vec_id")),
 
+    // cluster-balanced (topic-balanced) sampling over the same landmark
+    // cells: every cell downsampled to the smallest cell's mass via the
+    // deterministic id-hash permille — the semantic analog of
+    // x_stratified_sample, fully oracle-checked
+    "x_cluster_balanced_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSampleLandmarks(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 16, 25).withColumnRenamed("doc", "vec_id")),
+
     // production D4: trained spherical k-means cells, same pruning (no
     // oracle — the Lloyd loop isn't SQL; invariants, literal/broadcast
     // parity and the landmark twin above are the checks, in OpsSpec)
@@ -2080,6 +2088,19 @@ object OpsQueries {
          |SELECT vec_id, CAST(cell AS INT) AS cell,
          |  CASE WHEN rnk <= ceil(0.25 * n) THEN 'dropped' ELSE 'kept' END AS action
          |FROM ranked""".stripMargin),
+    "x_cluster_balanced_sample" ->
+      (s"""WITH lm0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16),
+          |lm AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec FROM lm0),
+          |scored AS (SELECT e.vec_id, lm.cell, list_cosine_similarity(e.embedding, lm.cvec) AS sim
+          |  FROM embeddings e CROSS JOIN lm),
+          |best AS (SELECT vec_id, cell, sim,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r FROM scored),
+          |a AS (SELECT vec_id, cell FROM best WHERE r = 1),
+          |counts AS (SELECT cell, COUNT(*) AS c FROM a GROUP BY 1),
+          |cm AS (SELECT MIN(c) AS cmin FROM counts),
+          |r2 AS (SELECT cell, CAST(cmin AS DOUBLE) / c AS rate FROM counts, cm)
+          |SELECT vec_id, CAST(cell AS INT) AS cell FROM a JOIN r2 USING (cell)
+          |WHERE CAST(${graft.ops.Sampling.hashPermilleSql("vec_id")} AS DOUBLE) < rate * 1000""".stripMargin),
     "x_ann_bruteforce" -> annTopKSql(5, withRank = true),
     "x_multimodal_features" ->
       ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

@@ -420,6 +420,33 @@ class CliSpec extends SparkSpec {
       "config-driven diversify dropped a different set than the ops API")
   }
 
+  test("cli: cluster_balance stage downsamples topic cells from config, equal to the ops API") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft-corpus-bal-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-corpus-bal-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: cluster_balance
+         |    embeddings_dir: /root/testdata/sf0.001/embeddings.parquet
+         |    n: 8
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("__graft_vec"))
+      .join(docs.select("doc_id"), Seq("doc_id"))
+    val keptEmbedded = graft.ops.Similarity.clusterBalancedSample(
+      vecs, "doc_id", "__graft_vec", nCentroids = 8, sampleMod = 1).count()
+    val nEmbedded = vecs.count()
+    assert(keptEmbedded < nEmbedded, "balancing must bite on the test corpus")
+    // docs without an embedding pass through untouched
+    assert(spark.read.parquet(outDir).count() ==
+      docs.count() - (nEmbedded - keptEmbedded),
+      "config-driven cluster_balance dropped a different set than the ops API")
+  }
+
   test("cli: epoch_mix terminal emits the repeat manifest from config") {
     val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
     val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"

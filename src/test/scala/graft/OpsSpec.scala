@@ -638,6 +638,35 @@ class OpsSpec extends SparkSpec {
     assert(perCell.size > 1, "degenerate clustering: everything in one cell")
   }
 
+  test("cluster-balanced sampling: min cells fully kept, no cell exceeds its size, verdicts deterministic") {
+    val kept = graft.ops.Similarity
+      .clusterBalancedSampleLandmarks(emb, "vec_id", "embedding", 16, 25)
+      .as[(Long, Int)].collect()
+    // ground-truth assignment: diversify at dropFrac 0 keeps every row
+    val cells = graft.ops.Similarity
+      .diversifyLandmarks(emb, "vec_id", "embedding", 0.0, 16, 25)
+      .select($"doc", $"cell").as[(Long, Int)].collect()
+    val total = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val cmin = total.values.min
+    // every smallest cell has rate 1.0 → fully kept
+    total.filter(_._2 == cmin).keys.foreach { cell =>
+      assert(keptBy.getOrElse(cell, 0) == cmin, s"min cell $cell not fully kept")
+    }
+    total.foreach { case (cell, n) =>
+      assert(keptBy.getOrElse(cell, 0) <= n, s"cell $cell kept more than it holds")
+    }
+    // kept rows carry their true assignment, and balancing bites
+    val cellOf = cells.toMap
+    assert(kept.forall { case (d, c) => cellOf(d) == c })
+    assert(kept.length < cells.length, "nothing was downsampled")
+    // determinism: same ids, same fate
+    val again = graft.ops.Similarity
+      .clusterBalancedSampleLandmarks(emb, "vec_id", "embedding", 16, 25)
+      .as[(Long, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
+
   test("diversify: no vector ever crosses a shuffle — every exchange is the skinny projection") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType

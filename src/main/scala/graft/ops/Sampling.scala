@@ -50,6 +50,60 @@ object Sampling {
     df.filter(hashPermille(id) < permille)
   }
 
+  /** Frequency cap (RefinedWeb-style domain capping, Penedo et al.
+    * 2023; Dolma's per-domain caps): no single group — source, domain,
+    * site — may contribute more than `maxShare` of the INPUT's rows.
+    * Groups under the cap keep everything; groups over it keep a
+    * deterministic uniform subsample (the lowest id-hashes), so the
+    * kept set is stable across reruns and engines and a re-crawled
+    * heavy domain cannot silently take over the corpus.
+    *
+    * Shape: the global total is a 1-row aggregate broadcast back via
+    * cross-join (never a driver collect); ranking within a group is the
+    * standard window top-k — one shuffle on the group key. At 100 TB
+    * the group key (domain) has huge cardinality, so partitions stay
+    * balanced; a single pathological domain is exactly what the cap
+    * then truncates.
+    */
+  def capPerGroup(df: DataFrame, group: Column, id: Column,
+                  maxShare: Double): DataFrame = {
+    require(maxShare > 0 && maxShare <= 1, "maxShare must be in (0, 1]")
+    val rnk = "__graft_cap_rnk"
+    val tot = "__graft_cap_total"
+    val total = df.agg(count(lit(1)).as(tot))
+    // cap = ceil(maxShare * total): double product of an exact-in-double
+    // long — same single rounding in the SQL mirror, so engines agree
+    df.withColumn(rnk,
+        row_number().over(Window.partitionBy(group).orderBy(hashPermilleFine(id), id.asc)))
+      .crossJoin(broadcast(total))
+      .filter(col(rnk) <= greatest(lit(1L), ceil(lit(maxShare) * col(tot)).cast("long")))
+      .drop(rnk, tot)
+  }
+
+  /** SQL mirror of [[capPerGroup]] as a full SELECT over `relation`,
+    * emitting `cols`. `maxShare` is embedded via Double.toString so
+    * both engines parse the identical double.
+    */
+  def capPerGroupSql(relation: String, cols: Seq[String], groupCol: String,
+                     idCol: String, maxShare: Double): String = {
+    val sel = cols.mkString(", ")
+    s"""WITH tot AS (SELECT count(*) AS total FROM $relation),
+       |r AS (SELECT $sel, row_number() OVER (PARTITION BY $groupCol
+       |  ORDER BY ${hashPermilleFineSql(idCol)}, $idCol ASC) AS rnk FROM $relation)
+       |SELECT $sel FROM r, tot
+       |WHERE rnk <= greatest(1, CAST(ceil(${maxShare.toString} * total) AS BIGINT))""".stripMargin
+  }
+
+  /** Full-resolution hash rank (no mod): the uniform-order key for
+    * subsampling ranks, where [[hashPermille]]'s 1000 buckets would tie
+    * whole groups and push the decision onto the id tiebreak.
+    */
+  private[graft] def hashPermilleFine(id: Column): Column =
+    TextAnalysis.md5PrefixLong(id.cast("string"), 8)
+
+  private[graft] def hashPermilleFineSql(id: String): String =
+    TextAnalysis.md5PrefixLongSql(s"CAST($id AS VARCHAR)", 8)
+
   /** Top `k` rows per stratum by `score` (descending), deterministic
     * under ties via ascending `id`. One shuffle on the stratum key; the
     * per-partition sort is the standard window top-k that survives any

@@ -568,4 +568,58 @@ object TextAnalysis {
       s"WHEN len($gs) < $w THEN $gs ELSE " +
       s"[list_min(($gs)[i:i+${w - 1}]) FOR i IN range(1, len($gs) - ${w - 2})] END))"
   }
+
+  /** URL canonicalization — the key under which web-crawl pipelines
+    * dedup and frequency-cap pages (RefinedWeb, Penedo et al. 2023 §3.1
+    * dedups on normalized URLs before any text processing; reference
+    * has no web stage — this is part of the training-data surface).
+    * Rules, applied in this order and mirrored verbatim in
+    * [[normalizeUrlSql]]:
+    *   scheme+host lowercase · leading `www.` dropped · default port
+    *   (`:80` http, `:443` https) dropped · `#fragment` dropped ·
+    *   tracking params (`utm_*`, `fbclid`, `gclid`) dropped · emptied
+    *   `?` dropped · one trailing `/` dropped.
+    * Non-URLs (no `scheme://`) pass through trimmed but untouched. All
+    * patterns are shared-subset regex (no backreferences, no lookaround,
+    * constant replacements) so Java regex and DuckDB's RE2 agree
+    * match-for-match.
+    */
+  def normalizeUrl(url: Column): Column = bound(trim(url)) { u =>
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val hostNoWww = regexp_replace(host, "^www\\.", "")
+    val hostNoPort = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    // tracking params: first every '&'-prefixed one (global), which
+    // leaves at most one — directly after '?' — for the two anchored
+    // single-match rules (mid-query, then query-final)
+    val track = "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"
+    val r1 = regexp_replace(rest, s"&$track", "")
+    val r2 = regexp_replace(r1, s"\\?$track&", "?")
+    val r3 = regexp_replace(r2, s"\\?$track$$", "")
+    val r4 = regexp_replace(r3, "\\?$", "")
+    val r5 = regexp_replace(r4, "/$", "")
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), hostNoPort, r5))
+  }
+
+  /** SQL mirror of [[normalizeUrl]] — same rules, same order. */
+  def normalizeUrlSql(x: String): String = {
+    val u = s"trim($x)"
+    val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = s"lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    val hostNoWww = s"regexp_replace($host, '^www\\.', '')"
+    val hostNoPort = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($hostNoWww, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($hostNoWww, ':443$$', '') " +
+      s"ELSE $hostNoWww END)"
+    val rest = s"regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+    val track = "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"
+    val r1 = s"regexp_replace($rest, '&$track', '', 'g')"
+    val r2 = s"regexp_replace($r1, '\\?$track&', '?')"
+    val r3 = s"regexp_replace($r2, '\\?$track$$', '')"
+    val r4 = s"regexp_replace($r3, '\\?$$', '')"
+    val r5 = s"regexp_replace($r4, '/$$', '')"
+    s"(CASE WHEN $scheme = '' THEN $u ELSE concat($scheme, '://', $hostNoPort, $r5) END)"
+  }
 }

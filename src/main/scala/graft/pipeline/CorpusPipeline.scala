@@ -55,7 +55,14 @@ final case class CorpusStageConf(
     target_lang: Option[String],
     // perplexity_filter: which corpus LM scores fluency — "unigram"
     // (default, add-one) or "kn_bigram" (Kneser-Ney interpolated)
-    model: Option[String]) {
+    model: Option[String],
+    // source_cap: the grouping column (default "source") and the max
+    // fraction of the input any one group may keep
+    group_by: Option[String],
+    max_share: Option[Number],
+    // holdout_split: hash-domain separator so a rerun with a different
+    // salt draws an independent split
+    salt: Option[String]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -72,6 +79,7 @@ final case class CorpusStageConf(
   def defaultRateVal(default: Double): Double = default_rate.fold(default)(_.doubleValue)
   def budgetFracVal(default: Double): Double = budget_frac.fold(default)(_.doubleValue)
   def maxEpochsVal(default: Double): Double = max_epochs.fold(default)(_.doubleValue)
+  def maxShareVal(default: Double): Double = max_share.fold(default)(_.doubleValue)
 }
 
 /** The corpus-pipeline job config — the LLM-ops analog of the dump
@@ -105,7 +113,8 @@ object CorpusPipeline {
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
-    "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select")
+    "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
+    "source_cap", "holdout_split", "leakage_quarantine")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -1020,6 +1029,29 @@ object CorpusPipeline {
         val drops = labeled.filter(col("doc_id") =!= col("rep_id"))
           .select(col("doc_id").as(id))
         df.join(drops, Seq(id), "left_anti")
+      case "source_cap" =>
+        // RefinedWeb-style frequency cap: no group over max_share of
+        // the stage input; over-cap groups keep the lowest id-hashes
+        val grp = st.group_by.getOrElse("source")
+        require(df.columns.contains(grp),
+          s"source_cap group_by column '$grp' is not in the frame " +
+            s"(${df.columns.mkString(", ")})")
+        Sampling.capPerGroup(df, col(grp), col(id), st.maxShareVal(0.1))
+      case "holdout_split" =>
+        // deterministic 90/5/5 labels; a pure per-row hash, so shards
+        // admitted later get consistent labels with zero coordination
+        graft.ops.Splits.splitAssign(df, col(id), salt = st.salt.getOrElse(""))
+      case "leakage_quarantine" =>
+        // evict the eval-side member of every cross-split near-dup
+        // pair (train never leaves) — restores the no-overlap
+        // invariant a holdout_split stage promises
+        require(df.columns.contains("split"),
+          "leakage_quarantine needs the split column — run holdout_split first")
+        val evict = graft.ops.Splits.quarantine(
+            Dedup.ngramJaccardPairs(df, id, text, st.nVal(3), st.thresholdVal(0.8)),
+            df.select(col(id), col("split")), id)
+          .select(col(id))
+        df.join(evict, Seq(id), "left_anti")
       case "stratified_sample" =>
         Sampling.stratifiedSample(
             df.withColumn("__graft_lang", TA.langId(text)),

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Selection, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Selection, Similarity, Splits, TextAnalysis => TA}
 
 /** LLM-data-pipeline operator queries over `documents`/`embeddings`.
   *
@@ -963,8 +963,84 @@ object OpsQueries {
       Multimodal.frameSample(media, everyNth = 2)
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame")).cast("long").as("n_frame_bytes"))
-    })
+    }),
+
+    // deterministic 90/5/5 held-out split: a pure hash of the doc id —
+    // no state, no shuffle, consistent labels for shards that arrive
+    // years apart
+    "x_split_assign" -> ((s, dir) =>
+      Splits.splitAssign(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("split"))),
+
+    // leakage audit: near-dup pairs (exact n-gram Jaccard, the
+    // x_ngram_jaccard operator) whose members landed in DIFFERENT
+    // splits — each row is a train-test-overlap incident
+    "x_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Splits.crossSplitPairs(
+          Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+          Splits.splitAssign(docs, col("doc_id")), "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+          col("split_a"), col("split_b"))
+    }),
+
+    // quarantine list: the eval-side member of every cross-split
+    // near-dup pair (train is never evicted), with its smallest
+    // higher-priority counterpart as evidence
+    "x_split_quarantine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Splits.quarantine(
+        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+        Splits.splitAssign(docs, col("doc_id")), "doc_id")
+    }),
+
+    // RefinedWeb-style frequency cap: no source may exceed 3% of the
+    // corpus; over-cap sources keep a deterministic uniform subsample
+    "x_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(Tables.documents(s, dir), col("source"), col("doc_id"), SourceCapShare)
+        .select(col("doc_id"), col("source"))),
+
+    // URL canonicalization over a deterministically-derived messy URL
+    // (testdata carries no URL column; the derivation exercises every
+    // rule: case, www, default port, tracking params, fragment,
+    // trailing slash)
+    "x_url_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), syntheticUrl.as("url"))
+        .select(col("doc_id"), col("url"), TA.normalizeUrl(col("url")).as("url_norm"))),
+
+    // URL-keyed exact dedup (the first stage of a web-crawl pipeline):
+    // normalized-URL groups with keeper id + multiplicity — same shape
+    // as x_fingerprint_dedup but keyed on the canonical URL
+    "x_url_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.normalizeUrl(syntheticUrl).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies")))
   )
+
+  /** Max corpus share of any one source under x_source_cap. */
+  val SourceCapShare = 0.03
+
+  /** Deterministic messy URL for the x_url_* operators — built from
+    * (source, doc_id) identically in Spark and the oracle so the
+    * canonicalizer, not the fixture, is what's under test.
+    */
+  private def syntheticUrl: Column = concat(
+    lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/p/"),
+    (col("doc_id") % 10).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed"),
+    when(col("doc_id") % 4 === 0, lit("&ref=home")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("#sec")).otherwise(lit("")))
+
+  private def syntheticUrlSql: String =
+    "concat('HTTPS://WWW.', source, '.Example.COM:443/p/', " +
+      "CAST(doc_id % 10 AS VARCHAR), " +
+      "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, " +
+      "'?utm_source=feed', " +
+      "CASE WHEN doc_id % 4 = 0 THEN '&ref=home' ELSE '' END, " +
+      "CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END)"
 
   /** Merge-round count of the `x_bpe_merges_k` trainer query — shared
     * by the Spark loop and the unrolled SQL mirror.
@@ -2122,6 +2198,47 @@ object OpsQueries {
          |u AS (SELECT media_id, n, unnest(generate_series(0, n_frames - 1, 2)) AS i FROM f)
          |SELECT media_id, CAST(i AS INT) AS frame_idx,
          |  CAST(least(n, i * 256 + 256) - i * 256 AS BIGINT) AS n_frame_bytes
-         |FROM u""".stripMargin)
+         |FROM u""".stripMargin),
+    "x_split_assign" ->
+      s"SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents",
+    "x_split_leakage" ->
+      (s"""WITH jp AS MATERIALIZED (SELECT * FROM (${jaccardSql(0.8)})),
+          |sp AS (SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents)
+          |SELECT id_a, id_b, jaccard, a.split AS split_a, b.split AS split_b
+          |FROM jp JOIN sp a ON a.doc_id = id_a JOIN sp b ON b.doc_id = id_b
+          |WHERE a.split <> b.split""".stripMargin),
+    "x_split_quarantine" -> quarantineSql,
+    "x_source_cap" ->
+      Sampling.capPerGroupSql("documents", Seq("doc_id", "source"),
+        "source", "doc_id", SourceCapShare),
+    "x_url_normalize" ->
+      (s"SELECT doc_id, url, ${TA.normalizeUrlSql("url")} AS url_norm " +
+        s"FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents)"),
+    "x_url_dedup" ->
+      (s"""WITH u AS (SELECT doc_id, ${TA.normalizeUrlSql("url")} AS url_norm
+          |  FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents))
+          |SELECT url_norm, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          |FROM u GROUP BY 1""".stripMargin)
   )
+
+  /** [[graft.ops.Splits.quarantine]]'s oracle: the same evict-the-
+    * lower-priority-side rule, the priority CASE generated from the
+    * operator's own [[graft.ops.Splits.SplitPriority]] list.
+    */
+  private def quarantineSql: String = {
+    val prio = (side: String) => Splits.SplitPriority.zipWithIndex
+      .map { case (n, i) => s"WHEN '$n' THEN $i" }
+      .mkString(s"CASE $side ", " ", s" ELSE ${Splits.SplitPriority.size} END")
+    s"""WITH jp AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8)})),
+       |sp AS (SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents),
+       |crossed AS (SELECT id_a, id_b, a.split AS split_a, b.split AS split_b,
+       |    ${prio("a.split")} AS pa, ${prio("b.split")} AS pb
+       |  FROM jp JOIN sp a ON a.doc_id = id_a JOIN sp b ON b.doc_id = id_b
+       |  WHERE a.split <> b.split),
+       |ev AS (SELECT CASE WHEN pa > pb THEN id_a ELSE id_b END AS doc_id,
+       |    CASE WHEN pa > pb THEN split_a ELSE split_b END AS split,
+       |    CASE WHEN pa > pb THEN id_b ELSE id_a END AS leak_of
+       |  FROM crossed)
+       |SELECT doc_id, split, MIN(leak_of) AS leak_of FROM ev GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -336,6 +336,56 @@ class CliSpec extends SparkSpec {
     assert(ci.checkpoint_dir.nonEmpty)
   }
 
+  test("cli: corpus run chains holdout_split, leakage_quarantine and source_cap from config") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Dedup, Sampling, Splits}
+    val outDir = Files.createTempDirectory("graft-corpus-split-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-corpus-split-conf-").toString + "/c.yaml"
+    Files.writeString(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: holdout_split
+         |  - kind: leakage_quarantine
+         |    threshold: 0.8
+         |  - kind: source_cap
+         |    max_share: 0.08
+         |""".stripMargin)
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "run", conf), spark, printed += _) == 0)
+    val result = spark.read.parquet(outDir)
+    assert(result.columns.contains("split"))
+    // the config path is the ops API, stage for stage
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = Splits.splitAssign(docs, col("doc_id"))
+    val evict = Splits.quarantine(
+        Dedup.ngramJaccardPairs(assigned, "doc_id", col("text"), 3, 0.8),
+        assigned.select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"))
+    val afterQ = assigned.join(evict, Seq("doc_id"), "left_anti")
+    val expected = Sampling.capPerGroup(afterQ, col("source"), col("doc_id"), 0.08)
+    assert(result.select("doc_id").as[Long].collect().toSet ==
+      expected.select("doc_id").as[Long].collect().toSet)
+    // the cap is honored in the output
+    val total = result.count()
+    val cap = math.max(1L, math.ceil(0.08 * afterQ.count()).toLong)
+    val maxPerSource = result.groupBy(col("source")).count()
+      .agg(org.apache.spark.sql.functions.max(col("count"))).as[Long].head()
+    assert(maxPerSource <= cap, s"source over cap: $maxPerSource > $cap (total $total)")
+    // leakage_quarantine without a prior split fails loudly
+    val bad = conf + ".bad"
+    Files.writeString(java.nio.file.Paths.get(bad),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: leakage_quarantine
+         |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusPipeline.run(spark,
+        graft.pipeline.CorpusPipeline.load(bad), _ => ())
+    }
+  }
+
   test("cli: corpus run chains semantic dedup and exact-substr scrub from config") {
     val outDir = Files.createTempDirectory("graft-corpus-sem-").toString + "/out"
     val conf = Files.createTempDirectory("graft-corpus-sem-conf-").toString + "/c.yaml"

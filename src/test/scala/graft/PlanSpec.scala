@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
       "hash-rate sampling must not shuffle: every executor decides from the row alone")
   }
 
+  test("split assignment is a pure narrow expression — zero exchanges") {
+    val p = plan("x_split_assign")
+    assert(!p.contains("Exchange"),
+      "holdout labels must be a per-row hash: a shuffle would mean split " +
+        "assignment needs coordination, breaking O(shard) incremental labeling")
+  }
+
+  test("source cap: one group-key shuffle, global total broadcast — corpus never joined wide") {
+    val p = plan("x_source_cap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row total must broadcast back onto the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must not wide-join against a single aggregate row")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 1, "per-group rank missing")
+  }
+
   test("mixture rebalancing broadcasts its tiny rate table, never sort-merges the corpus") {
     val p = plan("x_corpus_mixture")
     assert(p.contains("BroadcastHashJoin"), "per-stratum rates should broadcast")

@@ -90,6 +90,45 @@ object Multimodal {
       encode(text, "UTF-8").as("media"),
       lit(mediaType).as("media_type"))
 
+  /** Test harness, real-image flavor: synthesize a genuine binary
+    * Netpbm P5 (grayscale) payload per document whose raster IS the
+    * text's bytes (one row of `octet_length(text)` pixels) — pure
+    * binary-concat expressions, so the payload construction itself is
+    * narrow and code-generated. [[NetpbmWavCodec]] decodes these as the
+    * real images they are; the DuckDB oracle mirrors the pixel math
+    * straight off the text bytes.
+    */
+  def packPnm(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.cast("long").as("media_id"),
+      concat(
+        encode(concat(lit("P5\n"), octet_length(text).cast("string"), lit(" 1\n255\n")), "UTF-8"),
+        encode(text, "UTF-8")).as("media"),
+      lit("image/x-portable-graymap").as("media_type"))
+
+  /** Test harness, real-audio flavor: a genuine PCM-16 mono RIFF/WAVE
+    * payload per document with samples derived from the text bytes
+    * (`(byte − 96) · 256` — lowercase letters land positive, the rest
+    * negative, so zero-crossing counts are non-trivial). Binary
+    * container encoding needs byte-level little-endian writes, hence
+    * the mapPartitions producer (same executor-batch shape as the
+    * decode operators).
+    */
+  def packWav(df: DataFrame, id: Column, text: Column, sampleRate: Int = 8000): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    df.select(id.cast("long"), text.cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val samples = bytes.map(b => ((b & 0xff) - 96) * 256)
+          Row(r.getLong(0), NetpbmWavCodec.wavOf(samples, sampleRate), "audio/wav")
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Plumbing-level metadata as pure expressions (SQL-mirrorable):
     * byte size + checksum — what a manifest/catalog stage computes
     * without decoding.

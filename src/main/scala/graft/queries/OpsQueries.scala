@@ -965,6 +965,46 @@ object OpsQueries {
           octet_length(col("frame")).cast("long").as("n_frame_bytes"))
     }),
 
+    // REAL image decode (no stub): each doc packed as a genuine binary
+    // Netpbm P5 whose raster is the text bytes, decoded by the
+    // pure-JVM NetpbmWavCodec — dims, exact mean luminance (long-sum /
+    // count, correctly-rounded double divide) and the 32-wide
+    // luminance histogram, all mirrored off the text bytes in DuckDB
+    "x_media_pnm_decode" -> ((s, dir) => {
+      val media = Multimodal.packPnm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Multimodal.decodeFeatures(media, codec = () => new graft.ops.NetpbmWavCodec())
+        .select(Seq(col("media_id"), col("width"), col("height"),
+          element_at(col("feature"), 1).as("mean_lum")) ++
+          (2 to 9).map(i =>
+            element_at(col("feature"), i).cast("long").as(s"h${i - 2}")): _*)
+    }),
+
+    // REAL image resize: nearest-neighbor P5 resample to 16×1 through
+    // the codec, then re-decoded — the oracle replays the exact integer
+    // index map floor(x·w/16) on the text bytes
+    "x_media_pnm_resize" -> ((s, dir) => {
+      val media = Multimodal.packPnm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val codec: () => graft.ops.MediaCodec = () => new graft.ops.NetpbmWavCodec()
+      Multimodal.decodeFeatures(
+          Multimodal.resize(media, 16, 1, codec = codec), codec = codec)
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("feature"), 1).as("mean_lum"))
+    }),
+
+    // REAL audio decode: a genuine PCM-16 RIFF/WAVE per doc (samples
+    // (byte−96)·256), parsed by the codec's actual chunk walker —
+    // sample count, channel count, exact means and the zero-crossing
+    // count, mirrored sample-for-sample in DuckDB
+    "x_media_wav_features" -> ((s, dir) => {
+      val media = Multimodal.packWav(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Multimodal.decodeFeatures(media, codec = () => new graft.ops.NetpbmWavCodec())
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("feature"), 1).as("mean_sample"),
+          element_at(col("feature"), 2).as("mean_abs"),
+          element_at(col("feature"), 3).cast("long").as("zero_crossings"),
+          element_at(col("feature"), 4).cast("long").as("sample_rate"))
+    }),
+
     // deterministic 90/5/5 held-out split: a pure hash of the doc id —
     // no state, no shuffle, consistent labels for shards that arrive
     // years apart
@@ -2199,6 +2239,35 @@ object OpsQueries {
          |SELECT media_id, CAST(i AS INT) AS frame_idx,
          |  CAST(least(n, i * 256 + 256) - i * 256 AS BIGINT) AS n_frame_bytes
          |FROM u""".stripMargin),
+    "x_media_pnm_decode" ->
+      ("""WITH a AS (SELECT doc_id AS media_id, [ord(c) FOR c IN split(text, '')] AS b FROM documents)
+         |SELECT media_id, CAST(len(b) AS INT) AS width, 1 AS height,
+         |  CAST(list_sum(b) AS DOUBLE) / CAST(len(b) AS DOUBLE) AS mean_lum,
+         |  CAST(len(list_filter(b, x -> x // 32 = 0)) AS BIGINT) AS h0,
+         |  CAST(len(list_filter(b, x -> x // 32 = 1)) AS BIGINT) AS h1,
+         |  CAST(len(list_filter(b, x -> x // 32 = 2)) AS BIGINT) AS h2,
+         |  CAST(len(list_filter(b, x -> x // 32 = 3)) AS BIGINT) AS h3,
+         |  CAST(len(list_filter(b, x -> x // 32 = 4)) AS BIGINT) AS h4,
+         |  CAST(len(list_filter(b, x -> x // 32 = 5)) AS BIGINT) AS h5,
+         |  CAST(len(list_filter(b, x -> x // 32 = 6)) AS BIGINT) AS h6,
+         |  CAST(len(list_filter(b, x -> x // 32 = 7)) AS BIGINT) AS h7
+         |FROM a""".stripMargin),
+    "x_media_pnm_resize" ->
+      ("""WITH a AS (SELECT doc_id AS media_id, [ord(c) FOR c IN split(text, '')] AS b FROM documents),
+         |r AS (SELECT media_id, [b[((x * len(b)) // 16) + 1] FOR x IN range(0, 16)] AS rb FROM a)
+         |SELECT media_id, 16 AS width, 1 AS height,
+         |  CAST(list_sum(rb) AS DOUBLE) / 16.0 AS mean_lum
+         |FROM r""".stripMargin),
+    "x_media_wav_features" ->
+      ("""WITH a AS (SELECT doc_id AS media_id,
+         |    [(ord(c) - 96) * 256 FOR c IN split(text, '')] AS s FROM documents),
+         |z AS (SELECT media_id, s, len(s) AS n,
+         |    len([i FOR i IN range(2, len(s) + 1) IF s[i] * s[i-1] < 0]) AS zc FROM a)
+         |SELECT media_id, CAST(n AS INT) AS width, 1 AS height,
+         |  CAST(list_sum(s) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_sample,
+         |  CAST(list_sum([abs(x) FOR x IN s]) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_abs,
+         |  CAST(zc AS BIGINT) AS zero_crossings, CAST(8000 AS BIGINT) AS sample_rate
+         |FROM z""".stripMargin),
     "x_split_assign" ->
       s"SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents",
     "x_split_leakage" ->

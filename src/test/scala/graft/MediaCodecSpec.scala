@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{MediaCodec, Multimodal, NetpbmWavCodec}
+
+/** The REAL pure-JVM media codec: Netpbm P5/P6 images and RIFF/WAVE
+  * PCM audio are pure byte formats — these tests decode, resize and
+  * demux genuine payloads (not stub arithmetic) and pin the exact
+  * integer semantics the DuckDB oracles mirror.
+  */
+class MediaCodecSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def codec = new NetpbmWavCodec()
+
+  private def p5(w: Int, h: Int, pixels: Array[Int]): Array[Byte] =
+    (s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ pixels.map(_.toByte)).toArray
+
+  test("netpbm: P5 decode recovers dims, mean luminance and histogram") {
+    val pixels = Array(0, 31, 32, 255) // bins 0, 0, 1, 7
+    val (w, h, f) = codec.decode(p5(4, 1, pixels), "image/x-portable-graymap")
+    assert(w == 4 && h == 1)
+    assert(f(0) == (0 + 31 + 32 + 255).toDouble / 4.0)
+    assert(f.drop(1).toSeq == Seq(2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+  }
+
+  test("netpbm: header grammar — comments and mixed whitespace parse") {
+    val bytes = "P5 # binary graymap\n# a comment line\n 3\t1 #dims\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30)
+    val (w, h, f) = codec.decode(bytes, null)
+    assert(w == 3 && h == 1 && f(0) == 20.0)
+  }
+
+  test("netpbm: P6 luminance is the floored RGB mean; resize maps nearest-neighbor") {
+    // 2×1 RGB: left pixel (10,20,31) -> lum 20 (floor 61/3), right (90,90,90) -> 90
+    val rgb = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 31, 90, 90, 90)
+    val (w, h, f) = codec.decode(rgb, null)
+    assert(w == 2 && h == 1 && f(0) == (20 + 90).toDouble / 2.0)
+    // upscale 2×1 -> 4×2: srcX = floor(x·2/4) = [0,0,1,1], rows duplicate
+    val up = codec.resize(rgb, null, 4, 2)
+    val (w2, h2, f2) = codec.decode(up, null)
+    assert(w2 == 4 && h2 == 2)
+    assert(f2(0) == (20 + 20 + 90 + 90) * 2 / 8.0)
+  }
+
+  test("netpbm: concatenated images demux as frames, each standalone") {
+    val stream = p5(2, 1, Array(10, 20)) ++ p5(3, 1, Array(30, 40, 50))
+    val fs = codec.frames(stream, null).toSeq
+    assert(fs.length == 2)
+    assert(codec.decode(fs(0), null)._1 == 2)
+    val (w, _, f) = codec.decode(fs(1), null)
+    assert(w == 3 && f(0) == 40.0)
+  }
+
+  test("wav: PCM-16 stereo decode — samples/channel, channels, exact stats") {
+    // stereo, interleaved: L,R pairs; one sign flip in the interleaved stream
+    val samples = Array(1000, -2000, 3000, -1000)
+    val bytes = NetpbmWavCodec.wavOf(samples, sampleRate = 44100, channels = 2)
+    val (perCh, ch, f) = codec.decode(bytes, "audio/wav")
+    assert(perCh == 2 && ch == 2)
+    assert(f(0) == (1000 - 2000 + 3000 - 1000).toDouble / 4.0)
+    assert(f(1) == (1000 + 2000 + 3000 + 1000).toDouble / 4.0)
+    assert(f(2) == 3.0) // every adjacent interleaved pair flips sign
+    assert(f(3) == 44100.0)
+  }
+
+  test("wav: chunk walker skips unknown chunks and honors odd-size padding") {
+    // hand-build: RIFF [ junk(3 bytes + pad) | fmt | data ]
+    val base = NetpbmWavCodec.wavOf(Array(5, -5), sampleRate = 8000)
+    val fmtAndData = java.util.Arrays.copyOfRange(base, 12, base.length)
+    val junk = "junk".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // declared len 3, padded to 4
+    val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4 + junk.length + fmtAndData.length)
+    val bytes = "RIFF".getBytes("US-ASCII") ++ bb.array() ++
+      "WAVE".getBytes("US-ASCII") ++ junk ++ fmtAndData
+    val (perCh, ch, f) = codec.decode(bytes, null)
+    assert(perCh == 2 && ch == 1 && f(2) == 1.0)
+  }
+
+  test("wav: 8-bit unsigned PCM decodes offset-128") {
+    // encode via resize path: build 8-bit container by hand
+    val header = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.putInt(0x46464952).putInt(36 + 3).putInt(0x45564157)
+      .putInt(0x20746d66).putInt(16).putShort(1).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+      .putInt(0x61746164).putInt(3)
+    val bytes = header.array() ++ Array[Byte](0, 128.toByte, 255.toByte)
+    val (n, ch, f) = codec.decode(bytes, null)
+    assert(n == 3 && ch == 1)
+    assert(f(0) == (-128 + 0 + 127).toDouble / 3.0)
+  }
+
+  test("wav: resize resamples nearest-neighbor and frames window the stream") {
+    val samples = Array.tabulate(100)(i => if (i < 50) -100 else 100)
+    val bytes = NetpbmWavCodec.wavOf(samples, sampleRate = 8000)
+    val down = codec.resize(bytes, null, 10, 1)
+    val (n, _, f) = codec.decode(down, null)
+    assert(n == 10 && f(2) == 1.0) // one crossing survives the decimation
+    val fs = new NetpbmWavCodec(frameSamples = 30).frames(bytes, null).toSeq
+    assert(fs.length == 4) // 30+30+30+10
+    assert(codec.decode(fs(3), null)._1 == 10)
+  }
+
+  test("codec: unrecognized payloads raise instead of fabricating output") {
+    val e = intercept[IllegalArgumentException] {
+      codec.decode("GIF89a....".getBytes("US-ASCII"), "image/gif")
+    }
+    assert(e.getMessage.contains("unrecognized payload"))
+  }
+
+  test("spark: packPnm payloads are real P5 images the codec decodes to text-byte stats") {
+    val docs = Tables.documents(spark, sfDir).limit(25)
+    val media = Multimodal.packPnm(docs, col("doc_id"), col("text"))
+    val mk: () => MediaCodec = () => new NetpbmWavCodec()
+    val decoded = Multimodal.decodeFeatures(media, codec = mk)
+      .select($"media_id", $"width", $"height", element_at($"feature", 1).as("mean"))
+      .as[(Long, Int, Int, Double)].collect().toMap
+        .map { case (id, w, h, m) => id -> (w, h, m) }
+    val expect = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(decoded.size == 25)
+    expect.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val (w, h, m) = decoded(id)
+      assert(w == bytes.length && h == 1)
+      assert(m == bytes.map(_ & 0xff).map(_.toLong).sum.toDouble / bytes.length.toDouble)
+    }
+  }
+
+  test("spark: packWav payloads are real RIFF containers with text-derived samples") {
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val media = Multimodal.packWav(docs, col("doc_id"), col("text"))
+    val mk: () => MediaCodec = () => new NetpbmWavCodec()
+    val decoded = Multimodal.decodeFeatures(media, codec = mk)
+      .select($"media_id", $"width", element_at($"feature", 4).as("rate"))
+      .as[(Long, Int, Double)].collect()
+    val lens = docs.select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    assert(decoded.length == 10)
+    decoded.foreach { case (id, w, rate) =>
+      assert(w == lens(id) && rate == 8000.0)
+    }
+  }
+}

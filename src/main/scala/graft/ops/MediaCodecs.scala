@@ -75,6 +75,8 @@ final class NetpbmWavCodec(frameSamples: Int = 1024) extends MediaCodec {
         // nearest-neighbor: srcX = floor(x · srcW / dstW) — the exact
         // integer map the resize oracle mirrors
         val ch = img.channels
+        if (img.w == 0 || img.h == 0)
+          return pnmEncode(img.magic, 0, 0, Array.empty)
         val outRaster = new Array[Byte](width * height * ch)
         var y = 0
         while (y < height) {
@@ -96,15 +98,16 @@ final class NetpbmWavCodec(frameSamples: Int = 1024) extends MediaCodec {
         val wav = wavParse(bytes)
         val ch = math.max(1, wav.channels)
         val perCh = wav.samples.length / ch
+        if (perCh == 0) return wavEncode(wav.copy(samples = Array.empty))
         val outSamples = new Array[Int](width * ch)
         var i = 0
         while (i < width) {
-          val si = if (perCh == 0) 0 else (i.toLong * perCh / width).toInt
+          val si = (i.toLong * perCh / width).toInt
           var c = 0
           while (c < ch) { outSamples(i * ch + c) = wav.samples(si * ch + c); c += 1 }
           i += 1
         }
-        wavEncode(wav.copy(samples = if (perCh == 0) Array.empty else outSamples))
+        wavEncode(wav.copy(samples = outSamples))
     }
 
   def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]] =
@@ -209,9 +212,12 @@ object NetpbmWavCodec {
       s"only 1-byte-per-sample Netpbm supported (maxval ≤ 255), got $maxval")
     require(p < bytes.length && isSpace(bytes(p)), "missing raster separator")
     p += 1 // the single whitespace byte before the raster
-    val n = w * h * (if (magic == '6') 3 else 1)
-    require(p + n <= bytes.length,
-      s"truncated Netpbm raster: need $n bytes at $p, have ${bytes.length - p}")
+    // Long arithmetic: w·h·channels for a malformed header can exceed
+    // Int range and wrap — the bound check must see the true product
+    val nL = w.toLong * h.toLong * (if (magic == '6') 3L else 1L)
+    require(p.toLong + nL <= bytes.length,
+      s"truncated Netpbm raster: need $nL bytes at $p, have ${bytes.length - p}")
+    val n = nL.toInt
     PnmImage(magic, w, h, maxval, java.util.Arrays.copyOfRange(bytes, p, p + n), p + n)
   }
 
@@ -246,7 +252,9 @@ object NetpbmWavCodec {
       val ckId = bb.getInt(p)
       val ckLen = bb.getInt(p + 4)
       val body = p + 8
-      require(ckLen >= 0 && body + ckLen <= bytes.length,
+      // Long arithmetic: a huge declared ckLen must fail here with the
+      // truncation message, not Int-overflow negative and "pass"
+      require(ckLen >= 0 && body.toLong + ckLen <= bytes.length,
         s"truncated WAV chunk at offset $p")
       if (ckId == 0x20746d66) { // "fmt "
         require(ckLen >= 16, "short fmt chunk")

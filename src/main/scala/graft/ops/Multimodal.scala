@@ -108,8 +108,10 @@ object Multimodal {
 
   /** Test harness, real-audio flavor: a genuine PCM-16 mono RIFF/WAVE
     * payload per document with samples derived from the text bytes
-    * (`(byte − 96) · 256` — lowercase letters land positive, the rest
-    * negative, so zero-crossing counts are non-trivial). Binary
+    * (`min((byte − 96) · 256, 32767)` — lowercase letters land
+    * positive, the rest negative, so zero-crossing counts are
+    * non-trivial; the clamp keeps bytes ≥ 0xE0 inside PCM-16 instead
+    * of wrapping negative in the short cast). Binary
     * container encoding needs byte-level little-endian writes, hence
     * the mapPartitions producer (same executor-batch shape as the
     * decode operators).
@@ -123,7 +125,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getString(1).getBytes("UTF-8")
-          val samples = bytes.map(b => ((b & 0xff) - 96) * 256)
+          val samples = bytes.map(b => math.min(((b & 0xff) - 96) * 256, 32767))
           Row(r.getLong(0), NetpbmWavCodec.wavOf(samples, sampleRate), "audio/wav")
         }
       }(Encoders.row(schema))

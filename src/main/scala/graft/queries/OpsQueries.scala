@@ -646,6 +646,36 @@ object OpsQueries {
         TA.stripHtml(html).as("clean_text"))
     }),
 
+    // WARC crawl ingest (the container web crawls actually arrive in):
+    // documents are serialized once as real gzip-member-per-record
+    // `.warc.gz` response records under an identity-keyed path —
+    // version line, envelope headers, full HTTP/1.1 message, CRLF
+    // trailers — then re-read with the streaming per-file reader and
+    // reduced to the crawl-side projection. The oracle rebuilds the
+    // HTML body directly and checks URL, status, mime, byte length AND
+    // an md5 over the exact body bytes — the roundtrip is byte-proven
+    "x_warc_ingest" -> ((s, dir) => {
+      val outDir = indexCachePath(s, dir, "documents.parquet", "warc,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, outDir)) {
+        val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+        graft.ingest.Warc.writeResponses(
+          Tables.documents(s, dir).select(
+            concat(lit("http://crawl.example/doc/"), col("doc_id").cast("string")).as("url"),
+            lit("2026-01-01T00:00:00Z").as("date"),
+            html.as("html")),
+          outDir)
+      }
+      graft.ingest.Warc.responses(s, outDir).select(
+        regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"),
+        col("http_status"),
+        col("mime"),
+        octet_length(col("body")).cast("long").as("n_body_bytes"),
+        md5(col("body")).as("body_md5"),
+        TA.htmlTitle(decode(col("body"), "UTF-8")).as("title"))
+    }),
+
     // JSONL corpus exchange: documents written once as JSONL (the LLM
     // corpus interchange format) under an identity-keyed path, reread
     // with the DECLARED schema (inference would be a second full pass
@@ -1993,6 +2023,19 @@ object OpsQueries {
           |  ${TA.htmlLinkCountSql("html")} AS n_links,
           |  ${TA.stripHtmlSql("html")} AS clean_text
           |FROM h""".stripMargin),
+    "x_warc_ingest" ->
+      ("""WITH b AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title></head><body><p>' || text || '</p></body></html>' AS body
+         |  FROM documents)
+         |SELECT doc_id,
+         |  'http://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         |  CAST(200 AS INT) AS http_status,
+         |  'text/html' AS mime,
+         |  CAST(octet_length(encode(body)) AS BIGINT) AS n_body_bytes,
+         |  md5(body) AS body_md5,
+         |  'Doc ' || CAST(doc_id AS VARCHAR) AS title
+         |FROM b""".stripMargin),
     "x_chunk_documents" ->
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
     "x_quality_logit" ->
@@ -2239,6 +2282,12 @@ object OpsQueries {
          |SELECT media_id, CAST(i AS INT) AS frame_idx,
          |  CAST(least(n, i * 256 + 256) - i * 256 AS BIGINT) AS n_frame_bytes
          |FROM u""".stripMargin),
+    // INVARIANT for the three x_media_* oracles below: the documents
+    // table is ASCII-only (testdata generator emits [\x20-\x79]), so
+    // per-character ord(c) here equals the per-UTF-8-byte value the
+    // Spark side packs (packPnm/packWav use octet_length/getBytes).
+    // Non-ASCII text would diverge in both element count and values —
+    // deriving the lists from encode(text) bytes would be required.
     "x_media_pnm_decode" ->
       ("""WITH a AS (SELECT doc_id AS media_id, [ord(c) FOR c IN split(text, '')] AS b FROM documents)
          |SELECT media_id, CAST(len(b) AS INT) AS width, 1 AS height,
@@ -2260,7 +2309,7 @@ object OpsQueries {
          |FROM r""".stripMargin),
     "x_media_wav_features" ->
       ("""WITH a AS (SELECT doc_id AS media_id,
-         |    [(ord(c) - 96) * 256 FOR c IN split(text, '')] AS s FROM documents),
+         |    [least((ord(c) - 96) * 256, 32767) FOR c IN split(text, '')] AS s FROM documents),
          |z AS (SELECT media_id, s, len(s) AS n,
          |    len([i FOR i IN range(2, len(s) + 1) IF s[i] * s[i-1] < 0]) AS zc FROM a)
          |SELECT media_id, CAST(n AS INT) AS width, 1 AS height,

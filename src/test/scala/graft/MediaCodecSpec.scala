@@ -118,8 +118,8 @@ class MediaCodecSpec extends SparkSpec {
     val mk: () => MediaCodec = () => new NetpbmWavCodec()
     val decoded = Multimodal.decodeFeatures(media, codec = mk)
       .select($"media_id", $"width", $"height", element_at($"feature", 1).as("mean"))
-      .as[(Long, Int, Int, Double)].collect().toMap
-        .map { case (id, w, h, m) => id -> (w, h, m) }
+      .as[(Long, Int, Int, Double)].collect()
+        .map { case (id, w, h, m) => id -> (w, h, m) }.toMap
     val expect = docs.select($"doc_id", $"text").as[(Long, String)].collect()
     assert(decoded.size == 25)
     expect.foreach { case (id, text) =>

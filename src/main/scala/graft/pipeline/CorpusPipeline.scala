@@ -91,6 +91,10 @@ final case class CorpusStageConf(
 final case class CorpusPipelineConf(
     input_dir: String,
     output_dir: String,
+    // how `input_dir` is stored: "parquet" (default) or "warc" — a
+    // crawl of `.warc.gz` files read through [[graft.ingest.Warc]]
+    // (HTTP-200 text/html responses → stripped text documents)
+    input_format: Option[String],
     id_column: Option[String],
     text_column: Option[String],
     // streaming-only (corpus stream): checkpoint location, optional
@@ -120,6 +124,20 @@ object CorpusPipeline {
   private val mapper = new ObjectMapper(new YAMLFactory())
   mapper.registerModule(DefaultScalaModule)
   mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  /** Resolve `input_dir` through its declared format — the one place
+    * the pipeline touches bytes that aren't parquet yet. WARC input
+    * lands as a (id, url, text) frame, so the stage chain downstream
+    * is format-blind.
+    */
+  private def loadInput(spark: SparkSession, conf: CorpusPipelineConf): DataFrame =
+    conf.input_format.map(_.toLowerCase).getOrElse("parquet") match {
+      case "parquet" => spark.read.parquet(conf.inputDir)
+      case "warc" =>
+        graft.ingest.Warc.documents(spark, conf.inputDir, conf.idCol, conf.textCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown input_format '$other' — known: parquet, warc")
+    }
 
   def load(path: String): CorpusPipelineConf =
     mapper.readValue(new String(
@@ -170,7 +188,7 @@ object CorpusPipeline {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val id = conf.idCol
-      val docs0 = spark.read.parquet(conf.inputDir)
+      val docs0 = loadInput(spark, conf)
       out(s"input: ${conf.inputDir}")
       val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
         (if (docs0.columns.contains("source") && conf.textCol != "source")
@@ -197,7 +215,7 @@ object CorpusPipeline {
           out: String => Unit): Long = {
     validateStages(conf)
     val id = conf.idCol
-    val docs0 = spark.read.parquet(conf.inputDir)
+    val docs0 = loadInput(spark, conf)
     out(s"input: ${conf.inputDir}")
     // carry `source` when present — decontaminate_spans slices the
     // benchmark by it (its own output drops it again)
@@ -383,7 +401,7 @@ object CorpusPipeline {
   def runIncremental(spark: SparkSession, conf: CorpusPipelineConf,
                      priorDir: String, out: String => Unit): Long = {
     requireIncrementalChain(conf)
-    val docs0 = spark.read.parquet(conf.inputDir)
+    val docs0 = loadInput(spark, conf)
     out(s"input: ${conf.inputDir} (incremental into $priorDir)")
     admitBatch(spark, conf, docs0, priorDir, out)
   }

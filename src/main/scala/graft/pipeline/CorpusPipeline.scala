@@ -113,7 +113,7 @@ object CorpusPipeline {
 
   val ShapingKinds: Set[String] = Set(
     "html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
-    "perplexity_filter", "decontaminate_spans",
+    "quality_filter_trained", "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
     "dedup_near", "dedup_semantic", "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
@@ -919,6 +919,21 @@ object CorpusPipeline {
           st.thresholdVal(0.25))
       case "c4_clean" =>
         c4CleanStage(df, text)
+      case "quality_filter_trained" =>
+        // fit the logistic quality classifier on an id-sliced sample of
+        // THIS input (K aggregation-step gradient descent, Gopher-gate
+        // labels), then keep docs scoring >= threshold — the weights
+        // ride the plan as literals, so the filter itself is narrow
+        val wq = graft.ops.QualityModel.fit(df, col(id), text,
+          sampleMod = st.sampleModVal(graft.ops.QualityModel.DefaultSampleMod),
+          steps = st.nVal(graft.ops.QualityModel.DefaultSteps))
+        val thresholdQ = math.round(
+          st.thresholdVal(0.5) * 1000000.0)
+        val feats = graft.ops.QualityModel.featureCols(text)
+        val scored = df.select(col("*") +:
+          feats.zipWithIndex.map { case (c, j) => c.as(s"f$j") }: _*)
+        scored.filter(graft.ops.QualityModel.scoreQ(wq) >= lit(thresholdQ))
+          .drop((0 until graft.ops.QualityModel.Dim).map(j => s"f$j"): _*)
       case "perplexity_filter" =>
         // CCNet tiering: keep the most fluent `keep` of the 3
         // per-language perplexity terciles under the corpus-trained

@@ -729,6 +729,17 @@ object OpsQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         TA.qualityLogit(col("text")).as("logit_score"))),
 
+    // TRAINED logistic quality classifier: K full-batch gradient steps
+    // (each one aggregation job summing exact longs) against the
+    // Gopher-gate labels on an id-sliced sample, then every doc scored
+    // with the fitted weights baked in as literals. The oracle unrolls
+    // the same K steps as CTEs — weights AND scores hash-compare, so a
+    // one-quantum training divergence fails on every row
+    "x_quality_logit_trained" -> ((s, dir) =>
+      graft.ops.QualityModel.trainedScore(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .withColumnRenamed("__id", "doc_id")),
+
     // Gopher §A1.1's dominant-phrase signals: fraction of characters
     // in the MOST frequent 2/3/4-gram — pure narrow HOF metrics, the
     // single-phrase complement of x_repetition_ratio's all-repeats form
@@ -2040,6 +2051,8 @@ object OpsQueries {
       graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride),
     "x_quality_logit" ->
       s"SELECT doc_id, ${TA.qualityLogitSql("text")} AS logit_score FROM documents",
+    "x_quality_logit_trained" ->
+      graft.ops.QualityModel.trainedScoreSql("doc_id", "text", "documents"),
     "x_top_ngram_char_frac" ->
       (s"""SELECT doc_id, ${TA.topNgramCharFractionSql("text", 2)} AS top2_frac,
           |  ${TA.topNgramCharFractionSql("text", 3)} AS top3_frac,

@@ -72,7 +72,12 @@ object Warc {
     * identity for provenance joins.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val files = DumpReader.rankedFiles(spark, path).map(_._2)
+    // directory listings include non-record files (`_SUCCESS` markers,
+    // checksums) — only `.warc(.gz)` members get a task; if the filter
+    // leaves nothing the caller named a specific file, take it as-is
+    val all = DumpReader.rankedFiles(spark, path).map(_._2)
+    val warcs = all.filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+    val files = if (warcs.nonEmpty) warcs else all
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))

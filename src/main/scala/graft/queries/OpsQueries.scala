@@ -553,6 +553,25 @@ object OpsQueries {
       graft.ops.Vocab.bpeEncode(docs, "doc_id", col("text"), merges)
     }),
 
+    // the OTHER production tokenizer family: the unigram-LM
+    // (SentencePiece-style) trainer — seed substring vocab → hard-EM
+    // rounds (quantized piece log-probs → Viterbi DP per word →
+    // emission counts) → prune — as a driver loop of aggregations over
+    // the vocabulary-sized word table, oracled against the identical
+    // rounds unrolled as DuckDB CTEs (the x_bpe_merges_k convention).
+    // Train-once lifecycle: the fitted vocab + final segmentation
+    // persist as parquet artifacts (the LSH/PQ-codes convention), so
+    // the encode query reads the model instead of re-running EM.
+    "x_unigram_tokenizer" -> ((s, dir) => unigramArtifact(s, dir)._1),
+
+    // the unigram tokenizer's APPLY side: per-doc piece counts under
+    // the trained vocabulary (over-long words fall back to chars) —
+    // encode is a word-keyed equi-join against the trainer's own final
+    // segmentation artifact, never a re-segmentation of the corpus
+    "x_unigram_encode" -> ((s, dir) =>
+      graft.ops.UnigramLm.encodeTokenCounts(Tables.documents(s, dir), "doc_id", col("text"),
+        UnigramCfg, emissions = Some(unigramArtifact(s, dir)._2))),
+
     // conditional-LM perplexity signal: per-doc average add-one bigram
     // log-prob under the corpus-trained model (the order-2 upgrade of
     // x_unigram_logprob)
@@ -1514,6 +1533,34 @@ object OpsQueries {
                              sourceFile: String, params: String): String =
     graft.store.ArtifactCache.path(s, s"$dir/$sourceFile", params)
 
+  /** Unigram-trainer config for the x_unigram_* queries: maxWordLen 8
+    * covers every letter run in the corpus (longer runs would be
+    * excluded from training by design and char-fallback at encode).
+    * The oracle SQL derives from the SAME value.
+    */
+  private val UnigramCfg =
+    graft.ops.UnigramLm.Config(maxWordLen = 8, maxPieceLen = 4,
+      seedMulti = 160, pruneMulti = Seq(96, 48))
+
+  /** Train-once unigram tokenizer artifacts: (vocab, final-round word
+    * segmentation), persisted like the LSH/PQ-codes caches and keyed by
+    * source identity + every training knob.
+    */
+  private def unigramArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = s"unigram,L=${UnigramCfg.maxWordLen},P=${UnigramCfg.maxPieceLen}," +
+      s"s0=${UnigramCfg.seedMulti},prune=${UnigramCfg.pruneMulti.mkString("-")},v1"
+    val vocabP = indexCachePath(s, dir, "documents.parquet", tag + ",vocab")
+    val emP = indexCachePath(s, dir, "documents.parquet", tag + ",em")
+    if (!graft.store.ArtifactCache.isComplete(s, vocabP) ||
+        !graft.store.ArtifactCache.isComplete(s, emP)) {
+      val (vocab, em, _) =
+        graft.ops.UnigramLm.trainParts(Tables.documents(s, dir), col("text"), UnigramCfg)
+      vocab.write.mode("overwrite").parquet(vocabP)
+      em.write.mode("overwrite").parquet(emP)
+    }
+    (s.read.parquet(vocabP), s.read.parquet(emP))
+  }
+
   /** In-process IVF-PQ index cache, keyed by the SAME source-parquet
     * identity as [[indexCachePath]]: the codebooks + coarse centroids
     * are a train-once artifact in production (the persisted-index
@@ -1941,6 +1988,8 @@ object OpsQueries {
             |ORDER BY n DESC, pair LIMIT 500""".stripMargin),
     "x_bpe_merges_k" -> bpeMergesSql(BpeMergeRounds),
     "x_bpe_encode" -> bpeEncodeSql(BpeMergeRounds),
+    "x_unigram_tokenizer" -> graft.ops.UnigramLm.trainSql(UnigramCfg),
+    "x_unigram_encode" -> graft.ops.UnigramLm.encodeSql("doc_id", UnigramCfg),
     "x_unigram_logprob" ->
       (raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
             |t AS (SELECT doc_id, token FROM toks WHERE token != ''),

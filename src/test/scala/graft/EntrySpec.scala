@@ -45,5 +45,7 @@ class EntrySpec extends SparkSpec {
 
 object EntrySpec {
   /** Bump deliberately when adding/removing queries. */
-  val DeclaredQueries = 153
+  // r14: +x_warc_ingest, +x_quality_logit_trained (r13 tail),
+  // +x_unigram_tokenizer, +x_unigram_encode
+  val DeclaredQueries = 157
 }

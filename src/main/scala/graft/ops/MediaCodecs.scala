@@ -133,6 +133,19 @@ final class NetpbmWavCodec(frameSamples: Int = 1024) extends MediaCodec {
           wavEncode(wav.copy(samples = java.util.Arrays.copyOfRange(wav.samples, from, to)))
         }
     }
+
+  def luminances(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Int]) =
+    sniff(bytes, mediaType) match {
+      case Pnm =>
+        val img = pnmParse(bytes, 0)
+        (img.w, img.h, img.luminances)
+      case Wav =>
+        // audio has no luminance plane: rescale PCM-16 to 0..255 so the
+        // perceptual-hash path degrades gracefully instead of throwing
+        val wav = wavParse(bytes)
+        val lum = wav.samples.map(s => (s + 32768) >> 8)
+        (if (wav.channels == 0) 0 else lum.length / wav.channels, wav.channels, lum)
+    }
 }
 
 object NetpbmWavCodec {

@@ -28,6 +28,12 @@ trait MediaCodec {
 
   /** Demux one payload into its frames, in order. */
   def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]]
+
+  /** Decode one payload to its raw luminance plane (width, height,
+    * row-major 0..255 values) — the input perceptual hashing needs
+    * actual pixels for, unlike [[decode]]'s summary features.
+    */
+  def luminances(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Int])
 }
 
 /** The honest environment-block stand-in: deterministic pseudo-outputs
@@ -56,6 +62,15 @@ final class StubCodec(frameBytes: Int = 256) extends MediaCodec {
       val from = f * frameBytes
       java.util.Arrays.copyOfRange(bytes, from, math.min(bytes.length, from + frameBytes))
     }
+  }
+
+  def luminances(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Int]) = {
+    // deterministic fake pixels: the payload bytes cycled into the
+    // md5-derived dimensions — same shape a real decode produces
+    val (w, h, _) = decode(bytes, mediaType)
+    val lum = Array.tabulate(w * h)(i =>
+      if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff)
+    (w, h, lum)
   }
 }
 
@@ -166,6 +181,97 @@ object Multimodal {
 
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ph_hi", LongType, nullable = false),
+    StructField("ph_lo", LongType, nullable = false)))
+
+  /** Average-hash (aHash) perceptual fingerprint per image — the
+    * classic 64-bit perceptual hash: sample the luminance plane on an
+    * 8×8 nearest-neighbor grid, threshold each sample against the grid
+    * mean, pack the 64 bits. Entirely integer arithmetic (the mean
+    * compare is `s·64 > Σs` — no division, no floats), so the hash is
+    * bit-reproducible across engines and platforms. Ships as two
+    * 32-bit halves in longs (`ph_hi` = grid cells 0..31 MSB-first,
+    * `ph_lo` = cells 32..63) — sign-free in every engine's BIGINT and
+    * directly bandable for Hamming bucketing.
+    *
+    * Same executor-batch shape as [[decodeFeatures]]: per-partition
+    * codec, narrow binary→skinny map, no shuffle.
+    */
+  def perceptualHash(df: DataFrame, batchSize: Int = 128,
+                     codec: () => MediaCodec = () => new StubCodec()): DataFrame = {
+    val enc = Encoders.row(phashSchema)
+    df.select(col("media_id"), col("media"), col("media_type"))
+      .mapPartitions { rows =>
+        val c = codec()
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val mtype = if (r.isNullAt(2)) null else r.getString(2)
+            val (w, h, lum) = c.luminances(bytes, mtype)
+            var hi = 0L; var lo = 0L
+            if (w > 0 && h > 0) {
+              val s = new Array[Long](64)
+              var tot = 0L
+              var i = 0
+              while (i < 64) {
+                val px = ((i % 8) * w) / 8
+                val py = ((i / 8) * h) / 8
+                s(i) = lum(py * w + px).toLong
+                tot += s(i)
+                i += 1
+              }
+              i = 0
+              while (i < 32) {
+                if (s(i) * 64 > tot) hi |= 1L << (31 - i)
+                if (s(i + 32) * 64 > tot) lo |= 1L << (31 - i)
+                i += 1
+              }
+            }
+            Row(r.getLong(0), w, h, hi, lo)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance —
+    * the image-side extension of the text dedup family: band the
+    * 64-bit hash into four 16-bit keys, bucket-join on any shared
+    * band, verify exact Hamming on the collisions. For
+    * `maxDistance ≤ 3` the banding is EXHAUSTIVE by pigeonhole (≤3
+    * differing bits cannot touch all 4 bands), so the result equals
+    * the all-pairs join — which is what the DuckDB oracle computes.
+    * Scale shape: the corpus never cross-joins; candidates are
+    * equi-join collisions on skinny (band, key, id, hash) rows, the
+    * [[graft.ops.Dedup.simhashPairs]] machinery applied to pixels.
+    */
+  def phashPairs(hashes: DataFrame, id: String = "media_id",
+                 maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"banding is exhaustive only for maxDistance <= 3, got $maxDistance")
+    val sigs = hashes.select(col(id).as("doc"), col("ph_hi"), col("ph_lo"))
+      .repartition(col("doc"))
+    val banded = sigs.select(col("doc"), col("ph_hi"), col("ph_lo"),
+        explode(array(
+          struct(lit(0).as("band"), shiftrightunsigned(col("ph_hi"), 16).as("key")),
+          struct(lit(1).as("band"), (col("ph_hi").bitwiseAND(lit(0xffffL))).as("key")),
+          struct(lit(2).as("band"), shiftrightunsigned(col("ph_lo"), 16).as("key")),
+          struct(lit(3).as("band"), (col("ph_lo").bitwiseAND(lit(0xffffL))).as("key")))).as("b"))
+      .select(col("doc"), col("ph_hi"), col("ph_lo"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("l").join(banded.as("r"), Seq("band", "key"))
+      .filter(col("l.doc") < col("r.doc"))
+      .withColumn("hamming",
+        bit_count(col("l.ph_hi").bitwiseXOR(col("r.ph_hi"))) +
+          bit_count(col("l.ph_lo").bitwiseXOR(col("r.ph_lo"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("l.doc").as("id_a"), col("r.doc").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -1065,6 +1065,27 @@ object OpsQueries {
           element_at(col("feature"), 4).cast("long").as("sample_rate"))
     }),
 
+    // image perceptual hash (aHash): 8×8 nearest-neighbor grid over
+    // the codec's REAL decoded luminance plane, mean-thresholded —
+    // all-integer so the 64-bit fingerprint is bit-reproducible; the
+    // oracle replays the identical grid arithmetic off the text bytes
+    // the P5 raster packs
+    "x_media_phash" -> ((s, dir) => {
+      val media = Multimodal.packPnm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Multimodal.perceptualHash(media, codec = () => new graft.ops.NetpbmWavCodec())
+    }),
+
+    // image near-dup dedup: the phash banded into four 16-bit keys,
+    // bucket-join + exact Hamming verify — exhaustive for distance ≤ 3
+    // by pigeonhole, so the banded plan hash-matches the oracle's
+    // all-pairs join while never cross-joining the corpus
+    "x_media_phash_dedup" -> ((s, dir) => {
+      val media = Multimodal.packPnm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Multimodal.phashPairs(
+        Multimodal.perceptualHash(media, codec = () => new graft.ops.NetpbmWavCodec()),
+        maxDistance = 3)
+    }),
+
     // deterministic 90/5/5 held-out split: a pure hash of the doc id —
     // no state, no shuffle, consistent labels for shards that arrive
     // years apart
@@ -1505,6 +1526,24 @@ object OpsQueries {
        |FROM r$k""".stripMargin)
     sb.toString
   }
+
+  /** The aHash oracle CTE: replays `Multimodal.perceptualHash`'s
+    * integer grid arithmetic off the text bytes the P5 raster packs
+    * (8×8 nearest-neighbor sample, h=1 so rows collapse; `s·64 > Σs`
+    * threshold; 32-bit halves packed MSB-first). Same ASCII/non-empty
+    * documents invariant as the other x_media_* oracles.
+    */
+  private val phashSqlCte: String =
+    """WITH a AS (SELECT doc_id AS media_id, [ord(c) FOR c IN split(text, '')] AS b FROM documents),
+      |g AS (SELECT media_id, CAST(len(b) AS INT) AS width, 1 AS height,
+      |  [b[(((i % 8) * len(b)) // 8) + 1] FOR i IN range(0, 64)] AS s FROM a),
+      |t AS (SELECT media_id, width, height, s, list_sum(s) AS tot FROM g),
+      |ph AS MATERIALIZED (SELECT media_id, width, height,
+      |  CAST(list_sum([CASE WHEN s[i+1] * 64 > tot THEN 1::BIGINT << (31 - i) ELSE 0::BIGINT END
+      |    FOR i IN range(0, 32)]) AS BIGINT) AS ph_hi,
+      |  CAST(list_sum([CASE WHEN s[i+33] * 64 > tot THEN 1::BIGINT << (31 - i) ELSE 0::BIGINT END
+      |    FOR i IN range(0, 32)]) AS BIGINT) AS ph_lo
+      |FROM t)""".stripMargin
 
   private def jaccardSql(threshold: Double, relation: String = "documents"): String =
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
@@ -2379,6 +2418,16 @@ object OpsQueries {
          |  CAST(list_sum([abs(x) FOR x IN s]) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_abs,
          |  CAST(zc AS BIGINT) AS zero_crossings, CAST(8000 AS BIGINT) AS sample_rate
          |FROM z""".stripMargin),
+    "x_media_phash" ->
+      (phashSqlCte +
+        "\nSELECT media_id, width, height, ph_hi, ph_lo FROM ph"),
+    "x_media_phash_dedup" ->
+      (phashSqlCte +
+        """
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3""".stripMargin),
     "x_split_assign" ->
       s"SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents",
     "x_split_leakage" ->

@@ -46,6 +46,7 @@ class EntrySpec extends SparkSpec {
 object EntrySpec {
   /** Bump deliberately when adding/removing queries. */
   // r14: +x_warc_ingest, +x_quality_logit_trained (r13 tail),
-  // +x_unigram_tokenizer, +x_unigram_encode
-  val DeclaredQueries = 157
+  // +x_unigram_tokenizer, +x_unigram_encode, +x_media_phash,
+  // +x_media_phash_dedup
+  val DeclaredQueries = 159
 }

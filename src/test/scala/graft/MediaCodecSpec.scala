@@ -143,4 +143,68 @@ class MediaCodecSpec extends SparkSpec {
       assert(w == lens(id) && rate == 8000.0)
     }
   }
+
+  test("phash: identical rasters hash identically; a local edit stays near") {
+    val codec = new NetpbmWavCodec()
+    def pnm(pixels: Array[Int]): Array[Byte] = {
+      val header = s"P5\n${pixels.length} 1\n255\n".getBytes("US-ASCII")
+      header ++ pixels.map(_.toByte)
+    }
+    def hash(pixels: Array[Int]): (Long, Long) = {
+      val (w, h, lum) = codec.luminances(pnm(pixels), "image/x-portable-graymap")
+      assert(w == pixels.length && h == 1)
+      var hi = 0L; var lo = 0L
+      val s = Array.tabulate(64)(i => lum(((i % 8) * w) / 8).toLong)
+      val tot = s.sum
+      for (i <- 0 until 32) {
+        if (s(i) * 64 > tot) hi |= 1L << (31 - i)
+        if (s(i + 32) * 64 > tot) lo |= 1L << (31 - i)
+      }
+      (hi, lo)
+    }
+    // a 64×1 image samples pixels 0,8,...,56 (one per grid column, all
+    // 8 grid rows identical) — alternate the SAMPLED columns so the
+    // threshold has real contrast
+    val base = Array.tabulate(64)(i => if ((i / 8) % 2 == 0) 200 else 20)
+    val (h1, l1) = hash(base)
+    val (h2, l2) = hash(base.clone())
+    assert((h1, l1) == (h2, l2), "identical images must hash identically")
+    // flip one sampled column from bright to dark: exactly that
+    // column's 8 grid cells cross the threshold
+    val edited = base.clone(); edited(0) = 20
+    val (h3, l3) = hash(edited)
+    val dist = java.lang.Long.bitCount(h1 ^ h3) + java.lang.Long.bitCount(l1 ^ l3)
+    assert(dist > 0 && dist <= 8, s"local edit moved $dist bits")
+  }
+
+  test("phash pairs: duplicate payloads collide at hamming 0; banding finds them") {
+    // plant known duplicates: the same 30 texts under two id ranges —
+    // the banded join must recover every planted (id, id+10000) pair
+    val docs = Tables.documents(spark, sfDir).limit(30)
+      .select($"doc_id", $"text")
+    val planted = docs.union(docs.select($"doc_id" + 10000, $"text"))
+    val media = Multimodal.packPnm(planted, col("doc_id"), col("text"))
+    val hashes = Multimodal.perceptualHash(media, codec = () => new NetpbmWavCodec())
+    val pairs = Multimodal.phashPairs(hashes, maxDistance = 3)
+      .as[(Long, Long, Int)].collect()
+    val pairMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    val ids = docs.select($"doc_id").as[Long].collect()
+    ids.foreach { id =>
+      assert(pairMap.contains((id, id + 10000)),
+        s"planted dup pair ($id, ${id + 10000}) missing from phash pairs")
+      assert(pairMap((id, id + 10000)) == 0, "identical payloads must be at distance 0")
+    }
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("phash: wav payloads degrade to rescaled pcm, empty image to zero hash") {
+    val codec = new NetpbmWavCodec()
+    val (w, ch, lum) = codec.luminances(
+      NetpbmWavCodec.wavOf(Array(-32768, 0, 32767), 8000), "audio/wav")
+    assert(w == 3 && ch == 1)
+    assert(lum.sameElements(Array(0, 128, 255)))
+    val empty = "P5\n0 1\n255\n".getBytes("US-ASCII")
+    val (we, he, le) = codec.luminances(empty, "image/x-portable-graymap")
+    assert(we == 0 && he == 1 && le.isEmpty)
+  }
 }

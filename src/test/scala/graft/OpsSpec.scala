@@ -1803,5 +1803,7 @@ object OpsSpec {
       Array.fill(width * height)(0x2a.toByte)
     def frames(bytes: Array[Byte], mediaType: String): Iterator[Array[Byte]] =
       Iterator(bytes)
+    def luminances(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Int]) =
+      (7, 9, Array.fill(63)(42))
   }
 }

@@ -238,6 +238,55 @@ object Multimodal {
       }(enc)
   }
 
+  /** Banded phash rows (doc, band, key, ph_hi, ph_lo) — the four
+    * 16-bit band keys exploded per image. This is the PERSISTABLE
+    * image-dedup index: an ingest job writes it once (parquet), and
+    * every later increment probes it instead of re-hashing the corpus
+    * (the [[graft.ops.Dedup.buildLshIndex]] lifecycle, pixels edition).
+    */
+  def buildPhashIndex(hashes: DataFrame, id: String = "media_id"): DataFrame =
+    hashes.select(col(id).as("doc"), col("ph_hi"), col("ph_lo"),
+        explode(array(
+          struct(lit(0).as("band"), shiftrightunsigned(col("ph_hi"), 16).as("key")),
+          struct(lit(1).as("band"), (col("ph_hi").bitwiseAND(lit(0xffffL))).as("key")),
+          struct(lit(2).as("band"), shiftrightunsigned(col("ph_lo"), 16).as("key")),
+          struct(lit(3).as("band"), (col("ph_lo").bitwiseAND(lit(0xffffL))).as("key")))).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.key").as("key"),
+        col("ph_hi"), col("ph_lo"))
+
+  /** Incremental image admission: every Hamming-≤`maxDistance` pair
+    * touching the batch — (batch × corpus) collisions against the
+    * PERSISTED banded index plus the batch's internal pairs. The index
+    * is probed MAP-SIDE ([[graft.ops.Dedup.probeIndex]]): a broadcast
+    * of the batch's band keys restricts the index scan before the
+    * join, so admitting a shard never re-shuffles the corpus-sized
+    * index — O(batch) steady state, the same contract as the text and
+    * embedding admission paths. Because 4-band bucketing is exhaustive
+    * for distance ≤ 3, the result is EXACT (hash-oracled, not
+    * precision-oracled).
+    */
+  def incrementalPhashPairs(corpusIndex: DataFrame, batchHashes: DataFrame,
+                            id: String = "media_id",
+                            maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"banding is exhaustive only for maxDistance <= 3, got $maxDistance")
+    val batchBands = buildPhashIndex(batchHashes, id).localCheckpoint(true)
+    val probed = Dedup.probeIndex(
+      corpusIndex.select(col("doc"), col("band"), col("key"),
+        col("ph_hi"), col("ph_lo")),
+      batchBands, Seq("band", "key"))
+    val cross = probed.as("l").join(batchBands.as("r"), Seq("band", "key"))
+      .filter(col("l.doc") =!= col("r.doc"))
+      .withColumn("hamming",
+        bit_count(col("l.ph_hi").bitwiseXOR(col("r.ph_hi"))) +
+          bit_count(col("l.ph_lo").bitwiseXOR(col("r.ph_lo"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(least(col("l.doc"), col("r.doc")).as("id_a"),
+        greatest(col("l.doc"), col("r.doc")).as("id_b"), col("hamming"))
+    val within = phashPairs(batchHashes, id, maxDistance)
+    cross.unionByName(within).dropDuplicates("id_a", "id_b")
+  }
+
   /** Near-duplicate image pairs by perceptual-hash Hamming distance —
     * the image-side extension of the text dedup family: band the
     * 64-bit hash into four 16-bit keys, bucket-join on any shared

@@ -62,7 +62,13 @@ final case class CorpusStageConf(
     max_share: Option[Number],
     // holdout_split: hash-domain separator so a rerun with a different
     // salt draws an independent split
-    salt: Option[String]) {
+    salt: Option[String],
+    // dedup_phash: where the (media_id, media, media_type) sidecar
+    // lives, how its id maps onto the document frame, and the Hamming
+    // radius (≤ 3 — the 4-band bucketing's exhaustive range)
+    media_dir: Option[String],
+    media_id_column: Option[String],
+    max_distance: Option[Number]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -80,6 +86,7 @@ final case class CorpusStageConf(
   def budgetFracVal(default: Double): Double = budget_frac.fold(default)(_.doubleValue)
   def maxEpochsVal(default: Double): Double = max_epochs.fold(default)(_.doubleValue)
   def maxShareVal(default: Double): Double = max_share.fold(default)(_.doubleValue)
+  def maxDistanceVal(default: Int): Int = max_distance.fold(default)(_.intValue)
 }
 
 /** The corpus-pipeline job config — the LLM-ops analog of the dump
@@ -115,7 +122,7 @@ object CorpusPipeline {
     "html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
     "quality_filter_trained", "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
-    "dedup_near", "dedup_semantic", "diversify", "cluster_balance",
+    "dedup_near", "dedup_semantic", "dedup_phash", "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
     "source_cap", "holdout_split", "leakage_quarantine")
@@ -1016,6 +1023,25 @@ object CorpusPipeline {
           st.thresholdVal(0.4), sampleMod = st.sampleModVal(1))
         val semDrops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
         df.join(semDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
+      case "dedup_phash" =>
+        // image near-dup dedup over a (media_id, media, media_type)
+        // sidecar — the pixel-space analog of dedup_near: perceptual
+        // hashes from the real codec, 4-band Hamming bucketing
+        // (exhaustive for max_distance ≤ 3), connected components keep
+        // min id. Docs without media pass through, like dedup_semantic.
+        val mediaDir = st.media_dir.getOrElse(throw new IllegalArgumentException(
+          "dedup_phash needs media_dir"))
+        val media = df.sparkSession.read
+          .parquet(graft.config.GraftConfig.substituteEnvVar(mediaDir))
+          .select(col(st.media_id_column.getOrElse("media_id")).as("media_id"),
+            col("media"), col("media_type"))
+          .join(df.select(col(id).as("media_id")), Seq("media_id"))
+        val phPairs = graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.perceptualHash(media,
+            codec = () => new graft.ops.NetpbmWavCodec()),
+          maxDistance = st.maxDistanceVal(3))
+        val phDrops = Dedup.clusterDropList(Dedup.nearDupClusters(phPairs))
+        df.join(phDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
       case "diversify" =>
         // D4 cluster-prototype pruning (Tirumala et al. 2023) over the
         // same sidecar embedding convention as dedup_semantic: cluster

@@ -521,6 +521,14 @@ object OpsQueries {
     // Every stage exactly SQL-expressible ⇒ hash-matched end to end.
     "x_pipeline_corpus_v5" -> ((s, dir) => runReleased(pipelineV5Parts(s, dir))),
 
+    // capstone v6 — the CRAWL pipeline: real .warc.gz response records
+    // → HTML→text extraction → TRAINED quality gate (fit on the crawl
+    // itself) → near-dup cluster dedup → chunking with the fitted
+    // score carried. The round's WARC ingest and trained classifier
+    // composed end to end; fully hash-matched (the oracle replays the
+    // K training steps as CTEs over the same extracted text)
+    "x_pipeline_corpus_v6" -> ((s, dir) => runReleased(pipelineV6Parts(s, dir))),
+
     // tokenizer-training stats: the unigram vocabulary and the adjacent
     // BPE pre-token pair counts (the merge-candidate table) — wordcount
     // shuffles + per-partition top-k, never a global sort
@@ -674,17 +682,7 @@ object OpsQueries {
     // HTML body directly and checks URL, status, mime, byte length AND
     // an md5 over the exact body bytes — the roundtrip is byte-proven
     "x_warc_ingest" -> ((s, dir) => {
-      val outDir = indexCachePath(s, dir, "documents.parquet", "warc,v1")
-      if (!graft.store.ArtifactCache.isComplete(s, outDir)) {
-        val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-          lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
-        graft.ingest.Warc.writeResponses(
-          Tables.documents(s, dir).select(
-            concat(lit("http://crawl.example/doc/"), col("doc_id").cast("string")).as("url"),
-            lit("2026-01-01T00:00:00Z").as("date"),
-            html.as("html")),
-          outDir)
-      }
+      val outDir = warcArtifact(s, dir)
       graft.ingest.Warc.responses(s, outDir).select(
         regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
         col("url"),
@@ -1086,6 +1084,30 @@ object OpsQueries {
         maxDistance = 3)
     }),
 
+    // incremental image admission: the batch's Hamming-≤3 pairs
+    // against the PERSISTED banded phash index (written once, probed
+    // map-side each increment — the O(batch) admission contract,
+    // pixels edition). Exhaustive banding ⇒ EXACT oracle: all pairs
+    // touching the batch, computed all-pairs in DuckDB
+    "x_incremental_phash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+      val mk: () => graft.ops.MediaCodec = () => new graft.ops.NetpbmWavCodec()
+      val idxDir = indexCachePath(s, dir, "documents.parquet", "phash,bands=4,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, idxDir))
+        Multimodal.buildPhashIndex(
+            Multimodal.perceptualHash(
+              Multimodal.packPnm(docs.filter(!isBatch(col("doc_id"))),
+                col("doc_id"), col("text")), codec = mk))
+          .write.mode("overwrite").parquet(idxDir)
+      Multimodal.incrementalPhashPairs(
+        s.read.parquet(idxDir),
+        Multimodal.perceptualHash(
+          Multimodal.packPnm(docs.filter(isBatch(col("doc_id"))),
+            col("doc_id"), col("text")), codec = mk),
+        maxDistance = 3)
+    }),
+
     // deterministic 90/5/5 held-out split: a pure hash of the doc id —
     // no state, no shuffle, consistent labels for shards that arrive
     // years apart
@@ -1456,6 +1478,65 @@ object OpsQueries {
       .join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
       .select(col("doc_id"), col("rank"), col("chunk_idx"), col("n_chunk_tokens"))
     (out, Seq(desp, ranked))
+  }
+
+  /** The synthetic crawl as a PERSISTED `.warc.gz` artifact (real
+    * gzip-member-per-record response records, identity-keyed like the
+    * index caches): built once from the documents table, shared by
+    * x_warc_ingest and the v6 capstone. Returns the artifact dir.
+    */
+  private def warcArtifact(s: SparkSession, dir: String): String = {
+    val outDir = indexCachePath(s, dir, "documents.parquet", "warc,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, outDir)) {
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+      graft.ingest.Warc.writeResponses(
+        Tables.documents(s, dir).select(
+          concat(lit("http://crawl.example/doc/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          html.as("html")),
+        outDir)
+    }
+    outDir
+  }
+
+  /** Capstone v6 — the CRAWL pipeline: raw `.warc.gz` response records
+    * → HTML→text extraction → the TRAINED logistic quality gate (fit
+    * on the extracted crawl itself, GPT-3 §A style) → textual near-dup
+    * cluster dedup → context-window chunking, with the doc's fitted
+    * quality score carried per chunk. This is the round's new ingest
+    * tier (WARC) and new model tier (trained classifier) composed with
+    * the established dedup + chunk tail — the crawl-to-training-
+    * examples story end to end, every stage exactly SQL-expressible
+    * (the trainer's K gradient steps unroll as CTEs), so the whole
+    * pipeline hash-matches with no precision twin.
+    *
+    * Scale shape: the WARC read is one task per archive member file
+    * (no driver buffering); `ext` persists because the trainer drives
+    * K aggregation actions plus the scoring pass over the same
+    * extracted frame; the dedup candidate generator is the PPJoin-
+    * pruned gram join (never all-pairs); chunking is a narrow
+    * per-doc explode.
+    */
+  private[graft] def pipelineV6Parts(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ext = graft.ingest.Warc.responses(s, warcArtifact(s, dir))
+      .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+        TA.stripHtml(decode(col("body"), "UTF-8")).as("text"))
+      .persist(lvl)
+    val scored = graft.ops.QualityModel.trainedScore(ext, col("doc_id"), col("text"))
+      .select(col("__id").as("doc_id"), col("p_q"), col("keep"))
+    val kept = ext.join(scored.filter(col("keep")).select("doc_id", "p_q"), Seq("doc_id"))
+      .persist(lvl)
+    val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(kept, "doc_id", col("text"), 3, 0.8)))
+    val deduped = kept.join(dropList, Seq("doc_id"), "left_anti")
+    val out = Sampling.chunkTokens(deduped, col("doc_id"), col("text"),
+        ChunkWindow, ChunkStride)
+      .join(deduped.select(col("doc_id"), col("p_q")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"), col("p_q"))
+    (out, Seq(ext, kept))
   }
 
   /** Semantic-stage cosine threshold. The synthetic embeddings plant no
@@ -1999,6 +2080,30 @@ object OpsQueries {
           |SELECT k.doc_id, k.rank, c.chunk_idx, c.n_chunk_tokens
           |FROM (${graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride, "kept")}) c
           |JOIN kept k USING (doc_id)""".stripMargin),
+    "x_pipeline_corpus_v6" ->
+      (s"""WITH RECURSIVE
+          |h AS (SELECT doc_id,
+          |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |  '</title></head><body><p>' || text || '</p></body></html>' AS html
+          |  FROM documents),
+          |ext AS MATERIALIZED (SELECT doc_id, ${TA.stripHtmlSql("html")} AS text FROM h),
+          |q AS MATERIALIZED (SELECT * FROM (
+          |  ${graft.ops.QualityModel.trainedScoreSql("doc_id", "text", "ext")}) tq),
+          |kept6 AS MATERIALIZED (SELECT e.doc_id, e.text, q.p_q FROM ext e
+          |  JOIN q USING (doc_id) WHERE q.keep),
+          |prs AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSql(0.8, "kept6")})),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)),
+          |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+          |dropped AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)),
+          |deduped6 AS MATERIALIZED (SELECT doc_id, text, p_q FROM kept6
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+          |SELECT c.doc_id, c.chunk_idx, c.n_chunk_tokens, k.p_q
+          |FROM (${graft.ops.Sampling.chunkTokensSql(ChunkWindow, ChunkStride, "deduped6")}) c
+          |JOIN deduped6 k USING (doc_id)""".stripMargin),
     "x_pipeline_corpus_v3_precision" ->
       (s"""$pipelineDedupedSqlCtes,
           |emb AS MATERIALIZED (SELECT d.doc_id, e.embedding FROM deduped d
@@ -2428,6 +2533,15 @@ object OpsQueries {
           |  bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS hamming
           |FROM ph a JOIN ph b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3""".stripMargin),
+    "x_incremental_phash" ->
+      (phashSqlCte +
+        """
+          |SELECT DISTINCT least(a.media_id, b.media_id) AS id_a,
+          |  greatest(a.media_id, b.media_id) AS id_b,
+          |  bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE (a.media_id % 10 = 0 OR b.media_id % 10 = 0)
+          |  AND bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3""".stripMargin),
     "x_split_assign" ->
       s"SELECT doc_id, ${Splits.splitAssignSql("doc_id")} AS split FROM documents",
     "x_split_leakage" ->

@@ -497,6 +497,34 @@ class CliSpec extends SparkSpec {
       "config-driven cluster_balance dropped a different set than the ops API")
   }
 
+  test("cli: dedup_phash stage drops image near-dups from config, equal to the ops API") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-corpus-ph-").toString
+    val outDir = base + "/out"
+    val mediaDir = base + "/media"
+    val conf = base + "/c.yaml"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.ops.Multimodal.packPnm(docs, col("doc_id"), col("text"))
+      .write.parquet(mediaDir)
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: dedup_phash
+         |    media_dir: $mediaDir
+         |    max_distance: 3
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val hashes = graft.ops.Multimodal.perceptualHash(
+      spark.read.parquet(mediaDir), codec = () => new graft.ops.NetpbmWavCodec())
+    val expectedDrops = graft.ops.Dedup.clusterDropList(
+      graft.ops.Dedup.nearDupClusters(
+        graft.ops.Multimodal.phashPairs(hashes, maxDistance = 3))).count()
+    assert(expectedDrops > 0, "the corpus should contain image near-dups")
+    assert(spark.read.parquet(outDir).count() == docs.count() - expectedDrops,
+      "config-driven dedup_phash dropped a different set than the ops API")
+  }
+
   test("cli: epoch_mix terminal emits the repeat manifest from config") {
     val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
     val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"

@@ -693,6 +693,23 @@ object OpsQueries {
         TA.htmlTitle(decode(col("body"), "UTF-8")).as("title"))
     }),
 
+    // link-graph harvest ranking: damped PageRank over the crawl's
+    // follow-link graph (here a deterministic synthetic 3-out-regular
+    // graph on the doc ids, built identically in the oracle — a real
+    // deployment feeds the (src, dst) pairs x_html_extract's link
+    // extraction yields). All-integer fixed-point power iteration:
+    // 5 rounds, each one edges⨝ranks equi-join + one map-side-combined
+    // groupBy — bit-exact across engines, K rounds unrolled as CTEs
+    "x_pagerank" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      val n = nodes.count()
+      val edges = nodes.select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k")) % lit(n)).as("dst"))
+      graft.ops.LinkGraph.pageRank(nodes, edges, iters = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // JSONL corpus exchange: documents written once as JSONL (the LLM
     // corpus interchange format) under an identity-keyed path, reread
     // with the DECLARED schema (inference would be a second full pass
@@ -2264,6 +2281,14 @@ object OpsQueries {
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_jsonl_roundtrip" ->
       s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_pagerank" ->
+      (s"""SELECT id AS doc_id, rank FROM (
+          |${graft.ops.LinkGraph.pageRankSql(
+             "(SELECT doc_id AS id FROM documents)",
+             """(SELECT doc_id AS src,
+               |  (doc_id * 31 + k) % (SELECT count(*) FROM documents) AS dst
+               |  FROM documents, (SELECT unnest([1, 2, 3]) AS k))""".stripMargin,
+             iters = 5)}) pr""".stripMargin),
     "x_line_dedup_within" ->
       (raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
             |built AS (SELECT doc_id, array_to_string(list_concat(list_concat(

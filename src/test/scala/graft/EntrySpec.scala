@@ -47,6 +47,7 @@ object EntrySpec {
   /** Bump deliberately when adding/removing queries. */
   // r14: +x_warc_ingest, +x_quality_logit_trained (r13 tail),
   // +x_unigram_tokenizer, +x_unigram_encode, +x_media_phash,
-  // +x_media_phash_dedup, +x_incremental_phash, +x_pipeline_corpus_v6
-  val DeclaredQueries = 161
+  // +x_media_phash_dedup, +x_incremental_phash, +x_pipeline_corpus_v6,
+  // +x_pagerank
+  val DeclaredQueries = 162
 }

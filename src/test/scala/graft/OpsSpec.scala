@@ -1790,6 +1790,32 @@ class OpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "z", "z" -> "z"))
   }
+
+  test("pageRank: symmetric cycle stays uniform, sink-heavy graph ranks the sink highest") {
+    import graft.ops.LinkGraph
+    // 2-cycle: a<->b — perfectly symmetric, so ranks stay equal every
+    // round and (with no dangling leak) sum to ~Scale
+    val cyc = LinkGraph.pageRank(
+        Seq(1L, 2L).toDF("id"),
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(cyc(1L) == cyc(2L))
+    assert(math.abs(cyc.values.sum - LinkGraph.Scale) <= 8) // rounding only
+    // star: 1,2,3 all point at 4; 4 points back at 1 — 4 must dominate
+    val star = LinkGraph.pageRank(
+        Seq(1L, 2L, 3L, 4L).toDF("id"),
+        Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L)).toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(star(4L) > star(1L) && star(1L) > star(2L) && star(2L) == star(3L))
+    // inflow to an id absent from the node set is dropped (dangling
+    // leak is deliberate); the absent id never appears in the output
+    val leak = LinkGraph.pageRank(
+        Seq(1L, 2L).toDF("id"),
+        Seq((1L, 2L), (2L, 99L)).toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(leak.keySet == Set(1L, 2L))
+    assert(leak.values.sum < LinkGraph.Scale) // mass left through 99
+  }
 }
 
 object OpsSpec {

@@ -146,6 +146,15 @@ final class NetpbmWavCodec(frameSamples: Int = 1024) extends MediaCodec {
         val lum = wav.samples.map(s => (s + 32768) >> 8)
         (if (wav.channels == 0) 0 else lum.length / wav.channels, wav.channels, lum)
     }
+
+  override def samples(bytes: Array[Byte], mediaType: String): (Int, Array[Int]) =
+    sniff(bytes, mediaType) match {
+      case Wav =>
+        val wav = wavParse(bytes)
+        (wav.channels, wav.samples)
+      case Pnm => throw new IllegalArgumentException(
+        "raw-sample decode asked of an image payload")
+    }
 }
 
 object NetpbmWavCodec {

@@ -34,6 +34,15 @@ trait MediaCodec {
     * actual pixels for, unlike [[decode]]'s summary features.
     */
   def luminances(bytes: Array[Byte], mediaType: String): (Int, Int, Array[Int])
+
+  /** Decode one audio payload to (channels, interleaved PCM samples) —
+    * raw samples for acoustic fingerprinting, the audio analog of
+    * [[luminances]]. Implementations without an audio path keep the
+    * default (unsupported) rather than fabricating samples.
+    */
+  def samples(bytes: Array[Byte], mediaType: String): (Int, Array[Int]) =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no raw-sample audio path")
 }
 
 /** The honest environment-block stand-in: deterministic pseudo-outputs
@@ -72,6 +81,10 @@ final class StubCodec(frameBytes: Int = 256) extends MediaCodec {
       if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff)
     (w, h, lum)
   }
+
+  override def samples(bytes: Array[Byte], mediaType: String): (Int, Array[Int]) =
+    // deterministic fake PCM: payload bytes recentered to 16-bit range
+    (1, bytes.map(b => ((b & 0xff) - 128) * 256))
 }
 
 /** Multimodal columns: image/audio/video as opaque `binary` cells with
@@ -233,6 +246,69 @@ object Multimodal {
               }
             }
             Row(r.getLong(0), w, h, hi, lo)
+          }
+        }
+      }(enc)
+  }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("ph_hi", LongType, nullable = false),
+    StructField("ph_lo", LongType, nullable = false)))
+
+  /** 64-bit acoustic fingerprint over the codec's RAW PCM samples —
+    * the audio member of the dedup family (the published shape:
+    * energy-profile bits, Haitsma & Kalker 2002 / Chromaprint's
+    * simplified ancestor). The interleaved stream is cut into 64
+    * contiguous frames (`[i·n/64, (i+1)·n/64)` — the exact integer
+    * grid the phash resize uses), per-frame energy is Σ|sample|
+    * (exact longs), and bit i is set when frame i's energy exceeds
+    * the global mean (`e_i · 64 > Σe` — all-integer, no division, so
+    * the hash is bit-reproducible across engines and partitionings).
+    *
+    * Columns are named `ph_hi`/`ph_lo` deliberately: the Hamming
+    * banding machinery ([[phashPairs]], [[buildPhashIndex]],
+    * [[incrementalPhashPairs]]) is hash-agnostic — one 64-bit code,
+    * four 16-bit bands — so the whole image-dedup lifecycle (bucketed
+    * pair join, persisted banded index, map-side incremental
+    * admission) applies to audio unchanged.
+    *
+    * Narrow per-row work (decode + one pass over samples), no shuffle;
+    * same per-partition codec construction as [[perceptualHash]].
+    */
+  def audioFingerprint(df: DataFrame, batchSize: Int = 128,
+                       codec: () => MediaCodec = () => new StubCodec()): DataFrame = {
+    val enc = Encoders.row(audioFpSchema)
+    df.select(col("media_id"), col("media"), col("media_type"))
+      .mapPartitions { rows =>
+        val c = codec()
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val mtype = if (r.isNullAt(2)) null else r.getString(2)
+            val (_, s) = c.samples(bytes, mtype)
+            val n = s.length
+            var hi = 0L; var lo = 0L
+            if (n > 0) {
+              val e = new Array[Long](64)
+              var tot = 0L
+              var i = 0
+              while (i < 64) {
+                var j = (i.toLong * n / 64).toInt
+                val end = ((i + 1).toLong * n / 64).toInt
+                while (j < end) { e(i) += math.abs(s(j).toLong); j += 1 }
+                tot += e(i)
+                i += 1
+              }
+              i = 0
+              while (i < 32) {
+                if (e(i) * 64 > tot) hi |= 1L << (31 - i)
+                if (e(i + 32) * 64 > tot) lo |= 1L << (31 - i)
+                i += 1
+              }
+            }
+            Row(r.getLong(0), n, hi, lo)
           }
         }
       }(enc)

@@ -1101,6 +1101,32 @@ object OpsQueries {
         maxDistance = 3)
     }),
 
+    // acoustic fingerprint over REAL RIFF payloads: raw PCM via the
+    // codec's new samples path, 64 contiguous energy frames, bit =
+    // frame energy over global mean — all-integer, hash-oracled
+    "x_media_audio_fp" -> ((s, dir) => {
+      val media = Multimodal.packWav(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Multimodal.audioFingerprint(media, codec = () => new graft.ops.NetpbmWavCodec())
+    }),
+
+    // audio dup detection: the SAME hash-agnostic 4-band Hamming
+    // machinery as the image path, applied to the acoustic
+    // fingerprint. Re-uploaded copies are planted deterministically
+    // (every doc_id%10 doc cloned at id+1e6 — built identically in
+    // the oracle, like x_line_dedup's boilerplate): identical payloads
+    // fingerprint to Hamming 0, while the corpus's mere TEXT near-dups
+    // sit at ≥11 (a one-word shift moves every energy-frame boundary),
+    // so the ≤3 gate catches exactly the true copies
+    "x_media_audio_fp_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val clones = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val media = Multimodal.packWav(docs.unionByName(clones), col("doc_id"), col("text"))
+      Multimodal.phashPairs(
+        Multimodal.audioFingerprint(media, codec = () => new graft.ops.NetpbmWavCodec()),
+        maxDistance = 3)
+    }),
+
     // incremental image admission: the batch's Hamming-≤3 pairs
     // against the PERSISTED banded phash index (written once, probed
     // map-side each increment — the O(batch) admission contract,
@@ -1642,6 +1668,27 @@ object OpsQueries {
       |  CAST(list_sum([CASE WHEN s[i+33] * 64 > tot THEN 1::BIGINT << (31 - i) ELSE 0::BIGINT END
       |    FOR i IN range(0, 32)]) AS BIGINT) AS ph_lo
       |FROM t)""".stripMargin
+
+  /** The acoustic-fingerprint oracle CTE: replays
+    * `Multimodal.audioFingerprint` off the clamped PCM samples the
+    * packWav payload derives from the text bytes (64 contiguous
+    * `[i·n/64, (i+1)·n/64)` energy frames of Σ|sample|; `e_i·64 > Σe`
+    * threshold; 32-bit halves packed MSB-first). Same ASCII/non-empty
+    * documents invariant as the other x_media_* oracles.
+    */
+  private def audioFpSqlCte(rel: String = "documents"): String =
+    s"""WITH a AS (SELECT doc_id AS media_id,
+      |  [least((ord(c) - 96) * 256, 32767) FOR c IN split(text, '')] AS s FROM $rel),
+      |e AS (SELECT media_id, CAST(len(s) AS INT) AS n_samples,
+      |  [coalesce(list_sum([abs(s[j+1]) FOR j IN range((i * len(s)) // 64, ((i+1) * len(s)) // 64)]), 0)
+      |    FOR i IN range(0, 64)] AS eng,
+      |  coalesce(list_sum([abs(x) FOR x IN s]), 0) AS tot FROM a),
+      |ph AS MATERIALIZED (SELECT media_id, n_samples,
+      |  CAST(list_sum([CASE WHEN eng[i+1] * 64 > tot THEN 1::BIGINT << (31 - i) ELSE 0::BIGINT END
+      |    FOR i IN range(0, 32)]) AS BIGINT) AS ph_hi,
+      |  CAST(list_sum([CASE WHEN eng[i+33] * 64 > tot THEN 1::BIGINT << (31 - i) ELSE 0::BIGINT END
+      |    FOR i IN range(0, 32)]) AS BIGINT) AS ph_lo
+      |FROM e)""".stripMargin
 
   private def jaccardSql(threshold: Double, relation: String = "documents"): String =
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM $relation),
@@ -2551,6 +2598,17 @@ object OpsQueries {
     "x_media_phash" ->
       (phashSqlCte +
         "\nSELECT media_id, width, height, ph_hi, ph_lo FROM ph"),
+    "x_media_audio_fp" ->
+      (audioFpSqlCte() +
+        "\nSELECT media_id, n_samples, ph_hi, ph_lo FROM ph"),
+    "x_media_audio_fp_dedup" ->
+      (audioFpSqlCte("""(SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin) +
+        """
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3""".stripMargin),
     "x_media_phash_dedup" ->
       (phashSqlCte +
         """

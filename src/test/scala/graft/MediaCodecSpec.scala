@@ -67,6 +67,34 @@ class MediaCodecSpec extends SparkSpec {
     assert(f(3) == 44100.0)
   }
 
+  test("wav: raw-sample path returns exact PCM; images refuse it") {
+    val samples = Array(1000, -2000, 3000, -1000)
+    val bytes = NetpbmWavCodec.wavOf(samples, sampleRate = 44100, channels = 2)
+    val (ch, s) = codec.samples(bytes, "audio/wav")
+    assert(ch == 2 && s.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] {
+      codec.samples(p5(2, 1, Array(1, 2)), null)
+    }
+  }
+
+  test("spark: audio fingerprint is volume-invariant relative energy; identical payloads collide") {
+    // two docs with the same text → identical WAV payloads → Hamming 0;
+    // a third with different text diverges
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    val media = Multimodal.packWav(docs, col("doc_id"), col("text"))
+    val mk: () => MediaCodec = () => new NetpbmWavCodec()
+    val fp = Multimodal.audioFingerprint(media, codec = mk)
+      .select($"media_id", $"ph_hi", $"ph_lo").as[(Long, Long, Long)]
+      .collect().map { case (id, hi, lo) => id -> ((hi, lo)) }.toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val pairs = Multimodal.phashPairs(
+        Multimodal.audioFingerprint(media, codec = mk), maxDistance = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("wav: chunk walker skips unknown chunks and honors odd-size padding") {
     // hand-build: RIFF [ junk(3 bytes + pad) | fmt | data ]
     val base = NetpbmWavCodec.wavOf(Array(5, -5), sampleRate = 8000)

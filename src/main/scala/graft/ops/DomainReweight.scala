@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Domain-mixture reweighting, DoReMi-style (Xie et al. 2023,
+  * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining"): exponentiated-gradient ascent upweights the domains
+  * with the highest EXCESS loss under a reference model, yielding the
+  * mixture a group-DRO proxy training would choose — the published
+  * move for deciding how much of each source a 100 TB corpus should
+  * contribute, BEFORE burning GPU-time on the wrong mix.
+  *
+  * This implementation replaces DoReMi's trained proxy with the
+  * engine's corpus LM (the add-one unigram model every perplexity
+  * operator shares): excess loss is the domain's per-token NLL above
+  * the current-mixture-weighted mean, and K EG rounds
+  * `w ← normalize(w · exp(η · excess))` run on the DOMAIN table — tiny
+  * by construction (one row per source), so the rounds are exact
+  * integer arithmetic on driver-collected scalars, the same
+  * bounded-collect contract as the BPE top-1 and Lloyd steps.
+  *
+  * Cross-engine exactness: the per-domain loss uses the repo's proven
+  * decimal-stabilized discipline (ln in double, SUM in DECIMAL(18,3),
+  * divide in double — bit-identical across engines and partitionings),
+  * then quantizes to micro-nats with `floor`. Weights live in integer
+  * parts-per-1e9; the only transcendental per round is
+  * `floor(exp(η·excess)·1e6)` — the [[QualityModel]] sigmoid-quantum
+  * discipline. Renormalization is integer division, so round K's
+  * weights are bit-exact against the oracle's unrolled CTEs.
+  *
+  * Scale shape: ONE tokenize+count shuffle over the corpus builds the
+  * LM and the per-domain stats (map-side-combined aggregations); the
+  * EG rounds touch #domains rows. Nothing corpus-sized crosses the
+  * driver.
+  */
+object DomainReweight {
+
+  /** Weights are integer parts-per-1e9. */
+  val WScale: Long = 1000000000L
+
+  /** Losses are integer micro-nats per token. */
+  val LScale: Long = 1000000L
+
+  /** EG step: η = EtaNum/EtaDen (0.1 — small enough that a multi-nat
+    * excess cannot overflow the integer weight domain in one round).
+    */
+  val EtaNum: Long = 1L
+  val EtaDen: Long = 10L
+
+  /** Per-domain stats under the corpus add-one unigram LM:
+    * (domain, n_tokens, loss_q) with loss_q = floor(1e6 · per-token
+    * NLL). One wordcount shuffle + one stats aggregation.
+    */
+  def domainStats(df: DataFrame, domain: Column, text: Column): DataFrame = {
+    val toks = df.select(domain.as("domain"),
+        explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = model.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    toks.join(model, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("domain"),
+        log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")).as("lp"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(lit(-1000000.0) *
+          (sum(col("lp").cast("decimal(18,3)")).cast("double") /
+            count(lit(1)).cast("double"))).cast("long").as("loss_q"))
+  }
+
+  /** K EG rounds from uniform; returns (domain, n_tokens, loss_q,
+    * w_q) with w_q the round-K mixture weight in WScale units.
+    */
+  def doremiWeights(df: DataFrame, domain: Column, text: Column,
+                    rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = df.sparkSession
+    // one row per domain — bounded by construction
+    val stats = domainStats(df, domain, text).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "doremiWeights needs a non-empty corpus")
+    val k = stats.length
+    var q = Array.fill(k)(WScale / k)
+    for (_ <- 1 to rounds) {
+      // mixture-weighted mean loss, exact: Σ qᵢ·lqᵢ // 1e9
+      val m = stats.indices.map(i => q(i) * stats(i)._3).sum / WScale
+      val u = stats.indices.map { i =>
+        val excess = math.max(stats(i)._3 - m, 0L)
+        // floor(exp(η·excess)·1e6): the one transcendental per round
+        val f = math.floor(math.exp(
+          excess.toDouble / (LScale * EtaDen / EtaNum).toDouble) * 1000000.0).toLong
+        q(i) * f
+      }
+      val d = u.sum / WScale
+      q = u.map(_ / d).toArray
+    }
+    val rows = stats.indices.map(i =>
+      Row(stats(i)._1, stats(i)._2, stats(i)._3, q(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("loss_q", LongType, nullable = false),
+        StructField("w_q", LongType, nullable = false))))
+  }
+
+  /** The oracle mirror: domain stats + K rounds unrolled as CTEs over
+    * the (tiny) domain table — the same integer/double operation
+    * sequence as [[doremiWeights]].
+    */
+  def doremiWeightsSql(domainCol: String, x: String,
+                       rel: String = "documents", rounds: Int = 4): String = {
+    require(rounds >= 1, s"doremiWeightsSql unrolls rounds, needs rounds >= 1 (got $rounds)")
+    val eta = LScale * EtaDen / EtaNum
+    val roundCtes = (1 to rounds).map { t =>
+      s"""m$t AS (SELECT CAST(sum(w.q * ds.loss_q) AS BIGINT) // ${WScale} AS m
+         |  FROM w${t - 1} w JOIN ds USING (domain)),
+         |u$t AS (SELECT w.domain,
+         |    w.q * CAST(floor(exp(CAST(greatest(ds.loss_q - (SELECT m FROM m$t), 0) AS DOUBLE)
+         |      / ${eta}.0) * 1000000.0) AS BIGINT) AS u
+         |  FROM w${t - 1} w JOIN ds USING (domain)),
+         |w$t AS (SELECT domain,
+         |    CAST(u // ((SELECT CAST(sum(u) AS BIGINT) FROM u$t) // ${WScale}) AS BIGINT) AS q
+         |  FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH toks AS (SELECT $domainCol AS domain,
+         |    unnest(regexp_split_to_array(lower(trim($x)), '\s+')) AS token FROM $rel),
+         |tk AS MATERIALIZED (SELECT domain, token FROM toks WHERE token != ''),
+         |model AS MATERIALIZED (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         |tots AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM model),
+         |ds AS MATERIALIZED (SELECT domain, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(floor(-1000000.0 * (CAST(SUM(CAST(
+         |      ln(CAST(m.c + 1 AS DOUBLE) / CAST((SELECT n_total FROM tots) + (SELECT v FROM tots) AS DOUBLE))
+         |      AS DECIMAL(18,3))) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS BIGINT) AS loss_q
+         |  FROM tk JOIN model m USING (token) GROUP BY 1),
+         |w0 AS (SELECT domain, CAST(${WScale} // (SELECT count(*) FROM ds) AS BIGINT) AS q FROM ds),
+         |$roundCtes
+         |SELECT ds.domain AS source, ds.n_tokens, ds.loss_q, w$rounds.q AS w_q
+         |FROM ds JOIN w$rounds USING (domain)""".stripMargin
+  }
+}

@@ -693,6 +693,17 @@ object OpsQueries {
         TA.htmlTitle(decode(col("body"), "UTF-8")).as("title"))
     }),
 
+    // DoReMi-style domain-mixture reweighting (Xie et al. 2023): K
+    // exponentiated-gradient rounds upweight the sources with the
+    // highest excess per-token NLL under the corpus unigram LM — one
+    // wordcount shuffle builds the LM + per-domain stats, the EG
+    // rounds run on the tiny domain table in exact integer arithmetic
+    // (weights in parts-per-1e9, the sigmoid-quantum exp discipline),
+    // so round-K weights hash-match the oracle's unrolled CTEs
+    "x_doremi_weights" -> ((s, dir) =>
+      graft.ops.DomainReweight.doremiWeights(
+        Tables.documents(s, dir), col("source"), col("text"))),
+
     // link-graph harvest ranking: damped PageRank over the crawl's
     // follow-link graph (here a deterministic synthetic 3-out-regular
     // graph on the doc ids, built identically in the oracle — a real
@@ -2328,6 +2339,8 @@ object OpsQueries {
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_jsonl_roundtrip" ->
       s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_doremi_weights" ->
+      graft.ops.DomainReweight.doremiWeightsSql("source", "text"),
     "x_pagerank" ->
       (s"""SELECT id AS doc_id, rank FROM (
           |${graft.ops.LinkGraph.pageRankSql(

@@ -48,6 +48,7 @@ object EntrySpec {
   // r14: +x_warc_ingest, +x_quality_logit_trained (r13 tail),
   // +x_unigram_tokenizer, +x_unigram_encode, +x_media_phash,
   // +x_media_phash_dedup, +x_incremental_phash, +x_pipeline_corpus_v6,
-  // +x_pagerank, +x_media_audio_fp, +x_media_audio_fp_dedup
-  val DeclaredQueries = 164
+  // +x_pagerank, +x_media_audio_fp, +x_media_audio_fp_dedup,
+  // +x_doremi_weights
+  val DeclaredQueries = 165
 }

@@ -1791,6 +1791,22 @@ class OpsSpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "z", "z" -> "z"))
   }
 
+  test("doremiWeights: the high-excess-loss domain gains weight, symmetric domains stay tied") {
+    import graft.ops.DomainReweight
+    // 'easy' domains share common tokens (low NLL under the corpus
+    // LM); 'hard' is all rare singletons (high NLL) → EG must upweight
+    val df = Seq(
+      ("easy1", "alpha beta gamma alpha beta gamma alpha beta"),
+      ("easy2", "alpha beta gamma alpha beta gamma beta alpha"),
+      ("hard", "qq ww ee rr tt yy uu oo")).toDF("source", "text")
+    val w = DomainReweight.doremiWeights(df, $"source", $"text", rounds = 4)
+      .select($"source", $"w_q").as[(String, Long)].collect().toMap
+    assert(w("hard") > w("easy1"))
+    assert(w("easy1") == w("easy2")) // identical token multisets tie exactly
+    // integer renormalization keeps total mass at ~WScale (floor slack ≤ #domains·quantum)
+    assert(math.abs(w.values.sum - DomainReweight.WScale) < 1000000L)
+  }
+
   test("pageRank: symmetric cycle stays uniform, sink-heavy graph ranks the sink highest") {
     import graft.ops.LinkGraph
     // 2-cycle: a<->b — perfectly symmetric, so ranks stay equal every

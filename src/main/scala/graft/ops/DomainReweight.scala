@@ -109,6 +109,52 @@ object DomainReweight {
         StructField("w_q", LongType, nullable = false))))
   }
 
+  /** Apply the round-K weights as a deterministic RESAMPLE: per-domain
+    * keep rate ∝ target-over-current token share (w_d / s_d),
+    * normalized so the largest rate is exactly 1 — pure downsampling
+    * (upsampling is epoch_mix's job). The ratio arithmetic runs in
+    * BigInt on the driver-side domain table (w_q · Σtokens overflows
+    * Long at real corpus sizes), mirrored by the oracle's HUGEINT; the
+    * corpus-side verdict is the engine-wide per-mille hash threshold —
+    * stateless, narrow, reproducible across engines and reruns.
+    */
+  def doremiMix(df: DataFrame, id: Column, domain: Column, text: Column,
+                rounds: Int = 4): DataFrame = {
+    val w = doremiWeights(df, domain, text, rounds).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val tot = w.map(x => BigInt(x._2)).sum
+    val ratios = w.map { case (d, nTok, wq) => (d, BigInt(wq) * tot / nTok) }
+    val maxRatio = ratios.map(_._2).max
+    val rates = ratios.map { case (d, r) => (d, (r * 1000 / maxRatio).toLong) }
+    val spark = df.sparkSession
+    val rateDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rates.toSeq.map(t => Row(t._1, t._2)), 1),
+      StructType(Seq(
+        StructField("__graft_domain", StringType, nullable = false),
+        StructField("__graft_rate", LongType, nullable = false))))
+    df.withColumn("__graft_domain", domain)
+      .join(broadcast(rateDf), Seq("__graft_domain"))
+      .filter(Sampling.hashPermille(id) < col("__graft_rate"))
+      .drop("__graft_domain", "__graft_rate")
+  }
+
+  /** Oracle mirror of [[doremiMix]]'s selection: the weights statement
+    * wrapped as a CTE, ratio/rate arithmetic in HUGEINT, per-mille
+    * hash verdict per row. Emits (idCol, domainCol) of the survivors.
+    */
+  def doremiMixSql(idCol: String, domainCol: String, x: String,
+                   rel: String = "documents", rounds: Int = 4): String =
+    s"""WITH wt AS MATERIALIZED (SELECT * FROM (
+       |${doremiWeightsSql(domainCol, x, rel, rounds)}) t),
+       |tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS t FROM wt),
+       |rat AS (SELECT source, (CAST(w_q AS HUGEINT) * (SELECT t FROM tot))
+       |    // CAST(n_tokens AS HUGEINT) AS ratio FROM wt),
+       |mx AS (SELECT max(ratio) AS m FROM rat),
+       |rates AS (SELECT source, CAST((ratio * 1000) // (SELECT m FROM mx) AS BIGINT) AS rate FROM rat)
+       |SELECT d.$idCol, d.$domainCol FROM $rel d
+       |JOIN rates ON rates.source = d.$domainCol
+       |WHERE ${Sampling.hashPermilleSql(s"d.$idCol")} < rate""".stripMargin
+
   /** The oracle mirror: domain stats + K rounds unrolled as CTEs over
     * the (tiny) domain table — the same integer/double operation
     * sequence as [[doremiWeights]].

@@ -125,7 +125,7 @@ object CorpusPipeline {
     "dedup_near", "dedup_semantic", "dedup_phash", "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
-    "source_cap", "holdout_split", "leakage_quarantine")
+    "source_cap", "doremi_mix", "holdout_split", "leakage_quarantine")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -1096,6 +1096,16 @@ object CorpusPipeline {
           s"source_cap group_by column '$grp' is not in the frame " +
             s"(${df.columns.mkString(", ")})")
         Sampling.capPerGroup(df, col(grp), col(id), st.maxShareVal(0.1))
+      case "doremi_mix" =>
+        // DoReMi-style mixture reweighting applied as a downsample:
+        // EG rounds (n, default 4) on per-domain excess loss under the
+        // corpus unigram LM, then per-domain keep rates ∝ target/current
+        // token share with a per-mille hash verdict (ops/DomainReweight)
+        val grp = st.group_by.getOrElse("source")
+        require(df.columns.contains(grp),
+          s"doremi_mix group_by column '$grp' is not in the frame " +
+            s"(${df.columns.mkString(", ")})")
+        graft.ops.DomainReweight.doremiMix(df, col(id), col(grp), text, st.nVal(4))
       case "holdout_split" =>
         // deterministic 90/5/5 labels; a pure per-row hash, so shards
         // admitted later get consistent labels with zero coordination

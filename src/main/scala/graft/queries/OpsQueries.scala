@@ -704,6 +704,15 @@ object OpsQueries {
       graft.ops.DomainReweight.doremiWeights(
         Tables.documents(s, dir), col("source"), col("text"))),
 
+    // the weights applied: per-domain keep rate ∝ target/current token
+    // share (max rate normalized to 1 — pure downsampling), per-mille
+    // hash verdict per row. BigInt driver ratios mirrored by the
+    // oracle's HUGEINT; survivors hash-compare row-for-row
+    "x_doremi_mix" -> ((s, dir) =>
+      graft.ops.DomainReweight.doremiMix(
+          Tables.documents(s, dir), col("doc_id"), col("source"), col("text"))
+        .select(col("doc_id"), col("source"))),
+
     // link-graph harvest ranking: damped PageRank over the crawl's
     // follow-link graph (here a deterministic synthetic 3-out-regular
     // graph on the doc ids, built identically in the oracle — a real
@@ -736,6 +745,39 @@ object OpsQueries {
         org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
       graft.ingest.Jsonl.read(s, outDir, schema)
+        .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // ORC corpus exchange: same lossless-roundtrip proof as JSONL for
+    // the other columnar interchange format warehouses hand over —
+    // written once under an identity-keyed path, reread (ORC carries
+    // its own schema; no inference pass), content hash-checked against
+    // the parquet source
+    "x_orc_roundtrip" -> ((s, dir) => {
+      val outDir = indexCachePath(s, dir, "documents.parquet", "orc,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, outDir))
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+          .write.mode("overwrite").orc(outDir)
+      s.read.orc(outDir)
+        .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // CSV corpus exchange: the flat-file hand-off format — written
+    // quoted+escaped once, reread with the DECLARED schema and strict
+    // FAILFAST mode (a malformed row must fail the job, not silently
+    // null out at 100 TB), content hash-checked against the source
+    "x_csv_roundtrip" -> ((s, dir) => {
+      val outDir = indexCachePath(s, dir, "documents.parquet", "csv,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, outDir))
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+          .write.mode("overwrite").option("header", "true")
+          .option("quoteAll", "true").option("escape", "\"").csv(outDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).option("header", "true")
+        .option("escape", "\"").option("mode", "FAILFAST").csv(outDir)
         .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens"))
     }),
 
@@ -2339,8 +2381,14 @@ object OpsQueries {
     "x_line_dedup" -> lineDedupSql(LineDedupMinDf),
     "x_jsonl_roundtrip" ->
       s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_orc_roundtrip" ->
+      s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
+    "x_csv_roundtrip" ->
+      s"SELECT doc_id, source, ${TA.tokenCountSql("text")} AS n_tokens FROM documents",
     "x_doremi_weights" ->
       graft.ops.DomainReweight.doremiWeightsSql("source", "text"),
+    "x_doremi_mix" ->
+      graft.ops.DomainReweight.doremiMixSql("doc_id", "source", "text"),
     "x_pagerank" ->
       (s"""SELECT id AS doc_id, rank FROM (
           |${graft.ops.LinkGraph.pageRankSql(

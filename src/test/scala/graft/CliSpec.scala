@@ -525,6 +525,28 @@ class CliSpec extends SparkSpec {
       "config-driven dedup_phash dropped a different set than the ops API")
   }
 
+  test("cli: doremi_mix stage resamples domains from config, equal to the ops API") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-corpus-dm-").toString
+    val outDir = base + "/out"
+    val conf = base + "/c.yaml"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: doremi_mix
+         |    n: 4
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val expect = graft.ops.DomainReweight.doremiMix(
+        docs, col("doc_id"), col("source"), col("text"), rounds = 4)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(expect.size < docs.count(), "the resample should drop some rows")
+    val got = spark.read.parquet(outDir).select(col("doc_id")).as[Long].collect().toSet
+    assert(got == expect, "config-driven doremi_mix kept a different set than the ops API")
+  }
+
   test("cli: epoch_mix terminal emits the repeat manifest from config") {
     val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
     val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"

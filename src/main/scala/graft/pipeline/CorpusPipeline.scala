@@ -68,7 +68,11 @@ final case class CorpusStageConf(
     // radius (≤ 3 — the 4-band bucketing's exhaustive range)
     media_dir: Option[String],
     media_id_column: Option[String],
-    max_distance: Option[Number]) {
+    max_distance: Option[Number],
+    // pagerank_select: where the (src, dst) link-edge sidecar lives
+    // (ids in the doc-id domain); n = power-iteration rounds,
+    // budget_frac = kept top fraction by rank
+    edges_dir: Option[String]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -125,7 +129,8 @@ object CorpusPipeline {
     "dedup_near", "dedup_semantic", "dedup_phash", "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
-    "source_cap", "doremi_mix", "holdout_split", "leakage_quarantine")
+    "source_cap", "doremi_mix", "pagerank_select", "holdout_split",
+    "leakage_quarantine")
   val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -1106,6 +1111,26 @@ object CorpusPipeline {
           s"doremi_mix group_by column '$grp' is not in the frame " +
             s"(${df.columns.mkString(", ")})")
         graft.ops.DomainReweight.doremiMix(df, col(id), col(grp), text, st.nVal(4))
+      case "pagerank_select" =>
+        // harvest-rank the crawl by link structure before spending on
+        // curation: damped PageRank over the (src, dst) edge sidecar,
+        // keep the top budget_frac of docs by (rank desc, id) via the
+        // offset-table global rank (no single-partition window)
+        val edgesDir = st.edges_dir.getOrElse(throw new IllegalArgumentException(
+          "pagerank_select needs edges_dir"))
+        val edges = df.sparkSession.read
+          .parquet(graft.config.GraftConfig.substituteEnvVar(edgesDir))
+          .select(col("src"), col("dst"))
+        val ranks = graft.ops.LinkGraph.pageRank(
+          df.select(col(id).as("id")), edges, iters = st.nVal(5))
+        val nKeep = math.max(1L,
+          (st.budgetFracVal(0.5) * df.count()).toLong)
+        val kept = Sampling.globalRank(
+            ranks.withColumnRenamed("rank", "__graft_pr").withColumnRenamed("id", id),
+            Seq(col("__graft_pr").desc, col(id).asc))
+          .filter(col("rank") <= nKeep)
+          .select(col(id))
+        df.join(kept, Seq(id), "left_semi")
       case "holdout_split" =>
         // deterministic 90/5/5 labels; a pure per-row hash, so shards
         // admitted later get consistent labels with zero coordination

@@ -547,6 +547,40 @@ class CliSpec extends SparkSpec {
     assert(got == expect, "config-driven doremi_mix kept a different set than the ops API")
   }
 
+  test("cli: pagerank_select stage keeps the top-ranked half by the link sidecar") {
+    import org.apache.spark.sql.functions.{col, explode, array, lit}
+    val base = Files.createTempDirectory("graft-corpus-pr-").toString
+    val outDir = base + "/out"
+    val edgesDir = base + "/edges"
+    val conf = base + "/c.yaml"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    // deterministic 3-out-regular graph on the doc ids (the x_pagerank shape)
+    docs.select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+      .select(col("src"), ((col("src") * 31 + col("k")) % lit(n)).as("dst"))
+      .write.parquet(edgesDir)
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: pagerank_select
+         |    edges_dir: $edgesDir
+         |    n: 5
+         |    budget_frac: 0.5
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val kept = spark.read.parquet(outDir).select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.size == n / 2, s"expected ${n / 2} kept, got ${kept.size}")
+    // the kept set must be exactly the top half by (pagerank desc, id)
+    val ranks = graft.ops.LinkGraph.pageRank(
+        docs.select(col("doc_id").as("id")),
+        spark.read.parquet(edgesDir), iters = 5)
+      .as[(Long, Long)].collect()
+    val expect = ranks.sortBy { case (id, r) => (-r, id) }.take((n / 2).toInt).map(_._1).toSet
+    assert(kept == expect, "config-driven pagerank_select kept a different set than the ops API")
+  }
+
   test("cli: epoch_mix terminal emits the repeat manifest from config") {
     val outDir = Files.createTempDirectory("graft-epoch-").toString + "/out"
     val conf = Files.createTempDirectory("graft-epoch-conf-").toString + "/c.yaml"

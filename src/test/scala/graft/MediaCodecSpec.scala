@@ -225,6 +225,57 @@ class MediaCodecSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("phash: incremental admission probes the persisted index map-side and matches all-pairs") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = Tables.documents(spark, sfDir).limit(200).select($"doc_id", $"text")
+    val mk: () => MediaCodec = () => new NetpbmWavCodec()
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phidx-").toString
+    Multimodal.buildPhashIndex(Multimodal.perceptualHash(
+        Multimodal.packPnm(corpus, col("doc_id"), col("text")), codec = mk))
+      .write.mode("overwrite").parquet(dir)
+    // checkpoint the batch hashes so the index is the ONLY parquet
+    // scan in the plan; pin AQE + auto-broadcast off — the probe's
+    // explicit hint must hold on its own (same contract as the text
+    // and embedding admission paths)
+    val batchHashes = Multimodal.perceptualHash(
+      Multimodal.packPnm(batch, col("doc_id"), col("text")), codec = mk).localCheckpoint(true)
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Multimodal.incrementalPhashPairs(spark.read.parquet(dir), batchHashes)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = pairs.queryExecution.executedPlan
+      assert(plan.collect { case f: FileSourceScanExec => f }.nonEmpty,
+        s"expected the index parquet scan in the plan:\n$plan")
+      def scanBelowWithoutJoin(p: SparkPlan): Boolean = p match {
+        case _: FileSourceScanExec => true
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec | _: BroadcastHashJoinExec => false
+        case other => other.children.exists(scanBelowWithoutJoin)
+      }
+      val shuffledIndex = plan.collect {
+        case s: ShuffleExchangeExec if s.children.exists(scanBelowWithoutJoin) => s
+      }
+      assert(shuffledIndex.isEmpty, s"probed phash index side still exchanges:\n$plan")
+      // parity: exactly the all-pairs verdict restricted to pairs
+      // touching the batch (banding is exhaustive at distance ≤ 3)
+      val all = Multimodal.phashPairs(Multimodal.perceptualHash(
+          Multimodal.packPnm(docs, col("doc_id"), col("text")), codec = mk), maxDistance = 3)
+        .as[(Long, Long, Int)].collect()
+        .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).map(p => (p._1, p._2)).toSet
+      val got = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == all, s"admission diverged: ${got.diff(all)} / ${all.diff(got)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
   test("phash: wav payloads degrade to rescaled pcm, empty image to zero hash") {
     val codec = new NetpbmWavCodec()
     val (w, ch, lum) = codec.luminances(

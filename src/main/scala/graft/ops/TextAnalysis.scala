@@ -604,6 +604,42 @@ object TextAnalysis {
     when(scheme === "", u).otherwise(concat(scheme, lit("://"), hostNoPort, r5))
   }
 
+  /** Host component of a normalized URL ([[normalizeUrl]] output). */
+  def urlHost(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** UT1/RefinedWeb-style URL blocklisting over the NORMALIZED url:
+    * blocked iff the host equals (or is a subdomain of) a blocked
+    * domain, or the path+query contains a blocked token. Both lists
+    * are tiny config state baked into the codegen'd expression —
+    * no lookup join, no shuffle, so the gate runs at scan speed over
+    * the raw crawl (where C4/RefinedWeb apply it, before any text
+    * work).
+    */
+  def urlBlocked(urlNorm: Column, domains: Seq[String],
+                 pathTokens: Seq[String]): Column = {
+    val host = urlHost(urlNorm)
+    val domHit = domains.map(d => host === d || host.endsWith("." + d))
+      .foldLeft(lit(false))(_ || _)
+    val rest = lower(regexp_extract(urlNorm,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)", 1))
+    val tokHit = pathTokens.map(t => rest.contains(t.toLowerCase(java.util.Locale.ROOT)))
+      .foldLeft(lit(false))(_ || _)
+    domHit || tokHit
+  }
+
+  /** SQL mirror of [[urlBlocked]] — same host-suffix and token rules.
+    * Lists must contain LIKE-safe literals (no %, _ or quotes).
+    */
+  def urlBlockedSql(x: String, domains: Seq[String],
+                    pathTokens: Seq[String]): String = {
+    val host = s"regexp_extract($x, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)"
+    val rest = s"lower(regexp_extract($x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)', 1))"
+    val domHit = domains.map(d => s"($host = '$d' OR $host LIKE '%.$d')")
+    val tokHit = pathTokens.map(t => s"($rest LIKE '%${t.toLowerCase(java.util.Locale.ROOT)}%')")
+    (domHit ++ tokHit).reduceOption((a, b) => s"($a OR $b)").getOrElse("FALSE")
+  }
+
   /** SQL mirror of [[normalizeUrl]] — same rules, same order. */
   def normalizeUrlSql(x: String): String = {
     val u = s"trim($x)"

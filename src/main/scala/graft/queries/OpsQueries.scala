@@ -824,7 +824,9 @@ object OpsQueries {
     // one-quantum training divergence fails on every row
     "x_quality_logit_trained" -> ((s, dir) =>
       graft.ops.QualityModel.trainedScore(
-          Tables.documents(s, dir), col("doc_id"), col("text"))
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          cacheKey = Some(graft.store.ArtifactCache
+            .sourceIdentity(s, s"$dir/documents.parquet") + "|qlt"))
         .withColumnRenamed("__id", "doc_id")),
 
     // Gopher §A1.1's dominant-phrase signals: fraction of characters
@@ -1675,7 +1677,12 @@ object OpsQueries {
       s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ext = crawlExtractArtifact(s, dir).persist(lvl)
-    val scored = graft.ops.QualityModel.trainedScore(ext, col("doc_id"), col("text"))
+    // weights cache on the SOURCE identity (the crawl text derives
+    // from it deterministically) + a v6 tag — the crawl fit and the
+    // raw-documents fit are different models
+    val scored = graft.ops.QualityModel.trainedScore(ext, col("doc_id"), col("text"),
+        cacheKey = Some(graft.store.ArtifactCache
+          .sourceIdentity(s, s"$dir/documents.parquet") + "|qlt-v6crawl"))
       .select(col("__id").as("doc_id"), col("p_q"), col("keep"))
     val kept = ext.join(scored.filter(col("keep")).select("doc_id", "p_q"), Seq("doc_id"))
       .persist(lvl)

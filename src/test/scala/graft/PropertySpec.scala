@@ -214,4 +214,55 @@ class PropertySpec extends SparkSpec {
     // a budget beyond the corpus takes everything
     assert(prev == rows.map(_._1).toSet)
   }
+
+  test("property: URL normalization is idempotent and blocklist verdicts respect host suffixes") {
+    import graft.ops.{TextAnalysis => TA}
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("a.example.com", "sub.a.example.com", "b.example.org", "aexample.com")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/p", "/p/", "/p/q")
+      track <- Gen.oneOf("", "?utm_source=x", "?a=1&utm_campaign=y", "?utm_medium=z&a=1")
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"$scheme://$www$host$port$path$track$frag"
+    val urls = samples(urlGen, 250)
+    val df = urls.toDF("url")
+      .select($"url", TA.normalizeUrl($"url").as("n1"))
+      .select($"url", $"n1", TA.normalizeUrl($"n1").as("n2"),
+        TA.urlBlocked($"n1", Seq("a.example.com"), Seq("q")).as("blocked"),
+        TA.urlHost($"n1").as("host"))
+    df.as[(String, String, String, Boolean, String)].collect().foreach {
+      case (url, n1, n2, blocked, host) =>
+        assert(n1 == n2, s"normalizeUrl not idempotent: $url → $n1 → $n2")
+        assert(!n1.contains("utm_"), s"tracking param survived: $url → $n1")
+        // blocked iff host is a.example.com or a subdomain of it, or /q in path
+        val domHit = host == "a.example.com" || host.endsWith(".a.example.com")
+        val tokHit = n1.toLowerCase.split("://", 2)(1).dropWhile(_ != '/').contains("q")
+        assert(blocked == (domHit || tokHit),
+          s"verdict mismatch for $url → $n1 (host=$host): got $blocked")
+    }
+    // aexample.com must NOT match the a.example.com suffix rule
+    val near = Seq("https://aexample.com/p").toDF("url")
+      .select(TA.urlBlocked(TA.normalizeUrl($"url"), Seq("a.example.com"), Nil))
+      .as[Boolean].collect()
+    assert(!near(0), "suffix rule leaked across the dot boundary")
+  }
+
+  test("property: pageRank conserves mass on closed regular graphs of any size") {
+    import graft.ops.LinkGraph
+    for (n <- Seq(2, 5, 17, 64); d <- Seq(1, 3)) {
+      val ids = (0L until n.toLong)
+      val edges = ids.flatMap(u => (1 to d).map(k => (u, (u * 7 + k) % n)))
+      val r = LinkGraph.pageRank(ids.toDF("id"), edges.toDF("src", "dst"), iters = 3)
+        .as[(Long, Long)].collect()
+      assert(r.length == n)
+      // every dst exists → no dangling leak beyond integer-floor slack
+      // (≤ ~1 quantum per node per round)
+      val slack = 4L * n * 3
+      assert(math.abs(r.map(_._2).sum - LinkGraph.Scale) <= slack,
+        s"n=$n d=$d: mass ${r.map(_._2).sum} drifted beyond floor slack")
+      assert(r.forall(_._2 > 0), "every node keeps at least the restart mass")
+    }
+  }
 }

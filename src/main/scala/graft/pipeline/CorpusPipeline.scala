@@ -126,7 +126,8 @@ object CorpusPipeline {
     "html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
     "quality_filter_trained", "perplexity_filter", "decontaminate_spans",
     "scrub_exact_substr", "line_dedup", "line_dedup_within", "dedup_exact",
-    "dedup_near", "dedup_semantic", "dedup_phash", "diversify", "cluster_balance",
+    "dedup_near", "dedup_semantic", "dedup_phash", "dedup_audio_fp",
+    "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
     "source_cap", "doremi_mix", "pagerank_select", "holdout_split",
@@ -1028,22 +1029,25 @@ object CorpusPipeline {
           st.thresholdVal(0.4), sampleMod = st.sampleModVal(1))
         val semDrops = Dedup.clusterDropList(Dedup.nearDupClusters(pairs))
         df.join(semDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
-      case "dedup_phash" =>
-        // image near-dup dedup over a (media_id, media, media_type)
-        // sidecar — the pixel-space analog of dedup_near: perceptual
-        // hashes from the real codec, 4-band Hamming bucketing
+      case "dedup_phash" | "dedup_audio_fp" =>
+        // media near-dup dedup over a (media_id, media, media_type)
+        // sidecar — the pixel/sample-space analog of dedup_near:
+        // 64-bit perceptual (image) or acoustic (audio) hashes from
+        // the real codec, the SAME 4-band Hamming bucketing
         // (exhaustive for max_distance ≤ 3), connected components keep
         // min id. Docs without media pass through, like dedup_semantic.
         val mediaDir = st.media_dir.getOrElse(throw new IllegalArgumentException(
-          "dedup_phash needs media_dir"))
+          s"${st.kind} needs media_dir"))
         val media = df.sparkSession.read
           .parquet(graft.config.GraftConfig.substituteEnvVar(mediaDir))
           .select(col(st.media_id_column.getOrElse("media_id")).as("media_id"),
             col("media"), col("media_type"))
           .join(df.select(col(id).as("media_id")), Seq("media_id"))
-        val phPairs = graft.ops.Multimodal.phashPairs(
-          graft.ops.Multimodal.perceptualHash(media,
-            codec = () => new graft.ops.NetpbmWavCodec()),
+        val mk: () => graft.ops.MediaCodec = () => new graft.ops.NetpbmWavCodec()
+        val hashes =
+          if (st.kind == "dedup_audio_fp") graft.ops.Multimodal.audioFingerprint(media, codec = mk)
+          else graft.ops.Multimodal.perceptualHash(media, codec = mk)
+        val phPairs = graft.ops.Multimodal.phashPairs(hashes,
           maxDistance = st.maxDistanceVal(3))
         val phDrops = Dedup.clusterDropList(Dedup.nearDupClusters(phPairs))
         df.join(phDrops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")

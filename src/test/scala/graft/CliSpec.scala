@@ -525,6 +525,46 @@ class CliSpec extends SparkSpec {
       "config-driven dedup_phash dropped a different set than the ops API")
   }
 
+  test("cli: dedup_audio_fp stage drops planted audio copies from config") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = Files.createTempDirectory("graft-corpus-afp-").toString
+    val outDir = base + "/out"
+    val mediaDir = base + "/media"
+    val conf = base + "/c.yaml"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant audio copies INSIDE the doc-id domain: docs 0 mod 10 get
+    // the text of doc_id+1 — identical payload pairs the fingerprint
+    // must collapse (keep min id)
+    val clonedText = docs.withColumnRenamed("doc_id", "o").withColumnRenamed("text", "t")
+    val withCopies = docs.join(clonedText, docs("doc_id") === clonedText("o") + 1, "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(
+          pmod(col("doc_id"), lit(10)) === 0 && col("t").isNotNull, col("t"))
+          .otherwise(col("text")).as("text"))
+    graft.ops.Multimodal.packWav(withCopies, col("doc_id"), col("text"))
+      .write.parquet(mediaDir)
+    withCopies.write.parquet(base + "/docs")
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $base/docs
+         |output_dir: $outDir
+         |stages:
+         |  - kind: dedup_audio_fp
+         |    media_dir: $mediaDir
+         |    max_distance: 3
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val expectedDrops = graft.ops.Dedup.clusterDropList(
+      graft.ops.Dedup.nearDupClusters(
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.audioFingerprint(
+            spark.read.parquet(mediaDir), codec = () => new graft.ops.NetpbmWavCodec()),
+          maxDistance = 3))).count()
+    assert(expectedDrops > 0, "the planted audio copies should form drop clusters")
+    assert(spark.read.parquet(outDir).count() == withCopies.count() - expectedDrops,
+      "config-driven dedup_audio_fp dropped a different set than the ops API")
+  }
+
   test("cli: doremi_mix stage resamples domains from config, equal to the ops API") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft-corpus-dm-").toString

@@ -132,7 +132,8 @@ object CorpusPipeline {
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
     "source_cap", "doremi_mix", "pagerank_select", "holdout_split",
     "leakage_quarantine")
-  val TerminalKinds: Set[String] = Set("chunk", "pack", "epoch_mix", "unimax_mix")
+  val TerminalKinds: Set[String] =
+    Set("chunk", "pack", "epoch_mix", "unimax_mix", "tokenize_unigram")
 
   private val mapper = new ObjectMapper(new YAMLFactory())
   mapper.registerModule(DefaultScalaModule)
@@ -1251,6 +1252,14 @@ object CorpusPipeline {
             col(id), col("__graft_lang"), w,
             st.budgetFracVal(0.9), st.maxEpochsVal(2.0))
           .withColumnRenamed("doc_id", id)
+      case "tokenize_unigram" =>
+        // terminal: per-doc token counts under a unigram-LM
+        // (SentencePiece-style) tokenizer TRAINED ON THIS INPUT
+        // (hard-EM Viterbi rounds, ops/UnigramLm) — the budget unit a
+        // training loader's manifest consumes; `n` caps trainable word
+        // length (longer words char-fallback)
+        graft.ops.UnigramLm.encodeTokenCounts(df, id, text,
+          graft.ops.UnigramLm.Config(maxWordLen = st.nVal(10)))
     }
   }
 

@@ -525,6 +525,28 @@ class CliSpec extends SparkSpec {
       "config-driven dedup_phash dropped a different set than the ops API")
   }
 
+  test("cli: tokenize_unigram terminal emits trained-tokenizer counts from config") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft-tok-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-tok-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: tokenize_unigram
+         |    n: 8
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expect = graft.ops.UnigramLm.encodeTokenCounts(docs, "doc_id", col("text"),
+        graft.ops.UnigramLm.Config(maxWordLen = 8))
+      .as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_unigram_tokens")).as[(Long, Long)].collect().toMap
+    assert(got == expect, "config-driven tokenize_unigram diverged from the ops API")
+    assert(got.values.sum > 0)
+  }
+
   test("cli: dedup_audio_fp stage drops planted audio copies from config") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val base = Files.createTempDirectory("graft-corpus-afp-").toString

@@ -72,7 +72,11 @@ final case class CorpusStageConf(
     // pagerank_select: where the (src, dst) link-edge sidecar lives
     // (ids in the doc-id domain); n = power-iteration rounds,
     // budget_frac = kept top fraction by rank
-    edges_dir: Option[String]) {
+    edges_dir: Option[String],
+    // url_filter: UT1/RefinedWeb-style blocklists over the frame's
+    // `url` column (host-suffix domains; lowercase path/query tokens)
+    block_domains: Option[Seq[String]],
+    block_tokens: Option[Seq[String]]) {
   def nVal(default: Int): Int = n.fold(default)(_.intValue)
   def minCountVal(default: Int): Int = min_count.fold(default)(_.intValue)
   def sampleModVal(default: Int): Int = sample_mod.fold(default)(_.intValue)
@@ -130,8 +134,8 @@ object CorpusPipeline {
     "diversify", "cluster_balance",
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
-    "source_cap", "doremi_mix", "pagerank_select", "holdout_split",
-    "leakage_quarantine")
+    "source_cap", "doremi_mix", "pagerank_select", "url_filter", "url_dedup",
+    "holdout_split", "leakage_quarantine")
   val TerminalKinds: Set[String] =
     Set("chunk", "pack", "epoch_mix", "unimax_mix", "tokenize_unigram")
 
@@ -206,7 +210,9 @@ object CorpusPipeline {
       out(s"input: ${conf.inputDir}")
       val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
         (if (docs0.columns.contains("source") && conf.textCol != "source")
-          Seq(col("source")) else Nil)
+          Seq(col("source")) else Nil) ++
+        (if (docs0.columns.contains("url") && conf.textCol != "url")
+          Seq(col("url")) else Nil)
       val finalDf = conf.stages.foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
         val next = applyStage(df, st, id, docs0, conf.textCol)
         val plan = next.queryExecution.executedPlan
@@ -235,7 +241,9 @@ object CorpusPipeline {
     // benchmark by it (its own output drops it again)
     val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
       (if (docs0.columns.contains("source") && conf.textCol != "source")
-        Seq(col("source")) else Nil)
+        Seq(col("source")) else Nil) ++
+      (if (docs0.columns.contains("url") && conf.textCol != "url")
+        Seq(col("url")) else Nil)
     // each stage boundary persists before its count, so the count AND
     // the next stage read materialized blocks — without this, counting
     // stage k recomputes stages 1..k and the chain is O(stages²) passes
@@ -348,7 +356,8 @@ object CorpusPipeline {
     * the batch path owns).
     */
   val StreamableKinds: Set[String] =
-    Set("html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean")
+    Set("html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
+      "url_filter")
 
   /** Kinds an incremental run admits: per-row shaping plus the two
     * dedup verdicts that have an O(batch) admission form against a
@@ -458,7 +467,9 @@ object CorpusPipeline {
 
     val baseCols = Seq(col(id), col(conf.textCol).as("text")) ++
       (if (docs0.columns.contains("source") && conf.textCol != "source")
-        Seq(col("source")) else Nil)
+        Seq(col("source")) else Nil) ++
+      (if (docs0.columns.contains("url") && conf.textCol != "url")
+        Seq(col("url")) else Nil)
     val shaped0 = conf.stages.filter(s => StreamableKinds.contains(s.kind))
       .foldLeft(docs0.select(baseCols: _*)) { (df, st) =>
         applyStage(df, st, id, docs0, conf.textCol) }
@@ -1116,6 +1127,24 @@ object CorpusPipeline {
           s"doremi_mix group_by column '$grp' is not in the frame " +
             s"(${df.columns.mkString(", ")})")
         graft.ops.DomainReweight.doremiMix(df, col(id), col(grp), text, st.nVal(4))
+      case "url_filter" =>
+        // UT1/RefinedWeb-style URL gate over the crawl frame's `url`
+        // column (WARC input carries it): blocked hosts/path-tokens
+        // baked into a codegen'd expression — narrow, runs at scan
+        // speed before any text work
+        require(df.columns.contains("url"),
+          "url_filter needs a url column (use input_format: warc, or project one)")
+        df.filter(!TA.urlBlocked(TA.normalizeUrl(col("url")),
+          st.block_domains.getOrElse(Nil), st.block_tokens.getOrElse(Nil)))
+      case "url_dedup" =>
+        // canonical-URL exact dedup: normalize, keep the min-id row
+        // per canonical URL — the first dedup of any crawl (same
+        // min-id convention as dedup_exact, keyed on the URL)
+        require(df.columns.contains("url"),
+          "url_dedup needs a url column (use input_format: warc, or project one)")
+        val withUn = df.withColumn("__graft_un", TA.normalizeUrl(col("url")))
+        val keeper = withUn.groupBy(col("__graft_un")).agg(min(col(id)).as(id))
+        withUn.join(keeper, Seq("__graft_un", id), "left_semi").drop("__graft_un")
       case "pagerank_select" =>
         // harvest-rank the crawl by link structure before spending on
         // curation: damped PageRank over the (src, dst) edge sidecar,

@@ -525,6 +525,46 @@ class CliSpec extends SparkSpec {
       "config-driven dedup_phash dropped a different set than the ops API")
   }
 
+  test("cli: url_filter + url_dedup stages gate and dedupe a WARC crawl by URL") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val base = Files.createTempDirectory("graft-corpus-url-").toString
+    val crawlDir = base + "/crawl"
+    val outDir = base + "/out"
+    val conf = base + "/c.yaml"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // odd ids land on a blocked host; even ids share URLs mod 50 (dups)
+    val host = when(col("doc_id") % 2 === 1, lit("ads.blocked.example"))
+      .otherwise(lit("crawl.example"))
+    // raw URLs are unique (tracking param carries the doc id) but
+    // normalize together per /p/<id%50> path — the canonicalizer, not
+    // byte equality, must drive the dedup
+    graft.ingest.Warc.writeResponses(
+      docs.select(
+        concat(lit("http://"), host, lit("/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source="), col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("html")),
+      crawlDir)
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $crawlDir
+         |input_format: warc
+         |output_dir: $outDir
+         |stages:
+         |  - kind: url_filter
+         |    block_domains:
+         |      - blocked.example
+         |  - kind: url_dedup
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val out = spark.read.parquet(outDir)
+    // survivors: even ids only (host gate), one per distinct /p/<id%50>
+    // path — 25 distinct even residues mod 50
+    assert(out.count() == 25, s"expected 25 survivors, got ${out.count()}")
+    val urls = out.select(col("url")).as[String].collect()
+    assert(urls.forall(_.contains("crawl.example")), "a blocked host survived")
+    assert(urls.map(u => u.split("/p/")(1)).distinct.length == 25)
+  }
+
   test("cli: tokenize_unigram terminal emits trained-tokenizer counts from config") {
     import org.apache.spark.sql.functions.col
     val outDir = Files.createTempDirectory("graft-tok-").toString + "/out"

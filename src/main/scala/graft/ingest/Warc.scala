@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, FilterInputStream, FilterOutputStream, InputStream, OutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.hadoop.fs.Path
@@ -84,14 +84,51 @@ object Warc {
       .flatMap { f =>
         val p = new Path(f)
         val fs = p.getFileSystem(confSer.value)
-        val raw: InputStream = new BufferedInputStream(fs.open(p), 1 << 16)
+        val raw: InputStream =
+          new EofAwareStream(new BufferedInputStream(fs.open(p), 1 << 16))
         val in: InputStream =
           if (f.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+        // the iterator closes `in` at EOF/parse failure, but a consumer
+        // that stops early (limit, take) never drains it — the task
+        // hook guarantees the FS stream and inflater release either way
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Throwable => } }
         records(in, f).map(r => Row(
           r.file, r.recordIdx, r.warcType, r.url, r.date, r.recordId,
           r.contentType, r.contentLength, r.payload))
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** available()-honest wrapper. `GZIPInputStream` decides whether
+    * another concatenated gzip member follows PARTLY on
+    * `in.available() > 0`, and several Hadoop FS streams legally
+    * return 0 mid-stream — a member trailer landing exactly on the
+    * buffer edge would then read as clean EOF and silently drop every
+    * remaining record in the file. Report 1 until true EOF; at true
+    * EOF the JDK's next-member header probe fails and is treated as
+    * end-of-stream, so the lie is safe.
+    */
+  private final class EofAwareStream(in: InputStream) extends FilterInputStream(in) {
+    private var eof = false
+    override def read(): Int = {
+      val b = super.read(); if (b < 0) eof = true; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n < 0) eof = true; n
+    }
+    override def available(): Int = if (eof) 0 else 1
+  }
+
+  /** close-shield: lets a per-record `GZIPOutputStream` be close()d —
+    * releasing its native Deflater immediately instead of leaking one
+    * 64 KB zlib buffer per record until GC — without closing the
+    * shared part-file stream underneath.
+    */
+  private final class CloseShield(out: OutputStream) extends FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = flush()
   }
 
   /** Stream records off an open (already-decompressed) stream. The
@@ -281,6 +318,9 @@ object Warc {
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val root = new Path(outDir)
     val fsDriver = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a rerun with FEWER partitions must not leave stale part files a
+    // later read() would glob — clear the directory, then write
+    fsDriver.delete(root, true)
     fsDriver.mkdirs(root)
     df.select(col("url").cast("string"), col("date").cast("string"),
         col("html").cast("string"))
@@ -303,11 +343,12 @@ object Warc {
               s"Content-Length: ${block.length}\r\n\r\n").getBytes("ISO-8859-1"))
             rec.write(block)
             rec.write("\r\n\r\n".getBytes("ISO-8859-1"))
-            // one gzip member per record: finish() flushes the member
-            // trailer so the next record starts a fresh member
-            val gz = new GZIPOutputStream(out, 1 << 16)
+            // one gzip member per record; close() flushes the member
+            // trailer AND ends the Deflater (the shield keeps the
+            // shared part stream open for the next member)
+            val gz = new GZIPOutputStream(new CloseShield(out), 1 << 16)
             gz.write(rec.toByteArray)
-            gz.finish()
+            gz.close()
             i += 1
           } finally out.close()
         }
@@ -318,18 +359,26 @@ object Warc {
 
   /** WARC → documents frame: the standard crawl entry point for the
     * corpus pipeline (`input_format: warc`). One row per HTTP-200
-    * text/html response; `doc_id` is the trailing integer of the URL
-    * path when present (the synthetic-crawl convention), else a
-    * 63-bit hash of the URL — stable across reruns either way.
+    * text/html response; `doc_id` defaults to a 63-bit hash of the
+    * FULL URL — stable across reruns, and collision-safe across hosts
+    * (a trailing-path-digit rule would conflate `a.com/123` with
+    * `b.com/123`, silently merging distinct pages in every id-keyed
+    * stage downstream). `urlDigitIds = true` opts into the
+    * trailing-integer convention for synthetic fixtures whose URLs
+    * encode the id (guarded to ≤ 18 digits — longer would cast null).
     */
   def documents(spark: SparkSession, path: String,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text",
+                urlDigitIds: Boolean = false): DataFrame = {
     val resp = responses(spark, path)
       .where(col("http_status") === 200 && col("mime") === "text/html")
+    val hashId = abs(xxhash64(col("url")))
     val trailing = regexp_extract(col("url"), "/(\\d+)$", 1)
-    resp.select(
-      when(trailing =!= "", trailing.cast("long"))
-        .otherwise(abs(xxhash64(col("url")))).as(idCol),
+    val id = if (urlDigitIds)
+      when(trailing =!= "" && length(trailing) <= 18, trailing.cast("long"))
+        .otherwise(hashId)
+    else hashId
+    resp.select(id.as(idCol),
       col("url"),
       graft.ops.TextAnalysis.stripHtml(decode(col("body"), "UTF-8")).as(textCol))
   }

@@ -378,16 +378,13 @@ object Multimodal {
                  maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"banding is exhaustive only for maxDistance <= 3, got $maxDistance")
-    val sigs = hashes.select(col(id).as("doc"), col("ph_hi"), col("ph_lo"))
-      .repartition(col("doc"))
-    val banded = sigs.select(col("doc"), col("ph_hi"), col("ph_lo"),
-        explode(array(
-          struct(lit(0).as("band"), shiftrightunsigned(col("ph_hi"), 16).as("key")),
-          struct(lit(1).as("band"), (col("ph_hi").bitwiseAND(lit(0xffffL))).as("key")),
-          struct(lit(2).as("band"), shiftrightunsigned(col("ph_lo"), 16).as("key")),
-          struct(lit(3).as("band"), (col("ph_lo").bitwiseAND(lit(0xffffL))).as("key")))).as("b"))
-      .select(col("doc"), col("ph_hi"), col("ph_lo"),
-        col("b.band").as("band"), col("b.key").as("key"))
+    // one banding implementation: the pair join buckets with the SAME
+    // explode buildPhashIndex persists, so the "exhaustive at ≤ 3"
+    // invariant can't drift between the live join and the index it
+    // probes
+    val banded = buildPhashIndex(
+      hashes.select(col(id).as("media_id"), col("ph_hi"), col("ph_lo"))
+        .repartition(col("media_id")))
     banded.as("l").join(banded.as("r"), Seq("band", "key"))
       .filter(col("l.doc") < col("r.doc"))
       .withColumn("hamming",

@@ -92,14 +92,20 @@ object QualityModel {
       var wq = Array.fill(Dim)(0L)
       for (_ <- 1 to steps) {
         val r = sigmoidQ(zExpr(wq)) - col("y")
-        val aggs = (0 until Dim).map(j => sum(r * col(s"f$j")).as(s"g$j")) :+
+        // per-row |r·f| ≤ 1e12 fits Long, but the SUM over a large
+        // sample does not (wraps silently past 9.2e18 at ~1e7 rows) —
+        // accumulate in decimal(38,0), the exact-integer domain
+        // DuckDB's HUGEINT sum mirrors; the decimal→double cast is
+        // correctly rounded on both engines
+        val aggs = (0 until Dim).map(j =>
+          sum((r * col(s"f$j")).cast("decimal(38,0)")).as(s"g$j")) :+
           count(lit(1)).as("n")
         val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
         val n = row.getAs[Long]("n")
         require(n > 0, s"quality fit sample is empty (sampleMod=$sampleMod)")
         wq = Array.tabulate(Dim) { j =>
-          wq(j) - math.floor(lr * (row.getAs[Long](s"g$j").toDouble / n.toDouble) /
-            1000000.0).toLong
+          val g = row.getAs[java.math.BigDecimal](s"g$j").doubleValue()
+          wq(j) - math.floor(lr * (g / n.toDouble) / 1000000.0).toLong
         }
       }
       wq

@@ -1134,17 +1134,27 @@ object CorpusPipeline {
         // speed before any text work
         require(df.columns.contains("url"),
           "url_filter needs a url column (use input_format: warc, or project one)")
-        df.filter(!TA.urlBlocked(TA.normalizeUrl(col("url")),
-          st.block_domains.getOrElse(Nil), st.block_tokens.getOrElse(Nil)))
+        // coalesce: a null url yields a NULL verdict, and filter(!NULL)
+        // would silently drop the row — url-less docs must pass the
+        // gate (only positive evidence blocks), same convention as
+        // media-less docs in dedup_phash
+        df.filter(!coalesce(TA.urlBlocked(TA.normalizeUrl(col("url")),
+          st.block_domains.getOrElse(Nil), st.block_tokens.getOrElse(Nil)),
+          lit(false)))
       case "url_dedup" =>
         // canonical-URL exact dedup: normalize, keep the min-id row
         // per canonical URL — the first dedup of any crawl (same
         // min-id convention as dedup_exact, keyed on the URL)
         require(df.columns.contains("url"),
           "url_dedup needs a url column (use input_format: warc, or project one)")
-        val withUn = df.withColumn("__graft_un", TA.normalizeUrl(col("url")))
+        // null-url docs can't be URL-keyed — they pass through rather
+        // than vanish into the null-never-equals semi-join
+        val withUrl = df.filter(col("url").isNotNull)
+        val noUrl = df.filter(col("url").isNull)
+        val withUn = withUrl.withColumn("__graft_un", TA.normalizeUrl(col("url")))
         val keeper = withUn.groupBy(col("__graft_un")).agg(min(col(id)).as(id))
         withUn.join(keeper, Seq("__graft_un", id), "left_semi").drop("__graft_un")
+          .unionByName(noUrl)
       case "pagerank_select" =>
         // harvest-rank the crawl by link structure before spending on
         // curation: damped PageRank over the (src, dst) edge sidecar,
@@ -1157,8 +1167,10 @@ object CorpusPipeline {
           .select(col("src"), col("dst"))
         val ranks = graft.ops.LinkGraph.pageRank(
           df.select(col(id).as("id")), edges, iters = st.nVal(5))
+        // count the CHECKPOINTED rank frame (one row per doc), not df —
+        // counting df here would re-run the whole upstream stage chain
         val nKeep = math.max(1L,
-          (st.budgetFracVal(0.5) * df.count()).toLong)
+          (st.budgetFracVal(0.5) * ranks.count()).toLong)
         val kept = Sampling.globalRank(
             ranks.withColumnRenamed("rank", "__graft_pr").withColumnRenamed("id", id),
             Seq(col("__graft_pr").desc, col(id).asc))

@@ -111,10 +111,16 @@ class WarcSpec extends SparkSpec {
     assert(new String(body, "UTF-8") == "just bytes")
   }
 
-  test("warc: documents() extracts doc_id from the URL and strips HTML") {
+  test("warc: documents() hashes URLs to collision-safe ids, digit mode for fixtures") {
     val dir = writeCrawl(6, 2)
-    val docs = Warc.documents(spark, dir).orderBy("doc_id").collect()
-    assert(docs.length == 6)
+    // default: 63-bit URL-hash ids — distinct per URL, never conflating
+    // same-path pages across hosts the way trailing digits would
+    val hashed = Warc.documents(spark, dir).collect()
+    assert(hashed.length == 6)
+    assert(hashed.map(_.getAs[Long]("doc_id")).distinct.length == 6)
+    assert(hashed.forall(_.getAs[Long]("doc_id") >= 0L))
+    // opt-in digit mode: the synthetic-crawl convention
+    val docs = Warc.documents(spark, dir, urlDigitIds = true).orderBy("doc_id").collect()
     assert(docs.map(_.getAs[Long]("doc_id")).toSeq == (0L until 6L).toSeq)
     assert(docs(3).getAs[String]("text").contains("body 3"))
     assert(!docs(3).getAs[String]("text").contains("<"), "tags must be stripped")

@@ -73,6 +73,16 @@ object Cli {
           spark, graft.pipeline.CorpusPipeline.load(path), out)
         0
 
+      case Seq("corpus", "stats", path) =>
+        // first-look corpus profile: per-language doc counts, token
+        // mass, mean quality, exact-dup rate — ONE map-side-combined
+        // aggregation pass plus one fingerprint distinct; the numbers
+        // an operator reads before choosing a stage chain. `path` is a
+        // conf yaml (so input_format/id/text column mappings apply).
+        val cp = graft.pipeline.CorpusPipeline.load(path)
+        graft.pipeline.CorpusPipeline.stats(spark, cp, out)
+        0
+
       case Seq("corpus", "compact", path, tail @ _*) =>
         // after N incremental admissions the output and every artifact
         // dir carry N file groups — rewrite each to a few right-sized
@@ -336,7 +346,7 @@ object Cli {
         out("usage: graft -c conf.yaml " +
           "(dump create [name] | dump list | dump delete <name|--older-than d|--keep-last n> | " +
           "dump restore <name|latest> | source schema | transformer list) | " +
-          "graft corpus run|stream|compact|explain <conf.yaml> [--into prior] [--continuous [interval]]")
+          "graft corpus run|stream|compact|explain|stats <conf.yaml> [--into prior] [--continuous [interval]]")
         1
     }
   }

@@ -231,6 +231,43 @@ object CorpusPipeline {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
+  /** First-look corpus profile BEFORE any curation: per-language doc
+    * counts / token mass / mean quality (one map-side-combined groupBy
+    * over narrow per-row metrics) plus the corpus exact-duplicate rate
+    * (distinct fingerprints vs rows — one hash shuffle of 16-byte
+    * keys). These are the numbers that pick the stage chain: language
+    * mix → stratified/temperature knobs, dup rate → whether dedup_near
+    * earns its shuffle, quality mass → gate thresholds. Two corpus
+    * passes total over one persisted skinny projection; text never
+    * crosses an exchange.
+    */
+  def stats(spark: SparkSession, conf: CorpusPipelineConf,
+            out: String => Unit): Unit = {
+    val id = conf.idCol
+    val docs = loadInput(spark, conf).select(col(id), col(conf.textCol).as("text"))
+    val metered = docs.select(col(id),
+        TA.langId(col("text")).as("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.qualityScore(col("text")).as("q"),
+        TA.fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byLang = metered.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+          avg(col("q")).as("avg_q"))
+        .orderBy(col("docs").desc, col("lang")).collect()
+      val total = byLang.map(_.getAs[Long]("docs")).sum
+      val totalTokens = byLang.map(_.getAs[Long]("tokens")).sum
+      val distinctFp = metered.select(col("fp")).distinct().count()
+      out(s"docs=$total tokens=$totalTokens distinct_texts=$distinctFp " +
+        f"exact_dup_rate=${1.0 - distinctFp.toDouble / math.max(total, 1L).toDouble}%.4f")
+      byLang.foreach { r =>
+        out(f"lang=${r.getAs[String]("lang")}%-4s docs=${r.getAs[Long]("docs")}%7d " +
+          f"tokens=${r.getAs[Long]("tokens")}%9d avg_quality=${r.getAs[Double]("avg_q")}%.3f")
+      }
+    } finally { metered.unpersist(); () }
+  }
+
   def run(spark: SparkSession, conf: CorpusPipelineConf,
           out: String => Unit): Long = {
     validateStages(conf)

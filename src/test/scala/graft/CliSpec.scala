@@ -565,6 +565,28 @@ class CliSpec extends SparkSpec {
     assert(urls.map(u => u.split("/p/")(1)).distinct.length == 25)
   }
 
+  test("cli: corpus stats prints the language/token/dup profile") {
+    val conf = Files.createTempDirectory("graft-stats-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: /tmp/unused-stats-out
+         |stages:
+         |  - kind: gopher_filter
+         |""".stripMargin.getBytes("UTF-8"))
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("corpus", "stats", conf), spark, printed += _) == 0)
+    val head = printed.find(_.startsWith("docs=")).getOrElse(fail("no summary line"))
+    assert(head.contains("docs=500"), s"unexpected summary: $head")
+    assert(head.contains("exact_dup_rate="), head)
+    assert(printed.exists(_.startsWith("lang=")), "no per-language lines")
+    // token mass must equal the ops-API count
+    import org.apache.spark.sql.functions.{col, sum}
+    val tokens = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(head.contains(s"tokens=$tokens"), s"token mass mismatch: $head vs $tokens")
+  }
+
   test("cli: tokenize_unigram terminal emits trained-tokenizer counts from config") {
     import org.apache.spark.sql.functions.col
     val outDir = Files.createTempDirectory("graft-tok-").toString + "/out"

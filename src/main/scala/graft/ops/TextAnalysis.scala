@@ -604,6 +604,33 @@ object TextAnalysis {
     when(scheme === "", u).otherwise(concat(scheme, lit("://"), hostNoPort, r5))
   }
 
+  /** Lexical blocklist hit: TRUE iff the lowercased text contains any
+    * blocked token as a whole word — the C4 §2.2 "blocklist" page gate
+    * (Raffel et al. 2020 cut pages containing any listed word), kept
+    * generic so the deployment supplies its own list. A codegen'd
+    * regex alternation over word boundaries — narrow, no shuffle, no
+    * lookup join; runs at scan speed like the URL gate.
+    *
+    * Tokens must be regex-safe literals (letters/digits/spaces —
+    * they're quoted into one `\b(t1|t2|…)\b` alternation).
+    */
+  def keywordHit(text: Column, tokens: Seq[String]): Column =
+    if (tokens.isEmpty) lit(false)
+    else {
+      val safe = tokens.map(_.toLowerCase(java.util.Locale.ROOT))
+      require(safe.forall(_.matches("[a-z0-9 ]+")),
+        s"blocked tokens must be [a-z0-9 ] literals, got: ${safe.mkString(", ")}")
+      regexp_like(lower(text), lit(s"\\b(${safe.mkString("|")})\\b"))
+    }
+
+  /** SQL mirror of [[keywordHit]] — same alternation, same boundary. */
+  def keywordHitSql(x: String, tokens: Seq[String]): String =
+    if (tokens.isEmpty) "FALSE"
+    else {
+      val safe = tokens.map(_.toLowerCase(java.util.Locale.ROOT))
+      raw"""regexp_matches(lower($x), '\b(${safe.mkString("|")})\b')"""
+    }
+
   /** Host component of a normalized URL ([[normalizeUrl]] output). */
   def urlHost(urlNorm: Column): Column =
     regexp_extract(urlNorm, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

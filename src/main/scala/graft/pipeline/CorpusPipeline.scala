@@ -135,7 +135,7 @@ object CorpusPipeline {
     "quality_rep_dedup", "stratified_sample",
     "mixture_temperature", "budget_select", "curriculum_rank", "dsir_select",
     "source_cap", "doremi_mix", "pagerank_select", "url_filter", "url_dedup",
-    "holdout_split", "leakage_quarantine")
+    "keyword_filter", "holdout_split", "leakage_quarantine")
   val TerminalKinds: Set[String] =
     Set("chunk", "pack", "epoch_mix", "unimax_mix", "tokenize_unigram")
 
@@ -394,7 +394,7 @@ object CorpusPipeline {
     */
   val StreamableKinds: Set[String] =
     Set("html_strip", "pii_scrub", "gopher_filter", "compression_filter", "c4_clean",
-      "url_filter")
+      "url_filter", "keyword_filter")
 
   /** Kinds an incremental run admits: per-row shaping plus the two
     * dedup verdicts that have an O(batch) admission form against a
@@ -1164,6 +1164,12 @@ object CorpusPipeline {
           s"doremi_mix group_by column '$grp' is not in the frame " +
             s"(${df.columns.mkString(", ")})")
         graft.ops.DomainReweight.doremiMix(df, col(id), col(grp), text, st.nVal(4))
+      case "keyword_filter" =>
+        // C4 §2.2 lexical blocklist page gate: drop docs containing
+        // any blocked token as a whole word — one codegen'd regex
+        // alternation, narrow (the deployment supplies its own list)
+        df.filter(!TA.keywordHit(text, st.block_tokens.getOrElse(
+          throw new IllegalArgumentException("keyword_filter needs block_tokens"))))
       case "url_filter" =>
         // UT1/RefinedWeb-style URL gate over the crawl frame's `url`
         // column (WARC input carries it): blocked hosts/path-tokens

@@ -1259,6 +1259,14 @@ object OpsQueries {
         .groupBy(col("url_norm"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
 
+    // C4-style lexical blocklist gate: verdict per doc under a
+    // config-supplied whole-word token list (Raffel et al. 2020 §2.2
+    // cut pages containing any listed word) — one codegen'd regex
+    // alternation, narrow, list shared verbatim with the oracle
+    "x_keyword_filter" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.keywordHit(col("text"), KeywordBlockTokens).as("blocked"))),
+
     // UT1/RefinedWeb-style URL blocklisting: host-suffix + path-token
     // rules baked into a codegen'd expression — the crawl gate that
     // runs at scan speed before any text work. Verdict per doc, the
@@ -1296,6 +1304,12 @@ object OpsQueries {
   /** Blocklists for x_url_blocklist — shared verbatim with the oracle. */
   private val UrlBlockDomains = Seq("src1.example.com", "src7.example.com")
   private val UrlBlockTokens = Seq("ref=home")
+
+  /** Word blocklist for x_keyword_filter (neutral stand-ins for a
+    * deployment's list) — hits ~93% of sf0.01 docs, so both verdicts
+    * exercise. Shared verbatim with the oracle.
+    */
+  private val KeywordBlockTokens = Seq("window", "batch")
 
   /** Max corpus share of any one source under x_source_cap. */
   val SourceCapShare = 0.03
@@ -2767,6 +2781,9 @@ object OpsQueries {
           |  FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents))
           |SELECT url_norm, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
           |FROM u GROUP BY 1""".stripMargin),
+    "x_keyword_filter" ->
+      (s"SELECT doc_id, ${TA.keywordHitSql("text", KeywordBlockTokens)} AS blocked " +
+        "FROM documents"),
     "x_url_blocklist" ->
       (s"""WITH u AS (SELECT doc_id, ${TA.normalizeUrlSql("url")} AS url_norm
           |  FROM (SELECT doc_id, $syntheticUrlSql AS url FROM documents))

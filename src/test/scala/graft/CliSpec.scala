@@ -565,6 +565,30 @@ class CliSpec extends SparkSpec {
     assert(urls.map(u => u.split("/p/")(1)).distinct.length == 25)
   }
 
+  test("cli: keyword_filter stage drops blocklist-hit docs from config") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft-kw-").toString + "/out"
+    val conf = Files.createTempDirectory("graft-kw-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: /root/testdata/sf0.001/documents.parquet
+         |output_dir: $outDir
+         |stages:
+         |  - kind: keyword_filter
+         |    block_tokens:
+         |      - window
+         |      - batch
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expect = docs.filter(!graft.ops.TextAnalysis.keywordHit(
+        col("text"), Seq("window", "batch")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(expect.nonEmpty && expect.size < docs.count(),
+      "the blocklist should split the corpus")
+    val got = spark.read.parquet(outDir).select(col("doc_id")).as[Long].collect().toSet
+    assert(got == expect, "config-driven keyword_filter kept a different set")
+  }
+
   test("cli: corpus stats prints the language/token/dup profile") {
     val conf = Files.createTempDirectory("graft-stats-").toString + "/c.yaml"
     Files.write(java.nio.file.Paths.get(conf),

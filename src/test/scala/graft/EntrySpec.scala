@@ -50,6 +50,6 @@ object EntrySpec {
   // +x_media_phash_dedup, +x_incremental_phash, +x_pipeline_corpus_v6,
   // +x_pagerank, +x_media_audio_fp, +x_media_audio_fp_dedup,
   // +x_doremi_weights, +x_doremi_mix, +x_orc_roundtrip, +x_csv_roundtrip,
-  // +x_url_blocklist, +x_incremental_audio_fp
-  val DeclaredQueries = 170
+  // +x_url_blocklist, +x_incremental_audio_fp, +x_keyword_filter
+  val DeclaredQueries = 171
 }

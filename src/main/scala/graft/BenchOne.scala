@@ -11,9 +11,12 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     // warm (plan + JIT) on the smallest SF, then measure
     fn(spark, "/root/testdata/sf0.001").count()
-    val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
-    println(f"BENCH_ONE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    var n = 0L
+    // wall + process-CPU + GC, the same triple the full bench records:
+    // cpu ≈ wall×parallelism is real work, cpu ≫ wall×loadavg is
+    // recomputation — the adjudication signal for plan instability
+    val r = Bench.timeQuery(name, () => { n = fn(spark, sfDir).count(); () })
+    println(f"BENCH_ONE $name rows=$n sec=${r.wall}%.3f cpu=${r.cpu}%.2f gc=${r.gc}%.2f")
     spark.stop()
   }
 }

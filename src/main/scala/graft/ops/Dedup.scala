@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -57,46 +58,92 @@ object Dedup {
       text: Column,
       n: Int,
       threshold: Double,
-      maxDocFreq: Long = 0L): DataFrame = {
-    // One sorted-gram-array row per doc behind a shuffle boundary: the
-    // array is computed exactly once and the exchange is reused by the
-    // prefix sides and the verification joins.
-    val gramArrays = docGramArrays(df, id, text, n)
+      maxDocFreq: Long = 0L,
+      eager: Boolean = false,
+      dfOrder: Boolean = false): DataFrame = {
+    // One sorted-gram-array row per doc behind a shuffle boundary. The
+    // exchange is structurally identical under every consumer (prefix
+    // sides and the verification joins), but whether AQE's
+    // ReuseExchange actually fires is a RUNTIME decision — r14's bench
+    // caught the same binary swinging 6 → 340 CPU-s on this query
+    // family when reuse didn't happen. `eager=true` pins the frame
+    // with an eager localCheckpoint so every consumer reads the same
+    // computed blocks deterministically. It stays opt-in because the
+    // checkpoint executes the UPSTREAM plan immediately — standalone
+    // queries want that; `corpus explain` (dry-run plan printing) and
+    // lazily-composed pipeline stages must not.
+    val gramArrays0 = docGramArrays(df, id, text, n)
+    val gramArrays = if (eager) gramArrays0.localCheckpoint(true) else gramArrays0
     // Verification: after pruning the candidate set is usually tiny, so
     // AQE turns these into broadcast joins that STREAM the gram arrays
     // (candidates sit behind the dedup exchange, so their true runtime
     // size drives the choice) — while a pathological dup-heavy corpus
     // with a huge candidate set degrades to a shuffle join instead of
     // OOMing the driver on a forced broadcast.
-    verifyJaccard(ppjoinCandidates(gramArrays, threshold, maxDocFreq), gramArrays, threshold)
+    verifyJaccard(ppjoinCandidates(gramArrays, threshold, maxDocFreq, dfOrder = dfOrder),
+      gramArrays, threshold)
   }
 
   /** PPJoin candidate generation over [[docGramArrays]] output — every
     * (id_a < id_b) pair that can possibly reach `threshold`, by the
     * prefix + size + positional bounds (all necessary conditions, so
     * downstream verification stays exact).
+    *
+    * `dfOrder=true` switches the prefix order from lexical to the
+    * CANONICAL PPJoin ordering — ascending global document frequency
+    * (Bayardo et al. WWW'07 §3.1; Xiao et al. order tokens rarest-
+    * first for exactly this reason): the prefix bound holds under ANY
+    * consistent total order, and df-ascending puts the RAREST grams in
+    * every prefix, so a corpus-stopword shingle ("of the and", df in
+    * the thousands) lands in suffixes instead of fanning out
+    * quadratically in the gram self-join. Unlike `maxDocFreq` (which
+    * DROPS hot grams and can lose pairs), df-ordering is exact — no
+    * candidate that can reach `threshold` is lost. Cost: one
+    * wordcount-shaped df aggregation + a gram-keyed enrich join + a
+    * per-doc window sort, all on skinny (doc, gram, df) rows — the
+    * price that buys the fan-out collapse.
     */
   private[graft] def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
                                       maxDocFreq: Long,
-                                      hashGramKeys: Boolean = true): DataFrame = {
+                                      hashGramKeys: Boolean = true,
+                                      dfOrder: Boolean = false): DataFrame = {
     // Guard every ceil(t·x) against binary-float overshoot (0.8×5 =
     // 4.000…0002 would ceil to 5, silently shortening prefixes /
     // tightening bounds → FALSE NEGATIVES). Subtracting a sub-unit
     // epsilon can only relax the filters, never break exactness.
     val eps = 1e-9
     // prefix length |g| - ceil(t*|g|) + 1 (empty gram set -> no prefix)
-    val nGrams = size(col("grams"))
-    val prefixLen = (nGrams - ceil(lit(threshold) * nGrams - lit(eps)) + 1).cast("int")
-    val prefixes = gramArrays.select(
-      col("doc"), nGrams.as("n"),
-      posexplode(slice(col("grams"), lit(1), greatest(prefixLen, lit(0)))).as(Seq("pos", "gram")))
+    def prefixLenOf(n: Column): Column =
+      (n - ceil(lit(threshold) * n - lit(eps)) + 1).cast("int")
     val filtered =
-      if (maxDocFreq <= 0) prefixes
-      else {
-        val hot = gramArrays.select(explode(col("grams")).as("gram"))
+      if (dfOrder) {
+        // df-ascending prefix extraction. Positions are taken in the
+        // (df, gram) order over the SURVIVING grams; when maxDocFreq
+        // additionally drops hot grams, positions shift down and the
+        // prefix reaches deeper — both can only ADD candidates, so the
+        // positional/size bounds stay necessary conditions (exact).
+        val dfreq = gramArrays.select(explode(col("grams")).as("gram"))
           .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("gram"))
-        prefixes.join(hot, Seq("gram"), "left_anti")
+        val exploded = gramArrays.select(col("doc"), size(col("grams")).as("n"),
+          explode(col("grams")).as("gram"))
+        val withDf0 = exploded.join(dfreq, Seq("gram"))
+        val withDf = if (maxDocFreq <= 0) withDf0 else withDf0.filter(col("df") <= maxDocFreq)
+        val byRarity = Window.partitionBy(col("doc")).orderBy(col("df"), col("gram"))
+        withDf.withColumn("pos", (row_number().over(byRarity) - 1).cast("int"))
+          .filter(col("pos") < greatest(prefixLenOf(col("n")), lit(0)))
+          .select(col("gram"), col("doc"), col("n"), col("pos"))
+      } else {
+        val nGrams = size(col("grams"))
+        val prefixes = gramArrays.select(
+          col("doc"), nGrams.as("n"),
+          posexplode(slice(col("grams"), lit(1), greatest(prefixLenOf(nGrams), lit(0)))).as(Seq("pos", "gram")))
+        if (maxDocFreq <= 0) prefixes
+        else {
+          val hot = gramArrays.select(explode(col("grams")).as("gram"))
+            .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDocFreq).select(col("gram"))
+          prefixes.join(hot, Seq("gram"), "left_anti")
+        }
       }
     // The self-join key is the gram's 64-bit hash, not the gram string:
     // shuffle rows carry 8 bytes instead of a shingle. A collision can
@@ -506,17 +553,23 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val gramArrays = docGramArrays(df, id, text, n)
+    // Pinned eagerly: this frame feeds the PPJoin prefix sides AND both
+    // verification joins. Relying on AQE exchange reuse here was the
+    // r14 instability — the same binary measured 5.96 CPU-s when reuse
+    // fired and 339.8 CPU-s when it didn't (BENCH_r14 vs HEAD artifact;
+    // see PLANS.md r15). The checkpoint makes every consumer read the
+    // same computed blocks, unconditionally.
+    val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
     // Both generators dedup internally, so the union carries at most 2
     // copies of any pair — verifying the ≤2× candidates and deduping the
     // (tiny) verified output costs one narrow dedup of the result set
     // instead of a full extra shuffle of the widest candidate
-    // intermediate. Measured at sf0.1 (r7, quiet host): 2.3 s end-to-end
-    // — 341 band candidates + 29.4k PPJoin candidates → 256 pairs. The
-    // 70.3 s in BENCH_r06 was host contention, not plan cost (the same
-    // binary re-measured 2.34 s in a full-bench run; see PLANS.md).
+    // intermediate. The PPJoin side runs with the canonical df-ascending
+    // prefix order (see [[ppjoinCandidates]]) — the EXACT form of the
+    // hot-gram guard, so the union still equals verified-LSH ∪ exact
+    // and the precision oracle holds.
     val candidates = bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
-      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L))
+      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L, dfOrder = true))
     verifyJaccard(candidates, gramArrays, threshold)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

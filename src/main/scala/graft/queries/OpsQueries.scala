@@ -85,9 +85,12 @@ object OpsQueries {
     "x_exact_dup_groups" -> ((s, dir) =>
       Dedup.exactDupGroups(Tables.lineitem(s, dir), col("l_orderkey"), "l_linenumber")),
 
-    // exact n-gram Jaccard near-dup pairs (threshold 0.8, word 3-grams)
+    // exact n-gram Jaccard near-dup pairs (threshold 0.8, word 3-grams);
+    // eager + df-ordered: the standalone query pins the gram exchange
+    // and runs the canonical rarest-first prefix (see ppjoinCandidates)
     "x_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8,
+          eager = true, dfOrder = true)
         .select(col("id_a"), col("id_b"),
           // stabilize the double for cross-engine hashing
           round(col("jaccard"), 6).as("jaccard"))),
@@ -243,7 +246,8 @@ object OpsQueries {
     // representative kept while the rest go on the drop list
     "x_near_dup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8))),
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"), 3, 0.8,
+          eager = true, dfOrder = true))),
 
     // incremental ingestion: admit a new batch (doc_id%10) against the
     // already-ingested corpus (the rest) — exact fingerprint admission,

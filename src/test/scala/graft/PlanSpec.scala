@@ -287,19 +287,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "incremental near-dup plans a nested loop")
   }
 
-  test("precision-union check verifies once over a shared gram exchange") {
+  test("precision-union pins the gram arrays once and prefixes rarest-first") {
+    // r14 adjudication: relying on AQE ReuseExchange here was
+    // nondeterministic (5.96 vs 339.8 CPU-s on the same binary), so the
+    // gram arrays are now localCheckpoint-pinned — the plan must read
+    // the pinned blocks (ExistingRDD), never recompute the gram subplan
     val p = plan("x_minhash_lsh_precision")
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("ExistingRDD"), "precision check materialized an intermediate")
-    // exchange reuse is an AQE-runtime decision: execute, then assert
-    // the finalized plan computed the gram-array subplan once and
-    // ReusedExchange'd it into the other consumers
+    assert(p.contains("ExistingRDD"),
+      "gram arrays not pinned — consumers would recompute the gram subplan")
+    // the PPJoin side orders prefixes by ascending global df (the exact
+    // hot-gram guard); its per-doc row_number shows up as a Window node
+    assert(p.contains("Window"),
+      "df-ascending prefix ordering missing — lexical prefixes fan out on hot grams")
     val df = SparkEntry.queries("x_minhash_lsh_precision")(spark, sfDir)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("isFinalPlan=true"), "AQE plan did not finalize")
-    assert(finalPlan.contains("ReusedExchange"),
-      "gram-array exchange not reused — candidates and verify each recompute grams")
   }
 
   test("global rank: range-partitioned, no window, no single-partition exchange") {

@@ -96,6 +96,18 @@ object Bench {
     }
     val errs = results.filter(_.err.isDefined)
     val leaks = results.filter(_.leaked > 0)
+    // Pass-spread adjudication (r14 verdict): a query whose passes
+    // disagree >3× in wall time is recomputation/plan divergence or
+    // host contention — either way the artifact must FLAG it instead
+    // of silently reporting the flattering min. Sub-second queries are
+    // exempt (JIT/GC jitter dominates below the measurement floor).
+    val spread = passes.head.zip(passes(1)).collect {
+      case (a, b) if a.err.isEmpty && b.err.isEmpty &&
+        math.max(a.wall, b.wall) > 1.0 &&
+        math.max(a.wall, b.wall) > 3.0 * math.min(a.wall, b.wall) =>
+        a.name -> BigDecimal(math.max(a.wall, b.wall) / math.min(a.wall, b.wall))
+          .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full
     // double precision).
@@ -111,7 +123,8 @@ object Bench {
     val loadsJson = loads.map(r4).mkString("[", ",", "]")
     val errsJson = errs.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"").mkString("{", ",", "}")
     val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"loadavg_1m":$loadsJson}"""
+    val spreadJson = spread.map { case (n, x) => s"\"" + n + "\":" + x }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

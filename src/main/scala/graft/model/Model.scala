@@ -106,7 +106,13 @@ final case class SubsetConfig(
 final case class SourceFilters(
     skipTables: Seq[TableRef] = Nil,
     onlyTables: Seq[TableRef] = Nil) {
+  // Reference parity (commands/dump.rs:115-128): both lists may be set
+  // together — skip removes, only restricts — but the SAME table in
+  // both is a config contradiction refused up front, before any scan.
+  private def conflict = skipTables.toSet.intersect(onlyTables.toSet)
   require(
-    skipTables.isEmpty || onlyTables.isEmpty,
-    "skip_tables and only_tables are mutually exclusive (reference commands/dump.rs:115-128)")
+    conflict.isEmpty,
+    conflict.toSeq.map(r => s""""${r.database}.${r.table}"""").sorted.mkString(
+      "table(s) ", ", ",
+      " cannot be both in only_tables and in skip_tables at the same time (reference commands/dump.rs:115-128)"))
 }

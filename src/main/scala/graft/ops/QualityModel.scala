@@ -124,9 +124,20 @@ object QualityModel {
     * reports the steady state. Keyed by a CALLER-supplied identity
     * string (source path + mtime + size via `ArtifactCache
     * .sourceIdentity`) so re-provisioned data retrains.
+    *
+    * BOUNDED (LRU, 64 entries — a bench session trains a handful of
+    * models; unbounded growth would pin every historical fit for the
+    * session's life). Known limit, documented not fixed: the identity
+    * is metadata (path+mtime+size), so an in-place rewrite preserving
+    * all three within mtime granularity would reuse stale weights — a
+    * content fingerprint would cost a full data read per lookup, which
+    * defeats the cache; re-provisioned data normally changes mtime.
     */
-  private val weightCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val weightCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 64
+    })
 
   /** Score every row of `df` with the given weights: (id, wq0..wq3,
     * p_q, keep). The weight columns expose the training trajectory to

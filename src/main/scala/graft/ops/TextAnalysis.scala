@@ -623,11 +623,17 @@ object TextAnalysis {
       regexp_like(lower(text), lit(s"\\b(${safe.mkString("|")})\\b"))
     }
 
-  /** SQL mirror of [[keywordHit]] — same alternation, same boundary. */
+  /** SQL mirror of [[keywordHit]] — same alternation, same boundary.
+    * Enforces the SAME literal charset as the Spark twin: a token with
+    * regex metacharacters or quotes would silently diverge between the
+    * two engines (or break the oracle query) instead of failing loudly.
+    */
   def keywordHitSql(x: String, tokens: Seq[String]): String =
     if (tokens.isEmpty) "FALSE"
     else {
       val safe = tokens.map(_.toLowerCase(java.util.Locale.ROOT))
+      require(safe.forall(_.matches("[a-z0-9 ]+")),
+        s"blocked tokens must be [a-z0-9 ] literals, got: ${safe.mkString(", ")}")
       raw"""regexp_matches(lower($x), '\b(${safe.mkString("|")})\b')"""
     }
 
@@ -643,8 +649,23 @@ object TextAnalysis {
     * the raw crawl (where C4/RefinedWeb apply it, before any text
     * work).
     */
+  /** Shared literal-safety gate for [[urlBlocked]]/[[urlBlockedSql]]:
+    * both engines must reject unsafe entries LOUDLY — a `%`/`_` in a
+    * token silently becomes a LIKE wildcard in the SQL twin while the
+    * Spark side matches it literally, and a quote breaks the oracle
+    * query. Charsets cover real blocklist entries (hosts; path/query
+    * fragments like `ref=home`) and nothing meta.
+    */
+  private def requireUrlListsSafe(domains: Seq[String], pathTokens: Seq[String]): Unit = {
+    require(domains.forall(_.matches("[a-z0-9.-]+")),
+      s"blocked domains must be [a-z0-9.-] literals, got: ${domains.mkString(", ")}")
+    require(pathTokens.forall(_.toLowerCase(java.util.Locale.ROOT).matches("[a-z0-9/.=&-]+")),
+      s"blocked path tokens must be [a-z0-9/.=&-] literals, got: ${pathTokens.mkString(", ")}")
+  }
+
   def urlBlocked(urlNorm: Column, domains: Seq[String],
                  pathTokens: Seq[String]): Column = {
+    requireUrlListsSafe(domains, pathTokens)
     val host = urlHost(urlNorm)
     val domHit = domains.map(d => host === d || host.endsWith("." + d))
       .foldLeft(lit(false))(_ || _)
@@ -660,6 +681,7 @@ object TextAnalysis {
     */
   def urlBlockedSql(x: String, domains: Seq[String],
                     pathTokens: Seq[String]): String = {
+    requireUrlListsSafe(domains, pathTokens)
     val host = s"regexp_extract($x, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)"
     val rest = s"lower(regexp_extract($x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)', 1))"
     val domHit = domains.map(d => s"($host = '$d' OR $host LIKE '%.$d')")

@@ -150,15 +150,28 @@ object UnigramLm {
     * and restores the caller's setting after — frames checkpointed
     * inside the window carry no constraints, keeping later plans flat.
     */
-  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  /** SCOPE CAVEAT: the toggle is session-wide SQL conf — any UNRELATED
+    * query running concurrently on the same SparkSession inside the
+    * training window also optimizes without constraint propagation
+    * (harmless for correctness, possibly a weaker plan). A per-trainer
+    * scope would need the input frames re-rooted into a cloned session
+    * (`spark.newSession()`), which frames built by the CALLER can't do
+    * retroactively — so the trainer instead serializes on a JVM-wide
+    * lock, which also makes the save/restore correct under interleaved
+    * trainers (two unsynchronized trainers could otherwise restore each
+    * other's transient "false" as the prior value).
+    */
+  private val trainerLock = new Object
+  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T =
+    trainerLock.synchronized {
+      val key = "spark.sql.constraintPropagation.enabled"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try f finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Training loop; returns (final vocab (piece, n), final-round
     * emissions (word, freq, piece)) — the latter feeds the encode side.
@@ -208,8 +221,14 @@ object UnigramLm {
       .select(col(id), col("n_pieces").as("np"))
     val long = docWords.filter(length(col("word")) > cfg.maxWordLen)
       .select(col(id), length(col("word")).cast("long").as("np"))
-    short.unionByName(long)
+    val counts = short.unionByName(long)
       .groupBy(col(id)).agg(sum(col("np")).as("n_unigram_tokens"))
+    // A document with no [A-Za-z] runs contributes no count row; the
+    // training manifest must report it as ZERO tokens, not silently
+    // drop it (a loader budgeting by this column would never see the
+    // doc). Left-join back to the full id set — mirrored in encodeSql.
+    df.select(col(id)).join(counts, Seq(id), "left")
+      .select(col(id), coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"))
   }
 
   // ---------------------------------------------------------------
@@ -305,11 +324,13 @@ object UnigramLm {
          |wp AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces FROM (
          |  ${(1 to L).map(j => s"SELECT word, piece FROM t${T}_$j").mkString("\n  UNION ALL ")}
          |  ) GROUP BY 1),
-         |dwords AS (SELECT $idCol, unnest(regexp_extract_all(lower(text), '[A-Za-z]+')) AS word FROM $rel)
-         |SELECT $idCol, CAST(SUM(np) AS BIGINT) AS n_unigram_tokens FROM (
+         |dwords AS (SELECT $idCol, unnest(regexp_extract_all(lower(text), '[A-Za-z]+')) AS word FROM $rel),
+         |counts AS (SELECT $idCol, CAST(SUM(np) AS BIGINT) AS n_unigram_tokens FROM (
          |  SELECT $idCol, n_pieces AS np FROM dwords JOIN wp USING (word) WHERE length(word) <= $L
          |  UNION ALL
          |  SELECT $idCol, CAST(length(word) AS BIGINT) AS np FROM dwords WHERE length(word) > $L)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1)
+         |SELECT $idCol, CAST(coalesce(n_unigram_tokens, 0) AS BIGINT) AS n_unigram_tokens
+         |FROM (SELECT $idCol FROM $rel) LEFT JOIN counts USING ($idCol)""".stripMargin
   }
 }

@@ -1167,9 +1167,13 @@ object CorpusPipeline {
       case "keyword_filter" =>
         // C4 §2.2 lexical blocklist page gate: drop docs containing
         // any blocked token as a whole word — one codegen'd regex
-        // alternation, narrow (the deployment supplies its own list)
-        df.filter(!TA.keywordHit(text, st.block_tokens.getOrElse(
-          throw new IllegalArgumentException("keyword_filter needs block_tokens"))))
+        // alternation, narrow (the deployment supplies its own list).
+        // coalesce: null text yields a NULL verdict and filter(!NULL)
+        // would silently drop the row — only positive evidence blocks,
+        // the same convention as url_filter
+        df.filter(!coalesce(TA.keywordHit(text, st.block_tokens.getOrElse(
+          throw new IllegalArgumentException("keyword_filter needs block_tokens"))),
+          lit(false)))
       case "url_filter" =>
         // UT1/RefinedWeb-style URL gate over the crawl frame's `url`
         // column (WARC input carries it): blocked hosts/path-tokens

@@ -45,6 +45,10 @@ object Pipeline {
   def selectTables(all: Seq[String], database: String, filters: SourceFilters): Seq[String] = {
     val skip = filters.skipTables.collect { case TableRef(d, t) if d == database => t }.toSet
     val only = filters.onlyTables.collect { case TableRef(d, t) if d == database => t }.toSet
+    // A table in BOTH lists is a config contradiction refused at
+    // SourceFilters construction (reference commands/dump.rs:115-128),
+    // so here skip and only can only be disjoint: skip removes, only
+    // restricts — never a silent intersection of conflicting entries.
     all.filter(t => !skip.contains(t) && (only.isEmpty || only.contains(t)))
   }
 

@@ -589,6 +589,29 @@ class CliSpec extends SparkSpec {
     assert(got == expect, "config-driven keyword_filter kept a different set")
   }
 
+  test("cli: keyword_filter passes null-text docs (only positive evidence blocks)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-kwnull-in-").toString + "/docs"
+    val outDir = Files.createTempDirectory("graft-kwnull-").toString + "/out"
+    Seq((1L, "a clean page"), (2L, "a spamword page"), (3L, null))
+      .toDF("doc_id", "text").write.parquet(inDir)
+    val conf = Files.createTempDirectory("graft-kwnull-conf-").toString + "/c.yaml"
+    Files.write(java.nio.file.Paths.get(conf),
+      s"""input_dir: $inDir
+         |output_dir: $outDir
+         |stages:
+         |  - kind: keyword_filter
+         |    block_tokens:
+         |      - spamword
+         |""".stripMargin.getBytes("UTF-8"))
+    assert(Cli.run(Seq("corpus", "run", conf), spark, _ => ()) == 0)
+    val got = spark.read.parquet(outDir).select(col("doc_id")).as[Long].collect().toSet
+    // doc 3 has NULL text: the gate's verdict is unknowable, so it must
+    // pass (filter(!NULL) would silently drop it) — url_filter convention
+    assert(got == Set(1L, 3L), s"expected Set(1, 3), got $got")
+  }
+
   test("cli: corpus stats prints the language/token/dup profile") {
     val conf = Files.createTempDirectory("graft-stats-").toString + "/c.yaml"
     Files.write(java.nio.file.Paths.get(conf),

@@ -42,17 +42,28 @@ class PipelineSpec extends SparkSpec {
     super.afterAll()
   }
 
-  test("selectTables: skip and only are honored, mutually exclusive") {
+  test("selectTables: skip and only are honored; a table in both is refused") {
     val all = Seq("customer", "orders", "nation")
     assert(Pipeline.selectTables(all, "public",
       SourceFilters(skipTables = Seq(TableRef("public", "orders")))) == Seq("customer", "nation"))
     assert(Pipeline.selectTables(all, "public",
       SourceFilters(onlyTables = Seq(TableRef("public", "customer")))) == Seq("customer"))
-    intercept[IllegalArgumentException] {
+    // reference parity (commands/dump.rs:115-128): DISJOINT lists may
+    // coexist — skip removes, only restricts
+    assert(Pipeline.selectTables(all, "public",
       SourceFilters(
-        skipTables = Seq(TableRef("public", "a")),
-        onlyTables = Seq(TableRef("public", "b")))
+        skipTables = Seq(TableRef("public", "orders")),
+        onlyTables = Seq(TableRef("public", "customer"), TableRef("public", "nation"))))
+      == Seq("customer", "nation"))
+    // …but the SAME table in both is a config contradiction, refused
+    // loudly with the conflicting table named, never silently intersected
+    val e = intercept[IllegalArgumentException] {
+      SourceFilters(
+        skipTables = Seq(TableRef("public", "orders"), TableRef("public", "a")),
+        onlyTables = Seq(TableRef("public", "orders")))
     }
+    assert(e.getMessage.contains("\"public.orders\""))
+    assert(e.getMessage.contains("cannot be both"))
   }
 
   test("dump → restore end-to-end roundtrip with transformer and skip") {

@@ -62,4 +62,33 @@ object Bucketing {
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Identity of the last [[writeBucketedOnce]] per table name —
+    * process-scoped because bucket metadata itself lives in the
+    * session catalog (in-memory locally, a metastore in production),
+    * so a new JVM starts with an empty catalog and rebuilds anyway.
+    */
+  private val builtIdentity =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Pay-once variant: (re)write the bucketed layout only when the
+    * catalog doesn't hold `table` built from this exact `identity`
+    * (caller-supplied data-identity string — `ArtifactCache
+    * .sourceIdentity` of the source files). The bucketed layout is an
+    * INGEST artifact: at 100 TB the whole point is paying the shuffle
+    * once and joining shuffle-free forever after, so a bench pass (or
+    * any repeated job in one session) must measure the join, not a
+    * rewrite of the layout. A changed identity (re-provisioned source)
+    * rebuilds — same staleness contract as ArtifactCache.
+    */
+  def writeBucketedOnce(df: DataFrame, table: String, keys: Seq[String],
+                        buckets: Int, identity: String): Unit = {
+    val key = s"$identity|${keys.mkString(",")}|$buckets"
+    val fresh = df.sparkSession.catalog.tableExists(table) &&
+      builtIdentity.get(table) == key
+    if (!fresh) {
+      writeBucketed(df, table, keys, buckets)
+      builtIdentity.put(table, key)
+    }
+  }
 }

@@ -1376,6 +1376,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketedOnce: same identity reuses the layout, changed identity rebuilds") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    try {
+      graft.ops.Bucketing.writeBucketedOnce(df, "graft_once_spec", Seq("k"), 2, "id-1")
+      val files1 = spark.table("graft_once_spec").inputFiles.toSet
+      // same identity: no rewrite — an Overwrite would commit new part
+      // files under a fresh job UUID, so identical file names prove skip
+      graft.ops.Bucketing.writeBucketedOnce(df, "graft_once_spec", Seq("k"), 2, "id-1")
+      assert(spark.table("graft_once_spec").inputFiles.toSet == files1,
+        "pay-once layout was rewritten for an unchanged identity")
+      // changed identity (re-provisioned source): must rebuild
+      graft.ops.Bucketing.writeBucketedOnce(df, "graft_once_spec", Seq("k"), 2, "id-2")
+      assert(spark.table("graft_once_spec").inputFiles.toSet != files1,
+        "stale layout served after the source identity changed")
+      // changed layout params under the same data identity: rebuild too
+      val files2 = spark.table("graft_once_spec").inputFiles.toSet
+      graft.ops.Bucketing.writeBucketedOnce(df, "graft_once_spec", Seq("k"), 4, "id-2")
+      assert(spark.table("graft_once_spec").inputFiles.toSet != files2,
+        "bucket-count change did not rebuild the layout")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_once_spec")
+  }
+
   test("plain-parquet LSH index: map-side probe keeps the corpus index Exchange-free") {
     // the layout the CLI admission actually persists (`<out>.artifacts/
     // lsh` is plain parquet, not a bucketed table) — past the broadcast

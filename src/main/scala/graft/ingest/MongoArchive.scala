@@ -175,46 +175,80 @@ object MongoArchive {
     writeSeparator(out)
   }
 
-  /** One collection's framing: open namespace, streamed body documents
-    * with a running CRC64, separator, closing EOF namespace carrying the
-    * CRC, separator. Returns the body CRC. O(one document) of state.
+  /** One collection's framing — open namespace, body written by
+    * `body` (which returns the body CRC64), separator, closing EOF
+    * namespace carrying the CRC, separator. The single framing
+    * implementation the in-memory Archive path and the distributed
+    * DataFrame path share, so both produce byte-identical envelopes by
+    * construction. Returns the body CRC.
     */
-  private def writeCollection(out: java.io.OutputStream, db: String, coll: String,
-                              docBytes: Iterator[Array[Byte]]): Long = {
+  private def framedCollection(out: java.io.OutputStream, db: String, coll: String)
+                              (body: => Long): Long = {
     out.write(nsDoc(db, coll, eof = false, crc = 0L))
-    var crc = 0L
-    for (bytes <- docBytes) {
-      crc = Crc64.update(crc, bytes)
-      out.write(bytes)
-    }
+    val crc = body
     writeSeparator(out)
     out.write(nsDoc(db, coll, eof = true, crc = crc))
     writeSeparator(out)
     crc
   }
 
+  /** Streamed per-document body: running CRC64 fold, O(one document)
+    * of state (the in-memory Archive serialization path).
+    */
+  private def writeCollection(out: java.io.OutputStream, db: String, coll: String,
+                              docBytes: Iterator[Array[Byte]]): Long =
+    framedCollection(out, db, coll) {
+      var crc = 0L
+      for (bytes <- docBytes) {
+        crc = Crc64.update(crc, bytes)
+        out.write(bytes)
+      }
+      crc
+    }
+
   /** Stream DataFrames straight into archive bytes on `out` without
-    * materializing any collection: rows arrive through
-    * `toLocalIterator` (one partition buffered at a time), each
-    * document is encoded and written immediately, and each
-    * collection's CRC64 is a running fold — the driver holds O(one
-    * document), not O(collection). The wire format permits this in a
-    * single pass because the CRC lives in the *closing* EOF namespace,
-    * after the body. The archive remains what it is — one sequential
-    * bytestream — but a 10 GB collection streams through instead of
-    * OOMing the driver. Returns the per-collection CRC64s written.
+    * materializing any collection — and without doing the per-document
+    * work on the driver. Each partition is BSON-ENCODED ON ITS
+    * EXECUTOR (`mapPartitions`: Row → BSON bytes + that chunk's CRC64
+    * + length); the driver pulls one pre-encoded chunk at a time in
+    * partition order (`toLocalIterator`), writes it through, and folds
+    * the collection CRC with `Crc64.combine` — so the driver's work is
+    * framing (namespaces, separators, the closing EOF+CRC doc) plus a
+    * memcpy per chunk, O(one partition's bytes) of memory, zero
+    * per-document CPU. The wire format permits the single pass because
+    * the CRC lives in the *closing* EOF namespace, after the body; the
+    * bytestream itself is inherently sequential (it's one archive), so
+    * the driver remains the writer — but encode, the actual per-row
+    * cost, now scales with the cluster. Output is byte-identical to
+    * the previous driver-encoded form (MongoArchiveSpec pins this on a
+    * multi-partition collection). Returns the per-collection CRC64s.
     */
   def writeTables(out: java.io.OutputStream, db: String,
                   tables: Seq[(String, DataFrame)],
                   toolVersion: String = "graft"): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
     writeProlog(out, Header(1, "0.1", "n/a", toolVersion),
       tables.map { case (name, _) => defaultMeta(db, name) })
     val crcs = Map.newBuilder[String, Long]
     for ((name, df) <- tables) {
       val schema = df.schema
-      val docBytes = df.toLocalIterator().asScala.map(r => Bson.encode(rowToDoc(r, schema)))
-      crcs += (s"$db.$name" -> writeCollection(out, db, name, docBytes))
+      val chunks = df.rdd.mapPartitions { rows =>
+        val buf = new java.io.ByteArrayOutputStream()
+        rows.foreach(r => buf.write(Bson.encode(rowToDoc(r, schema))))
+        val bytes = buf.toByteArray
+        if (bytes.isEmpty) Iterator.empty
+        else Iterator.single((bytes, Crc64.of(bytes)))
+      }
+      val crc = framedCollection(out, db, name) {
+        var c = 0L
+        val it = chunks.toLocalIterator
+        while (it.hasNext) {
+          val (bytes, chunkCrc) = it.next()
+          out.write(bytes)
+          c = Crc64.combine(c, chunkCrc, bytes.length.toLong)
+        }
+        c
+      }
+      crcs += (s"$db.$name" -> crc)
     }
     crcs.result()
   }

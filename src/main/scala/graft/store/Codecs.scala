@@ -129,4 +129,55 @@ object Crc64 {
     }
     ~crc
   }
+
+  /** CRC of a concatenation A++B from crc(A), crc(B) and |B| alone —
+    * zlib's `crc32_combine` construction (Mark Adler's public GF(2)
+    * matrix method) lifted to the 64-bit reflected polynomial: advance
+    * crc(A) through |B| zero bytes by exponentiating the one-bit-shift
+    * operator, then XOR crc(B). O(log |B|) squarings of a 64×64 bit
+    * matrix; the enabler for DISTRIBUTED writes — executors CRC their
+    * own chunks, the driver folds the per-chunk (crc, length) pairs
+    * without ever re-reading the bytes.
+    */
+  def combine(crcA: Long, crcB: Long, lenB: Long): Long = {
+    require(lenB >= 0, s"negative chunk length: $lenB")
+    if (lenB == 0) return crcA
+    def times(mat: Array[Long], vec0: Long): Long = {
+      var sum = 0L; var vec = vec0; var i = 0
+      while (vec != 0) {
+        if ((vec & 1L) != 0) sum ^= mat(i)
+        vec >>>= 1; i += 1
+      }
+      sum
+    }
+    def square(dst: Array[Long], src: Array[Long]): Unit = {
+      var i = 0
+      while (i < 64) { dst(i) = times(src, src(i)); i += 1 }
+    }
+    // odd = the shift-by-one-bit operator in the reflected domain
+    val odd = new Array[Long](64)
+    odd(0) = Poly
+    var row = 1L
+    var n = 1
+    while (n < 64) { odd(n) = row; row <<= 1; n += 1 }
+    val even = new Array[Long](64)
+    square(even, odd) // 2 bits
+    square(odd, even) // 4 bits
+    var crc = crcA
+    var len = lenB
+    var done = false
+    while (!done) {
+      square(even, odd) // first pass: 8 bits = one zero byte
+      if ((len & 1L) != 0) crc = times(even, crc)
+      len >>>= 1
+      if (len == 0) done = true
+      else {
+        square(odd, even)
+        if ((len & 1L) != 0) crc = times(odd, crc)
+        len >>>= 1
+        if (len == 0) done = true
+      }
+    }
+    crc ^ crcB
+  }
 }

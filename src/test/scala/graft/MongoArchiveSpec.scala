@@ -242,6 +242,30 @@ class MongoArchiveSpec extends SparkSpec {
     assert(back.collections.getOrElse("testdb.empty", Vector.empty).isEmpty)
   }
 
+  test("distributed writeTables: multi-partition collection is byte-identical, CRC verified") {
+    // a collection genuinely larger than one partition: every partition
+    // contributes a non-empty executor-encoded chunk, so the driver's
+    // Crc64.combine fold crosses real chunk boundaries (the r14 scale
+    // item: encode on executors, driver merges framing + CRC only)
+    import org.apache.spark.sql.functions.{concat, lit}
+    val big = spark.range(0, 1000)
+      .select($"id", concat(lit("doc-"), $"id").as("name"), ($"id" % 7).as("grp"))
+      .repartition(7)
+    assert(big.rdd.getNumPartitions == 7)
+    val tables = Seq("bulk" -> big)
+    val bos = new java.io.ByteArrayOutputStream()
+    val crcs = MongoArchive.writeTables(bos, "testdb", tables)
+    // byte-exact vs the single-threaded in-memory path on the SAME row
+    // order (fromTables iterates the same partition order)
+    val materialized = MongoArchive.write(MongoArchive.fromTables("testdb", tables))
+    assert(bos.toByteArray.toSeq == materialized.toSeq,
+      "distributed encode diverged from the driver-encoded bytes")
+    // the combined CRC must equal what the verifying reader recomputes
+    val back = MongoArchive.read(bos.toByteArray)
+    assert(crcs == back.crcs)
+    assert(back.collections("testdb.bulk").size == 1000)
+  }
+
   test("archive read concatenates interleaved data blocks for one namespace") {
     // mongodump with concurrent_collections > 1 interleaves blocks;
     // hand-assemble: header, 1 metadata, then TWO data blocks for db.c

@@ -38,10 +38,28 @@ class StoreSpec extends SparkSpec {
   test("crc64: ECMA check value") {
     // standard CRC-64/XZ check: crc64("123456789") = 0x995DC9BBDF1939FA
     assert(Crc64.of("123456789".getBytes("US-ASCII")) == 0x995DC9BBDF1939FAL)
-    // incremental == one-shot
+    // incremental chaining == one-shot (the pre/post inversions cancel
+    // across update calls — the property the streaming writer's
+    // running fold relies on)
     val (a, b) = ("12345".getBytes, "6789".getBytes)
-    assert(Crc64.update(Crc64.update(0L, a), b) != Crc64.of("123456789".getBytes) ||
-      true) // incremental chaining is chunk-local by design; see Codecs doc
+    assert(Crc64.update(Crc64.update(0L, a), b) == Crc64.of("123456789".getBytes))
+  }
+
+  test("crc64 combine: crc(A++B) from per-chunk CRCs alone (distributed-writer fold)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val a = Array.fill(rnd.nextInt(2000))(rnd.nextInt().toByte)
+      val b = Array.fill(rnd.nextInt(2000))(rnd.nextInt().toByte)
+      assert(Crc64.combine(Crc64.of(a), Crc64.of(b), b.length.toLong) == Crc64.of(a ++ b))
+    }
+    // edges: empty chunks on either side, and a multi-chunk fold
+    val x = "chunk-one".getBytes; val e = Array.empty[Byte]
+    assert(Crc64.combine(Crc64.of(x), Crc64.of(e), 0L) == Crc64.of(x))
+    assert(Crc64.combine(Crc64.of(e), Crc64.of(x), x.length.toLong) == Crc64.of(x))
+    val parts = Seq("a".getBytes, "bb".getBytes, "ccc".getBytes, "dddd".getBytes)
+    val folded = parts.map(p => (Crc64.of(p), p.length.toLong))
+      .foldLeft(0L) { case (acc, (c, l)) => Crc64.combine(acc, c, l) }
+    assert(folded == Crc64.of(parts.reduce(_ ++ _)))
   }
 
   test("catalog: register/list/latest/keepLast/olderThan") {

@@ -143,6 +143,20 @@ object Cli {
         // reference `source schema` (`commands/source.rs:10-56`) — live
         // JDBC source when connection_uri is set, parquet dir otherwise
         val c = config
+        c.sourceMongo match {
+          // live Mongo leg: mongodump the archive and print the
+          // INFERRED schemas — the reference's read_and_parse_schema
+          // over the same stream (source/mongodb.rs:28-63)
+          case Some((uri, db)) =>
+            val archive = graft.ingest.MongoLive.dump(uri, db, mongoCmd(spark, "mongodump"))
+            graft.ingest.MongoArchive.restore(spark, archive).toSeq.sortBy(_._1)
+              .foreach { case (prefix, df) =>
+                out(s"table: $prefix")
+                out(df.schema.treeString)
+              }
+            return 0
+          case None => ()
+        }
         c.sourceJdbc match {
           case Some(conn) =>
             val schema = c.sourceConf.jdbcSchema
@@ -206,9 +220,19 @@ object Cli {
         val name = nameArgs.headOption.getOrElse(s"dump-${System.currentTimeMillis()}")
         val store = new Datastore(datastoreUri(c), spark)
         // live-database source (S1/S2) when source.connection_uri is
-        // set — partitioned JDBC range scans; parquet tables_dir
-        // otherwise
-        val (tables, fkEdges, load) = c.sourceJdbc match {
+        // set — partitioned JDBC range scans; mongodb:// URIs spawn
+        // mongodump (S3 live leg, reference source/mongodb.rs:66-101);
+        // parquet tables_dir otherwise
+        val (tables, fkEdges, load) = c.sourceMongo match {
+          case Some((uri, db)) =>
+            val archive = graft.ingest.MongoLive.dump(uri, db, mongoCmd(spark, "mongodump"))
+            // inferred schemas, "db.coll" prefixes → bare table names
+            val frames = graft.ingest.MongoArchive.restore(spark, archive)
+              .map { case (prefix, df) => prefix.split("\\.", 2).last -> df }
+            (frames.keys.toSeq.sorted, Nil,
+              (t: String) => frames.getOrElse(t,
+                throw new IllegalArgumentException(s"collection not in archive: $t")))
+          case None => c.sourceJdbc match {
           case Some(conn) =>
             // scope listing + reads to source.schema — a multi-schema
             // database would otherwise enumerate foreign-schema tables
@@ -223,7 +247,7 @@ object Cli {
           case None =>
             (tableNames(c, spark), Nil,
               (t: String) => Tables.load(spark, c.tablesDir, t))
-        }
+        }}
         val job = Pipeline.DumpJobConfig(
           tables = tables,
           database = c.sourceConf.db,
@@ -309,6 +333,20 @@ object Cli {
         val dest = c.destination.getOrElse(
           throw new IllegalArgumentException("config requires a destination section"))
         val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
+        c.destinationMongo match {
+          // live MongoDB restore (D3 live leg): archive bytes piped
+          // into mongorestore's stdin (reference destination/mongodb.
+          // rs:31-52); encoding runs distributed (MongoArchive
+          // .writeTables), the pipe itself is the tool's own bound
+          case Some((uri, db)) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            graft.ingest.MongoArchive.writeTables(bos, db, tables.toSeq.sortBy(_._1))
+            graft.ingest.MongoLive.restore(uri, db, bos.toByteArray,
+              mongoCmd(spark, "mongorestore"))
+            tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
+            return 0
+          case None => ()
+        }
         c.destinationJdbc match {
           // live-database restore (D1/D2) when destination.connection_uri
           // is set — batched JDBC writes, one connection per partition.
@@ -451,6 +489,15 @@ object Cli {
     }
     tmp
   }
+
+  /** Tool invocation for the live Mongo legs: `spark.graft.<tool>Cmd`
+    * overrides the binary (space-split — tests point it at stub
+    * scripts, deployments at non-PATH installs); default is the bare
+    * tool name resolved from PATH, like the reference.
+    */
+  private def mongoCmd(spark: SparkSession, tool: String): Seq[String] =
+    spark.conf.getOption(s"spark.graft.${tool}Cmd")
+      .map(_.split("\\s+").toSeq).getOrElse(Seq(tool))
 
   private def datastoreUri(c: GraftConfig): String =
     c.datastore.map(_.rootUri).getOrElse(

@@ -150,12 +150,40 @@ final case class GraftConfig(
 
   def encryptionKey: Option[String] = encryption_key.map(GraftConfig.substituteEnvVar)
 
-  /** Live-database source (S1/S2): parsed `source.connection_uri`. */
-  def sourceJdbc: Option[JdbcConnection] = sourceConf.connection_uri.map(JdbcConnection.parse)
+  private def isMongoUri(u: String): Boolean =
+    u.startsWith("mongodb://") || u.startsWith("mongodb+srv://")
 
-  /** Live-database destination (D1/D2): parsed `destination.connection_uri`. */
+  /** Live-database source (S1/S2): parsed `source.connection_uri`
+    * (mongodb:// URIs route to [[sourceMongo]] instead).
+    */
+  def sourceJdbc: Option[JdbcConnection] =
+    sourceConf.connection_uri.map(GraftConfig.substituteEnvVar)
+      .filterNot(isMongoUri).map(JdbcConnection.parse)
+
+  /** Live MongoDB source (S3 live leg): (uri, database) when
+    * `source.connection_uri` carries a mongodb scheme — dispatched to
+    * `mongodump --archive` like the reference (source/mongodb.rs).
+    */
+  def sourceMongo: Option[(String, String)] =
+    sourceConf.connection_uri.map(GraftConfig.substituteEnvVar)
+      .filter(isMongoUri).map(u => (u, GraftConfig.mongoDb(u).getOrElse(sourceConf.db)))
+
+  /** Live-database destination (D1/D2): parsed `destination.connection_uri`
+    * (mongodb:// URIs route to [[destinationMongo]] instead).
+    */
   def destinationJdbc: Option[JdbcConnection] =
-    destination.flatMap(_.connection_uri).map(JdbcConnection.parse)
+    destination.flatMap(_.connection_uri).map(GraftConfig.substituteEnvVar)
+      .filterNot(isMongoUri).map(JdbcConnection.parse)
+
+  /** Live MongoDB destination (D3 live leg): (uri, database) when
+    * `destination.connection_uri` carries a mongodb scheme —
+    * dispatched to `mongorestore --archive` on stdin like the
+    * reference (destination/mongodb.rs).
+    */
+  def destinationMongo: Option[(String, String)] =
+    destination.flatMap(_.connection_uri).map(GraftConfig.substituteEnvVar)
+      .filter(isMongoUri)
+      .map(u => (u, GraftConfig.mongoDb(u).getOrElse(sourceConf.db)))
 
   def tablesDir: String =
     sourceConf.tables_dir.map(GraftConfig.substituteEnvVar)
@@ -200,6 +228,12 @@ final case class GraftConfig(
 }
 
 object GraftConfig {
+
+  /** Database from a mongodb URI's path (`mongodb://host:port/db?…`),
+    * None when the URI names no database.
+    */
+  private[config] def mongoDb(uri: String): Option[String] =
+    Option(new java.net.URI(uri).getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
 
   private val mapper = new ObjectMapper(new YAMLFactory())
   mapper.registerModule(DefaultScalaModule)

@@ -1,0 +1,85 @@
+package graft.ingest
+
+import java.io.InputStream
+
+/** Live MongoDB source/destination — the reference's connector legs:
+  * the source spawns `mongodump --uri … --db … --archive` and parses
+  * its stdout (`replibyte/src/source/mongodb.rs:66-101`); the
+  * destination pipes archive bytes into `mongorestore --nsFrom/--nsTo
+  * --archive` on stdin (`replibyte/src/destination/mongodb.rs:31-52`).
+  * Archive parsing/serialization is [[MongoArchive]]'s job; this
+  * object owns ONLY the process plumbing, so the entire byte-level
+  * surface stays the one implementation the specs pin.
+  *
+  * `cmd` overrides the tool invocation (first element the binary,
+  * rest leading args): tests stub it with scripts, deployments whose
+  * tools live outside PATH point at them. A missing binary surfaces
+  * as the spawn's own IOException — loud, like the reference's
+  * `binary_exists` check.
+  *
+  * Scale note: a mongodump archive is one sequential pipe from one
+  * process — the same inherent bound the reference has. The dump is
+  * therefore spooled driver-side and bounded by archive size; bulk
+  * data belongs in [[MongoArchive.writeTables]]'s distributed path
+  * once it is INSIDE the engine.
+  */
+object MongoLive {
+
+  /** mongodump argument vector (reference source/mongodb.rs:38-45). */
+  def dumpArgs(uri: String, db: String): Seq[String] =
+    Seq("--uri", uri, "--db", db, "--archive")
+
+  /** mongorestore argument vector (reference destination/mongodb.rs:
+    * 33-40); nsFrom/nsTo scope the restore to the target database.
+    */
+  def restoreArgs(uri: String, db: String): Seq[String] =
+    Seq("--uri", uri, s"--nsFrom=$db.*", s"--nsTo=$db.*", "--archive")
+
+  /** Dump a live database to a parsed [[MongoArchive.Archive]]. */
+  def dump(uri: String, db: String,
+           cmd: Seq[String] = Seq("mongodump")): MongoArchive.Archive =
+    MongoArchive.read(run(cmd ++ dumpArgs(uri, db), stdin = Array.empty))
+
+  /** Restore archive bytes into a live database via mongorestore. */
+  def restore(uri: String, db: String, archive: Array[Byte],
+              cmd: Seq[String] = Seq("mongorestore")): Unit = {
+    run(cmd ++ restoreArgs(uri, db), stdin = archive)
+    ()
+  }
+
+  /** Spawn `argv`, feed `stdin`, return stdout bytes; non-zero exit →
+    * IllegalStateException carrying stderr. stderr drains on its own
+    * thread — a chatty tool filling the stderr pipe while the caller
+    * reads stdout (or writes stdin) would otherwise deadlock both
+    * processes.
+    */
+  private[ingest] def run(argv: Seq[String], stdin: Array[Byte]): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val p = new ProcessBuilder(argv.asJava).start()
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => copy(p.getErrorStream, errBuf))
+    drain.setDaemon(true)
+    drain.start()
+    val writer = new Thread(() => {
+      try { p.getOutputStream.write(stdin); p.getOutputStream.close() }
+      catch { case _: java.io.IOException => () /* tool exited early; exit code decides */ }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val outBuf = new java.io.ByteArrayOutputStream()
+    copy(p.getInputStream, outBuf)
+    val exit = p.waitFor()
+    drain.join(10000)
+    writer.join(10000)
+    if (exit != 0)
+      throw new IllegalStateException(
+        s"${argv.head} exited $exit: ${new String(errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim}")
+    outBuf.toByteArray
+  }
+
+  private def copy(in: InputStream, out: java.io.OutputStream): Unit = {
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+  }
+}

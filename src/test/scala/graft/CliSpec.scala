@@ -1582,4 +1582,78 @@ class CliSpec extends SparkSpec {
     }
     assert(!Telemetry.isEnabled)
   }
+
+  test("live mongo legs: mongodump source -> pipeline -> mongorestore destination (stubbed tools)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-mongolive-")
+    // a real archive for the stub mongodump to emit, built by the
+    // writer the specs already pin byte-exactly
+    val users = Seq((1L, "ada", 3.5), (2L, "bob", -1.0)).toDF("id", "name", "score")
+    val events = Seq((10L, "click"), (11L, "view")).toDF("event_id", "kind")
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.ingest.MongoArchive.writeTables(bos, "livedb",
+      Seq("events" -> events, "users" -> users))
+    val archivePath = dir.resolve("dump.archive")
+    Files.write(archivePath, bos.toByteArray)
+    // stub tools: mongodump records its argv and cats the archive;
+    // mongorestore records argv and spools stdin to a file
+    val dumpArgsF = dir.resolve("dump.args"); val restArgsF = dir.resolve("rest.args")
+    val restoredF = dir.resolve("restored.bin")
+    val dumpStub = dir.resolve("mongodump.sh")
+    Files.writeString(dumpStub, s"#!/bin/sh\necho \"$$@\" > $dumpArgsF\ncat $archivePath\n")
+    val restStub = dir.resolve("mongorestore.sh")
+    Files.writeString(restStub, s"#!/bin/sh\necho \"$$@\" > $restArgsF\ncat > $restoredF\n")
+    Seq(dumpStub, restStub).foreach(_.toFile.setExecutable(true))
+    val store = Files.createTempDirectory("graft-mongolive-store-").toString
+    val conf = Files.createTempFile("graft-mongolive-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  connection_uri: mongodb://localhost:27017/livedb
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  connection_uri: mongodb://otherhost:27017/livedb
+         |""".stripMargin)
+    spark.conf.set("spark.graft.mongodumpCmd", dumpStub.toString)
+    spark.conf.set("spark.graft.mongorestoreCmd", restStub.toString)
+    val printed = collection.mutable.Buffer[String]()
+    try {
+      // source schema prints inferred schemas via the mongodump stream
+      assert(Cli.run(Seq("-c", conf.toString, "source", "schema"), spark, printed += _) == 0)
+      assert(printed.exists(_.contains("table: livedb.users")))
+      assert(printed.exists(_.contains("table: livedb.events")))
+      assert(Files.readString(dumpArgsF).trim ==
+        "--uri mongodb://localhost:27017/livedb --db livedb --archive")
+      // dump create: mongodump -> archive -> the standard pipeline/store
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "mongo-live"), spark,
+        printed += _) == 0)
+      assert(printed.exists(_.contains("dump created: mongo-live")))
+      // restore: tables -> archive bytes -> mongorestore stdin; the
+      // spooled bytes must BE a valid archive holding the same data
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "mongo-live"), spark,
+        printed += _) == 0)
+      assert(Files.readString(restArgsF).trim ==
+        "--uri mongodb://otherhost:27017/livedb --nsFrom=livedb.* --nsTo=livedb.* --archive")
+      val back = graft.ingest.MongoArchive.read(Files.readAllBytes(restoredF))
+      assert(back.collections.keySet == Set("livedb.users", "livedb.events"))
+      val restoredUsers = graft.ingest.MongoArchive.restore(spark, back)("livedb.users")
+      assert(restoredUsers.select(col("id"), col("name"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+        Set((1L, "ada", 3.5), (2L, "bob", -1.0)))
+      // failure is loud and carries the tool's stderr
+      val failStub = dir.resolve("failing.sh")
+      Files.writeString(failStub, "#!/bin/sh\necho 'connection refused' >&2\nexit 3\n")
+      failStub.toFile.setExecutable(true)
+      val e = intercept[IllegalStateException] {
+        graft.ingest.MongoLive.dump("mongodb://x/livedb", "livedb", Seq(failStub.toString))
+      }
+      assert(e.getMessage.contains("exited 3") && e.getMessage.contains("connection refused"))
+    } finally {
+      spark.conf.unset("spark.graft.mongodumpCmd")
+      spark.conf.unset("spark.graft.mongorestoreCmd")
+    }
+  }
 }

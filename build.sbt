@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Measurement scaffolding (Probe*.scala — PLANS.md adjudication
+// probes) lives outside src/main so the library surface stays clean;
+// compiled on the Test classpath, run via `sbt "Test/runMain graft.ProbeX"`.
+Test / unmanagedSourceDirectories += baseDirectory.value / "src" / "probe" / "scala"
 // Pass forked-run stdout through verbatim: the bench harness greps for a
 // bare one-line JSON record, which sbt's default logged output would
 // prefix with "[info] " and break.

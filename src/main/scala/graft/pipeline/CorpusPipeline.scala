@@ -1060,7 +1060,7 @@ object CorpusPipeline {
       case "dedup_near" =>
         val drops = Dedup.clusterDropList(Dedup.nearDupClusters(
           Dedup.ngramJaccardPairs(df, id, text,
-            st.nVal(3), st.thresholdVal(0.8))))
+            st.nVal(3), st.thresholdVal(0.8), dfOrder = true)))
         df.join(drops.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
       case "dedup_semantic" =>
         // SemDeDup over a sidecar embedding table: vectors join onto
@@ -1140,7 +1140,7 @@ object CorpusPipeline {
       case "quality_rep_dedup" =>
         val labeled = Dedup.clusterRepresentatives(
           Dedup.ngramJaccardPairs(df, id, text,
-            st.nVal(3), st.thresholdVal(0.8)),
+            st.nVal(3), st.thresholdVal(0.8), dfOrder = true),
           df.select(col(id).as("doc_id"), TA.qualityScore(text).as("__graft_q")),
           "doc_id", "__graft_q")
         val drops = labeled.filter(col("doc_id") =!= col("rep_id"))
@@ -1235,7 +1235,8 @@ object CorpusPipeline {
         require(df.columns.contains("split"),
           "leakage_quarantine needs the split column — run holdout_split first")
         val evict = graft.ops.Splits.quarantine(
-            Dedup.ngramJaccardPairs(df, id, text, st.nVal(3), st.thresholdVal(0.8)),
+            Dedup.ngramJaccardPairs(df, id, text, st.nVal(3), st.thresholdVal(0.8),
+              dfOrder = true),
             df.select(col(id), col("split")), id)
           .select(col(id))
         df.join(evict, Seq(id), "left_anti")

@@ -283,7 +283,8 @@ object OpsQueries {
         corpus, docs.filter(isBatch(col("doc_id"))),
         "doc_id", col("text"), 3, 64, 16, 0.8,
         corpusIndex = Some(s.read.parquet(idxDir)))
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
+        eager = true)
         .filter(isBatch(col("id_a")) || isBatch(col("id_b")))
       inc.select(col("id_a"), col("id_b"))
         .union(exact.select(col("id_a"), col("id_b")))
@@ -1040,7 +1041,8 @@ object OpsQueries {
     "x_cluster_best_rep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.clusterRepresentatives(
-        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
+        eager = true),
         docs.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
         "doc_id", "q")
     }),
@@ -1223,7 +1225,8 @@ object OpsQueries {
     "x_split_leakage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Splits.crossSplitPairs(
-          Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+          Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
+        eager = true),
           Splits.splitAssign(docs, col("doc_id")), "doc_id")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
           col("split_a"), col("split_b"))
@@ -1235,7 +1238,8 @@ object OpsQueries {
     "x_split_quarantine" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Splits.quarantine(
-        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8),
+        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
+        eager = true),
         Splits.splitAssign(docs, col("doc_id")), "doc_id")
     }),
 
@@ -1398,7 +1402,8 @@ object OpsQueries {
       .select(col("doc").as("doc_id"))
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8,
+        eager = true)))
     val result = clean.join(dropList, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
     (result, if (persistGated) Seq(gated) else Nil)
@@ -1430,7 +1435,8 @@ object OpsQueries {
       .select(col("doc").as("doc_id"))
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8)))
+      Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8,
+        eager = true)))
     val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
     (deduped, if (gatedReuse == "persist") Seq(gated) else Nil)
   }
@@ -1568,7 +1574,8 @@ object OpsQueries {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val desp = despArtifact(s, dir).persist(lvl)
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8)))
+      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8,
+        eager = true)))
     val deduped = desp.join(dropList, Seq("doc_id"), "left_anti")
     val mixed = Sampling.temperatureMixture(
         deduped.withColumn("lang_guess", TA.langId(col("text"))),
@@ -1616,7 +1623,8 @@ object OpsQueries {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val desp = despArtifact(s, dir).persist(lvl)
     val labeled = Dedup.clusterRepresentatives(
-      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8),
+      Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8,
+        eager = true),
       desp.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
       "doc_id", "q")
     val dropped = labeled.filter(col("doc_id") =!= col("rep_id")).select(col("doc_id"))
@@ -1705,7 +1713,8 @@ object OpsQueries {
     val kept = ext.join(scored.filter(col("keep")).select("doc_id", "p_q"), Seq("doc_id"))
       .persist(lvl)
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
-      Dedup.ngramJaccardPairs(kept, "doc_id", col("text"), 3, 0.8)))
+      Dedup.ngramJaccardPairs(kept, "doc_id", col("text"), 3, 0.8,
+        eager = true)))
     val deduped = kept.join(dropList, Seq("doc_id"), "left_anti")
     val out = Sampling.chunkTokens(deduped, col("doc_id"), col("text"),
         ChunkWindow, ChunkStride)

@@ -215,6 +215,35 @@ class PropertySpec extends SparkSpec {
     assert(prev == rows.map(_._1).toSet)
   }
 
+  test("property: df-ordered PPJoin prefixes find exactly the lexical-prefix pair set") {
+    // the prefix bound holds under ANY consistent global total order —
+    // so rarest-first (the hot-gram guard) and lexical must verify to
+    // the SAME pair set on any corpus, including dup-heavy ones with
+    // skewed hot grams. A divergence here would be a silent recall
+    // loss nothing downstream detects.
+    val word: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("the", "of", "and", "data", "spark"), // hot grams
+      4 -> Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))
+    val doc: Gen[String] = Gen.chooseNum(3, 18).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (seed <- 0 until 3) {
+      val texts = samples(doc, 60).zipWithIndex
+        .map { case (t, i) => (i.toLong + seed * 1000, t) }
+      // plant exact dups and near-dups so the pair set is non-trivial
+      val planted = texts ++ texts.take(8).map { case (id, t) => (id + 500, t) } ++
+        texts.slice(8, 12).map { case (id, t) => (id + 600, t + " tail") }
+      val df = planted.toDF("doc_id", "text")
+      def pairs(dfOrder: Boolean) =
+        graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", $"text", 2, 0.6, dfOrder = dfOrder)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val lex = pairs(dfOrder = false)
+      val rare = pairs(dfOrder = true)
+      assert(lex == rare,
+        s"seed=$seed: lexical-only ${lex.diff(rare)} / df-order-only ${rare.diff(lex)}")
+      assert(lex.nonEmpty, s"seed=$seed produced no pairs — generator too weak to test anything")
+    }
+  }
+
   test("property: URL normalization is idempotent and blocklist verdicts respect host suffixes") {
     import graft.ops.{TextAnalysis => TA}
     val urlGen = for {

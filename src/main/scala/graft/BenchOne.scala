@@ -16,6 +16,14 @@ object BenchOne {
     // cpu ≈ wall×parallelism is real work, cpu ≫ wall×loadavg is
     // recomputation — the adjudication signal for plan instability
     val r = Bench.timeQuery(name, () => { n = fn(spark, sfDir).count(); () })
+    // a failed query must crash LOUDLY, never print a bogus-fast line
+    // an adjudication run could mistake for a measurement — rerun it
+    // unwrapped so the real stack trace surfaces
+    r.err.foreach { cls =>
+      println(s"BENCH_ONE $name FAILED: $cls — rethrowing for the stack trace")
+      fn(spark, sfDir).count() // normally rethrows with the full trace
+      sys.exit(1)              // flaky pass on rerun is still a failed run
+    }
     println(f"BENCH_ONE $name rows=$n sec=${r.wall}%.3f cpu=${r.cpu}%.2f gc=${r.gc}%.2f")
     spark.stop()
   }

@@ -248,9 +248,14 @@ object Cli {
             (tableNames(c, spark), Nil,
               (t: String) => Tables.load(spark, c.tablesDir, t))
         }}
+        // filters/bindings/subset key on (database, table): for a Mongo
+        // source the namespace is the URI's database, NOT the SQL-side
+        // default ("public") — a skip_tables entry keyed by the real db
+        // would otherwise silently match nothing and dump the excluded
+        // collection anyway
         val job = Pipeline.DumpJobConfig(
           tables = tables,
-          database = c.sourceConf.db,
+          database = c.sourceMongo.map(_._2).getOrElse(c.sourceConf.db),
           filters = c.filters,
           bindings = c.bindings,
           subset = c.subsetConfig,
@@ -339,10 +344,16 @@ object Cli {
           // rs:31-52); encoding runs distributed (MongoArchive
           // .writeTables), the pipe itself is the tool's own bound
           case Some((uri, db)) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            graft.ingest.MongoArchive.writeTables(bos, db, tables.toSeq.sortBy(_._1))
-            graft.ingest.MongoLive.restore(uri, db, bos.toByteArray,
-              mongoCmd(spark, "mongorestore"))
+            // streamed straight into the tool's stdin (never the whole
+            // archive on the driver); wipe → --drop, same idempotent-
+            // re-run default as the JDBC leg's truncate-overwrite
+            graft.ingest.MongoLive.restore(uri, db,
+              (o: java.io.OutputStream) => {
+                graft.ingest.MongoArchive.writeTables(o, db, tables.toSeq.sortBy(_._1))
+                ()
+              },
+              wipe = dest.wipe.getOrElse(true),
+              cmd = mongoCmd(spark, "mongorestore"))
             tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
             return 0
           case None => ()

@@ -166,7 +166,15 @@ final case class GraftConfig(
     */
   def sourceMongo: Option[(String, String)] =
     sourceConf.connection_uri.map(GraftConfig.substituteEnvVar)
-      .filter(isMongoUri).map(u => (u, GraftConfig.mongoDb(u).getOrElse(sourceConf.db)))
+      .filter(isMongoUri).map { u =>
+        // the database must be NAMED (URI path or explicit source
+        // .database) — falling back to the SQL-side "public" default
+        // would dump a database that doesn't exist on any Mongo server
+        (u, GraftConfig.mongoDb(u).orElse(sourceConf.database).getOrElse(
+          throw new IllegalArgumentException(
+            "mongodb source needs a database: name it in the URI path " +
+              "(mongodb://host:port/db) or set source.database")))
+      }
 
   /** Live-database destination (D1/D2): parsed `destination.connection_uri`
     * (mongodb:// URIs route to [[destinationMongo]] instead).
@@ -183,7 +191,13 @@ final case class GraftConfig(
   def destinationMongo: Option[(String, String)] =
     destination.flatMap(_.connection_uri).map(GraftConfig.substituteEnvVar)
       .filter(isMongoUri)
-      .map(u => (u, GraftConfig.mongoDb(u).getOrElse(sourceConf.db)))
+      .map { u =>
+        // restore-only configs have no source section, and the source
+        // database is the wrong namespace for a destination anyway —
+        // the URI itself must name where the data lands
+        (u, GraftConfig.mongoDb(u).getOrElse(throw new IllegalArgumentException(
+          "mongodb destination URI must name a database (mongodb://host:port/db)")))
+      }
 
   def tablesDir: String =
     sourceConf.tables_dir.map(GraftConfig.substituteEnvVar)

@@ -31,38 +31,63 @@ object MongoLive {
 
   /** mongorestore argument vector (reference destination/mongodb.rs:
     * 33-40); nsFrom/nsTo scope the restore to the target database.
+    * `wipe` adds `--drop` (drop each collection before restoring) —
+    * the engine-wide idempotent-restore convention the JDBC leg's
+    * truncate-overwrite implements; without it a re-run doubles every
+    * document (rowToDoc emits no _id, so mongorestore can't upsert).
     */
-  def restoreArgs(uri: String, db: String): Seq[String] =
-    Seq("--uri", uri, s"--nsFrom=$db.*", s"--nsTo=$db.*", "--archive")
+  def restoreArgs(uri: String, db: String, wipe: Boolean = false): Seq[String] =
+    Seq("--uri", uri, s"--nsFrom=$db.*", s"--nsTo=$db.*") ++
+      (if (wipe) Seq("--drop") else Nil) ++ Seq("--archive")
 
   /** Dump a live database to a parsed [[MongoArchive.Archive]]. */
   def dump(uri: String, db: String,
            cmd: Seq[String] = Seq("mongodump")): MongoArchive.Archive =
-    MongoArchive.read(run(cmd ++ dumpArgs(uri, db), stdin = Array.empty))
+    MongoArchive.read(run(cmd ++ dumpArgs(uri, db), _ => ()))
 
-  /** Restore archive bytes into a live database via mongorestore. */
-  def restore(uri: String, db: String, archive: Array[Byte],
-              cmd: Seq[String] = Seq("mongorestore")): Unit = {
-    run(cmd ++ restoreArgs(uri, db), stdin = archive)
+  /** Restore into a live database via mongorestore, STREAMING the
+    * archive into the tool's stdin: `write` (typically
+    * `MongoArchive.writeTables(_, db, tables)`) produces bytes
+    * chunk-by-chunk straight into the pipe, so the driver never holds
+    * the whole archive — the same O(one partition chunk) bound the
+    * distributed writer has.
+    */
+  def restore(uri: String, db: String, write: java.io.OutputStream => Unit,
+              wipe: Boolean, cmd: Seq[String]): Unit = {
+    run(cmd ++ restoreArgs(uri, db, wipe), write)
     ()
   }
 
-  /** Spawn `argv`, feed `stdin`, return stdout bytes; non-zero exit →
-    * IllegalStateException carrying stderr. stderr drains on its own
-    * thread — a chatty tool filling the stderr pipe while the caller
-    * reads stdout (or writes stdin) would otherwise deadlock both
-    * processes.
+  /** Buffered-bytes convenience overload (tests, small archives). */
+  def restore(uri: String, db: String, archive: Array[Byte],
+              cmd: Seq[String] = Seq("mongorestore"), wipe: Boolean = false): Unit =
+    restore(uri, db, (o: java.io.OutputStream) => o.write(archive), wipe, cmd)
+
+  /** Spawn `argv`, feed stdin via `writeStdin`, return stdout bytes;
+    * non-zero exit → IllegalStateException carrying stderr. stderr
+    * drains on its own thread — a chatty tool filling the stderr pipe
+    * while the caller reads stdout (or writes stdin) would otherwise
+    * deadlock both processes. A failure INSIDE writeStdin (e.g. a
+    * Spark job feeding the pipe) kills the process — leaving it alive
+    * would hang the stdout read forever — and rethrows after reaping.
     */
-  private[ingest] def run(argv: Seq[String], stdin: Array[Byte]): Array[Byte] = {
+  private[ingest] def run(argv: Seq[String],
+                          writeStdin: java.io.OutputStream => Unit): Array[Byte] = {
     import scala.jdk.CollectionConverters._
     val p = new ProcessBuilder(argv.asJava).start()
     val errBuf = new java.io.ByteArrayOutputStream()
     val drain = new Thread(() => copy(p.getErrorStream, errBuf))
     drain.setDaemon(true)
     drain.start()
+    @volatile var writeFailure: Option[Throwable] = None
     val writer = new Thread(() => {
-      try { p.getOutputStream.write(stdin); p.getOutputStream.close() }
-      catch { case _: java.io.IOException => () /* tool exited early; exit code decides */ }
+      try { writeStdin(p.getOutputStream); p.getOutputStream.close() }
+      catch {
+        case _: java.io.IOException => () // tool exited early; exit code decides
+        case t: Throwable =>
+          writeFailure = Some(t)
+          p.destroy()
+      }
     })
     writer.setDaemon(true)
     writer.start()
@@ -71,6 +96,8 @@ object MongoLive {
     val exit = p.waitFor()
     drain.join(10000)
     writer.join(10000)
+    writeFailure.foreach(t => throw new IllegalStateException(
+      s"producing ${argv.head} stdin failed", t))
     if (exit != 0)
       throw new IllegalStateException(
         s"${argv.head} exited $exit: ${new String(errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim}")

@@ -84,11 +84,16 @@ object Bucketing {
   def writeBucketedOnce(df: DataFrame, table: String, keys: Seq[String],
                         buckets: Int, identity: String): Unit = {
     val key = s"$identity|${keys.mkString(",")}|$buckets"
-    val fresh = df.sparkSession.catalog.tableExists(table) &&
-      builtIdentity.get(table) == key
-    if (!fresh) {
-      writeBucketed(df, table, keys, buckets)
-      builtIdentity.put(table, key)
-    }
+    // atomic per table: a bare check-then-act would let two concurrent
+    // callers race SaveMode.Overwrite on the same managed table.
+    // ConcurrentHashMap.compute serializes per key, so the build runs
+    // once and the loser reuses it; builds of DIFFERENT tables still
+    // proceed in parallel.
+    builtIdentity.compute(table, (_, prev) => {
+      if (!(prev == key && df.sparkSession.catalog.tableExists(table)))
+        writeBucketed(df, table, keys, buckets)
+      key
+    })
+    ()
   }
 }

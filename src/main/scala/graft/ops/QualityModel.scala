@@ -163,9 +163,18 @@ object QualityModel {
                    lr: Double = DefaultLr,
                    cacheKey: Option[String] = None): DataFrame = {
     val wq = cacheKey match {
-      case Some(k) => weightCache.computeIfAbsent(
-        s"$k|m=$sampleMod|s=$steps|lr=$lr",
-        _ => fit(df, id, text, sampleMod, steps, lr))
+      case Some(k) =>
+        // fit OUTSIDE the map lock: computeIfAbsent would hold the
+        // (whole-map) mutex for the multi-second training run, blocking
+        // every concurrent cache HIT on an unrelated key. The
+        // get/fit/putIfAbsent race can at worst duplicate a fit — the
+        // weights are deterministic, so both racers compute the same
+        // four longs and correctness is unaffected.
+        val key = s"$k|m=$sampleMod|s=$steps|lr=$lr"
+        Option(weightCache.get(key)).getOrElse {
+          val fitted = fit(df, id, text, sampleMod, steps, lr)
+          Option(weightCache.putIfAbsent(key, fitted)).getOrElse(fitted)
+        }
       case None => fit(df, id, text, sampleMod, steps, lr)
     }
     scoreWith(df, id, text, wq)

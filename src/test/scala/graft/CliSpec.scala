@@ -1606,9 +1606,13 @@ class CliSpec extends SparkSpec {
     Seq(dumpStub, restStub).foreach(_.toFile.setExecutable(true))
     val store = Files.createTempDirectory("graft-mongolive-store-").toString
     val conf = Files.createTempFile("graft-mongolive-conf-", ".yaml")
+    // skip_tables keyed by the REAL mongo database: the filter
+    // namespace must be the URI's db, not the SQL-side "public"
+    // default, or the exclusion silently matches nothing
     Files.writeString(conf,
       s"""source:
          |  connection_uri: mongodb://localhost:27017/livedb
+         |  skip_tables: [livedb.events]
          |datastore:
          |  local_disk:
          |    dir: $store
@@ -1635,10 +1639,14 @@ class CliSpec extends SparkSpec {
       printed.clear()
       assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "mongo-live"), spark,
         printed += _) == 0)
+      // wipe defaults TRUE (the JDBC leg's idempotent-re-run
+      // convention) → --drop; rowToDoc emits no _id, so a dropless
+      // re-run would double every document
       assert(Files.readString(restArgsF).trim ==
-        "--uri mongodb://otherhost:27017/livedb --nsFrom=livedb.* --nsTo=livedb.* --archive")
+        "--uri mongodb://otherhost:27017/livedb --nsFrom=livedb.* --nsTo=livedb.* --drop --archive")
       val back = graft.ingest.MongoArchive.read(Files.readAllBytes(restoredF))
-      assert(back.collections.keySet == Set("livedb.users", "livedb.events"))
+      // events was skip_tables'd under its real namespace → excluded
+      assert(back.collections.keySet == Set("livedb.users"))
       val restoredUsers = graft.ingest.MongoArchive.restore(spark, back)("livedb.users")
       assert(restoredUsers.select(col("id"), col("name"), col("score"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
@@ -1651,6 +1659,14 @@ class CliSpec extends SparkSpec {
         graft.ingest.MongoLive.dump("mongodb://x/livedb", "livedb", Seq(failStub.toString))
       }
       assert(e.getMessage.contains("exited 3") && e.getMessage.contains("connection refused"))
+      // a database-less URI is refused loudly on both legs (the SQL-side
+      // "public" default names nothing on a Mongo server)
+      val noDbSrc = GraftConfig.fromYaml(
+        "source:\n  connection_uri: mongodb://host:27017\n")
+      intercept[IllegalArgumentException] { noDbSrc.sourceMongo }
+      val noDbDst = GraftConfig.fromYaml(
+        "source:\n  tables_dir: /tmp\ndestination:\n  connection_uri: mongodb://host:27017\n")
+      intercept[IllegalArgumentException] { noDbDst.destinationMongo }
     } finally {
       spark.conf.unset("spark.graft.mongodumpCmd")
       spark.conf.unset("spark.graft.mongorestoreCmd")

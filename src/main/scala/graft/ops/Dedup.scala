@@ -89,19 +89,26 @@ object Dedup {
     * prefix + size + positional bounds (all necessary conditions, so
     * downstream verification stays exact).
     *
-    * `dfOrder=true` switches the prefix order from lexical to the
-    * CANONICAL PPJoin ordering — ascending global document frequency
-    * (Bayardo et al. WWW'07 §3.1; Xiao et al. order tokens rarest-
-    * first for exactly this reason): the prefix bound holds under ANY
-    * consistent total order, and df-ascending puts the RAREST grams in
-    * every prefix, so a corpus-stopword shingle ("of the and", df in
-    * the thousands) lands in suffixes instead of fanning out
-    * quadratically in the gram self-join. Unlike `maxDocFreq` (which
-    * DROPS hot grams and can lose pairs), df-ordering is exact — no
-    * candidate that can reach `threshold` is lost. Cost: one
-    * wordcount-shaped df aggregation + a gram-keyed enrich join + a
-    * per-doc window sort, all on skinny (doc, gram, df) rows — the
-    * price that buys the fan-out collapse.
+    * `dfOrder=true` switches the prefix order from lexical to a
+    * frequency-aware one in the spirit of canonical PPJoin (Bayardo et
+    * al. WWW'07 §3.1; Xiao et al. order tokens rarest-first): the
+    * prefix bound holds under ANY consistent total order, and pushing
+    * FREQUENT grams toward suffixes keeps a corpus-stopword shingle
+    * ("of the and", df in the thousands) from fanning out
+    * quadratically in the gram self-join. The implementation is
+    * DEMOTE-ONLY rather than a full df sort — order by (isHot, gram)
+    * where isHot = the gram's 64-bit hash appears in more than
+    * [[DemoteDocFreq]] docs — because only hot grams threaten the
+    * quadratic; rare grams' relative order is irrelevant. That choice
+    * keeps the plan narrow: the df aggregation groups 8-byte hashes
+    * (map-side combined, Zipf output), the hot SET is tiny and
+    * broadcasts, and the per-doc window sorts within the existing
+    * doc-partitioning with ZERO extra exchange — the full-df variant's
+    * corpus-wide string enrich join measured super-linear at 30×
+    * (ProbeR15b, PLANS.md r15). Unlike `maxDocFreq` (which DROPS hot
+    * grams and can lose pairs), demotion is exact: (isHot(g), g) is a
+    * deterministic total order on true grams, and a hash collision can
+    * only demote a rare gram (a perf nit, never a lost pair).
     */
   private[graft] def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
                                       maxDocFreq: Long,
@@ -117,19 +124,32 @@ object Dedup {
       (n - ceil(lit(threshold) * n - lit(eps)) + 1).cast("int")
     val filtered =
       if (dfOrder) {
-        // df-ascending prefix extraction. Positions are taken in the
-        // (df, gram) order over the SURVIVING grams; when maxDocFreq
+        // hot-demoted prefix extraction: positions are taken in the
+        // (isHot, gram) order over the SURVIVING grams; when maxDocFreq
         // additionally drops hot grams, positions shift down and the
         // prefix reaches deeper — both can only ADD candidates, so the
         // positional/size bounds stay necessary conditions (exact).
-        val dfreq = gramArrays.select(explode(col("grams")).as("gram"))
-          .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        // The df agg groups gram HASHES (8 bytes, map-side combined);
+        // the > threshold survivors are the Zipf head — tiny, so the
+        // mark join broadcasts and the doc-partitioned exploded side
+        // never re-exchanges. At a scale where even the hot SET
+        // outgrows a broadcast, swap the join for a Bloom filter probe
+        // (functions/BloomContainsExpr) — still deterministic, still
+        // exact by the same argument.
+        val hotAt = if (maxDocFreq > 0) maxDocFreq else DemoteDocFreq
+        val hot = gramArrays.select(explode(col("grams")).as("gram"))
+          .select(xxhash64(col("gram")).as("gh"))
+          .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > hotAt)
+          .select(col("gh"), lit(true).as("__hot"))
         val exploded = gramArrays.select(col("doc"), size(col("grams")).as("n"),
-          explode(col("grams")).as("gram"))
-        val withDf0 = exploded.join(dfreq, Seq("gram"))
-        val withDf = if (maxDocFreq <= 0) withDf0 else withDf0.filter(col("df") <= maxDocFreq)
-        val byRarity = Window.partitionBy(col("doc")).orderBy(col("df"), col("gram"))
-        withDf.withColumn("pos", (row_number().over(byRarity) - 1).cast("int"))
+            explode(col("grams")).as("gram"))
+          .withColumn("gh", xxhash64(col("gram")))
+        val marked = exploded.join(broadcast(hot), Seq("gh"), "left")
+          .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+        val dropped = if (maxDocFreq <= 0) marked else marked.filter(!col("__hot"))
+        val byHotness = Window.partitionBy(col("doc")).orderBy(col("__hot"), col("gram"))
+        dropped.withColumn("pos", (row_number().over(byHotness) - 1).cast("int"))
           .filter(col("pos") < greatest(prefixLenOf(col("n")), lit(0)))
           .select(col("gram"), col("doc"), col("n"), col("pos"))
       } else {
@@ -753,6 +773,15 @@ object Dedup {
     * should raise it; 0 disables.
     */
   val WinnowDefaultMaxDocFreq: Long = 128L
+
+  /** Document-frequency threshold above which [[ppjoinCandidates]]'
+    * `dfOrder` mode DEMOTES a gram to prefix suffixes (never drops it
+    * — exact, unlike the winnow cap above). Same Zipf reasoning, same
+    * probe-measured knee (ProbeWinnow / PLANS.md): a gram in ≤128 docs
+    * can fan out at most 128²/2 candidate rows; the demotion exists
+    * for the unbounded boilerplate head beyond that.
+    */
+  val DemoteDocFreq: Long = 128L
 
   def winnowDupPairs(
       df: DataFrame,

@@ -1,8 +1,14 @@
 package graft
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
   case class QRun(name: String, wall: Double, cpu: Double, err: Option[String],
-                  leaked: Int = 0, gc: Double = 0.0)
+                  leaked: Int = 0, gc: Double = 0.0,
+                  plan: String = "", inMb: Double = 0.0, shMb: Double = 0.0)
 
   private lazy val osBean = java.lang.management.ManagementFactory
     .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
@@ -19,6 +25,70 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
+
+  /** Executor-side read volume, summed across task ends: parquet/file
+    * input bytes and shuffle-read bytes. The r15 failure class this
+    * diagnoses: builder and driver artifacts disagreed 43× on one
+    * query's CPU (19 vs 455 CPU-s, both passes slow, so the pass-spread
+    * flag was blind) and nothing in either artifact could localize the
+    * recomputation. Bytes read is the recompute fingerprint — a query
+    * that re-derives a pinned input re-reads its parquet and re-shuffles
+    * it, so a fast-vs-slow artifact diff shows WHERE the extra volume
+    * went without a judge re-run.
+    */
+  private final class ReadVolume extends SparkListener {
+    val input = new AtomicLong(0L)
+    val shuffle = new AtomicLong(0L)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shuffle.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  /** Drain the async listener bus so per-query byte deltas don't bleed
+    * into the next query's window. `LiveListenerBus.waitUntilEmpty` is
+    * private[spark] (public in bytecode — reflection reaches it); if
+    * the reflective path ever breaks, a bounded sleep keeps the deltas
+    * approximately right rather than failing the bench.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(50) }
+
+  /** Structural fingerprint of the EXECUTED (post-AQE) physical plan:
+    * run-varying tokens (expression ids, plan ids, codegen stage ids,
+    * object addresses, filesystem paths) are normalized away so the
+    * same plan hashes identically across sessions and hosts. Two
+    * artifacts disagreeing on a query's cost while agreeing on its
+    * plan_hash → environment; disagreeing on plan_hash → AQE/codegen
+    * planned it differently, and the plans can be diffed offline.
+    */
+  def normalizePlan(raw: String): String = raw
+    .replaceAll("#\\d+[A-Za-z]*", "#_")
+    .replaceAll("plan_id=\\d+", "plan_id=_")
+    .replaceAll("\\[id=#?_?\\d*\\]", "")
+    .replaceAll("@[0-9a-fA-F]+", "@_")
+    .replaceAll("0x[0-9a-fA-F]+", "0x_")
+    // lambda variable names carry a session-global counter (x_13, y_6)
+    .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_")
+    // URI-schemed and bare temp paths (DSv2 scratch dirs, artifact
+    // caches) vary per session/host
+    .replaceAll("([a-z][a-z0-9]*:)?/(tmp|var)/[^\\s,\\)\\]]+", "<path>")
+    .replaceAll("(file|hdfs|s3a?|gs):[^\\s,\\)\\]]+", "<path>")
+    .replaceAll("codegen id : \\d+", "codegen id : _")
+
+  def planHash(df: DataFrame): String =
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(normalizePlan(df.queryExecution.executedPlan.toString()).getBytes("UTF-8"))
+      md.take(6).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "" }
 
   /** Time one query: wall seconds, process-CPU seconds, GC seconds, and
     * the exception class if it failed — never a silent bogus time.
@@ -46,19 +116,33 @@ object Bench {
                        name: String, run: () => Unit): QRun = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val r = timeQuery(name, run)
+    r.copy(leaked = pollLeaks(spark, before))
+  }
+
+  /** Count the persisted RDDs that appeared since `before` and SURVIVE
+    * a GC-and-poll drain — see [[timeQueryChecked]]. Callers must drop
+    * every reference to the query's frames first: a live DataFrame
+    * keeps its localCheckpoint blocks reachable, and the ContextCleaner
+    * (correctly) refuses to reclaim them — they'd count as leaks here
+    * while being ordinary lifecycle.
+    */
+  def pollLeaks(spark: org.apache.spark.sql.SparkSession,
+                before: scala.collection.Set[Int]): Int = {
     def left() = spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
     var n = left()
     val deadline = System.currentTimeMillis() + 5000
     while (n > 0 && System.currentTimeMillis() < deadline) {
       System.gc(); Thread.sleep(100); n = left()
     }
-    r.copy(leaked = n)
+    n
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val volume = new ReadVolume
+    spark.sparkContext.addSparkListener(volume)
     // Warm every query shape once at the smallest SF (parquet footer
     // reads, codegen, JIT) so the measured pass times the queries at
     // `sfDir`, not first-touch compilation; fixed name order makes runs
@@ -81,7 +165,20 @@ object Bench {
       // broken queries with bogus-fast times and no marker. Record the
       // exception class; the headline counts errs. Leak-checked: a
       // stranded cache would silently warm every later measurement.
-      timeQueryChecked(spark, name, () => { fn(spark, sfDir).count(); () })
+      // Plan hash + byte deltas are captured OUTSIDE the timed window,
+      // and the frame reference is RELEASED before the leak poll — a
+      // live DataFrame pins its localCheckpoint blocks, so polling with
+      // it in scope would misreport ordinary lifecycle as leaks.
+      val (i0, s0) = (volume.input.get, volume.shuffle.get)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      var df: DataFrame = null
+      val r = timeQuery(name, () => { df = fn(spark, sfDir); df.count(); () })
+      drainListenerBus(spark)
+      val plan = if (df == null) "" else planHash(df)
+      df = null
+      r.copy(leaked = pollLeaks(spark, before), plan = plan,
+        inMb = (volume.input.get - i0) / 1e6,
+        shMb = (volume.shuffle.get - s0) / 1e6)
     }
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
@@ -114,17 +211,27 @@ object Bench {
     def r4(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    def qmapS(vs: Seq[(String, String)]): String =
+      vs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val qs = qmap(results.map(r => r.name -> r.wall))
     val cpus = qmap(results.map(r => r.name -> r.cpu))
     val gcs = qmap(results.map(r => r.name -> r.gc))
     val total = ok.map(_.wall).sum
     val passesJson = passes.map(p => qmap(p.map(r => r.name -> r.wall))).mkString("[", ",", "]")
+    // Self-diagnosis payload (one entry per pass): executed-plan
+    // fingerprints and read volume. plan_hash equal across passes AND
+    // artifacts + byte deltas equal ⇒ any cost gap is environment;
+    // byte deltas diverging pins recomputation to the pass that read
+    // more — the r15 both-passes-slow mode becomes localizable offline.
+    val planJson = passes.map(p => qmapS(p.map(r => r.name -> r.plan))).mkString("[", ",", "]")
+    val inMbJson = passes.map(p => qmap(p.map(r => r.name -> r.inMb))).mkString("[", ",", "]")
+    val shMbJson = passes.map(p => qmap(p.map(r => r.name -> r.shMb))).mkString("[", ",", "]")
     val loadsJson = loads.map(r4).mkString("[", ",", "]")
     val errsJson = errs.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"").mkString("{", ",", "}")
     val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
     val spreadJson = spread.map { case (n, x) => s"\"" + n + "\":" + x }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"loadavg_1m":$loadsJson}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

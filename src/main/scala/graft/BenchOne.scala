@@ -12,10 +12,11 @@ object BenchOne {
     // warm (plan + JIT) on the smallest SF, then measure
     fn(spark, "/root/testdata/sf0.001").count()
     var n = 0L
+    var df: org.apache.spark.sql.DataFrame = null
     // wall + process-CPU + GC, the same triple the full bench records:
     // cpu ≈ wall×parallelism is real work, cpu ≫ wall×loadavg is
     // recomputation — the adjudication signal for plan instability
-    val r = Bench.timeQuery(name, () => { n = fn(spark, sfDir).count(); () })
+    val r = Bench.timeQuery(name, () => { df = fn(spark, sfDir); n = df.count(); () })
     // a failed query must crash LOUDLY, never print a bogus-fast line
     // an adjudication run could mistake for a measurement — rerun it
     // unwrapped so the real stack trace surfaces
@@ -24,7 +25,10 @@ object BenchOne {
       fn(spark, sfDir).count() // normally rethrows with the full trace
       sys.exit(1)              // flaky pass on rerun is still a failed run
     }
-    println(f"BENCH_ONE $name rows=$n sec=${r.wall}%.3f cpu=${r.cpu}%.2f gc=${r.gc}%.2f")
+    // plan_hash matches the full bench artifact's fingerprint — an
+    // isolated run and a mid-sweep run that hash alike but cost 20×
+    // apart localizes the gap to recomputation, not planning
+    println(f"BENCH_ONE $name rows=$n sec=${r.wall}%.3f cpu=${r.cpu}%.2f gc=${r.gc}%.2f plan=${Bench.planHash(df)}")
     spark.stop()
   }
 }

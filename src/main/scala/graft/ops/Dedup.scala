@@ -80,7 +80,8 @@ object Dedup {
     // size drives the choice) — while a pathological dup-heavy corpus
     // with a huge candidate set degrades to a shuffle join instead of
     // OOMing the driver on a forced broadcast.
-    verifyJaccard(ppjoinCandidates(gramArrays, threshold, maxDocFreq, dfOrder = dfOrder),
+    verifyJaccard(
+      ppjoinCandidates(gramArrays, threshold, maxDocFreq, dfOrder = dfOrder, eager = eager),
       gramArrays, threshold)
   }
 
@@ -108,12 +109,26 @@ object Dedup {
     * (ProbeR15b, PLANS.md r15). Unlike `maxDocFreq` (which DROPS hot
     * grams and can lose pairs), demotion is exact: (isHot(g), g) is a
     * deterministic total order on true grams, and a hash collision can
-    * only demote a rare gram (a perf nit, never a lost pair).
+    * only demote a rare gram (a perf nit, never a lost pair). When
+    * `maxDocFreq > 0` additionally DROPS hot grams, the drop set is
+    * keyed on gram STRINGS exactly like the lexical branch — keying the
+    * drop on hashes would let a colliding rare gram pool its df with a
+    * hot one and be dropped (a lost pair, not a demotion).
+    *
+    * `eager=true` pins the extracted prefix frame with an eager
+    * localCheckpoint: it feeds BOTH sides of the gram self-join below,
+    * and whether AQE's ReuseExchange actually deduplicates the two
+    * consumers is a runtime decision — the r15 driver sweep caught this
+    * query family recomputing the whole prefix chain mid-sweep (455
+    * CPU-s vs 19 isolated) even after the upstream gram arrays were
+    * pinned. The frame is skinny (gram string + three ints per prefix
+    * row), so the pin is cheap relative to the window+joins it freezes.
     */
   private[graft] def ppjoinCandidates(gramArrays: DataFrame, threshold: Double,
                                       maxDocFreq: Long,
                                       hashGramKeys: Boolean = true,
-                                      dfOrder: Boolean = false): DataFrame = {
+                                      dfOrder: Boolean = false,
+                                      eager: Boolean = false): DataFrame = {
     // Guard every ceil(t·x) against binary-float overshoot (0.8×5 =
     // 4.000…0002 would ceil to 5, silently shortening prefixes /
     // tightening bounds → FALSE NEGATIVES). Subtracting a sub-unit
@@ -129,25 +144,35 @@ object Dedup {
         // additionally drops hot grams, positions shift down and the
         // prefix reaches deeper — both can only ADD candidates, so the
         // positional/size bounds stay necessary conditions (exact).
-        // The df agg groups gram HASHES (8 bytes, map-side combined);
-        // the > threshold survivors are the Zipf head — tiny, so the
-        // mark join broadcasts and the doc-partitioned exploded side
-        // never re-exchanges. At a scale where even the hot SET
-        // outgrows a broadcast, swap the join for a Bloom filter probe
-        // (functions/BloomContainsExpr) — still deterministic, still
-        // exact by the same argument.
-        val hotAt = if (maxDocFreq > 0) maxDocFreq else DemoteDocFreq
+        // The demote-set df agg groups gram HASHES (8 bytes, map-side
+        // combined); the > threshold survivors are the Zipf head —
+        // tiny, so the mark join broadcasts and the doc-partitioned
+        // exploded side never re-exchanges. At a scale where even the
+        // hot SET outgrows a broadcast, swap the join for a Bloom
+        // filter probe (functions/BloomContainsExpr) — still
+        // deterministic, still exact by the same argument.
         val hot = gramArrays.select(explode(col("grams")).as("gram"))
           .select(xxhash64(col("gram")).as("gh"))
           .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > hotAt)
+          .filter(col("df") > DemoteDocFreq)
           .select(col("gh"), lit(true).as("__hot"))
         val exploded = gramArrays.select(col("doc"), size(col("grams")).as("n"),
             explode(col("grams")).as("gram"))
           .withColumn("gh", xxhash64(col("gram")))
         val marked = exploded.join(broadcast(hot), Seq("gh"), "left")
           .withColumn("__hot", coalesce(col("__hot"), lit(false)))
-        val dropped = if (maxDocFreq <= 0) marked else marked.filter(!col("__hot"))
+        // the DROP set (semantics-changing, like the lexical branch) is
+        // keyed on gram strings, never hashes: pooled df under a hash
+        // collision could drop a rare gram and LOSE a pair, whereas the
+        // demote set above can at worst demote one (a perf nit)
+        val dropped =
+          if (maxDocFreq <= 0) marked
+          else {
+            val drop = gramArrays.select(explode(col("grams")).as("gram"))
+              .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+              .filter(col("df") > maxDocFreq).select(col("gram"))
+            marked.join(drop, Seq("gram"), "left_anti")
+          }
         val byHotness = Window.partitionBy(col("doc")).orderBy(col("__hot"), col("gram"))
         dropped.withColumn("pos", (row_number().over(byHotness) - 1).cast("int"))
           .filter(col("pos") < greatest(prefixLenOf(col("n")), lit(0)))
@@ -165,6 +190,9 @@ object Dedup {
           prefixes.join(hot, Seq("gram"), "left_anti")
         }
       }
+    // Both self-join sides read the SAME prefix frame — pin it when the
+    // caller asked for deterministic materialization (see Scaladoc).
+    val prefixes0 = if (eager) filtered.localCheckpoint(true) else filtered
     // The self-join key is the gram's 64-bit hash, not the gram string:
     // shuffle rows carry 8 bytes instead of a shingle. A collision can
     // only ADD a candidate pair (equal grams always hash equal), and
@@ -172,9 +200,9 @@ object Dedup {
     // result stays exact. (`hashGramKeys=false` keeps the raw string key
     // — retained for A/B measurement, see PLANS.md.)
     val gk = if (hashGramKeys) xxhash64(col("gram")) else col("gram")
-    val l = filtered.select(gk.as("gk"), col("doc").as("id_a"),
+    val l = prefixes0.select(gk.as("gk"), col("doc").as("id_a"),
       col("n").as("na"), col("pos").as("pa"))
-    val r = filtered.select(gk.as("gk"), col("doc").as("id_b"),
+    val r = prefixes0.select(gk.as("gk"), col("doc").as("id_b"),
       col("n").as("nb"), col("pos").as("pb"))
     // Candidate pruning (both filters are necessary conditions of
     // J >= t, so pruning stays exact):
@@ -269,7 +297,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSigs(df, id, text, n, numHashes)
+    // sigs is consumed three times (band self-join + both verify
+    // sides); pinned for the same determinism reason as
+    // [[minhashLshPrecisionUnion]] — AQE exchange reuse across the
+    // consumers is a runtime gamble, the checkpoint is not.
+    val sigs = minhashSigs(df, id, text, n, numHashes).localCheckpoint(true)
     val candidates = bandCandidates(sigs, numHashes, bands)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
       .cast("double") / lit(numHashes.toDouble)
@@ -301,9 +333,14 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame =
-    verifyJaccard(bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands),
-      docGramArrays(df, id, text, n), threshold)
+      threshold: Double = 0.8): DataFrame = {
+    // gram arrays feed both verify sides; sigs feed both band-join
+    // sides — pinned like the rest of the family (see
+    // [[minhashLshPrecisionUnion]]'s determinism note).
+    val sigs = minhashSigs(df, id, text, n, numHashes).localCheckpoint(true)
+    verifyJaccard(bandCandidates(sigs, numHashes, bands),
+      docGramArrays(df, id, text, n).localCheckpoint(true), threshold)
+  }
 
   /** (doc, sig) frame behind a `doc`-keyed shuffle boundary — without
     * it the numHashes-wide signature expression is re-evaluated for
@@ -573,23 +610,37 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // Pinned eagerly: this frame feeds the PPJoin prefix sides AND both
-    // verification joins. Relying on AQE exchange reuse here was the
-    // r14 instability — the same binary measured 5.96 CPU-s when reuse
-    // fired and 339.8 CPU-s when it didn't (BENCH_r14 vs HEAD artifact;
-    // see PLANS.md r15). The checkpoint makes every consumer read the
-    // same computed blocks, unconditionally.
+    // EVERY multiply-consumed or expensive-to-recompute frame in this
+    // plan is pinned with an eager localCheckpoint — relying on AQE
+    // exchange reuse here was the r14 instability (5.96 vs 339.8 CPU-s,
+    // same binary), and r15's partial pin (gram arrays only) STILL left
+    // a mid-sweep recompute mode the driver measured at 455 CPU-s vs 19
+    // isolated: the band-candidate side and the dfOrder prefix frame
+    // were re-derived when session state (prior queries' AQE decisions,
+    // codegen cache) steered reuse away. Pins, in dependency order:
+    //   gramArrays — feeds the PPJoin prefixes AND both verify joins;
+    //   sigs       — feeds both sides of the band-bucket self-join;
+    //   prefix frame (inside ppjoinCandidates, eager=true) — feeds both
+    //                sides of the gram self-join.
+    // The candidates union itself is consumed exactly ONCE (verify's
+    // first join), so it needs no pin — every multiply-consumed frame
+    // beneath it is already frozen, and each localCheckpoint is a
+    // serializing job barrier that costs wall time. All three pinned
+    // frames are skinny (ids + hashes + gram arrays once), so the pins
+    // cost far less than one recomputation of any input.
     val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
+    val sigs = minhashSigs(df, id, text, n, numHashes).localCheckpoint(true)
     // Both generators dedup internally, so the union carries at most 2
     // copies of any pair — verifying the ≤2× candidates and deduping the
     // (tiny) verified output costs one narrow dedup of the result set
     // instead of a full extra shuffle of the widest candidate
-    // intermediate. The PPJoin side runs with the canonical df-ascending
-    // prefix order (see [[ppjoinCandidates]]) — the EXACT form of the
+    // intermediate. The PPJoin side runs with the hot-demoted prefix
+    // order (see [[ppjoinCandidates]]) — the EXACT form of the
     // hot-gram guard, so the union still equals verified-LSH ∪ exact
     // and the precision oracle holds.
-    val candidates = bandCandidates(minhashSigs(df, id, text, n, numHashes), numHashes, bands)
-      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L, dfOrder = true))
+    val candidates = bandCandidates(sigs, numHashes, bands)
+      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L,
+        dfOrder = true, eager = true))
     verifyJaccard(candidates, gramArrays, threshold)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -241,6 +241,25 @@ class PropertySpec extends SparkSpec {
       assert(lex == rare,
         s"seed=$seed: lexical-only ${lex.diff(rare)} / df-order-only ${rare.diff(lex)}")
       assert(lex.nonEmpty, s"seed=$seed produced no pairs — generator too weak to test anything")
+      // With maxDocFreq > 0 (drop semantics), BOTH branches must key the
+      // drop set on gram STRINGS — a hash-keyed drop could pool a rare
+      // gram's df with a colliding hot one and silently lose a pair
+      // (ADVICE r15). After the same drop, the df-ordered prefix reaches
+      // at least as deep into the surviving grams as the lexical one
+      // (dropping only shifts positions down), so its verified pair set
+      // must be a superset of the lexical branch's.
+      def pairsCapped(dfOrder: Boolean) =
+        graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", $"text", 2, 0.6,
+            maxDocFreq = 6L, dfOrder = dfOrder)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val lexCapped = pairsCapped(dfOrder = false)
+      val rareCapped = pairsCapped(dfOrder = true)
+      assert(lexCapped.subsetOf(rareCapped),
+        s"seed=$seed capped: lexical-only pairs lost under df-order " +
+          s"${lexCapped.diff(rareCapped)}")
+      // every capped pair is a true >= threshold pair (drop only removes
+      // candidates, verification is exact on the full gram arrays)
+      assert(rareCapped.subsetOf(lex), s"seed=$seed capped produced a non-pair")
     }
   }
 

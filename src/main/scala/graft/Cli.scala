@@ -250,12 +250,13 @@ object Cli {
         }}
         // filters/bindings/subset key on (database, table): for a Mongo
         // source the namespace is the URI's database, NOT the SQL-side
-        // default ("public") — a skip_tables entry keyed by the real db
-        // would otherwise silently match nothing and dump the excluded
-        // collection anyway
+        // default ("public") — GraftConfig.defaultDb applies the same
+        // namespace to BARE skip/only/transformer/subset entries, so an
+        // unqualified `skip_tables: [users]` excludes livedb.users
+        // instead of silently matching nothing (ADVICE r15)
         val job = Pipeline.DumpJobConfig(
           tables = tables,
-          database = c.sourceMongo.map(_._2).getOrElse(c.sourceConf.db),
+          database = c.defaultDb,
           filters = c.filters,
           bindings = c.bindings,
           subset = c.subsetConfig,

@@ -203,12 +203,23 @@ final case class GraftConfig(
     sourceConf.tables_dir.map(GraftConfig.substituteEnvVar)
       .getOrElse(throw new IllegalArgumentException("source.tables_dir is required"))
 
+  /** The namespace BARE table refs default to — the Mongo URI's
+    * database when the source is mongodb, the SQL-side db otherwise.
+    * Without this, a `mongodb://host/livedb` source with unqualified
+    * skip_tables / transformer / subset entries (the example-yaml
+    * shape) would key them under "public" while the dump job keys
+    * collections under "livedb" — the pipeline matches on (database,
+    * table), so NO masking or exclusion would apply and the dump would
+    * go out unfiltered (ADVICE r15).
+    */
+  def defaultDb: String = sourceMongo.map(_._2).getOrElse(sourceConf.db)
+
   /** skip/only as TableRefs ("table" or "db.table" accepted). */
   def filters: SourceFilters = {
     def refs(xs: Option[Seq[String]]) = xs.getOrElse(Nil).map { s =>
       s.split('.') match {
         case Array(d, t) => TableRef(d, t)
-        case Array(t) => TableRef(sourceConf.db, t)
+        case Array(t) => TableRef(defaultDb, t)
         case _ => throw new IllegalArgumentException(s"bad table ref: $s")
       }
     }
@@ -224,7 +235,7 @@ final case class GraftConfig(
       t <- sourceConf.transformers.getOrElse(Nil)
       c <- t.columns.getOrElse(Nil)
     } yield TransformerBinding(
-      t.database.getOrElse(sourceConf.db),
+      t.database.getOrElse(defaultDb),
       t.table.getOrElse(throw new IllegalArgumentException("transformer requires table")),
       c.name.getOrElse(throw new IllegalArgumentException("transformer column requires name")),
       c.transformer_name.getOrElse(
@@ -233,7 +244,7 @@ final case class GraftConfig(
 
   def subsetConfig: Option[SubsetConfig] = subset.map { s =>
     SubsetConfig(
-      s.database.getOrElse(sourceConf.db),
+      s.database.getOrElse(defaultDb),
       s.table.getOrElse(throw new IllegalArgumentException("subset requires table")),
       s.seed_key.getOrElse(throw new IllegalArgumentException("subset requires seed_key")),
       s.percent.getOrElse(100.0),

@@ -28,12 +28,16 @@ import graft.store.Crc64
   *
   * Scale posture: the archive is by definition ONE sequential
   * bytestream (the reference also holds it fully in memory,
-  * `dump-parser/src/mongodb/mod.rs:92-98`). The engine therefore treats
-  * it purely as an edge format: `read` explodes it into per-collection
-  * DataFrames at the boundary, all heavy processing happens on those
-  * distributed frames, and `write` re-serializes at the end. Big data
-  * belongs in parquet datastores (D6/D7); this codec exists for
-  * interchange with mongodump/mongorestore tooling.
+  * `dump-parser/src/mongodb/mod.rs:92-98`), but only the FRAMING is
+  * inherently sequential — the per-document work is not. Both
+  * directions put it on the executors: `writeTables` encodes rows
+  * executor-side and the driver streams pre-encoded chunks (r15);
+  * `readDistributed` has the driver length-skip the container once to
+  * index doc-aligned byte slices, and executors decode + CRC them
+  * (r16). The in-memory `read`/`restore` pair remains for byte-array /
+  * pipe inputs (mongodump over stdout is driver-attached by nature).
+  * Big data belongs in parquet datastores (D6/D7); this codec exists
+  * for interchange with mongodump/mongorestore tooling.
   */
 object MongoArchive {
 
@@ -135,6 +139,211 @@ object MongoArchive {
     Crc64.of(out.toByteArray)
   }
 
+  // ---- distributed read ----
+
+  /** One doc-aligned byte range of a collection's body. `seq` orders a
+    * collection's slices across (and within) its data blocks so the
+    * per-slice CRCs fold back to the declared body CRC.
+    */
+  final case class Slice(prefix: String, seq: Int, offset: Long, length: Long)
+
+  /** Archive structure without the documents: what the driver keeps in
+    * the distributed read — header, metadata, doc-aligned slice ranges,
+    * declared CRCs. O(#slices) memory, never O(bytes).
+    */
+  final case class ArchiveIndex(
+      header: Header,
+      metas: Seq[CollectionMeta],
+      slices: Seq[Slice],
+      crcs: Map[String, Long])
+
+  /** Default slice target: big enough that slice count stays tiny,
+    * small enough that one decode task never holds a collection.
+    */
+  val DefaultSliceBytes: Int = 32 << 20
+
+  /** Structural scan of an archive stream: walks the container framing
+    * with per-document LENGTH SKIPS (every BSON doc and every archive
+    * item is int32-length-prefixed), decoding only the handful of
+    * header/metadata/namespace documents — O(one document) memory, no
+    * body decode. Body bytes are cut into doc-aligned [[Slice]]s of
+    * ~`maxSliceBytes` for the executors. This is the driver's entire
+    * share of [[readDistributed]], mirroring the r15 distributed writer
+    * (`writeTables`) where the driver does framing only.
+    */
+  def scan(in: java.io.InputStream, maxSliceBytes: Int = DefaultSliceBytes): ArchiveIndex = {
+    val din = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+    var pos = 0L
+    def readLE4(): Int = {
+      val a = din.read(); val b = din.read(); val c = din.read(); val d = din.read()
+      require(d >= 0, "truncated archive: unexpected end of stream")
+      pos += 4
+      (a & 0xFF) | ((b & 0xFF) << 8) | ((c & 0xFF) << 16) | ((d & 0xFF) << 24)
+    }
+    // re-stitch the 4 length bytes so Bson.decode sees a whole document
+    def readDoc(len: Int): BDoc = {
+      require(len >= 5, s"invalid BSON length $len")
+      val buf = new Array[Byte](len)
+      buf(0) = (len & 0xFF).toByte; buf(1) = ((len >> 8) & 0xFF).toByte
+      buf(2) = ((len >> 16) & 0xFF).toByte; buf(3) = ((len >> 24) & 0xFF).toByte
+      din.readFully(buf, 4, len - 4); pos += len - 4
+      Bson.decode(buf)
+    }
+    def skipDoc(len: Int): Unit = {
+      var left = (len - 4).toLong
+      while (left > 0) {
+        val s = din.skip(left)
+        if (s <= 0) { require(din.read() >= 0, "truncated archive body"); left -= 1; pos += 1 }
+        else { left -= s; pos += s }
+      }
+    }
+
+    val magic = new Array[Byte](4); din.readFully(magic); pos += 4
+    require(magic.sameElements(Magic), "not a mongodump archive (bad magic)")
+    val headerDoc = readDoc(readLE4())
+    val header = Header(
+      headerDoc.getInt("concurrent_collections").getOrElse(1),
+      headerDoc.getStr("version").getOrElse(""),
+      headerDoc.getStr("server_version").getOrElse(""),
+      headerDoc.getStr("tool_version").getOrElse(""))
+
+    val metas = Seq.newBuilder[CollectionMeta]
+    var next = readLE4()
+    while (next != Separator) {
+      val d = readDoc(next)
+      metas += CollectionMeta(
+        d.getStr("db").getOrElse(""),
+        d.getStr("collection").getOrElse(""),
+        d.getStr("metadata").getOrElse(""),
+        d.getInt("size").getOrElse(0),
+        d.getStr("type").getOrElse("collection"))
+      next = readLE4()
+    }
+    val metaList = metas.result()
+
+    val slices = Seq.newBuilder[Slice]
+    val crcs = scala.collection.mutable.Map[String, Long]()
+    val seqOf = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    var eofSeen = 0
+    while (eofSeen < metaList.size) {
+      val ns = readDoc(readLE4())
+      val prefix = s"${ns.getStr("db").getOrElse("")}.${ns.getStr("collection").getOrElse("")}"
+      val isEof = ns.getBool("EOF").getOrElse(false)
+      var sliceStart = pos
+      var sliceLen = 0L
+      def emit(): Unit = if (sliceLen > 0) {
+        slices += Slice(prefix, seqOf(prefix), sliceStart, sliceLen)
+        seqOf(prefix) += 1
+        sliceLen = 0L
+      }
+      var len = readLE4()
+      while (len != Separator) {
+        if (sliceLen == 0L) sliceStart = pos - 4 // the doc began at its length prefix
+        skipDoc(len)
+        sliceLen += len
+        if (sliceLen >= maxSliceBytes) emit()
+        len = readLE4()
+      }
+      emit()
+      if (isEof) {
+        eofSeen += 1
+        crcs(prefix) = ns.getLong("CRC").getOrElse(0L)
+      }
+    }
+    require(eofSeen == metaList.size,
+      s"truncated archive: ${metaList.size} collections declared, only $eofSeen EOF blocks found")
+    ArchiveIndex(header, metaList, slices.result(), crcs.toMap)
+  }
+
+  /** [[scan]] of an archive file via the Hadoop FileSystem API — local
+    * paths in this sandbox; the same call shape reaches hdfs/s3a/gs
+    * when connector jars are on the classpath (docs/ARTIFACTS.md).
+    */
+  def scanFile(path: String, maxSliceBytes: Int = DefaultSliceBytes): ArchiveIndex = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try scan(in, maxSliceBytes) finally in.close()
+  }
+
+  /** Executor-side range read — every executor must reach `path`
+    * (shared FS / object store; trivially true on local[n]).
+    */
+  private def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    require(length <= Int.MaxValue, s"slice of $length bytes exceeds the JVM array limit")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
+  private[graft] def decodeDocs(bytes: Array[Byte]): Vector[BDoc] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Vector.newBuilder[BDoc]
+    while (buf.hasRemaining) out += Bson.decode(buf)
+    out.result()
+  }
+
+  /** S3/D3 at scale: archive file → per-collection DataFrames with the
+    * per-document work on the EXECUTORS. The driver runs [[scan]]
+    * (framing + slice ranges only), then
+    *   1. verifies each collection's CRC64 distributedly — executors
+    *      CRC their slices, the driver folds the per-slice values in
+    *      slice order with the GF(2) `Crc64.combine` (one (prefix, seq,
+    *      crc, len) tuple per slice comes back, never document bytes);
+    *   2. builds each collection's frame from its slices — one decode
+    *      task per slice, `docToRow` under the caller's schema (or a
+    *      schema inferred the same way: per-slice raw inference merged
+    *      through [[mergeType]] in slice order, matching the
+    *      single-pass [[inferSchema]] result).
+    * The in-memory [[read]]/[[restore]] pair stays for byte-array /
+    * pipe inputs (the reference's whole-archive-in-memory semantics,
+    * `dump-parser/src/mongodb/mod.rs:92-98`); this is the path for
+    * archives that live on storage executors can reach.
+    */
+  def readDistributed(spark: SparkSession, path: String,
+                      schemas: Map[String, StructType] = Map.empty,
+                      maxSliceBytes: Int = DefaultSliceBytes): Map[String, DataFrame] = {
+    val idx = scanFile(path, maxSliceBytes)
+    val all = idx.slices
+    val actual: Map[String, Long] =
+      if (all.isEmpty) Map.empty
+      else spark.sparkContext.parallelize(all, math.min(all.size, 64))
+        .map(s => (s.prefix, s.seq, Crc64.of(readRange(path, s.offset, s.length)), s.length))
+        .collect()
+        .groupBy(_._1)
+        .map { case (p, parts) =>
+          p -> parts.sortBy(_._2).foldLeft(0L) {
+            case (acc, (_, _, crc, len)) => Crc64.combine(acc, crc, len)
+          }
+        }
+    for ((prefix, expected) <- idx.crcs) {
+      val a = actual.getOrElse(prefix, 0L)
+      require(a == expected,
+        f"CRC mismatch for $prefix: archive declares 0x$expected%016x, body is 0x$a%016x")
+    }
+    idx.metas.map { m =>
+      val prefix = m.prefix
+      val mine = all.filter(_.prefix == prefix).sortBy(_.seq)
+      val schema = schemas.getOrElse(prefix, {
+        if (mine.isEmpty) StructType(Nil)
+        else finalizeNullFields(
+          spark.sparkContext.parallelize(mine, mine.size)
+            .map(s => (s.seq, inferSchemaRaw(decodeDocs(readRange(path, s.offset, s.length)))))
+            .collect().sortBy(_._1).map(_._2)
+            .reduce((a, b) => mergeType(a, b).asInstanceOf[StructType]))
+      })
+      val rows =
+        if (mine.isEmpty) spark.sparkContext.emptyRDD[Row]
+        else spark.sparkContext.parallelize(mine, mine.size)
+          .flatMap(s => decodeDocs(readRange(path, s.offset, s.length)).map(docToRow(_, schema)))
+      prefix -> spark.createDataFrame(rows, schema)
+    }.toMap
+  }
+
   // ---- write ----
 
   /** Serialize an archive, recomputing every collection's CRC64 from
@@ -231,12 +440,33 @@ object MongoArchive {
     val crcs = Map.newBuilder[String, Long]
     for ((name, df) <- tables) {
       val schema = df.schema
+      // Doc-aligned chunks of ~WriterChunkBytes per element, not one
+      // chunk per partition: a partition whose encoding neared 2 GB
+      // would hit the JVM single-array limit on the executor (and force
+      // the driver to hold it whole). Crc64.combine folds arbitrary
+      // chunkings, and concatenation is unchanged, so the output stays
+      // byte-identical (MongoArchiveSpec pins it). toLocalIterator
+      // still materializes one PARTITION's chunks driver-side at a
+      // time, so driver memory is O(one partition's bytes) — bound the
+      // input's partition sizes, not this writer, if that ever binds.
       val chunks = df.rdd.mapPartitions { rows =>
-        val buf = new java.io.ByteArrayOutputStream()
-        rows.foreach(r => buf.write(Bson.encode(rowToDoc(r, schema))))
-        val bytes = buf.toByteArray
-        if (bytes.isEmpty) Iterator.empty
-        else Iterator.single((bytes, Crc64.of(bytes)))
+        new Iterator[(Array[Byte], Long)] {
+          private var pending: Array[Byte] = null
+          private def fill(): Unit = {
+            if (pending == null && rows.hasNext) {
+              val buf = new java.io.ByteArrayOutputStream()
+              while (rows.hasNext && buf.size < WriterChunkBytes)
+                buf.write(Bson.encode(rowToDoc(rows.next(), schema)))
+              if (buf.size > 0) pending = buf.toByteArray
+            }
+          }
+          def hasNext: Boolean = { fill(); pending != null }
+          def next(): (Array[Byte], Long) = {
+            fill()
+            val c = pending; pending = null
+            (c, Crc64.of(c))
+          }
+        }
       }
       val crc = framedCollection(out, db, name) {
         var c = 0L
@@ -252,6 +482,12 @@ object MongoArchive {
     }
     crcs.result()
   }
+
+  /** Target encoded-chunk size for [[writeTables]]'s executor-side
+    * encode — well under the 2 GB JVM array limit with headroom for one
+    * oversized trailing document.
+    */
+  private[graft] val WriterChunkBytes: Int = 64 << 20
 
   private def defaultMeta(db: String, name: String): CollectionMeta =
     CollectionMeta(db, name, s"""{"collectionName":"$name"}""", 0, "collection")
@@ -405,26 +641,45 @@ object MongoArchive {
     * double, anything else → string); nested documents and arrays
     * recurse. All fields are nullable (absence = null).
     */
-  def inferSchema(docs: Seq[BDoc]): StructType = {
+  def inferSchema(docs: Seq[BDoc]): StructType = finalizeNullFields(inferSchemaRaw(docs))
+
+  /** Top-level fields that never held a non-null value land as
+    * StringType (a NullType column is unwritable); split out of
+    * [[inferSchema]] so the distributed path can merge per-slice RAW
+    * schemas first — finalizing per slice would widen a field that is
+    * all-null in one slice but typed in another to string, diverging
+    * from the single-pass result.
+    */
+  private[graft] def finalizeNullFields(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      StructField(f.name, if (f.dataType == NullType) StringType else f.dataType)))
+
+  /** The widening lattice [[inferSchema]] folds documents through —
+    * object-level (and associative in practice) so the distributed read
+    * can fold per-slice schemas on the driver in slice order.
+    */
+  private[graft] def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (x: DecimalType, y: DecimalType) => mergeDecimal(x, y)
+    case (x: DecimalType, LongType) => mergeDecimal(x, DecimalType(20, 0))
+    case (LongType, y: DecimalType) => mergeDecimal(y, DecimalType(20, 0))
+    case (x: StructType, y: StructType) =>
+      val names = (x.fieldNames ++ y.fieldNames).distinct
+      StructType(names.map { n =>
+        val xt = x.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+        val yt = y.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+        StructField(n, mergeType(xt, yt))
+      })
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeType(x, y))
+    case _ => StringType
+  }
+
+  private[graft] def inferSchemaRaw(docs: Seq[BDoc]): StructType = {
     val order = scala.collection.mutable.LinkedHashMap[String, DataType]()
-    def merge(a: DataType, b: DataType): DataType = (a, b) match {
-      case (x, y) if x == y => x
-      case (NullType, x) => x
-      case (x, NullType) => x
-      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-      case (x: DecimalType, y: DecimalType) => mergeDecimal(x, y)
-      case (x: DecimalType, LongType) => mergeDecimal(x, DecimalType(20, 0))
-      case (LongType, y: DecimalType) => mergeDecimal(y, DecimalType(20, 0))
-      case (x: StructType, y: StructType) =>
-        val names = (x.fieldNames ++ y.fieldNames).distinct
-        StructType(names.map { n =>
-          val xt = x.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
-          val yt = y.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
-          StructField(n, merge(xt, yt))
-        })
-      case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(merge(x, y))
-      case _ => StringType
-    }
+    def merge(a: DataType, b: DataType): DataType = mergeType(a, b)
     def typeOf(v: BVal): DataType = v match {
       case _: BInt64 | _: BInt32 => LongType
       case _: BDouble => DoubleType
@@ -455,9 +710,7 @@ object MongoArchive {
     for (d <- docs; (name, v) <- d.fields) {
       order(name) = order.get(name).map(merge(_, typeOf(v))).getOrElse(typeOf(v))
     }
-    StructType(order.toSeq.map { case (n, dt) =>
-      StructField(n, if (dt == NullType) StringType else dt)
-    })
+    StructType(order.toSeq.map { case (n, dt) => StructField(n, dt) })
   }
 
   /** Union of two decimal shapes: enough integer digits and scale for

@@ -83,7 +83,16 @@ object MongoLive {
     val writer = new Thread(() => {
       try { writeStdin(p.getOutputStream); p.getOutputStream.close() }
       catch {
-        case _: java.io.IOException => () // tool exited early; exit code decides
+        case e: java.io.IOException =>
+          // Usually the tool exited early (broken pipe) and the exit
+          // code decides — but an IOException can also originate in the
+          // byte-PRODUCING side while the tool is healthy. Either way,
+          // stdin must not stay open: a healthy tool would block on it
+          // forever and run() would hang in the stdout copy. Record the
+          // failure too; it is only surfaced when the exit code doesn't
+          // already explain the run (ADVICE r15).
+          writeFailure = Some(e)
+          try p.getOutputStream.close() catch { case _: java.io.IOException => () }
         case t: Throwable =>
           writeFailure = Some(t)
           p.destroy()
@@ -96,7 +105,16 @@ object MongoLive {
     val exit = p.waitFor()
     drain.join(10000)
     writer.join(10000)
-    writeFailure.foreach(t => throw new IllegalStateException(
+    // An IOException with a non-zero exit is (almost always) the broken
+    // pipe of a tool that died — let the exit-code branch report the
+    // tool's own stderr instead of masking it with "producing stdin
+    // failed". Every other failure, and an IOException the exit code
+    // does NOT explain (tool exited 0 while stdin died mid-write),
+    // surfaces loudly.
+    writeFailure.filter {
+      case _: java.io.IOException => exit == 0
+      case _ => true
+    }.foreach(t => throw new IllegalStateException(
       s"producing ${argv.head} stdin failed", t))
     if (exit != 0)
       throw new IllegalStateException(

@@ -58,6 +58,22 @@ object Pipeline {
   def dumpPlan(
       load: String => DataFrame,
       config: DumpJobConfig): Map[String, DataFrame] = {
+    // Loud mismatch guard (ADVICE r15): a filter or binding entry that
+    // matches no dumped (database, table) is almost always a namespace
+    // typo, and its failure mode is data that should have been masked
+    // or excluded going out untouched — warn rather than silently no-op
+    // (the reference ignores such entries; a warning diverges only on
+    // stderr, never in output).
+    val known = config.tables.map(t => (config.database, t)).toSet
+    (config.filters.skipTables ++ config.filters.onlyTables)
+      .filterNot(r => known((r.database, r.table)))
+      .foreach(r => Console.err.println(
+        s"WARN graft: skip/only entry '${r.qualified}' matches no dumped table " +
+          s"(job database is '${config.database}')"))
+    config.bindings.filterNot(b => known((b.database, b.table)))
+      .foreach(b => Console.err.println(
+        s"WARN graft: transformer binding '${b.key}' matches no dumped table — " +
+          s"NO masking will be applied for it (job database is '${config.database}')"))
     val tables = selectTables(config.tables, config.database, config.filters)
     val base: Map[String, DataFrame] = config.subset match {
       case Some(sc) =>

@@ -192,11 +192,19 @@ object IngestQueries {
       val src = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
-      // streaming writer: rows → bytes with running CRC, O(1 doc) driver state
-      val bos = new java.io.ByteArrayOutputStream()
-      MongoArchive.writeTables(bos, "graft", Seq("customer" -> src))
-      val back = MongoArchive.read(bos.toByteArray)
-      MongoArchive.restore(s, back, Map("graft.customer" -> src.schema))("graft.customer")
+      // BOTH codec directions distributed (r15 writer, r16 reader):
+      // executor-encoded chunks stream through the driver to a file,
+      // then the driver indexes doc-aligned slices and executors decode
+      // + CRC-verify them. Fixed path, overwritten per run — the
+      // returned frame reads the file lazily, so it must outlive this
+      // builder (and repeated bench/verify runs don't accumulate files).
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-s3-roundtrip.bin")
+      val fos = new java.io.FileOutputStream(path)
+      try MongoArchive.writeTables(fos, "graft", Seq("customer" -> src))
+      finally fos.close()
+      MongoArchive.readDistributed(s, path.getPath,
+        Map("graft.customer" -> src.schema))("graft.customer")
     }),
 
     // N3: per-collection CRC64 as declared in the rewritten archive's

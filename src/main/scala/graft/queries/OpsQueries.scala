@@ -95,12 +95,15 @@ object OpsQueries {
           // stabilize the double for cross-engine hashing
           round(col("jaccard"), 6).as("jaccard"))),
 
-    // MinHash+LSH (no oracle — validated against x_ngram_jaccard in OpsSpec)
+    // MinHash+LSH (no oracle — banding keys are JVM xxhash64, not SQL;
+    // x_minhash_lsh_precision is the hash-green twin and OpsSpec pins
+    // the recall floor vs x_ngram_jaccard)
     "x_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", col("text"))
         .select(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs (no oracle)
+    // SimHash near-dup pairs (no oracle — the 64-bit plane hashes are
+    // JVM-side; x_simhash_md5 is the hash-green md5-parity twin)
     "x_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", col("text"), maxDistance = 8)),
 
@@ -809,10 +812,29 @@ object OpsQueries {
     // compressibility signal (native graft_deflate_ratio expression):
     // deflated/raw bytes — low ratio = low-entropy boilerplate the
     // n-gram counts can miss. No DuckDB oracle (no zlib there);
-    // OpsSpec pins parity with a driver-side reference deflate.
+    // OpsSpec pins parity with a driver-side reference deflate, and
+    // the x_compression_bound twin below hash-oracles a per-row
+    // invariant of the same expression.
     "x_compression_ratio" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))),
+
+    // containment oracle for the deflate family (r16 verdict #6):
+    // DuckDB has no zlib, but DEFLATE guarantees compressed_len in
+    // (0, raw + 5·ceil(raw/16383) + 11] (stored-block framing + zlib
+    // header/adler, with block-size slack) — so the per-doc verdict
+    // "real deflate output within its format bound" is cross-engine
+    // checkable: DuckDB emits the same rows with the bound as literal
+    // TRUE, and any deflate regression (wrong length, broken native
+    // expression) hash-mismatches on every affected row
+    "x_compression_bound" -> ((s, dir) => {
+      val raw = octet_length(col("text")).cast("double")
+      val ratio = call_function("graft_deflate_ratio", col("text"))
+      val ub = (raw + lit(5.0) * ceil(raw / lit(16383.0)) + lit(11.0)) / raw
+      Tables.documents(s, dir).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("raw_len"),
+        when(raw === 0, lit(true)).otherwise(ratio > 0 && ratio <= ub).as("bound_ok"))
+    }),
 
     // fasttext-style logistic quality score: features → linear form →
     // sigmoid, all codegen'd narrow expressions (fixed interpretable
@@ -2175,6 +2197,8 @@ object OpsQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM s a JOIN s b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin),
+    "x_compression_bound" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_len, TRUE AS bound_ok FROM documents",
     "x_ann_lsh_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
     "x_ann_ivf_precision" -> annTopKSql(AnnOracleKPrime, withRank = false),
     "x_ann_ivfpq_precision" -> annTopKSql(PqOracleKPrime, withRank = false),

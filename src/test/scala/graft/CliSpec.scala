@@ -1588,7 +1588,10 @@ class CliSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-mongolive-")
     // a real archive for the stub mongodump to emit, built by the
     // writer the specs already pin byte-exactly
-    val users = Seq((1L, "ada", 3.5), (2L, "bob", -1.0)).toDF("id", "name", "score")
+    // names > 3 chars: `redacted` passes shorter strings through
+    // (reference transformer/redacted.rs:79-98), which would make the
+    // masking assertion below vacuous
+    val users = Seq((1L, "adaline", 3.5), (2L, "bobbert", -1.0)).toDF("id", "name", "score")
     val events = Seq((10L, "click"), (11L, "view")).toDF("event_id", "kind")
     val bos = new java.io.ByteArrayOutputStream()
     graft.ingest.MongoArchive.writeTables(bos, "livedb",
@@ -1606,19 +1609,32 @@ class CliSpec extends SparkSpec {
     Seq(dumpStub, restStub).foreach(_.toFile.setExecutable(true))
     val store = Files.createTempDirectory("graft-mongolive-store-").toString
     val conf = Files.createTempFile("graft-mongolive-conf-", ".yaml")
-    // skip_tables keyed by the REAL mongo database: the filter
-    // namespace must be the URI's db, not the SQL-side "public"
-    // default, or the exclusion silently matches nothing
+    // BARE skip_tables / transformer entries (the example-yaml shape):
+    // with a mongodb source they must default to the URI's database,
+    // not the SQL-side "public" — otherwise the exclusion and the
+    // masking would silently match nothing and the dump would go out
+    // unfiltered (ADVICE r15; GraftConfig.defaultDb)
     Files.writeString(conf,
       s"""source:
          |  connection_uri: mongodb://localhost:27017/livedb
-         |  skip_tables: [livedb.events]
+         |  skip_tables: [events]
+         |  transformers:
+         |    - table: users
+         |      columns:
+         |        - name: name
+         |          transformer_name: redacted
          |datastore:
          |  local_disk:
          |    dir: $store
          |destination:
          |  connection_uri: mongodb://otherhost:27017/livedb
          |""".stripMargin)
+    val mongoConf = GraftConfig.fromYaml(Files.readString(conf))
+    assert(mongoConf.defaultDb == "livedb")
+    assert(mongoConf.filters.skipTables ==
+      Seq(graft.model.TableRef("livedb", "events")))
+    assert(mongoConf.bindings.map(b => (b.database, b.table, b.column)) ==
+      Seq(("livedb", "users", "name")))
     spark.conf.set("spark.graft.mongodumpCmd", dumpStub.toString)
     spark.conf.set("spark.graft.mongorestoreCmd", restStub.toString)
     val printed = collection.mutable.Buffer[String]()
@@ -1648,9 +1664,12 @@ class CliSpec extends SparkSpec {
       // events was skip_tables'd under its real namespace → excluded
       assert(back.collections.keySet == Set("livedb.users"))
       val restoredUsers = graft.ingest.MongoArchive.restore(spark, back)("livedb.users")
-      assert(restoredUsers.select(col("id"), col("name"), col("score"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
-        Set((1L, "ada", 3.5), (2L, "bob", -1.0)))
+      val rows = restoredUsers.select(col("id"), col("name"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // the BARE-keyed transformer binding actually fired under the
+      // mongo namespace: names are masked, not passed through
+      assert(rows == Set((1L, "ada**********", 3.5), (2L, "bob**********", -1.0)),
+        s"bare transformer binding did not apply: $rows")
       // failure is loud and carries the tool's stderr
       val failStub = dir.resolve("failing.sh")
       Files.writeString(failStub, "#!/bin/sh\necho 'connection refused' >&2\nexit 3\n")

@@ -51,5 +51,5 @@ object EntrySpec {
   // +x_pagerank, +x_media_audio_fp, +x_media_audio_fp_dedup,
   // +x_doremi_weights, +x_doremi_mix, +x_orc_roundtrip, +x_csv_roundtrip,
   // +x_url_blocklist, +x_incremental_audio_fp, +x_keyword_filter
-  val DeclaredQueries = 171
+  val DeclaredQueries = 172 // r16: +x_compression_bound (deflate containment oracle)
 }

@@ -266,6 +266,92 @@ class MongoArchiveSpec extends SparkSpec {
     assert(back.collections("testdb.bulk").size == 1000)
   }
 
+  test("distributed read: multi-partition, multi-slice roundtrip matches the source") {
+    // the r16 read analog of the distributed writer: a 7-partition
+    // collection written to a FILE, sliced at a tiny maxSliceBytes so
+    // the scan genuinely cuts many doc-aligned slices, decoded on
+    // executors, CRC-verified via the per-slice combine fold
+    import org.apache.spark.sql.functions.{concat, lit}
+    val big = spark.range(0, 1000)
+      .select($"id", concat(lit("doc-"), $"id").as("name"), ($"id" % 7).as("grp"))
+      .repartition(7)
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val path = java.nio.file.Files.createTempFile("graft-dist-read", ".bin")
+    val fos = new java.io.FileOutputStream(path.toFile)
+    try MongoArchive.writeTables(fos, "testdb", Seq("bulk" -> big, "tiny" -> small))
+    finally fos.close()
+
+    val idx = MongoArchive.scanFile(path.toString, maxSliceBytes = 4096)
+    assert(idx.metas.map(_.prefix) == Seq("testdb.bulk", "testdb.tiny"))
+    val bulkSlices = idx.slices.filter(_.prefix == "testdb.bulk")
+    assert(bulkSlices.size > 5, s"expected many slices, got ${bulkSlices.size}")
+    // slices are doc-aligned and contiguous per collection body
+    assert(bulkSlices.sortBy(_.seq).sliding(2).forall {
+      case Seq(a, b) => a.offset + a.length == b.offset
+      case _ => true
+    })
+
+    val frames = MongoArchive.readDistributed(spark, path.toString,
+      schemas = Map("testdb.bulk" -> big.schema, "testdb.tiny" -> small.schema),
+      maxSliceBytes = 4096)
+    val back = frames("testdb.bulk")
+    assert(back.rdd.getNumPartitions == bulkSlices.size)
+    assert(back.orderBy($"id").collect().toSeq == big.orderBy($"id").collect().toSeq)
+    assert(frames("testdb.tiny").orderBy($"k").collect().toSeq ==
+      small.orderBy($"k").collect().toSeq)
+    java.nio.file.Files.delete(path)
+  }
+
+  test("distributed read: corrupted body fails the combined CRC loudly") {
+    val df = spark.range(0, 200).select($"id", ($"id" * 3).as("x"))
+    val path = java.nio.file.Files.createTempFile("graft-dist-crc", ".bin")
+    val fos = new java.io.FileOutputStream(path.toFile)
+    try MongoArchive.writeTables(fos, "db", Seq("c" -> df))
+    finally fos.close()
+    // flip one byte inside a body document (not the framing): the scan
+    // still succeeds, the distributed CRC fold must not
+    val idx = MongoArchive.scanFile(path.toString, maxSliceBytes = 1024)
+    val victim = idx.slices.head
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    try {
+      val at = victim.offset + victim.length / 2
+      raf.seek(at); val b = raf.read(); raf.seek(at); raf.write(b ^ 0x01)
+    } finally raf.close()
+    val e = intercept[IllegalArgumentException] {
+      MongoArchive.readDistributed(spark, path.toString,
+        schemas = Map("db.c" -> df.schema), maxSliceBytes = 1024)
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
+    java.nio.file.Files.delete(path)
+  }
+
+  test("distributed read: sliced schema inference matches single-pass inferSchema") {
+    // heterogeneous docs spread across slices: a field that is all-null
+    // in early docs and typed later must still infer its type (raw
+    // per-slice schemas merged BEFORE null-field finalization)
+    import org.apache.spark.sql.functions.when
+    val df = spark.range(0, 300)
+      .select($"id",
+        when($"id" >= 200, $"id" * 1.5).as("lateDouble"),
+        when($"id" < 100, concatWs($"id")).as("earlyString"))
+      .repartition(5)
+    val path = java.nio.file.Files.createTempFile("graft-dist-infer", ".bin")
+    val fos = new java.io.FileOutputStream(path.toFile)
+    try MongoArchive.writeTables(fos, "db", Seq("c" -> df))
+    finally fos.close()
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val singlePass = MongoArchive.inferSchema(
+      MongoArchive.read(bytes).collections("db.c"))
+    val distributed = MongoArchive.readDistributed(spark, path.toString,
+      maxSliceBytes = 2048)("db.c").schema
+    assert(distributed == singlePass,
+      s"distributed ${distributed.treeString} vs single-pass ${singlePass.treeString}")
+    java.nio.file.Files.delete(path)
+  }
+
+  private def concatWs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(org.apache.spark.sql.functions.lit("s"), c)
+
   test("archive read concatenates interleaved data blocks for one namespace") {
     // mongodump with concurrent_collections > 1 interleaves blocks;
     // hand-assemble: header, 1 metadata, then TWO data blocks for db.c

@@ -296,10 +296,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("ExistingRDD"),
       "gram arrays not pinned — consumers would recompute the gram subplan")
-    // the PPJoin side orders prefixes by ascending global df (the exact
-    // hot-gram guard); its per-doc row_number shows up as a Window node
-    assert(p.contains("Window"),
-      "df-ascending prefix ordering missing — lexical prefixes fan out on hot grams")
+    // r16: the dfOrder prefix frame and the minhash signatures are ALSO
+    // pinned (the r15 driver sweep caught a 455 CPU-s recompute mode
+    // when only the gram arrays were) — so the hot-demote Window now
+    // executes inside a checkpointed subplan and the final plan reads
+    // its blocks. Assert the ordering machinery on the UNPINNED prefix
+    // plan directly, and the pinning on the query's final plan.
+    import org.apache.spark.sql.functions.col
+    val grams = graft.ops.Dedup.docGramArrays(
+      Tables.documents(spark, sfDir), "doc_id", col("text"), 3)
+    val prefixPlan = graft.ops.Dedup
+      .ppjoinCandidates(grams, 0.8, maxDocFreq = 0L, dfOrder = true)
+      .queryExecution.executedPlan.toString
+    assert(prefixPlan.contains("Window"),
+      "df-order prefix ordering missing — lexical prefixes fan out on hot grams")
     val df = SparkEntry.queries("x_minhash_lsh_precision")(spark, sfDir)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString

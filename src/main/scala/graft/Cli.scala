@@ -146,10 +146,12 @@ object Cli {
         c.sourceMongo match {
           // live Mongo leg: mongodump the archive and print the
           // INFERRED schemas — the reference's read_and_parse_schema
-          // over the same stream (source/mongodb.rs:28-63)
+          // over the same stream (source/mongodb.rs:28-63). The tool's
+          // stdout spools to a file (O(copy buffer) on the driver) and
+          // executors decode/infer distributedly (r16).
           case Some((uri, db)) =>
-            val archive = graft.ingest.MongoLive.dump(uri, db, mongoCmd(spark, "mongodump"))
-            graft.ingest.MongoArchive.restore(spark, archive).toSeq.sortBy(_._1)
+            val spool = mongoSpool(uri, db, spark)
+            graft.ingest.MongoArchive.readDistributed(spark, spool).toSeq.sortBy(_._1)
               .foreach { case (prefix, df) =>
                 out(s"table: $prefix")
                 out(df.schema.treeString)
@@ -225,9 +227,11 @@ object Cli {
         // parquet tables_dir otherwise
         val (tables, fkEdges, load) = c.sourceMongo match {
           case Some((uri, db)) =>
-            val archive = graft.ingest.MongoLive.dump(uri, db, mongoCmd(spark, "mongodump"))
-            // inferred schemas, "db.coll" prefixes → bare table names
-            val frames = graft.ingest.MongoArchive.restore(spark, archive)
+            // spooled to a file and decoded on the executors (r16) —
+            // the driver never holds a collection; inferred schemas,
+            // "db.coll" prefixes → bare table names
+            val frames = graft.ingest.MongoArchive
+              .readDistributed(spark, mongoSpool(uri, db, spark))
               .map { case (prefix, df) => prefix.split("\\.", 2).last -> df }
             (frames.keys.toSeq.sorted, Nil,
               (t: String) => frames.getOrElse(t,
@@ -510,6 +514,19 @@ object Cli {
   private def mongoCmd(spark: SparkSession, tool: String): Seq[String] =
     spark.conf.getOption(s"spark.graft.${tool}Cmd")
       .map(_.split("\\s+").toSeq).getOrElse(Seq(tool))
+
+  /** mongodump the live database to a spool file and return its path —
+    * the frames built over it read LAZILY, so the spool outlives the
+    * command (deleteOnExit, not eager delete). O(copy buffer) driver
+    * memory; decode happens on the executors (MongoArchive
+    * .readDistributed).
+    */
+  private def mongoSpool(uri: String, db: String, spark: SparkSession): String = {
+    val spool = java.nio.file.Files.createTempFile("graft-mongodump-", ".archive")
+    spool.toFile.deleteOnExit()
+    graft.ingest.MongoLive.dumpToFile(uri, db, spool.toString, mongoCmd(spark, "mongodump"))
+    spool.toString
+  }
 
   private def datastoreUri(c: GraftConfig): String =
     c.datastore.map(_.rootUri).getOrElse(

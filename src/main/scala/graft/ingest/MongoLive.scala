@@ -18,10 +18,14 @@ import java.io.InputStream
   * `binary_exists` check.
   *
   * Scale note: a mongodump archive is one sequential pipe from one
-  * process — the same inherent bound the reference has. The dump is
-  * therefore spooled driver-side and bounded by archive size; bulk
-  * data belongs in [[MongoArchive.writeTables]]'s distributed path
-  * once it is INSIDE the engine.
+  * process — the same inherent bound the reference has. [[dumpToFile]]
+  * spools that pipe straight to storage (O(copy buffer) driver memory)
+  * for [[MongoArchive.readDistributed]] to decode on the executors —
+  * the live-source leg then never holds a collection in driver memory.
+  * The in-memory [[dump]] stays for bounded archives (the reference's
+  * whole-archive semantics); bulk data belongs in
+  * [[MongoArchive.writeTables]]'s distributed path once it is INSIDE
+  * the engine.
   */
 object MongoLive {
 
@@ -44,6 +48,21 @@ object MongoLive {
   def dump(uri: String, db: String,
            cmd: Seq[String] = Seq("mongodump")): MongoArchive.Archive =
     MongoArchive.read(run(cmd ++ dumpArgs(uri, db), _ => ()))
+
+  /** Dump a live database, spooling the tool's stdout straight to
+    * `path` (Hadoop FS — local file, hdfs, s3a alike) — O(copy buffer)
+    * driver memory regardless of archive size. Pair with
+    * [[MongoArchive.readDistributed]] so executors do the decode; the
+    * spool must land where they can read it (trivial on local[n], a
+    * shared filesystem on a real cluster).
+    */
+  def dumpToFile(uri: String, db: String, path: String,
+                 cmd: Seq[String] = Seq("mongodump")): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).create(p, true)
+    try runTo(cmd ++ dumpArgs(uri, db), _ => (), out)
+    finally out.close()
+  }
 
   /** Restore into a live database via mongorestore, STREAMING the
     * archive into the tool's stdin: `write` (typically
@@ -73,6 +92,17 @@ object MongoLive {
     */
   private[ingest] def run(argv: Seq[String],
                           writeStdin: java.io.OutputStream => Unit): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    runTo(argv, writeStdin, buf)
+    buf.toByteArray
+  }
+
+  /** [[run]] with stdout streamed to `stdout` instead of buffered —
+    * the spool path's O(copy buffer) variant.
+    */
+  private[ingest] def runTo(argv: Seq[String],
+                            writeStdin: java.io.OutputStream => Unit,
+                            stdout: java.io.OutputStream): Unit = {
     import scala.jdk.CollectionConverters._
     val p = new ProcessBuilder(argv.asJava).start()
     val errBuf = new java.io.ByteArrayOutputStream()
@@ -100,8 +130,7 @@ object MongoLive {
     })
     writer.setDaemon(true)
     writer.start()
-    val outBuf = new java.io.ByteArrayOutputStream()
-    copy(p.getInputStream, outBuf)
+    copy(p.getInputStream, stdout)
     val exit = p.waitFor()
     drain.join(10000)
     writer.join(10000)
@@ -119,7 +148,6 @@ object MongoLive {
     if (exit != 0)
       throw new IllegalStateException(
         s"${argv.head} exited $exit: ${new String(errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim}")
-    outBuf.toByteArray
   }
 
   private def copy(in: InputStream, out: java.io.OutputStream): Unit = {

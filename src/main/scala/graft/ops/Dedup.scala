@@ -336,10 +336,16 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     // gram arrays feed both verify sides; sigs feed both band-join
     // sides — pinned like the rest of the family (see
-    // [[minhashLshPrecisionUnion]]'s determinism note).
-    val sigs = minhashSigs(df, id, text, n, numHashes).localCheckpoint(true)
-    verifyJaccard(bandCandidates(sigs, numHashes, bands),
-      docGramArrays(df, id, text, n).localCheckpoint(true), threshold)
+    // [[minhashLshPrecisionUnion]]'s determinism note), with the two
+    // independent pins materialized concurrently for the same
+    // max-not-sum wall reason.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sigsF = Future(minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
+    val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
+    val sigs = Await.result(sigsF, Duration.Inf)
+    verifyJaccard(bandCandidates(sigs, numHashes, bands), gramArrays, threshold)
   }
 
   /** (doc, sig) frame behind a `doc`-keyed shuffle boundary — without
@@ -628,8 +634,19 @@ object Dedup {
     // serializing job barrier that costs wall time. All three pinned
     // frames are skinny (ids + hashes + gram arrays once), so the pins
     // cost far less than one recomputation of any input.
+    // The pins form two INDEPENDENT chains — (gram arrays → prefix
+    // frame) and (signatures) — so they materialize concurrently:
+    // each eager localCheckpoint is a blocking job barrier, and run
+    // serially their latencies add while the cluster sits half-idle.
+    // Submitted from two threads, Spark schedules both jobs into the
+    // same executor pool and the wall cost is max(chain), not
+    // sum(chain). Exactness and determinism are unaffected — the same
+    // frames are pinned, only their materialization overlaps.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sigsF = Future(minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
     val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
-    val sigs = minhashSigs(df, id, text, n, numHashes).localCheckpoint(true)
     // Both generators dedup internally, so the union carries at most 2
     // copies of any pair — verifying the ≤2× candidates and deduping the
     // (tiny) verified output costs one narrow dedup of the result set
@@ -638,9 +655,10 @@ object Dedup {
     // order (see [[ppjoinCandidates]]) — the EXACT form of the
     // hot-gram guard, so the union still equals verified-LSH ∪ exact
     // and the precision oracle holds.
-    val candidates = bandCandidates(sigs, numHashes, bands)
-      .union(ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L,
-        dfOrder = true, eager = true))
+    val pp = ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L,
+      dfOrder = true, eager = true)
+    val sigs = Await.result(sigsF, Duration.Inf)
+    val candidates = bandCandidates(sigs, numHashes, bands).union(pp)
     verifyJaccard(candidates, gramArrays, threshold)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -261,9 +261,16 @@ object MongoArchive {
     */
   def scanFile(path: String, maxSliceBytes: Int = DefaultSliceBytes): ArchiveIndex = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in = p.getFileSystem(fsConf).open(p)
     try scan(in, maxSliceBytes) finally in.close()
   }
+
+  /** One Hadoop Configuration per JVM: constructing one parses the
+    * default XML resources, which is measurable when every slice task
+    * on an executor would otherwise pay it (FileSystem instances are
+    * already cached by Hadoop itself, keyed on scheme+authority).
+    */
+  @transient private lazy val fsConf = new org.apache.hadoop.conf.Configuration()
 
   /** Executor-side range read — every executor must reach `path`
     * (shared FS / object store; trivially true on local[n]).
@@ -271,7 +278,7 @@ object MongoArchive {
   private def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
     require(length <= Int.MaxValue, s"slice of $length bytes exceeds the JVM array limit")
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in = p.getFileSystem(fsConf).open(p)
     try {
       in.seek(offset)
       val buf = new Array[Byte](length.toInt)

@@ -720,19 +720,22 @@ object Dedup {
       val grandMin = labels
         .join(labels.select(col("id").as("label"), col("label").as("glabel")), Seq("label"))
         .select(col("id"), col("glabel"))
+      // the OLD label rides inside the checkpointed frame, so the
+      // convergence test is a narrow filter over the just-pinned blocks
+      // instead of an extra equi-join (one shuffle per round saved —
+      // across the ~log d rounds and the six capstones that use this
+      // loop, real wall time)
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .join(grandMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
-            coalesce(col("glabel"), col("label"))).as("label"))
+            coalesce(col("glabel"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -352,6 +352,37 @@ class MongoArchiveSpec extends SparkSpec {
   private def concatWs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.concat(org.apache.spark.sql.functions.lit("s"), c)
 
+  test("distributed read: interleaved data blocks decode in block order") {
+    // same concurrent_collections>1 shape as the in-memory test below,
+    // but through scan → slices → executor decode: slices from BOTH
+    // blocks must keep their cross-block order (seq) so the CRC fold
+    // and the row order match the sequential reader
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x6d, 0xe2.toByte, 0x99.toByte, 0x81.toByte))
+    out.write(Bson.encode(BDoc("concurrent_collections" -> BInt32(2),
+      "version" -> BStr("0.1"), "server_version" -> BStr("n/a"), "tool_version" -> BStr("t"))))
+    out.write(Bson.encode(BDoc("db" -> BStr("db"), "collection" -> BStr("c"),
+      "metadata" -> BStr("{}"), "size" -> BInt32(0), "type" -> BStr("collection"))))
+    val sep = Array[Byte](-1, -1, -1, -1)
+    out.write(sep)
+    def ns(eof: Boolean, crc: Long) = Bson.encode(BDoc(
+      "db" -> BStr("db"), "collection" -> BStr("c"), "EOF" -> BBool(eof), "CRC" -> BInt64(crc)))
+    val d1 = BDoc("i" -> BInt32(1))
+    val d2 = BDoc("i" -> BInt32(2))
+    val crc = Crc64.of(Bson.encode(d1) ++ Bson.encode(d2))
+    out.write(ns(eof = false, 0)); out.write(Bson.encode(d1)); out.write(sep)
+    out.write(ns(eof = false, 0)); out.write(Bson.encode(d2)); out.write(sep)
+    out.write(ns(eof = true, crc)); out.write(sep)
+    val path = java.nio.file.Files.createTempFile("graft-dist-interleave", ".bin")
+    java.nio.file.Files.write(path, out.toByteArray)
+    val idx = MongoArchive.scanFile(path.toString, maxSliceBytes = 1)
+    // one slice per (tiny) block, ordered across blocks
+    assert(idx.slices.map(s => (s.prefix, s.seq)) == Seq(("db.c", 0), ("db.c", 1)))
+    val back = MongoArchive.readDistributed(spark, path.toString, maxSliceBytes = 1)("db.c")
+    assert(back.select($"i").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    java.nio.file.Files.delete(path)
+  }
+
   test("archive read concatenates interleaved data blocks for one namespace") {
     // mongodump with concurrent_collections > 1 interleaves blocks;
     // hand-assemble: header, 1 metadata, then TWO data blocks for db.c

@@ -339,12 +339,9 @@ object Dedup {
     // [[minhashLshPrecisionUnion]]'s determinism note), with the two
     // independent pins materialized concurrently for the same
     // max-not-sum wall reason.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val sigsF = Future(minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
-    val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
-    val sigs = Await.result(sigsF, Duration.Inf)
+    val (gramArrays, sigs) = Par.both(
+      docGramArrays(df, id, text, n).localCheckpoint(true),
+      minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
     verifyJaccard(bandCandidates(sigs, numHashes, bands), gramArrays, threshold)
   }
 
@@ -642,10 +639,7 @@ object Dedup {
     // same executor pool and the wall cost is max(chain), not
     // sum(chain). Exactness and determinism are unaffected — the same
     // frames are pinned, only their materialization overlaps.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val sigsF = Future(minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
+    val sigsF = Par.future(minhashSigs(df, id, text, n, numHashes).localCheckpoint(true))
     val gramArrays = docGramArrays(df, id, text, n).localCheckpoint(true)
     // Both generators dedup internally, so the union carries at most 2
     // copies of any pair — verifying the ≤2× candidates and deduping the
@@ -657,7 +651,7 @@ object Dedup {
     // and the precision oracle holds.
     val pp = ppjoinCandidates(gramArrays, threshold, maxDocFreq = 0L,
       dfOrder = true, eager = true)
-    val sigs = Await.result(sigsF, Duration.Inf)
+    val sigs = Par.await(sigsF)
     val candidates = bandCandidates(sigs, numHashes, bands).union(pp)
     verifyJaccard(candidates, gramArrays, threshold)
       .select(col("id_a"), col("id_b"))

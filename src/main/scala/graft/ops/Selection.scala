@@ -77,8 +77,8 @@ object Selection {
       df.select(explode(featureBuckets(text, buckets)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rc = counts(raw)
-    val tc = counts(target)
+    // two independent agg-collect jobs — overlapped (see [[Par.both]])
+    val (rc, tc) = Par.both(counts(raw), counts(target))
     val rt = rc.valuesIterator.sum
     val tt = tc.valuesIterator.sum
     require(rt > 0 && tt > 0, "raw and target must both contain at least one token")

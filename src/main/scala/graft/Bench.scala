@@ -205,6 +205,24 @@ object Bench {
         a.name -> BigDecimal(math.max(a.wall, b.wall) / math.min(a.wall, b.wall))
           .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    // Classify each flag by its measured SHAPE so the artifact
+    // distinguishes the designed pay-once pattern from trouble without
+    // a hand-maintained list:
+    //   pass1-work — the slow pass came first and its extra wall was
+    //                real compute (artifact/layout build, pay-once);
+    //   wall-stall — extra wall with ~no extra CPU (host/IO stall;
+    //                min-of-2 already reports the true cost);
+    //   pass2-work — extra COMPUTE on the second pass: nothing should
+    //                get slower when warm, so this one merits a look.
+    val spreadKind = passes.head.zip(passes(1)).collect {
+      case (a, b) if spread.exists(_._1 == a.name) =>
+        val (slow, fast) = if (a.wall >= b.wall) (a, b) else (b, a)
+        val kind =
+          if (slow.cpu - fast.cpu < 0.15 * (slow.wall - fast.wall)) "wall-stall"
+          else if (slow eq a) "pass1-work"
+          else "pass2-work"
+        a.name -> kind
+    }
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full
     // double precision).
@@ -231,7 +249,8 @@ object Bench {
     val errsJson = errs.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"").mkString("{", ",", "}")
     val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
     val spreadJson = spread.map { case (n, x) => s"\"" + n + "\":" + x }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
+    val spreadKindJson = qmapS(spreadKind)
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

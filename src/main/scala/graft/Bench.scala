@@ -223,6 +223,19 @@ object Bench {
           else "pass2-work"
         a.name -> kind
     }
+    // Actionable spread = flags minus the designed exceptions (r16
+    // verdict #3), so a clean sweep is machine-checkable as 0:
+    //   pass1-work on a query DECLARED in SparkEntry.expectedPass1Work
+    //     — the designed pay-once artifact build; not actionable.
+    //   wall-stall — extra wall with ~no extra CPU is the host, not the
+    //     plan; min-of-2 already reports the true cost and the flag +
+    //     kind stay visible above; not actionable for the builder.
+    //   everything else — undeclared pass-1 compute or ANY pass-2-work
+    //     (warm must never be slower) — actionable.
+    val actionable = spreadKind.filter { case (name, kind) =>
+      kind == "pass2-work" ||
+        (kind == "pass1-work" && !SparkEntry.expectedPass1Work.contains(name))
+    }
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full
     // double precision).
@@ -250,12 +263,23 @@ object Bench {
     val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
     val spreadJson = spread.map { case (n, x) => s"\"" + n + "\":" + x }.mkString("{", ",", "}")
     val spreadKindJson = qmapS(spreadKind)
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
+    val actionableJson = qmapS(actionable)
+    // Verdict-critical numbers in one SHORT line (r16 verdict #5): the
+    // driver's capture can truncate the full artifact line (r16's
+    // BENCH_r16.json parsed as null for exactly that reason), so the
+    // headline — total / errs / leaks / the historically-unstable LSH
+    // query's CPU / actionable spread — must also exist in a line no
+    // capture window can cut. Printed FIRST; the full line (and the
+    // authoritative file copy) carries the per-query detail.
+    val lshCpu = results.find(_.name == "x_minhash_lsh_precision").map(_.cpu).getOrElse(-1.0)
+    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":${errs.length},"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"n_spread_actionable":${actionable.length},"spread_actionable":$actionableJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
+    println(summary)
     println(json)
     spark.stop()
   }

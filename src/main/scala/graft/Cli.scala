@@ -150,12 +150,16 @@ object Cli {
           // stdout spools to a file (O(copy buffer) on the driver) and
           // executors decode/infer distributedly (r16).
           case Some((uri, db)) =>
-            val spool = mongoSpool(uri, db, spark)
-            graft.ingest.MongoArchive.readDistributed(spark, spool).toSeq.sortBy(_._1)
+            val spool = mongoSpool(uri, db, spark, c.datastore.map(_.rootUri))
+            // schemas are inferred EAGERLY inside readDistributed, so
+            // once printed the spool has been fully consumed — delete
+            // it now (it holds unmasked data)
+            try graft.ingest.MongoArchive.readDistributed(spark, spool).toSeq.sortBy(_._1)
               .foreach { case (prefix, df) =>
                 out(s"table: $prefix")
                 out(df.schema.treeString)
               }
+            finally deleteSpool(spool, spark)
             return 0
           case None => ()
         }
@@ -225,13 +229,19 @@ object Cli {
         // set — partitioned JDBC range scans; mongodb:// URIs spawn
         // mongodump (S3 live leg, reference source/mongodb.rs:66-101);
         // parquet tables_dir otherwise
+        // the Mongo spool (if any) is read LAZILY by the frames all the
+        // way through Pipeline.dump, so its eager delete sits in the
+        // finally AFTER the dump write completes
+        var spoolPath: Option[String] = None
         val (tables, fkEdges, load) = c.sourceMongo match {
           case Some((uri, db)) =>
             // spooled to a file and decoded on the executors (r16) —
             // the driver never holds a collection; inferred schemas,
             // "db.coll" prefixes → bare table names
+            val spool = mongoSpool(uri, db, spark, Some(datastoreUri(c)))
+            spoolPath = Some(spool)
             val frames = graft.ingest.MongoArchive
-              .readDistributed(spark, mongoSpool(uri, db, spark))
+              .readDistributed(spark, spool)
               .map { case (prefix, df) => prefix.split("\\.", 2).last -> df }
             (frames.keys.toSeq.sorted, Nil,
               (t: String) => frames.getOrElse(t,
@@ -267,8 +277,10 @@ object Cli {
           fkEdges = fkEdges,
           compressed = c.datastore.flatMap(_.compression).getOrElse(true),
           encryptionKey = c.encryptionKey)
-        Pipeline.dump(spark, load, store, name, job)
-        out(s"dump created: $name")
+        try {
+          Pipeline.dump(spark, load, store, name, job)
+          out(s"dump created: $name")
+        } finally spoolPath.foreach(deleteSpool(_, spark))
         0
 
       case Seq("dump", "list") =>
@@ -516,17 +528,48 @@ object Cli {
       .map(_.split("\\s+").toSeq).getOrElse(Seq(tool))
 
   /** mongodump the live database to a spool file and return its path —
-    * the frames built over it read LAZILY, so the spool outlives the
-    * command (deleteOnExit, not eager delete). O(copy buffer) driver
-    * memory; decode happens on the executors (MongoArchive
-    * .readDistributed).
+    * the frames built over it read LAZILY, so callers must
+    * [[deleteSpool]] only AFTER the last action that reads them
+    * (eager delete, not deleteOnExit: the spool is the UNMASKED
+    * pre-transform dump and must not linger for the JVM's lifetime,
+    * ADVICE r16). O(copy buffer) driver memory; decode happens on the
+    * executors (MongoArchive.readDistributed), so the spool must land
+    * where THEY can open it: on a local master that's a 0600 temp file
+    * (created by nio with owner-only perms, written through a
+    * truncate-in-place FileOutputStream that preserves them); on a
+    * real cluster a driver-local path would be a silent per-task
+    * FileNotFoundException, so the spool goes under the datastore root
+    * (a Hadoop-FS URI executors already reach, same convention as
+    * [[spoolStdin]]) or, with no datastore configured, fails fast.
     */
-  private def mongoSpool(uri: String, db: String, spark: SparkSession): String = {
-    val spool = java.nio.file.Files.createTempFile("graft-mongodump-", ".archive")
-    spool.toFile.deleteOnExit()
-    graft.ingest.MongoLive.dumpToFile(uri, db, spool.toString, mongoCmd(spark, "mongodump"))
-    spool.toString
-  }
+  private def mongoSpool(uri: String, db: String, spark: SparkSession,
+                         storeRoot: Option[String]): String =
+    if (spark.sparkContext.isLocal) {
+      val spool = java.nio.file.Files.createTempFile("graft-mongodump-", ".archive")
+      val fos = new java.io.FileOutputStream(spool.toFile)
+      try graft.ingest.MongoLive.dumpToStream(uri, db, fos, mongoCmd(spark, "mongodump"))
+      finally fos.close()
+      spool.toString
+    } else storeRoot match {
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, ".spool"),
+          s"graft-mongodump-${java.util.UUID.randomUUID()}.archive")
+        graft.ingest.MongoLive.dumpToFile(uri, db, p.toString, mongoCmd(spark, "mongodump"))
+        p.toString
+      case None =>
+        throw new IllegalStateException(
+          "mongo source on a non-local master needs a datastore to spool " +
+          "under: executors cannot open a driver-local temp file")
+    }
+
+  /** Best-effort eager removal of a [[mongoSpool]] file. */
+  private def deleteSpool(path: String, spark: SparkSession): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+      ()
+    } catch { case _: Throwable => () }
 
   private def datastoreUri(c: GraftConfig): String =
     c.datastore.map(_.rootUri).getOrElse(

@@ -35,4 +35,38 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.iterator.map(_._2).reduce(_ ++ _)
+
+  /** Queries whose first measured bench pass may legitimately do extra
+    * pay-once work — a persisted-artifact build behind an
+    * `ArtifactCache.isComplete` guard, a bucketed-table layout write,
+    * or a train-once model fit. Their pass-1-vs-pass-2 wall spread is
+    * the DESIGNED ingest-once lifecycle (pass 1 pays the build, later
+    * passes read it), so Bench subtracts them — when the measured
+    * spread shape actually IS `pass1-work` — from
+    * `n_spread_actionable`; a declared query whose spread measures
+    * `pass2-work` still counts as actionable (nothing should get
+    * slower when warm). r16 verdict #3: with the designed flags
+    * declared, a clean sweep is machine-checkable as actionable == 0.
+    */
+  val expectedPass1Work: Set[String] = Set(
+    // train-once logistic fit (ArtifactCache-keyed weights)
+    "x_quality_logit_trained",
+    // bucketed-table layout written on first touch
+    "j6_bucketed_join",
+    // shared pay-once corpus exact-pairs artifact (built by whichever
+    // consumer runs first; all four can build it when cold)
+    "x_cluster_best_rep", "x_incremental_near_dup_precision",
+    "x_split_leakage", "x_split_quarantine",
+    // persisted ingest-time indexes (LSH / phash / audio-fp / BM25 /
+    // Bloom blocklist)
+    "x_incremental_embed_precision", "x_incremental_phash",
+    "x_incremental_audio_fp", "x_bm25_topk_indexed", "x_url_blocklist",
+    // write-once interchange artifacts
+    "x_jsonl_roundtrip", "x_orc_roundtrip", "x_csv_roundtrip",
+    // capstones over persisted prefix artifacts (deduped survivor set /
+    // span-scrubbed prefix / crawl-extract)
+    "x_pipeline_corpus_v3", "x_pipeline_corpus_v3_precision",
+    "x_pipeline_corpus_v4", "x_pipeline_corpus_v5", "x_pipeline_corpus_v6",
+    // train-once unigram vocab + emissions artifact
+    "x_unigram_tokenizer", "x_unigram_encode")
 }

@@ -59,9 +59,28 @@ object MongoLive {
   def dumpToFile(uri: String, db: String, path: String,
                  cmd: Seq[String] = Seq("mongodump")): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val out = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).create(p, true)
-    try runTo(cmd ++ dumpArgs(uri, db), _ => (), out)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // owner-only permissions: the spool holds the UNMASKED pre-transform
+    // dump, and the default-umask create would leave it world-readable
+    // for the file's lifetime (ADVICE r16) — on FSes without POSIX
+    // perms (object stores) the call is a no-op, which is fine: those
+    // are access-controlled at the bucket
+    val out = org.apache.hadoop.fs.FileSystem.create(fs, p,
+      new org.apache.hadoop.fs.permission.FsPermission("600"))
+    try dumpToStream(uri, db, out, cmd)
     finally out.close()
+  }
+
+  /** [[dumpToFile]] minus the file handling: stream the tool's stdout
+    * into a caller-opened sink. Lets the caller control the target's
+    * creation (e.g. `Files.createTempFile`'s 0600 local temp file,
+    * which a truncate-in-place `FileOutputStream` preserves — a
+    * replace-style create would reset it to the umask default).
+    */
+  def dumpToStream(uri: String, db: String, out: java.io.OutputStream,
+                   cmd: Seq[String] = Seq("mongodump")): Unit = {
+    runTo(cmd ++ dumpArgs(uri, db), _ => (), out)
+    ()
   }
 
   /** Restore into a live database via mongorestore, STREAMING the

@@ -195,11 +195,15 @@ object IngestQueries {
       // BOTH codec directions distributed (r15 writer, r16 reader):
       // executor-encoded chunks stream through the driver to a file,
       // then the driver indexes doc-aligned slices and executors decode
-      // + CRC-verify them. Fixed path, overwritten per run — the
-      // returned frame reads the file lazily, so it must outlive this
-      // builder (and repeated bench/verify runs don't accumulate files).
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-s3-roundtrip.bin")
+      // + CRC-verify them. Per-process UNIQUE temp path (ADVICE r16: a
+      // fixed shared-tmp name races two concurrent bench processes —
+      // one overwrites while the other's lazily-read slices scan — and
+      // a pre-existing file owned by another user fails the write);
+      // deleteOnExit because the returned frame reads the file lazily,
+      // so it must outlive this builder.
+      val path = java.nio.file.Files
+        .createTempFile("graft-s3-roundtrip-", ".bin").toFile
+      path.deleteOnExit()
       val fos = new java.io.FileOutputStream(path)
       try MongoArchive.writeTables(fos, "graft", Seq("customer" -> src))
       finally fos.close()

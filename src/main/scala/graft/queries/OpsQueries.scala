@@ -286,8 +286,10 @@ object OpsQueries {
         corpus, docs.filter(isBatch(col("doc_id"))),
         "doc_id", col("text"), 3, 64, 16, 0.8,
         corpusIndex = Some(s.read.parquet(idxDir)))
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
-        eager = true)
+      // the exact-restriction side is a FILTER of the corpus-level pair
+      // set — read the shared pay-once artifact instead of running the
+      // full PPJoin a second time (r17)
+      val exact = corpusExactPairs(s, dir)
         .filter(isBatch(col("id_a")) || isBatch(col("id_b")))
       inc.select(col("id_a"), col("id_b"))
         .union(exact.select(col("id_a"), col("id_b")))
@@ -831,9 +833,14 @@ object OpsQueries {
       val raw = octet_length(col("text")).cast("double")
       val ratio = call_function("graft_deflate_ratio", col("text"))
       val ub = (raw + lit(5.0) * ceil(raw / lit(16383.0)) + lit(11.0)) / raw
+      // NULL text must mirror the oracle's vacuous TRUE (the DuckDB
+      // side emits literal TRUE for every row) — without the coalesce
+      // a null row yields null bound_ok and a spurious cross-engine
+      // mismatch instead of a real deflate finding (ADVICE r16)
       Tables.documents(s, dir).select(col("doc_id"),
         octet_length(col("text")).cast("long").as("raw_len"),
-        when(raw === 0, lit(true)).otherwise(ratio > 0 && ratio <= ub).as("bound_ok"))
+        coalesce(when(raw === 0, lit(true)).otherwise(ratio > 0 && ratio <= ub),
+          lit(true)).as("bound_ok"))
     }),
 
     // fasttext-style logistic quality score: features → linear form →
@@ -1059,12 +1066,14 @@ object OpsQueries {
 
     // near-dup clusters with QUALITY-chosen representatives (argmax
     // score, ties to the lower id) — the curation-grade upgrade of
-    // x_near_dup_clusters' arbitrary min-id canonical
+    // x_near_dup_clusters' arbitrary min-id canonical. Consumes the
+    // shared pay-once pair artifact (r17): the pair set here is an
+    // INPUT — the operator under test is the representative choice,
+    // and recomputing the full PPJoin made this the most expensive
+    // non-capstone query in the r16 sweep (3.67 s)
     "x_cluster_best_rep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.clusterRepresentatives(
-        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
-        eager = true),
+      Dedup.clusterRepresentatives(corpusExactPairs(s, dir),
         docs.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
         "doc_id", "q")
     }),
@@ -1243,12 +1252,14 @@ object OpsQueries {
 
     // leakage audit: near-dup pairs (exact n-gram Jaccard, the
     // x_ngram_jaccard operator) whose members landed in DIFFERENT
-    // splits — each row is a train-test-overlap incident
+    // splits — each row is a train-test-overlap incident. The pair set
+    // is [[corpusExactPairs]]' pay-once artifact, shared with
+    // x_split_quarantine (r16 verdict #1: the two queries each ran the
+    // full corpus-scale PPJoin on the same corpus — the identical pair
+    // set, computed twice)
     "x_split_leakage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Splits.crossSplitPairs(
-          Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
-        eager = true),
+      Splits.crossSplitPairs(corpusExactPairs(s, dir),
           Splits.splitAssign(docs, col("doc_id")), "doc_id")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
           col("split_a"), col("split_b"))
@@ -1256,12 +1267,11 @@ object OpsQueries {
 
     // quarantine list: the eval-side member of every cross-split
     // near-dup pair (train is never evicted), with its smallest
-    // higher-priority counterpart as evidence
+    // higher-priority counterpart as evidence — derived from the SAME
+    // pay-once pair artifact as x_split_leakage
     "x_split_quarantine" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Splits.quarantine(
-        Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.8,
-        eager = true),
+      Splits.quarantine(corpusExactPairs(s, dir),
         Splits.splitAssign(docs, col("doc_id")), "doc_id")
     }),
 
@@ -1879,6 +1889,30 @@ object OpsQueries {
   private def indexCachePath(s: SparkSession, dir: String,
                              sourceFile: String, params: String): String =
     graft.store.ArtifactCache.path(s, s"$dir/$sourceFile", params)
+
+  /** Pay-once corpus-level exact near-dup pair set (word 3-grams,
+    * τ=0.8): ONE corpus-scale PPJoin, persisted under an identity-keyed
+    * path, shared by every query that needs THE pair set as an input —
+    * x_split_leakage, x_split_quarantine, x_cluster_best_rep, and the
+    * exact-restriction side of x_incremental_near_dup_precision. (r16
+    * verdict #1 flagged the split-audit family's doubled run as the
+    * last redundant corpus-scale recompute; the other two consumers
+    * ran the identical join a third and fourth time.) x_ngram_jaccard
+    * and x_near_dup_clusters intentionally stay LIVE: they are the
+    * measured demonstrations of the PPJoin operator itself, and caching
+    * them would hide the operator's cost from the bench. The pair set
+    * is exact, so artifact and live runs agree row-for-row; the
+    * n/threshold parameters are part of the key, so a retuned audit
+    * rebuilds.
+    */
+  private def corpusExactPairs(s: SparkSession, dir: String): DataFrame = {
+    val outDir = indexCachePath(s, dir, "documents.parquet", "exactpairs,n=3,tau=0.8,v1")
+    if (!graft.store.ArtifactCache.isComplete(s, outDir))
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", col("text"),
+          3, 0.8, eager = true)
+        .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+  }
 
   /** Unigram-trainer config for the x_unigram_* queries: maxWordLen 8
     * covers every letter run in the corpus (longer runs would be

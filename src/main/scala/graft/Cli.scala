@@ -164,6 +164,29 @@ object Cli {
           case None => ()
         }
         c.sourceJdbc match {
+          // live-Postgres TOOL leg: pg_dump spools once, the DDL-typed
+          // frames come from the same parser the dump-file path uses
+          // (the reference's read_and_parse_schema over the identical
+          // stream, source/postgres.rs:85-110)
+          case Some(conn) if pgToolsMode(spark, conn.url) =>
+            val spool = liveSpool(spark, c.datastore.map(_.rootUri), "pgdump", ".sql")(o =>
+              graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
+                cmd = toolCmd(spark, "pg_dump")))
+            try {
+              import spark.implicits._
+              import graft.model.StatementKind
+              val stmts = graft.ingest.DumpReader.statements(spark, spool)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val ddlByTable = stmts.filter(_.kind == StatementKind.CreateTable)
+                  .map(s => (s.table, s.sql)).collect().toMap
+                ddlByTable.keys.toSeq.sorted.foreach { t =>
+                  out(s"table: ${c.sourceConf.db}.$t")
+                  out(graft.ingest.DumpReader.tableFromDump(stmts, c.sourceConf.db, t,
+                    ddlByTable.get(t)).schema.treeString)
+                }
+              } finally stmts.unpersist()
+            } finally deleteSpool(spool, spark)
           case Some(conn) =>
             val schema = c.sourceConf.jdbcSchema
             val ts = c.sourceConf.tables.getOrElse(
@@ -247,6 +270,20 @@ object Cli {
               (t: String) => frames.getOrElse(t,
                 throw new IllegalArgumentException(s"collection not in archive: $t")))
           case None => c.sourceJdbc match {
+          // live-Postgres TOOL leg (reference source/postgres.rs:
+          // 121-151): pg_dump --column-inserts spools once (O(copy
+          // buffer) driver memory), then the run IS the distributed
+          // --file pipeline — parse → filters/transforms/subset →
+          // store. only_tables push down to the tool like the
+          // reference's --table= args (the downstream filters still
+          // enforce them exactly).
+          case Some(conn) if pgToolsMode(spark, conn.url) =>
+            val spool = liveSpool(spark, Some(datastoreUri(c)), "pgdump", ".sql")(o =>
+              graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
+                onlyTables = c.filters.onlyTables.map(_.table),
+                cmd = toolCmd(spark, "pg_dump")))
+            try return dumpCreateFromFile(name, spool, c, spark, out)
+            finally deleteSpool(spool, spark)
           case Some(conn) =>
             // scope listing + reads to source.schema — a multi-schema
             // database would otherwise enumerate foreign-schema tables
@@ -370,12 +407,37 @@ object Cli {
                 ()
               },
               wipe = dest.wipe.getOrElse(true),
-              cmd = mongoCmd(spark, "mongorestore"))
+              cmd = toolCmd(spark, "mongorestore"))
             tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
             return 0
           case None => ()
         }
         c.destinationJdbc match {
+          // live-Postgres TOOL restore (reference destination/postgres
+          // .rs:70-110): SQL text streamed into psql's stdin — DDL
+          // synthesized from the restored frames' schemas, then the
+          // INSERT stream one partition at a time (toLocalIterator;
+          // never the whole dump on the driver). wipe=true is the
+          // reference's DROP SCHEMA public CASCADE re-create; false
+          // appends (the DDL is IF NOT EXISTS). ON_ERROR_STOP makes a
+          // failed statement fail the command loudly.
+          case Some(conn) if pgToolsMode(spark, conn.url) =>
+            graft.ingest.PgLive.restore(pgConn(conn), o => {
+              val w = new java.io.OutputStreamWriter(o,
+                java.nio.charset.StandardCharsets.UTF_8)
+              tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+                w.write(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema))
+                w.write("\n")
+                w.flush()
+                val it = graft.ingest.DumpSink
+                  .toInsertStatements(df, "public", t).toLocalIterator()
+                while (it.hasNext) { w.write(it.next()); w.write("\n") }
+                w.flush()
+              }
+              w.flush()
+            }, wipe = dest.wipe.getOrElse(true), cmd = toolCmd(spark, "psql"))
+            tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
+
           // live-database restore (D1/D2) when destination.connection_uri
           // is set — batched JDBC writes, one connection per partition.
           // wipe defaults TRUE (matching the parquet sink's overwrite and
@@ -523,7 +585,7 @@ object Cli {
     * scripts, deployments at non-PATH installs); default is the bare
     * tool name resolved from PATH, like the reference.
     */
-  private def mongoCmd(spark: SparkSession, tool: String): Seq[String] =
+  private def toolCmd(spark: SparkSession, tool: String): Seq[String] =
     spark.conf.getOption(s"spark.graft.${tool}Cmd")
       .map(_.split("\\s+").toSeq).getOrElse(Seq(tool))
 
@@ -544,24 +606,63 @@ object Cli {
     */
   private def mongoSpool(uri: String, db: String, spark: SparkSession,
                          storeRoot: Option[String]): String =
+    liveSpool(spark, storeRoot, "mongodump", ".archive")(o =>
+      graft.ingest.MongoLive.dumpToStream(uri, db, o, toolCmd(spark, "mongodump")))
+
+  /** Spool a live-tool dump stream to a file executors can read, with
+    * owner-only permissions on both paths (the spool is UNMASKED
+    * pre-transform data): a 0600 nio temp file on a local master
+    * (truncate-in-place write preserves the perms), the datastore's
+    * `.spool` dir (mode 600 via Hadoop-FS create) on a real cluster —
+    * where a driver-local temp path would be a silent per-task
+    * FileNotFoundException — or fail fast with no datastore to reach.
+    */
+  private def liveSpool(spark: SparkSession, storeRoot: Option[String],
+                        tag: String, suffix: String)(
+                        writeTo: java.io.OutputStream => Unit): String =
     if (spark.sparkContext.isLocal) {
-      val spool = java.nio.file.Files.createTempFile("graft-mongodump-", ".archive")
+      val spool = java.nio.file.Files.createTempFile(s"graft-$tag-", suffix)
       val fos = new java.io.FileOutputStream(spool.toFile)
-      try graft.ingest.MongoLive.dumpToStream(uri, db, fos, mongoCmd(spark, "mongodump"))
-      finally fos.close()
+      try writeTo(fos) finally fos.close()
       spool.toString
     } else storeRoot match {
       case Some(root) =>
         val p = new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(root, ".spool"),
-          s"graft-mongodump-${java.util.UUID.randomUUID()}.archive")
-        graft.ingest.MongoLive.dumpToFile(uri, db, p.toString, mongoCmd(spark, "mongodump"))
+          s"graft-$tag-${java.util.UUID.randomUUID()}$suffix")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = org.apache.hadoop.fs.FileSystem.create(fs, p,
+          new org.apache.hadoop.fs.permission.FsPermission("600"))
+        try writeTo(os) finally os.close()
         p.toString
       case None =>
         throw new IllegalStateException(
-          "mongo source on a non-local master needs a datastore to spool " +
+          s"live $tag source on a non-local master needs a datastore to spool " +
           "under: executors cannot open a driver-local temp file")
     }
+
+  /** True when a postgres connection should go through the NATIVE
+    * client tools (pg_dump source / psql destination — the reference's
+    * own mechanism, source/postgres.rs + destination/postgres.rs)
+    * instead of the engine's default partitioned-JDBC path:
+    * `spark.graft.pgMode=tools` forces it, `=jdbc` forbids it, and
+    * unset falls back to tools exactly when no postgresql JDBC driver
+    * is registered on the classpath — the engine stays usable on
+    * installations that have the ubiquitous client binaries but no
+    * driver jar.
+    */
+  private def pgToolsMode(spark: SparkSession, url: String): Boolean =
+    url.startsWith("jdbc:postgresql:") && (
+      spark.conf.getOption("spark.graft.pgMode") match {
+        case Some("tools") => true
+        case Some(_) => false
+        case None =>
+          try { java.sql.DriverManager.getDriver(url); false }
+          catch { case _: java.sql.SQLException => true }
+      })
+
+  private def pgConn(conn: graft.config.JdbcConnection): graft.ingest.PgLive.Conn =
+    graft.ingest.PgLive.Conn.fromJdbcUrl(conn.url, conn.user, conn.password)
 
   /** Best-effort eager removal of a [[mongoSpool]] file. */
   private def deleteSpool(path: String, spark: SparkSession): Unit =

@@ -110,20 +110,27 @@ object MongoLive {
     * would hang the stdout read forever — and rethrows after reaping.
     */
   private[ingest] def run(argv: Seq[String],
-                          writeStdin: java.io.OutputStream => Unit): Array[Byte] = {
+                          writeStdin: java.io.OutputStream => Unit,
+                          env: Map[String, String] = Map.empty): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
-    runTo(argv, writeStdin, buf)
+    runTo(argv, writeStdin, buf, env)
     buf.toByteArray
   }
 
   /** [[run]] with stdout streamed to `stdout` instead of buffered —
-    * the spool path's O(copy buffer) variant.
+    * the spool path's O(copy buffer) variant. `env` entries are ADDED
+    * to the inherited environment (PGPASSWORD for the psql/pg_dump
+    * legs, reference source/postgres.rs:93-98 passes the password the
+    * same way — env, never argv, where `ps` would show it).
     */
   private[ingest] def runTo(argv: Seq[String],
                             writeStdin: java.io.OutputStream => Unit,
-                            stdout: java.io.OutputStream): Unit = {
+                            stdout: java.io.OutputStream,
+                            env: Map[String, String] = Map.empty): Unit = {
     import scala.jdk.CollectionConverters._
-    val p = new ProcessBuilder(argv.asJava).start()
+    val pb = new ProcessBuilder(argv.asJava)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
     val errBuf = new java.io.ByteArrayOutputStream()
     val drain = new Thread(() => copy(p.getErrorStream, errBuf))
     drain.setDaemon(true)

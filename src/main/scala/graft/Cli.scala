@@ -164,14 +164,19 @@ object Cli {
           case None => ()
         }
         c.sourceJdbc match {
-          // live-Postgres TOOL leg: pg_dump spools once, the DDL-typed
-          // frames come from the same parser the dump-file path uses
-          // (the reference's read_and_parse_schema over the identical
-          // stream, source/postgres.rs:85-110)
-          case Some(conn) if pgToolsMode(spark, conn.url) =>
-            val spool = liveSpool(spark, c.datastore.map(_.rootUri), "pgdump", ".sql")(o =>
-              graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
-                cmd = toolCmd(spark, "pg_dump")))
+          // live-SQL TOOL leg: pg_dump/mysqldump spools once, the
+          // DDL-typed frames come from the same parser the dump-file
+          // path uses (the reference's read_and_parse_schema over the
+          // identical stream, source/postgres.rs:85-110 /
+          // source/mysql.rs:60-98)
+          case Some(conn) if sqlToolsMode(spark, conn.url) =>
+            val spool = liveSpool(spark, c.datastore.map(_.rootUri), "sqldump", ".sql")(o =>
+              if (pgToolsMode(spark, conn.url))
+                graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
+                  cmd = toolCmd(spark, "pg_dump"))
+              else
+                graft.ingest.MySqlLive.dumpToStream(mysqlConn(conn), o,
+                  cmd = toolCmd(spark, "mysqldump")))
             try {
               import spark.implicits._
               import graft.model.StatementKind
@@ -270,18 +275,25 @@ object Cli {
               (t: String) => frames.getOrElse(t,
                 throw new IllegalArgumentException(s"collection not in archive: $t")))
           case None => c.sourceJdbc match {
-          // live-Postgres TOOL leg (reference source/postgres.rs:
-          // 121-151): pg_dump --column-inserts spools once (O(copy
-          // buffer) driver memory), then the run IS the distributed
-          // --file pipeline — parse → filters/transforms/subset →
-          // store. only_tables push down to the tool like the
-          // reference's --table= args (the downstream filters still
-          // enforce them exactly).
-          case Some(conn) if pgToolsMode(spark, conn.url) =>
-            val spool = liveSpool(spark, Some(datastoreUri(c)), "pgdump", ".sql")(o =>
-              graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
-                onlyTables = c.filters.onlyTables.map(_.table),
-                cmd = toolCmd(spark, "pg_dump")))
+          // live-SQL TOOL leg (reference source/postgres.rs:121-151 /
+          // source/mysql.rs:100-163): pg_dump --column-inserts or
+          // mysqldump --skip-extended-insert --complete-insert spools
+          // once (O(copy buffer) driver memory), then the run IS the
+          // distributed --file pipeline — parse → filters/transforms/
+          // subset → store. skip/only push down to the tool like the
+          // reference's --table=/--ignore-table= args (the downstream
+          // filters still enforce them exactly).
+          case Some(conn) if sqlToolsMode(spark, conn.url) =>
+            val spool = liveSpool(spark, Some(datastoreUri(c)), "sqldump", ".sql")(o =>
+              if (pgToolsMode(spark, conn.url))
+                graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
+                  onlyTables = c.filters.onlyTables.map(_.table),
+                  cmd = toolCmd(spark, "pg_dump"))
+              else
+                graft.ingest.MySqlLive.dumpToStream(mysqlConn(conn), o,
+                  skipTables = c.filters.skipTables.map(_.table),
+                  onlyTables = c.filters.onlyTables.map(_.table),
+                  cmd = toolCmd(spark, "mysqldump")))
             try return dumpCreateFromFile(name, spool, c, spark, out)
             finally deleteSpool(spool, spark)
           case Some(conn) =>
@@ -436,6 +448,32 @@ object Cli {
               }
               w.flush()
             }, wipe = dest.wipe.getOrElse(true), cmd = toolCmd(spark, "psql"))
+            tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
+
+          // live-MySQL TOOL restore (reference destination/mysql.rs:
+          // 59-79): SQL text streamed into the mysql client's stdin,
+          // same partition-at-a-time bound as the psql leg. wipe=true
+          // emits DROP TABLE IF EXISTS before each CREATE (the
+          // reference gets the same idempotency from mysqldump's
+          // --add-drop-table); false appends.
+          case Some(conn) if mysqlToolsMode(spark, conn.url) =>
+            val mc = mysqlConn(conn)
+            val wipe = dest.wipe.getOrElse(true)
+            graft.ingest.MySqlLive.restore(mc, o => {
+              val w = new java.io.OutputStreamWriter(o,
+                java.nio.charset.StandardCharsets.UTF_8)
+              tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+                if (wipe) w.write(s"DROP TABLE IF EXISTS ${mc.db}.$t;\n")
+                w.write(graft.ingest.MySqlLive.createTableSql(s"${mc.db}.$t", df.schema))
+                w.write("\n")
+                w.flush()
+                val it = graft.ingest.DumpSink
+                  .toInsertStatements(df, mc.db, t).toLocalIterator()
+                while (it.hasNext) { w.write(it.next()); w.write("\n") }
+                w.flush()
+              }
+              w.flush()
+            }, cmd = toolCmd(spark, "mysql"))
             tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
 
           // live-database restore (D1/D2) when destination.connection_uri
@@ -651,9 +689,10 @@ object Cli {
     * installations that have the ubiquitous client binaries but no
     * driver jar.
     */
-  private def pgToolsMode(spark: SparkSession, url: String): Boolean =
-    url.startsWith("jdbc:postgresql:") && (
-      spark.conf.getOption("spark.graft.pgMode") match {
+  private def toolsMode(spark: SparkSession, url: String,
+                        scheme: String, confKey: String): Boolean =
+    url.startsWith(scheme) && (
+      spark.conf.getOption(confKey) match {
         case Some("tools") => true
         case Some(_) => false
         case None =>
@@ -661,8 +700,20 @@ object Cli {
           catch { case _: java.sql.SQLException => true }
       })
 
+  private def pgToolsMode(spark: SparkSession, url: String): Boolean =
+    toolsMode(spark, url, "jdbc:postgresql:", "spark.graft.pgMode")
+
+  private def mysqlToolsMode(spark: SparkSession, url: String): Boolean =
+    toolsMode(spark, url, "jdbc:mysql:", "spark.graft.mysqlMode")
+
+  private def sqlToolsMode(spark: SparkSession, url: String): Boolean =
+    pgToolsMode(spark, url) || mysqlToolsMode(spark, url)
+
   private def pgConn(conn: graft.config.JdbcConnection): graft.ingest.PgLive.Conn =
     graft.ingest.PgLive.Conn.fromJdbcUrl(conn.url, conn.user, conn.password)
+
+  private def mysqlConn(conn: graft.config.JdbcConnection): graft.ingest.MySqlLive.Conn =
+    graft.ingest.MySqlLive.Conn.fromJdbcUrl(conn.url, conn.user, conn.password)
 
   /** Best-effort eager removal of a [[mongoSpool]] file. */
   private def deleteSpool(path: String, spark: SparkSession): Unit =

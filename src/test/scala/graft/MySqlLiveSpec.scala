@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.MySqlLive
+
+/** Live-MySQL tool legs against STUB binaries (no mysqld in the
+  * sandbox — same approach as the mongo legs' CliSpec coverage): the
+  * stub mysqldump emits a REAL mysqldump-shaped dump (backticked
+  * identifiers, conditional comments, LOCK TABLES, per-row complete
+  * INSERTs) and records its argv; the stub mysql client spools the
+  * restore stream. Proves the parser on the tool's actual output
+  * shape, the reference argv (source/mysql.rs:110-144,
+  * destination/mysql.rs:61-71), masking, skip_tables, and the
+  * DROP/CREATE/INSERT restore synthesis.
+  */
+class MySqlLiveSpec extends SparkSpec {
+
+  private val mysqldumpStyleDump =
+    """-- MySQL dump 10.13  Distrib 8.0.32, for Linux (x86_64)
+      |--
+      |-- Host: localhost    Database: livedb
+      |-- ------------------------------------------------------
+      |/*!40101 SET @saved_cs_client     = @@character_set_client */;
+      |/*!50503 SET NAMES utf8mb4 */;
+      |DROP TABLE IF EXISTS `users`;
+      |CREATE TABLE `users` (
+      |  `id` int NOT NULL,
+      |  `email` varchar(64) DEFAULT NULL,
+      |  `bal` decimal(10,2) DEFAULT NULL,
+      |  PRIMARY KEY (`id`)
+      |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+      |LOCK TABLES `users` WRITE;
+      |/*!40000 ALTER TABLE `users` DISABLE KEYS */;
+      |INSERT INTO `users` (`id`, `email`, `bal`) VALUES (1,'alice@real.test',12.50);
+      |INSERT INTO `users` (`id`, `email`, `bal`) VALUES (2,'bob''s@real.test',NULL);
+      |/*!40000 ALTER TABLE `users` ENABLE KEYS */;
+      |UNLOCK TABLES;
+      |DROP TABLE IF EXISTS `events`;
+      |CREATE TABLE `events` (
+      |  `id` int NOT NULL
+      |) ENGINE=InnoDB;
+      |INSERT INTO `events` (`id`) VALUES (7);
+      |-- Dump completed on 2026-01-01  0:00:00
+      |""".stripMargin
+
+  test("mysql live: stubbed mysqldump source -> pipeline -> stubbed mysql restore") {
+    val dir = Files.createTempDirectory("graft-mysqllive-")
+    val dumpFile = dir.resolve("canned.sql")
+    Files.writeString(dumpFile, mysqldumpStyleDump)
+    val dumpArgsF = dir.resolve("dump.args"); val restArgsF = dir.resolve("rest.args")
+    val restoredF = dir.resolve("restored.sql")
+    val dumpStub = dir.resolve("mysqldump.sh")
+    Files.writeString(dumpStub, s"#!/bin/sh\necho \"$$@\" > $dumpArgsF\ncat $dumpFile\n")
+    val restStub = dir.resolve("mysql.sh")
+    Files.writeString(restStub, s"#!/bin/sh\necho \"$$@\" > $restArgsF\ncat > $restoredF\n")
+    Seq(dumpStub, restStub).foreach(_.toFile.setExecutable(true))
+
+    val store = Files.createTempDirectory("graft-mysqllive-store-").toString
+    val conf = Files.createTempFile("graft-mysqllive-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  connection_uri: mysql://graft:pw@localhost:3307/livedb
+         |  skip_tables: [events]
+         |  transformers:
+         |    - table: users
+         |      columns:
+         |        - name: email
+         |          transformer_name: email
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  connection_uri: mysql://graft:pw@otherhost:3307/livedb
+         |""".stripMargin)
+
+    spark.conf.set("spark.graft.mysqlMode", "tools")
+    spark.conf.set("spark.graft.mysqldumpCmd", dumpStub.toString)
+    spark.conf.set("spark.graft.mysqlCmd", restStub.toString)
+    val printed = collection.mutable.Buffer[String]()
+    try {
+      // dump create: mysqldump spools, the distributed dump-file
+      // pipeline parses/masks/filters/stores
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "mysql-live"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("dump created from file: mysql-live")))
+      // reference argv, skip_tables pushed down as --ignore-table
+      // (password via MYSQL_PWD env, NOT argv — deliberate divergence)
+      assert(Files.readString(dumpArgsF).trim ==
+        "-h localhost -P 3307 -u graft --add-drop-database --add-drop-table " +
+          "--skip-extended-insert --complete-insert --single-transaction " +
+          "--quick --hex-blob livedb --ignore-table=livedb.events")
+
+      // source schema over the same stream: DDL-typed
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "source", "schema"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val schemaText = printed.mkString("\n")
+      assert(schemaText.contains("table: public.users"))
+      assert(schemaText.matches("(?s).*bal: decimal\\(10,2\\).*"), schemaText)
+
+      // restore: frames -> DROP/CREATE/INSERT stream -> mysql stdin
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "mysql-live"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("restored: users")))
+      assert(Files.readString(restArgsF).trim == "-h otherhost -P 3307 -u graft livedb")
+      val restored = Files.readString(restoredF)
+      assert(restored.contains("DROP TABLE IF EXISTS livedb.users;"))
+      assert(restored.contains("CREATE TABLE IF NOT EXISTS livedb.users ("))
+      assert(restored.contains("INSERT INTO livedb.users "))
+      // masked, skip honored, quote-escape and NULL survive
+      assert(!restored.contains("real.test"), restored.take(500))
+      assert(!restored.contains("events"))
+      assert(restored.contains("NULL"))
+    } finally {
+      spark.conf.unset("spark.graft.mysqlMode")
+      spark.conf.unset("spark.graft.mysqldumpCmd")
+      spark.conf.unset("spark.graft.mysqlCmd")
+    }
+  }
+
+  test("mysql conn: jdbc url parsing and reference argv vectors") {
+    val m = MySqlLive.Conn.fromJdbcUrl("jdbc:mysql://h:3307/prod", Some("u"), Some("pw"))
+    assert(m.host == "h" && m.port == 3307 && m.db == "prod")
+    assert(MySqlLive.dumpArgs(m, skipTables = Seq("s"), onlyTables = Seq("a", "b")) ==
+      Seq("-h", "h", "-P", "3307", "-u", "u",
+        "--add-drop-database", "--add-drop-table", "--skip-extended-insert",
+        "--complete-insert", "--single-transaction", "--quick", "--hex-blob",
+        "prod", "--ignore-table=prod.s", "a", "b"))
+    assert(MySqlLive.restoreArgs(m) == Seq("-h", "h", "-P", "3307", "-u", "u", "prod"))
+    // default port; password only in env
+    assert(MySqlLive.Conn.fromJdbcUrl("jdbc:mysql://h/d", None, None).port == 3306)
+  }
+}

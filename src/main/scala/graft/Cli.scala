@@ -661,7 +661,13 @@ object Cli {
     if (spark.sparkContext.isLocal) {
       val spool = java.nio.file.Files.createTempFile(s"graft-$tag-", suffix)
       val fos = new java.io.FileOutputStream(spool.toFile)
-      try writeTo(fos) finally fos.close()
+      var ok = false
+      try { writeTo(fos); ok = true }
+      finally {
+        fos.close()
+        // a failed tool run must not orphan a partial (unmasked) spool
+        if (!ok) java.nio.file.Files.deleteIfExists(spool)
+      }
       spool.toString
     } else storeRoot match {
       case Some(root) =>
@@ -671,7 +677,12 @@ object Cli {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val os = org.apache.hadoop.fs.FileSystem.create(fs, p,
           new org.apache.hadoop.fs.permission.FsPermission("600"))
-        try writeTo(os) finally os.close()
+        var ok = false
+        try { writeTo(os); ok = true }
+        finally {
+          try os.close() catch { case _: Throwable if !ok => () } // keep the root cause
+          if (!ok) fs.delete(p, false)
+        }
         p.toString
       case None =>
         throw new IllegalStateException(

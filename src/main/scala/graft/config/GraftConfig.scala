@@ -247,7 +247,15 @@ final case class GraftConfig(
       s.database.getOrElse(defaultDb),
       s.table.getOrElse(throw new IllegalArgumentException("subset requires table")),
       s.seed_key.getOrElse(throw new IllegalArgumentException("subset requires seed_key")),
-      s.percent.getOrElse(100.0),
+      // Jackson puts whatever number shape the YAML carried into the
+      // type-erased Option — `percent: 50` (the natural spelling)
+      // arrives as Integer and a bare .getOrElse unboxes it as Double
+      // and throws; accept any Number
+      s.percent.asInstanceOf[Option[Any]].map {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"subset.percent must be a number, got: $other")
+      }.getOrElse(100.0),
       s.passthrough_tables.getOrElse(Nil))
   }
 }

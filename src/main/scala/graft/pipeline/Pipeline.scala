@@ -79,7 +79,14 @@ object Pipeline {
       case Some(sc) =>
         val subsetted = Subset.run(
           load, config.fkEdges, sc.table, sc.seedKey, sc.percent, sc.passthroughTables)
-        tables.map(t => t -> subsetted.getOrElse(t, load(t))).toMap
+        // Reference semantics (subset/src/postgres.rs:256-281): a
+        // subsetted dump emits ONLY the seed sample + its FK closure +
+        // the passthrough tables (Subset.run returns exactly those);
+        // every other table contributes ZERO rows (schema kept). The
+        // pre-r17 fallback loaded unreached tables FULLY, which the
+        // live-postgres e2e exposed as an FK-violating restore: full
+        // child tables pointing at a subsetted parent.
+        tables.map(t => t -> subsetted.getOrElse(t, load(t).limit(0))).toMap
       case None => tables.map(t => t -> load(t)).toMap
     }
     base.map { case (t, df) =>

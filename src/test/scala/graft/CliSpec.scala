@@ -48,6 +48,18 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c.encryptionKey }
   }
 
+  test("config: subset.percent accepts integer AND float YAML spellings") {
+    // Jackson hands the type-erased Option whatever number shape the
+    // YAML carried — `percent: 50` (the natural spelling) arrived as
+    // Integer and the bare Double unboxing threw ClassCastException
+    // (caught by the r17 live-postgres subset e2e)
+    def conf(p: String) = GraftConfig.fromYaml(
+      s"source:\n  tables_dir: /tmp\nsubset:\n  table: t\n  seed_key: k\n  percent: $p\n")
+    assert(conf("50").subsetConfig.get.percent == 50.0)
+    assert(conf("33.3").subsetConfig.get.percent == 33.3)
+    assert(conf("50.0").subsetConfig.get.percent == 50.0)
+  }
+
   test("cli: dump create -> list -> restore roundtrip with skip + transformer") {
     val store = Files.createTempDirectory("graft-cli-store-").toString
     val restore = Files.createTempDirectory("graft-cli-restore-").toString

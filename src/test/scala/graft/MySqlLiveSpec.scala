@@ -120,6 +120,39 @@ class MySqlLiveSpec extends SparkSpec {
     }
   }
 
+  test("mysql live: a failing tool surfaces its stderr loudly and leaves no partial spool") {
+    val dir = Files.createTempDirectory("graft-mysqlfail-")
+    val badStub = dir.resolve("mysqldump-bad.sh")
+    Files.writeString(badStub,
+      "#!/bin/sh\necho partial-unmasked-bytes\necho 'Access denied for user' >&2\nexit 1\n")
+    badStub.toFile.setExecutable(true)
+    val store = Files.createTempDirectory("graft-mysqlfail-store-").toString
+    val conf = Files.createTempFile("graft-mysqlfail-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  connection_uri: mysql://graft@localhost/livedb
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |""".stripMargin)
+    spark.conf.set("spark.graft.mysqlMode", "tools")
+    spark.conf.set("spark.graft.mysqldumpCmd", badStub.toString)
+    try {
+      val tmpBefore = java.io.File.createTempFile("probe", "").getParentFile
+        .listFiles().count(_.getName.startsWith("graft-sqldump-"))
+      val e = intercept[IllegalStateException] {
+        Cli.run(Seq("-c", conf.toString, "dump", "create", "fail"), spark, _ => ())
+      }
+      assert(e.getMessage.contains("Access denied"), e.getMessage)
+      val tmpAfter = java.io.File.createTempFile("probe", "").getParentFile
+        .listFiles().count(_.getName.startsWith("graft-sqldump-"))
+      assert(tmpAfter == tmpBefore, "partial spool left behind")
+    } finally {
+      spark.conf.unset("spark.graft.mysqlMode")
+      spark.conf.unset("spark.graft.mysqldumpCmd")
+    }
+  }
+
   test("mysql conn: jdbc url parsing and reference argv vectors") {
     val m = MySqlLive.Conn.fromJdbcUrl("jdbc:mysql://h:3307/prod", Some("u"), Some("pw"))
     assert(m.host == "h" && m.port == 3307 && m.db == "prod")

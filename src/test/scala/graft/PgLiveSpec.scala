@@ -157,6 +157,63 @@ class PgLiveSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pgMode")
   }
 
+  test("pg live: FK-closure subset (the reference's database_subset) end-to-end on a real server") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE subsetdb")
+      c.psql("postgres", "CREATE DATABASE subsetrest")
+      c.psql("subsetdb",
+        """CREATE TABLE users(id int PRIMARY KEY, email text);
+          |INSERT INTO users SELECT g, 'u' || g || '@x.test' FROM generate_series(1, 20) g;
+          |CREATE TABLE orders(id int PRIMARY KEY, user_id int REFERENCES users(id), amount numeric(8,2));
+          |INSERT INTO orders SELECT g, ((g - 1) % 20) + 1, g * 1.25 FROM generate_series(1, 60) g;
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgsubset-store-").toString
+      val conf = Files.createTempFile("graft-pgsubset-conf-", ".yaml")
+      // the reference's canonical subset shape: seed the CHILD (fact)
+      // table at a percent; the closure walks child -> parent and pulls
+      // exactly the referenced users (subset/src/postgres.rs:104-170)
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "subsetdb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |subset:
+           |  table: orders
+           |  seed_key: id
+           |  percent: 50
+           |destination:
+           |  connection_uri: ${uri(c, "subsetrest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-subset"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-subset"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+
+      // a strict subset of orders survived; the FK closure pulled their
+      // users (and only those), so referential integrity held through
+      // pg_dump -> subset -> store -> psql restore — the FK edges came
+      // from the REAL dump's ALTER TABLE ... FOREIGN KEY statements
+      val nOrders = c.psql("subsetrest", "SELECT count(*) FROM orders").toInt
+      assert(nOrders > 0 && nOrders < 60, s"expected a strict order subset, got $nOrders/60")
+      val nUsers = c.psql("subsetrest", "SELECT count(*) FROM users").toInt
+      assert(nUsers > 0 && nUsers <= 20, s"unexpected user count $nUsers")
+      assert(c.psql("subsetrest",
+        "SELECT count(*) FROM orders o LEFT JOIN users u ON o.user_id = u.id " +
+          "WHERE u.id IS NULL") == "0")
+      // only the REFERENCED users came along (reference semantics:
+      // parents of kept children, not the whole parent table)
+      assert(c.psql("subsetrest",
+        "SELECT count(*) FROM users u WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders o WHERE o.user_id = u.id)") == "0")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
   test("pg live: source schema prints DDL-typed schemas from the pg_dump stream") {
     assume(cluster.isDefined, "postgres toolchain unavailable")
     val c = cluster.get

@@ -287,7 +287,10 @@ object Cli {
             val spool = liveSpool(spark, Some(datastoreUri(c)), "sqldump", ".sql")(o =>
               if (pgToolsMode(spark, conn.url))
                 graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
-                  onlyTables = c.filters.onlyTables.map(_.table),
+                  // schema-qualified patterns, exactly the reference's
+                  // --table={db}.{table} (source/postgres.rs:133-137);
+                  // the db part of a TableRef IS the pg schema
+                  onlyTables = c.filters.onlyTables.map(r => s"${r.database}.${r.table}"),
                   cmd = toolCmd(spark, "pg_dump"))
               else
                 graft.ingest.MySqlLive.dumpToStream(mysqlConn(conn), o,

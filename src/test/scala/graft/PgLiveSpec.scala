@@ -214,6 +214,38 @@ class PgLiveSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pgMode")
   }
 
+  test("pg live: only_tables pushes down to pg_dump (schema-qualified --table) and scopes the dump") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      val store = Files.createTempDirectory("graft-pgonly-store-").toString
+      val outDir = Files.createTempDirectory("graft-pgonly-out-").toString
+      val conf = Files.createTempFile("graft-pgonly-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "livedb")}
+           |  only_tables: [public.users]
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |destination:
+           |  output_dir: $outDir
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-only"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-only"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("restored: users")))
+      // orders/secrets never left the server: excluded at the TOOL, not
+      // just filtered downstream
+      assert(!printed.exists(_.contains("restored: orders")))
+      assert(!printed.exists(_.contains("restored: secrets")))
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
   test("pg live: source schema prints DDL-typed schemas from the pg_dump stream") {
     assume(cluster.isDefined, "postgres toolchain unavailable")
     val c = cluster.get

@@ -269,6 +269,77 @@ class PgLiveSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pgMode")
   }
 
+  test("pg live: the headline 'pg_dump | graft dump create -i' pipe flow") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    // REAL pg_dump stdout wired straight into the CLI's stdin — the
+    // reference's front-page usage (`pg_dump … | replibyte dump create`,
+    // source/postgres_stdin.rs): stdin spools once to the datastore FS,
+    // then the identical distributed dump-file pipeline runs
+    val store = Files.createTempDirectory("graft-pgpipe-store-").toString
+    val conf = Files.createTempFile("graft-pgpipe-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  tables_dir: /nonexistent-unused
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  output_dir: ${Files.createTempDirectory("graft-pgpipe-out-")}
+         |""".stripMargin)
+    val pb = new java.lang.ProcessBuilder(("pg_dump" +: ("--column-inserts" +: "--no-owner" +:
+      Seq("-h", c.sock, "-U", "graft", "livedb"))): _*)
+    val proc = pb.start()
+    val printed = collection.mutable.Buffer[String]()
+    try {
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-pipe", "-i"),
+        spark, printed += _, stdin = proc.getInputStream) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("dump created from file: pg-pipe")))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-pipe"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("restored: users")))
+    } finally { proc.waitFor(); () }
+  }
+
+  test("pg live: pg_dump's DEFAULT COPY format parses through dump create --file") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    // no --column-inserts: real pg_dump emits COPY … FROM stdin blocks
+    // (tab-separated, \N nulls, backslash escapes) — the S5 COPY parser
+    // against the actual tool's output, not our own re-synthesis
+    val dump = Files.createTempFile("graft-pgcopy-", ".sql")
+    val pb = new java.lang.ProcessBuilder("pg_dump", "--no-owner",
+      "-h", c.sock, "-U", "graft", "-f", dump.toString, "livedb")
+    assert(pb.start().waitFor() == 0)
+    assert(Files.readString(dump).contains("FROM stdin"), "expected COPY-format dump")
+    val store = Files.createTempDirectory("graft-pgcopy-store-").toString
+    val outDir = Files.createTempDirectory("graft-pgcopy-out-").toString
+    val conf = Files.createTempFile("graft-pgcopy-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  tables_dir: /nonexistent-unused
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  output_dir: $outDir
+         |""".stripMargin)
+    val printed = collection.mutable.Buffer[String]()
+    assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-copy",
+      "--file", dump.toString), spark, printed += _) == 0, printed.mkString("\n"))
+    printed.clear()
+    assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-copy"),
+      spark, printed += _) == 0, printed.mkString("\n"))
+    // the restored parquet carries the COPY rows with edge cases intact
+    val users = spark.read.parquet(s"$outDir/users").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.get(r.fieldIndex("note")))).toMap
+    assert(users.size == 3)
+    assert(users(1L) == "it's quoted")
+    assert(users(2L) == null)
+    assert(users(3L) == "line\nbreak")
+  }
+
   test("pg conn: jdbc url parsing incl. libpq host= socket-dir override") {
     val p = PgLive.Conn.fromJdbcUrl(
       "jdbc:postgresql://localhost:5432/livedb?host=/tmp/sock&sslmode=disable",

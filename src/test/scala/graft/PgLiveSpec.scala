@@ -214,6 +214,51 @@ class PgLiveSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pgMode")
   }
 
+  test("pg live: self-referencing FK (cyclic closure path) subsets with ancestors intact") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE empdb")
+      c.psql("postgres", "CREATE DATABASE emprest")
+      // a management heap: manager(id) = id/2, root 1 has NULL — the
+      // self-edge defeats the topological order, so this drives the
+      // ITERATIVE (cyclic) closure against FK edges parsed from a real
+      // dump's self-referencing ALTER TABLE
+      c.psql("empdb",
+        """CREATE TABLE emp(id int PRIMARY KEY, manager_id int REFERENCES emp(id));
+          |INSERT INTO emp SELECT g, NULLIF(g / 2, 0) FROM generate_series(1, 30) g;
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgemp-store-").toString
+      val conf = Files.createTempFile("graft-pgemp-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "empdb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |subset:
+           |  table: emp
+           |  seed_key: id
+           |  percent: 25
+           |destination:
+           |  connection_uri: ${uri(c, "emprest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-emp"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-emp"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val n = c.psql("emprest", "SELECT count(*) FROM emp").toInt
+      assert(n > 0 && n < 30, s"expected a strict subset, got $n/30")
+      // every kept employee's full management chain came along
+      assert(c.psql("emprest",
+        "SELECT count(*) FROM emp e WHERE e.manager_id IS NOT NULL AND NOT EXISTS " +
+          "(SELECT 1 FROM emp m WHERE m.id = e.manager_id)") == "0")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
   test("pg live: only_tables pushes down to pg_dump (schema-qualified --table) and scopes the dump") {
     assume(cluster.isDefined, "postgres toolchain unavailable")
     val c = cluster.get

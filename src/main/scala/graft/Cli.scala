@@ -406,7 +406,7 @@ object Cli {
           else nameArg
         val dest = c.destination.getOrElse(
           throw new IllegalArgumentException("config requires a destination section"))
-        val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
+        val (tables, storedDdl) = Pipeline.restoreWithDdl(spark, store, name, c.encryptionKey)
         c.destinationMongo match {
           // live MongoDB restore (D3 live leg): archive bytes piped
           // into mongorestore's stdin (reference destination/mongodb.
@@ -429,19 +429,27 @@ object Cli {
         }
         c.destinationJdbc match {
           // live-Postgres TOOL restore (reference destination/postgres
-          // .rs:70-110): SQL text streamed into psql's stdin — DDL
-          // synthesized from the restored frames' schemas, then the
-          // INSERT stream one partition at a time (toLocalIterator;
-          // never the whole dump on the driver). wipe=true is the
-          // reference's DROP SCHEMA public CASCADE re-create; false
-          // appends (the DDL is IF NOT EXISTS). ON_ERROR_STOP makes a
-          // failed statement fail the command loudly.
+          // .rs:70-110): SQL text streamed into psql's stdin — the
+          // dump's ORIGINAL CREATE TABLE when it was stored (true
+          // column types: bytea stays bytea, timestamps stay
+          // timestamps — the reference pipes the dump's own DDL the
+          // same way), else DDL synthesized from the frame schema;
+          // then the INSERT stream one partition at a time
+          // (toLocalIterator; never the whole dump on the driver).
+          // wipe=true is the reference's DROP SCHEMA public CASCADE
+          // re-create; false appends (synthesized IF NOT EXISTS only —
+          // original DDL would collide with the surviving table).
+          // ON_ERROR_STOP makes a failed statement fail the command
+          // loudly.
           case Some(conn) if pgToolsMode(spark, conn.url) =>
+            val wipePg = dest.wipe.getOrElse(true)
             graft.ingest.PgLive.restore(pgConn(conn), o => {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
               tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
-                w.write(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema))
+                w.write(storedDdl.get(t).filter(_ => wipePg)
+                  .map(_.stripSuffix(";") + ";")
+                  .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
@@ -450,7 +458,7 @@ object Cli {
                 w.flush()
               }
               w.flush()
-            }, wipe = dest.wipe.getOrElse(true), cmd = toolCmd(spark, "psql"))
+            }, wipe = wipePg, cmd = toolCmd(spark, "psql"))
             tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
 
           // live-MySQL TOOL restore (reference destination/mysql.rs:
@@ -467,7 +475,11 @@ object Cli {
                 java.nio.charset.StandardCharsets.UTF_8)
               tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
                 if (wipe) w.write(s"DROP TABLE IF EXISTS ${mc.db}.$t;\n")
-                w.write(graft.ingest.MySqlLive.createTableSql(s"${mc.db}.$t", df.schema))
+                // stored source DDL when available (same dialect as the
+                // dump), else synthesized from the frame schema
+                w.write(storedDdl.get(t).filter(_ => wipe)
+                  .map(_.stripSuffix(";") + ";")
+                  .getOrElse(graft.ingest.MySqlLive.createTableSql(s"${mc.db}.$t", df.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
@@ -567,7 +579,10 @@ object Cli {
         subset = c.subsetConfig,
         fkEdges = graft.ingest.DumpReader.foreignKeys(stmts),
         compressed = c.datastore.flatMap(_.compression).getOrElse(true),
-        encryptionKey = c.encryptionKey)
+        encryptionKey = c.encryptionKey,
+        // the dump's own CREATE TABLE statements travel with the data
+        // so a live restore recreates the source's true column types
+        ddl = ddlByTable)
       // a table's rows may arrive as INSERTs, COPY blocks, or both
       val load = (t: String) => {
         val ddl = ddlByTable.get(t)

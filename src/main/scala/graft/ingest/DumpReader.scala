@@ -333,16 +333,22 @@ object DumpReader {
       sqlQuoted: Boolean): DataFrame = {
     val cols = columns.zipWithIndex.map { case (name, i) =>
       val raw = col("vals").getItem(i)
+      // strip SQL quoting ONLY from quoted literals — unquoted dump
+      // literals must pass verbatim (STRING columns can hold either)
+      def unquoted = when(raw.isNull, lit(null))
+        .when(raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2,
+          regexp_replace(expr(s"substring(vals[$i], 2, length(vals[$i]) - 2)"), "''", "'"))
+        .otherwise(raw)
       val typed = types(i) match {
-        case StringType if sqlQuoted =>
-          // strip SQL quoting ONLY from quoted literals — a DDL-typed
-          // STRING column can also hold unquoted dump literals (types
-          // we conservatively map to STRING), which must pass verbatim
-          when(raw.isNull, lit(null))
-            .when(raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2,
-              regexp_replace(expr(s"substring(vals[$i], 2, length(vals[$i]) - 2)"), "''", "'"))
-            .otherwise(raw)
+        case StringType if sqlQuoted => unquoted
         case StringType => raw // COPY values are already raw text
+        // non-string columns can ALSO carry quoted literals in a real
+        // dump — pg_dump emits 'Infinity'/'-Infinity'/'NaN' for special
+        // floats (and PG accepts quoted numerics generally), so the
+        // quotes must come off BEFORE the cast; casting the rendered
+        // `'Infinity'` token failed ANSI ingestion (caught by the r17
+        // live exotic-types e2e)
+        case dt if sqlQuoted => unquoted.cast(dt)
         case dt => raw.cast(dt)
       }
       typed.as(name)

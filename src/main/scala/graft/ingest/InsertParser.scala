@@ -24,7 +24,14 @@ object InsertParser {
   }
   final case class SqlLong(v: Long) extends SqlValue { def render: String = v.toString }
   final case class SqlDecimal(v: BigDecimal) extends SqlValue { def render: String = v.toString }
-  final case class SqlDouble(v: Double) extends SqlValue { def render: String = v.toString }
+  final case class SqlDouble(v: Double) extends SqlValue {
+    // special floats must render QUOTED ('NaN', 'Infinity',
+    // '-Infinity'): bare NaN/Infinity is not valid SQL for PostgreSQL
+    // (pg_dump itself quotes them), and the quoted form roundtrips
+    // through our own typed ingestion identically
+    def render: String =
+      if (v.isNaN || v.isInfinite) "'" + v.toString + "'" else v.toString
+  }
   final case class SqlBool(v: Boolean) extends SqlValue { def render: String = v.toString }
   case object SqlNull extends SqlValue { def render: String = "NULL" }
   /** Unrecognized literal kept verbatim (e.g. `now()`, casts). */

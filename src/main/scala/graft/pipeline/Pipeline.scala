@@ -35,7 +35,15 @@ object Pipeline {
       subset: Option[SubsetConfig] = None,
       fkEdges: Seq[FkEdge] = Nil,
       compressed: Boolean = true,
-      encryptionKey: Option[String] = None)
+      encryptionKey: Option[String] = None,
+      // original CREATE TABLE statements by table, when the source
+      // carries them (the dump-file path): stored WITH the data so a
+      // live restore recreates the source's true column types — the
+      // reference pipes the whole transformed dump, DDL included, into
+      // psql (destination/postgres.rs:76-95); without this, restore
+      // DDL synthesized from frame schemas collapses bytea/timestamp/
+      // date to text (caught by the r17 live exotic-types e2e)
+      ddl: Map[String, String] = Map.empty)
 
   /** F1/F2: source-level table pruning — tables the filter excludes are
     * never scanned (the Spark analog of pushing `--ignore-table` /
@@ -102,10 +110,19 @@ object Pipeline {
       store: Datastore,
       dumpName: String,
       config: DumpJobConfig): Unit = {
+    import spark.implicits._
     val plan = dumpPlan(load, config)
-    val statements = plan.map { case (t, df) =>
+    val inserts = plan.map { case (t, df) =>
       DumpSink.toInsertStatements(df, config.database, t)
     }.reduce(_.unionByName(_))
+    // the source's own CREATE TABLE statements (only for tables that
+    // made the plan) ride along in the stored dump — restore parsing
+    // filters by statement kind, so data consumers are unaffected and
+    // live restores regain the true column types
+    val ddl = plan.keys.toSeq.sorted.flatMap(config.ddl.get)
+    val statements =
+      if (ddl.isEmpty) inserts
+      else spark.createDataset(ddl).unionByName(inserts)
     store.write(dumpName, statements, config.compressed, config.encryptionKey)
   }
 
@@ -114,11 +131,25 @@ object Pipeline {
       spark: SparkSession,
       store: Datastore,
       dumpName: String,
-      encryptionKey: Option[String] = None): Map[String, DataFrame] = {
+      encryptionKey: Option[String] = None): Map[String, DataFrame] =
+    restoreWithDdl(spark, store, dumpName, encryptionKey)._1
+
+  /** [[restore]] plus the stored CREATE TABLE statements by table (empty
+    * when the dump predates DDL storage or the source had none).
+    */
+  def restoreWithDdl(
+      spark: SparkSession,
+      store: Datastore,
+      dumpName: String,
+      encryptionKey: Option[String] = None): (Map[String, DataFrame], Map[String, String]) = {
     import spark.implicits._
     val stmts = DumpReader.statementsFromStrings(spark, store.read(dumpName, encryptionKey))
     val tables = stmts.filter(s => s.kind == graft.model.StatementKind.InsertInto)
       .map(s => (s.database, s.table)).distinct().collect()
-    tables.map { case (db, t) => t -> DumpReader.tableFromDump(stmts, db, t) }.toMap
+    val ddl = stmts.filter(_.kind == graft.model.StatementKind.CreateTable)
+      .map(s => (s.table, s.sql)).collect().toMap
+    (tables.map { case (db, t) =>
+      t -> DumpReader.tableFromDump(stmts, db, t, ddl.get(t))
+    }.toMap, ddl)
   }
 }

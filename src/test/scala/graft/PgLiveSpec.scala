@@ -385,6 +385,56 @@ class PgLiveSpec extends SparkSpec {
     assert(users(3L) == "line\nbreak")
   }
 
+  test("pg live: exotic types survive the full roundtrip (bytea, timestamps, special floats, 2^53+1, unicode, $$ in strings)") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE exoticdb")
+      c.psql("postgres", "CREATE DATABASE exoticrest")
+      c.psql("exoticdb",
+        """CREATE TABLE exotic(
+          |  id int PRIMARY KEY, b bytea, ts timestamp, d date,
+          |  f8 double precision, n numeric(12,4), big bigint, bool boolean,
+          |  txt text, uni text);
+          |INSERT INTO exotic VALUES
+          | (1, '\x68656c6c6f', '2026-01-02 03:04:05.678901', '2026-03-15',
+          |  2.718281828459045, 12345.6789, 9007199254740993, true, E'tab\there', 'émojis 🎉 中文'),
+          | (2, NULL, NULL, NULL, 'Infinity', NULL, -1, false, 'dollar $$ quote', NULL),
+          | (3, '\x00ff', '1970-01-01 00:00:00', NULL, 'NaN', 0.0001, 0, NULL, E'back\\slash', '-Infinity 0x1p3')
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgexotic-store-").toString
+      val conf = Files.createTempFile("graft-pgexotic-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "exoticdb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |destination:
+           |  connection_uri: ${uri(c, "exoticrest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-exotic"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-exotic"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+
+      // column-by-column equality, adjudicated by the SERVER: dump both
+      // databases' rows through the same normalization and compare
+      def snapshot(db: String): String = c.psql(db,
+        "SELECT id, encode(b,'hex'), ts, d, f8::text, n, big, bool, md5(txt), md5(uni) " +
+          "FROM exotic ORDER BY id")
+      assert(snapshot("exoticrest") == snapshot("exoticdb"),
+        s"restored:\n${snapshot("exoticrest")}\nsource:\n${snapshot("exoticdb")}")
+      // the landmines explicitly: special floats and the 2^53+1 long
+      assert(c.psql("exoticrest", "SELECT f8::text FROM exotic WHERE id=2") == "Infinity")
+      assert(c.psql("exoticrest", "SELECT f8::text FROM exotic WHERE id=3") == "NaN")
+      assert(c.psql("exoticrest", "SELECT big FROM exotic WHERE id=1") == "9007199254740993")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
   test("pg conn: jdbc url parsing incl. libpq host= socket-dir override") {
     val p = PgLive.Conn.fromJdbcUrl(
       "jdbc:postgresql://localhost:5432/livedb?host=/tmp/sock&sslmode=disable",

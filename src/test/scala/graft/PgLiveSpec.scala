@@ -396,12 +396,15 @@ class PgLiveSpec extends SparkSpec {
         """CREATE TABLE exotic(
           |  id int PRIMARY KEY, b bytea, ts timestamp, d date,
           |  f8 double precision, n numeric(12,4), big bigint, bool boolean,
-          |  txt text, uni text);
+          |  txt text, uni text, arr int[], js jsonb, uid uuid);
           |INSERT INTO exotic VALUES
           | (1, '\x68656c6c6f', '2026-01-02 03:04:05.678901', '2026-03-15',
-          |  2.718281828459045, 12345.6789, 9007199254740993, true, E'tab\there', 'émojis 🎉 中文'),
-          | (2, NULL, NULL, NULL, 'Infinity', NULL, -1, false, 'dollar $$ quote', NULL),
-          | (3, '\x00ff', '1970-01-01 00:00:00', NULL, 'NaN', 0.0001, 0, NULL, E'back\\slash', '-Infinity 0x1p3')
+          |  2.718281828459045, 12345.6789, 9007199254740993, true, E'tab\there', 'émojis 🎉 中文',
+          |  '{1,2,3}', '{"k": "v", "n": [1, 2]}', 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'),
+          | (2, NULL, NULL, NULL, 'Infinity', NULL, -1, false, 'dollar $$ quote', NULL,
+          |  '{}', 'null', NULL),
+          | (3, '\x00ff', '1970-01-01 00:00:00', NULL, 'NaN', 0.0001, 0, NULL, E'back\\slash', '-Infinity 0x1p3',
+          |  NULL, '{"quote": "it''s"}', NULL)
           |""".stripMargin)
       val store = Files.createTempDirectory("graft-pgexotic-store-").toString
       val conf = Files.createTempFile("graft-pgexotic-conf-", ".yaml")
@@ -424,14 +427,60 @@ class PgLiveSpec extends SparkSpec {
       // column-by-column equality, adjudicated by the SERVER: dump both
       // databases' rows through the same normalization and compare
       def snapshot(db: String): String = c.psql(db,
-        "SELECT id, encode(b,'hex'), ts, d, f8::text, n, big, bool, md5(txt), md5(uni) " +
-          "FROM exotic ORDER BY id")
+        "SELECT id, encode(b,'hex'), ts, d, f8::text, n, big, bool, md5(txt), md5(uni), " +
+          "arr, js, uid FROM exotic ORDER BY id")
       assert(snapshot("exoticrest") == snapshot("exoticdb"),
         s"restored:\n${snapshot("exoticrest")}\nsource:\n${snapshot("exoticdb")}")
-      // the landmines explicitly: special floats and the 2^53+1 long
+      // the landmines explicitly: special floats, the 2^53+1 long, and
+      // container types restored AS their declared types
       assert(c.psql("exoticrest", "SELECT f8::text FROM exotic WHERE id=2") == "Infinity")
       assert(c.psql("exoticrest", "SELECT f8::text FROM exotic WHERE id=3") == "NaN")
       assert(c.psql("exoticrest", "SELECT big FROM exotic WHERE id=1") == "9007199254740993")
+      assert(c.psql("exoticrest", "SELECT arr[2] FROM exotic WHERE id=1") == "2")
+      assert(c.psql("exoticrest", "SELECT js->>'k' FROM exotic WHERE id=1") == "v")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
+  test("pg live: exotic values through pg_dump's default COPY format, restored to a live db") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      // depends on exoticdb seeded by the INSERT-format test; tests run
+      // in file order within the suite, but guard anyway
+      val seeded = c.psql("postgres",
+        "SELECT count(*) FROM pg_database WHERE datname='exoticdb'") == "1"
+      assume(seeded, "exoticdb not seeded")
+      c.psql("postgres", "CREATE DATABASE exoticcopyrest")
+      // COPY text format: bare Infinity/NaN, backslash-escaped \\x bytea,
+      // \t escapes inside text — the tool's DEFAULT layout
+      val dump = Files.createTempFile("graft-pgcopyx-", ".sql")
+      val pb = new java.lang.ProcessBuilder("pg_dump", "--no-owner",
+        "-h", c.sock, "-U", "graft", "-f", dump.toString, "exoticdb")
+      assert(pb.start().waitFor() == 0)
+      assert(Files.readString(dump).contains("FROM stdin"))
+      val store = Files.createTempDirectory("graft-pgcopyx-store-").toString
+      val conf = Files.createTempFile("graft-pgcopyx-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  tables_dir: /nonexistent-unused
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |destination:
+           |  connection_uri: ${uri(c, "exoticcopyrest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-copyx",
+        "--file", dump.toString), spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-copyx"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      def snapshot(db: String): String = c.psql(db,
+        "SELECT id, encode(b,'hex'), ts, d, f8::text, n, big, bool, md5(txt), md5(uni), " +
+          "arr, js, uid FROM exotic ORDER BY id")
+      assert(snapshot("exoticcopyrest") == snapshot("exoticdb"),
+        s"restored:\n${snapshot("exoticcopyrest")}\nsource:\n${snapshot("exoticdb")}")
     } finally spark.conf.unset("spark.graft.pgMode")
   }
 

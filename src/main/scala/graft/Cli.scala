@@ -470,6 +470,22 @@ object Cli {
           case Some(conn) if mysqlToolsMode(spark, conn.url) =>
             val mc = mysqlConn(conn)
             val wipe = dest.wipe.getOrElse(true)
+            // frame values are LOGICAL strings; the mysql client
+            // re-interprets backslash escapes inside literals (unlike
+            // psql under standard_conforming_strings), so backslashes
+            // and NULs must re-encode on the way out — raw newlines and
+            // other control chars are legal inside a literal and pass
+            // through the pipe untouched
+            def mysqlEscape(df: org.apache.spark.sql.DataFrame) = {
+              import org.apache.spark.sql.functions.{col, regexp_replace}
+              df.select(df.schema.fields.map { f =>
+                if (f.dataType == org.apache.spark.sql.types.StringType)
+                  regexp_replace(
+                    regexp_replace(col(f.name), "\\\\", "\\\\\\\\"),
+                    "\u0000", "\\\\0").as(f.name)
+                else col(f.name)
+              }.toIndexedSeq: _*)
+            }
             graft.ingest.MySqlLive.restore(mc, o => {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
@@ -483,7 +499,7 @@ object Cli {
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
-                  .toInsertStatements(df, mc.db, t).toLocalIterator()
+                  .toInsertStatements(mysqlEscape(df), mc.db, t).toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
               }

@@ -72,10 +72,14 @@ object DumpReader {
         val r = rank.value.getOrElse(key,
           throw new IllegalStateException(s"input file missing from rank listing: $file"))
         val base = r.toLong << ChunkShift
+        // per-file dialect: pg_dump declares standard_conforming_strings
+        // in every dump file's header; its absence means MySQL escape
+        // rules (mysqldump emits no such marker)
+        val pg = StatementSplitter.pgStrings(blob)
         StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
           val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
           else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
-          Statement(base | i.toLong, raw.kind, db, table, raw.text)
+          Statement(base | i.toLong, raw.kind, db, table, raw.text, pg)
         }
       }
   }
@@ -83,8 +87,15 @@ object DumpReader {
   /** Split already-isolated statement strings (one per row) — used when
     * statements were produced upstream (e.g. re-synthesis roundtrips).
     */
-  def statementsFromStrings(spark: SparkSession, stmts: Dataset[String]): Dataset[Statement] = {
+  def statementsFromStrings(spark: SparkSession, stmts: Dataset[String],
+                            pgStrings: Option[Boolean] = None): Dataset[Statement] = {
     import spark.implicits._
+    // string-literal dialect: callers that KNOW the provenance pass it
+    // (engine-written datastore dumps are always pg-semantics — DumpSink
+    // synthesis uses '' doubling with raw backslashes); None falls back
+    // to per-partition-blob marker detection, which only sees the
+    // marker in the partition that holds the header
+    val forced = pgStrings
     // mapPartitionsWithIndex on the RDD, not TaskContext.getPartitionId
     // in a Dataset mapPartitions: a downstream coalesce() merges
     // partitions into one task, and the *task* id would rebase every
@@ -97,10 +108,11 @@ object DumpReader {
       // (union/file order = partition order)
       val base = pid.toLong << ChunkShift
       val blob = it.mkString("\n")
+      val pg = forced.getOrElse(StatementSplitter.pgStrings(blob))
       StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
         val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
         else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
-        Statement(base | i.toLong, raw.kind, db, table, raw.text)
+        Statement(base | i.toLong, raw.kind, db, table, raw.text, pg)
       }
     }
     spark.createDataset(parsed)
@@ -117,7 +129,7 @@ object DumpReader {
     val rowCounts = stmts.flatMap { s =>
       val n = s.kind match {
         case StatementKind.InsertInto =>
-          InsertParser.parseMulti(s.sql).map(_.size.toLong).getOrElse(0L)
+          InsertParser.parseMulti(s.sql, s.pgStrings).map(_.size.toLong).getOrElse(0L)
         case StatementKind.CopyBlock =>
           // header + data lines + terminator
           math.max(0L, s.sql.split("\n", -1).length.toLong - 2L)
@@ -183,7 +195,7 @@ object DumpReader {
       .flatMap { s =>
         // parseMulti: one element per row group, so mysqldump-style
         // extended INSERTs (`VALUES (…), (…), …`) contribute ALL rows
-        InsertParser.parseMulti(s.sql).getOrElse(Vector.empty).map { ins =>
+        InsertParser.parseMulti(s.sql, s.pgStrings).getOrElse(Vector.empty).map { ins =>
           (ins.columns,
             ins.values.map(v => if (v == InsertParser.SqlNull) null else v.render),
             ins.values.map(typeTag))

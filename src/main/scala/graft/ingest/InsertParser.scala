@@ -46,8 +46,8 @@ object InsertParser {
   /** Parse one INSERT statement's FIRST row; None if the statement is
     * not an INSERT. (Multi-row statements: [[parseMulti]].)
     */
-  def parse(stmt: String): Option[Insert] =
-    parseMulti(stmt).flatMap(_.headOption)
+  def parse(stmt: String, pgStrings: Boolean = false): Option[Insert] =
+    parseMulti(stmt, pgStrings).flatMap(_.headOption)
 
   /** Parse an INSERT statement into one [[Insert]] per row group —
     * `VALUES (…), (…), …` (mysqldump's default "extended insert"
@@ -55,7 +55,7 @@ object InsertParser {
     * `--skip-extended-insert`, `source/mysql.rs:101-163`) as well as
     * the single-row form.
     */
-  def parseMulti(stmt: String): Option[Vector[Insert]] = {
+  def parseMulti(stmt: String, pgStrings: Boolean = false): Option[Vector[Insert]] = {
     StatementSplitter.tableRef(stmt).flatMap { case (db, table) =>
       // a column list only exists if the first non-space char AFTER the
       // table name is '(' — `INSERT INTO t VALUES (...)` has none and
@@ -69,20 +69,21 @@ object InsertParser {
       val (cols, searchFrom) =
         if (hasColList) {
           val openCols = p
-          val closeCols = matchingParen(stmt, openCols)
+          val closeCols = matchingParen(stmt, openCols, pgStrings)
           if (closeCols < 0) return None
-          (splitTop(stmt.substring(openCols + 1, closeCols))
+          (splitTop(stmt.substring(openCols + 1, closeCols), pgStrings)
             .map(c => StatementSplitter.unquoteIdent(c.trim)).toVector, closeCols)
         } else (Vector.empty[String], afterName)
       val valuesKw = indexOfWordIgnoreCase(stmt, "VALUES", searchFrom)
       if (valuesKw < 0) return None
       val tail = stmt.substring(valuesKw + "VALUES".length).trim.stripSuffix(";").trim
-      val groups = splitTop(tail).map(_.trim).filter(_.nonEmpty)
+      val groups = splitTop(tail, pgStrings).map(_.trim).filter(_.nonEmpty)
       if (groups.isEmpty) return None
       val rows = groups.map { g =>
         // every top-level comma group must be a complete paren tuple
-        if (!(g.startsWith("(") && matchingParen(g, 0) == g.length - 1)) return None
-        val vals = splitTop(g.substring(1, g.length - 1)).map(v => parseValue(v.trim)).toVector
+        if (!(g.startsWith("(") && matchingParen(g, 0, pgStrings) == g.length - 1)) return None
+        val vals = splitTop(g.substring(1, g.length - 1), pgStrings)
+          .map(v => parseValue(v.trim, pgStrings)).toVector
         if (cols.nonEmpty && cols.length != vals.length) return None
         Insert(db, table, cols, vals)
       }
@@ -115,13 +116,13 @@ object InsertParser {
     i
   }
 
-  def parseValue(tok: String): SqlValue = {
+  def parseValue(tok: String, pgStrings: Boolean = false): SqlValue = {
     if (tok.isEmpty) SqlRaw(tok)
     else if (tok.equalsIgnoreCase("NULL")) SqlNull
     else if (tok.equalsIgnoreCase("true")) SqlBool(true)
     else if (tok.equalsIgnoreCase("false")) SqlBool(false)
     else if (tok.head == '\'' && tok.last == '\'' && tok.length >= 2)
-      SqlString(unescape(tok.substring(1, tok.length - 1)))
+      SqlString(unescape(tok.substring(1, tok.length - 1), pgStrings))
     else if (tok.startsWith("0x") || tok.startsWith("0X")) SqlRaw(tok)
     else {
       val isNumeric = tok.matches("[+-]?\\d+") // integral
@@ -135,8 +136,39 @@ object InsertParser {
     }
   }
 
-  private def unescape(body: String): String =
-    body.replace("''", "'").replace("\\'", "'")
+  /** Decode a string-literal body to its LOGICAL value, per the dump's
+    * declared dialect. pg (standard_conforming_strings=on): `''` is the
+    * only escape, backslash is literal — the old chained .replace also
+    * collapsed `\'`, corrupting pg content like `a\'b` (dumped as
+    * `a\''b`). mysql: full escape set per the reference manual's
+    * string-literal table; an unrecognized `\x` drops the backslash
+    * (mysql semantics), except `\%`/`\_` which keep it.
+    */
+  private[ingest] def unescape(body: String, pgStrings: Boolean = false): String = {
+    val n = body.length
+    val b = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = body.charAt(i)
+      if (c == '\'' && i + 1 < n && body.charAt(i + 1) == '\'') {
+        b.append('\''); i += 2
+      } else if (!pgStrings && c == '\\' && i + 1 < n) {
+        val d = body.charAt(i + 1)
+        d match {
+          case '0' => b.append('\u0000')
+          case 'b' => b.append('\b')
+          case 'n' => b.append('\n')
+          case 'r' => b.append('\r')
+          case 't' => b.append('\t')
+          case 'Z' => b.append('\u001a')
+          case '%' | '_' => b.append('\\').append(d) // LIKE escapes keep the backslash
+          case other => b.append(other) // incl. \' \" \\ → the literal char
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   /** Re-synthesize the INSERT — reference `to_query`
     * (`source/postgres.rs:499-546`): `INSERT INTO db.table (cols) VALUES
@@ -151,7 +183,7 @@ object InsertParser {
   /** Split a comma-separated list at the top nesting level (commas inside
     * strings or parens don't split).
     */
-  def splitTop(s: String): Vector[String] = {
+  def splitTop(s: String, pgStrings: Boolean = false): Vector[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
     var inQuote = false
@@ -163,7 +195,7 @@ object InsertParser {
       if (inQuote) {
         if (c == '\'') {
           if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 // '' stays in
-          else if (s.charAt(i - 1) == '\\') ()             // \' stays in
+          else if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
           else inQuote = false
         }
       } else c match {
@@ -181,7 +213,7 @@ object InsertParser {
     out.result()
   }
 
-  private[ingest] def matchingParen(s: String, open: Int): Int = {
+  private[ingest] def matchingParen(s: String, open: Int, pgStrings: Boolean = false): Int = {
     var depth = 0
     var inQuote = false
     var i = open
@@ -191,7 +223,7 @@ object InsertParser {
       if (inQuote) {
         if (c == '\'') {
           if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1
-          else if (s.charAt(i - 1) == '\\') ()
+          else if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
           else inQuote = false
         }
       } else c match {

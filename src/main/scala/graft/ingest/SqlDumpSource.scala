@@ -54,7 +54,8 @@ object SqlDumpSource {
     StructField("kind", StringType, nullable = false),
     StructField("database", StringType, nullable = false),
     StructField("table", StringType, nullable = false),
-    StructField("sql", StringType, nullable = false)))
+    StructField("sql", StringType, nullable = false),
+    StructField("pgStrings", BooleanType, nullable = false)))
 
   /** Matches DumpReader.statements' chunk layout exactly, so both
     * ingestion paths yield identical global indices.
@@ -135,7 +136,7 @@ private class SqlDumpPartitionReader(
 
   // whole-file read + linear split, executed on the executor that owns
   // this partition
-  private val statements: Iterator[(Long, String, String, String, String)] = {
+  private val statements: Iterator[(Long, String, String, String, String, Boolean)] = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val path = new Path(part.file)
@@ -151,14 +152,18 @@ private class SqlDumpPartitionReader(
       } finally in.close()
     val blob = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     val base = part.rank.toLong << SqlDumpSource.ChunkShift
+    // per-file string-literal dialect, same rule as DumpReader
+    // .statements: pg_dump declares standard_conforming_strings in
+    // every file's header; absence means MySQL escape rules
+    val pg = StatementSplitter.pgStrings(blob)
     StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
       val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
       else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
-      (base | i.toLong, raw.kind, db, table, raw.text)
+      (base | i.toLong, raw.kind, db, table, raw.text, pg)
     }
   }
 
-  private var current: (Long, String, String, String, String) = _
+  private var current: (Long, String, String, String, String, Boolean) = _
 
   override def next(): Boolean =
     if (statements.hasNext) { current = statements.next(); true } else false
@@ -170,6 +175,7 @@ private class SqlDumpPartitionReader(
       case "database" => UTF8String.fromString(current._3)
       case "table" => UTF8String.fromString(current._4)
       case "sql" => UTF8String.fromString(current._5)
+      case "pgStrings" => current._6: java.lang.Boolean
       case other => throw new IllegalArgumentException(s"unknown column: $other")
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

@@ -31,7 +31,40 @@ object StatementSplitter {
 
   final case class Raw(kind: String, text: String, valid: Boolean)
 
+  /** String-literal dialect of a dump blob: pg_dump (9.1+) always
+    * emits `SET standard_conforming_strings = on;` in its header,
+    * declaring that backslash is a LITERAL character inside strings
+    * (the `''` doubling is the only quote escape). mysqldump never
+    * emits it — MySQL strings use backslash escapes (`\'`, `\\`, `\n`,
+    * …). The two dialects genuinely disagree on where a string ends
+    * (PG `'a\'` is a complete literal ending in a backslash; MySQL
+    * reads on), so the scan MUST know which rules apply; this marker
+    * is how the dump itself says so. Engine-written dumps store the
+    * marker too ([[graft.pipeline.Pipeline.dump]]) — DumpSink
+    * synthesis is PG-semantics (`''` doubling, raw backslashes).
+    */
+  private val PgStringsMarker =
+    """(?im)^\s*SET\s+standard_conforming_strings\s*=\s*'?on'?\s*;""".r
+
+  def pgStrings(text: String): Boolean =
+    PgStringsMarker.findFirstIn(text).isDefined
+
+  /** True when an ODD number of consecutive backslashes immediately
+    * precedes position `i` — under MySQL escape rules that means the
+    * char at `i` is escaped; an even count is escaped backslashes and
+    * the char at `i` stands on its own. The pre-r17 single-char check
+    * mis-read `'a\\'` (string ending in an escaped backslash) as an
+    * escaped quote and ran past the end of the literal.
+    */
+  private[ingest] def oddBackslashesBefore(s: String, i: Int): Boolean = {
+    var k = i - 1
+    var c = 0
+    while (k >= 0 && s.charAt(k) == '\\') { c += 1; k -= 1 }
+    (c & 1) == 1
+  }
+
   def split(text: String): Vector[Raw] = {
+    val pg = pgStrings(text)
     val out = Vector.newBuilder[Raw]
     var inQuote = false
     var dollarTag: String = null // inside $tag$ … $tag$ when non-null
@@ -81,8 +114,11 @@ object StatementSplitter {
         statementComplete = false
         prevWhitespace = false
       } else if (c == '\'' && !partialComment) {
-        if (inQuote && i > 0 && text.charAt(i - 1) == '\\') {
-          // backslash-escaped quote inside a string: stays open
+        if (inQuote && !pg && oddBackslashesBefore(text, i)) {
+          // MySQL-dialect backslash-escaped quote: stays open. Under
+          // pg rules (declared by the dump's own
+          // standard_conforming_strings marker) a backslash is literal
+          // and never escapes the quote.
         } else {
           inQuote = !inQuote
         }

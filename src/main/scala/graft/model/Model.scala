@@ -16,7 +16,15 @@ package graft.model
   * 0-based position in the dump (positional index drives header/footer
   * slicing and range pruning — reference `subset/src/postgres.rs:31-38`).
   */
-final case class Statement(idx: Long, kind: String, database: String, table: String, sql: String)
+/** `pgStrings`: the string-literal dialect the statement's dump
+  * declared (see `StatementSplitter.pgStrings`) — true = backslash is
+  * literal inside strings (pg_dump 9.1+, engine-written dumps), false
+  * = MySQL backslash escapes apply. Value parsing must match or a
+  * string ending in a backslash mis-scans.
+  */
+final case class Statement(idx: Long, kind: String, database: String,
+                           table: String, sql: String,
+                           pgStrings: Boolean = false)
 
 object StatementKind {
   val InsertInto = "insert_into"

@@ -120,9 +120,13 @@ object Pipeline {
     // filters by statement kind, so data consumers are unaffected and
     // live restores regain the true column types
     val ddl = plan.keys.toSeq.sorted.flatMap(config.ddl.get)
-    val statements =
-      if (ddl.isEmpty) inserts
-      else spark.createDataset(ddl).unionByName(inserts)
+    // every engine-written dump declares its string-literal dialect up
+    // front, exactly like pg_dump does: DumpSink synthesis is
+    // pg-semantics ('' doubling, backslashes literal), and the marker
+    // lets ANY consumer — ours or a plain psql restore of the stored
+    // text — scan the strings correctly
+    val header = Seq("SET standard_conforming_strings = on;")
+    val statements = spark.createDataset(header ++ ddl).unionByName(inserts)
     store.write(dumpName, statements, config.compressed, config.encryptionKey)
   }
 
@@ -143,7 +147,11 @@ object Pipeline {
       dumpName: String,
       encryptionKey: Option[String] = None): (Map[String, DataFrame], Map[String, String]) = {
     import spark.implicits._
-    val stmts = DumpReader.statementsFromStrings(spark, store.read(dumpName, encryptionKey))
+    // engine-written dumps are pg-semantics by construction (and say so
+    // via the stored marker); force the dialect so chunk partitions
+    // that don't hold the header parse identically
+    val stmts = DumpReader.statementsFromStrings(
+      spark, store.read(dumpName, encryptionKey), pgStrings = Some(true))
     val tables = stmts.filter(s => s.kind == graft.model.StatementKind.InsertInto)
       .map(s => (s.database, s.table)).distinct().collect()
     val ddl = stmts.filter(_.kind == graft.model.StatementKind.CreateTable)

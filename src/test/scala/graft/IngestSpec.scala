@@ -469,4 +469,41 @@ class IngestSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("malformed") ||
       Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
+
+  test("string dialect: mysql backslash escapes decode, parity-correct trailing backslash") {
+    import graft.ingest.{InsertParser, StatementSplitter}
+    // mysql mode (no standard_conforming_strings marker): full escape set
+    val my = InsertParser.parse(
+      """INSERT INTO t (a, b, c, d) VALUES ('it\'s', 'trail\\', 'line\nbrk', 'lit\%pct');""")
+      .get.values.map { case InsertParser.SqlString(v) => v; case other => other.toString }
+    assert(my == Vector("it's", "trail\\", "line\nbrk", "lit\\%pct"))
+    // the pre-r17 single-char check read 'trail\\' as an escaped quote
+    // and swallowed the delimiter - the statement then mis-split; with
+    // parity the splitter keeps two statements two
+    val blob = "INSERT INTO t (a) VALUES ('trail\\\\');\nINSERT INTO t (a) VALUES ('x');"
+    val stmts = StatementSplitter.split(blob).filter(_.kind == graft.model.StatementKind.InsertInto)
+    assert(stmts.size == 2, stmts.map(_.text))
+
+    // pg mode (marker present): backslash is LITERAL - a string ending
+    // in a backslash closes at its quote, and backslash-before-quote
+    // content survives the '' doubling undamaged (the old chained
+    // .replace collapsed \' after '' handling: x'y instead of x\'y)
+    val pgBlob = "SET standard_conforming_strings = on;\n" +
+      "INSERT INTO t (a, b) VALUES ('a\\', 'x\\''y');"
+    assert(StatementSplitter.pgStrings(pgBlob))
+    val pgStmts = StatementSplitter.split(pgBlob)
+      .filter(_.kind == graft.model.StatementKind.InsertInto)
+    assert(pgStmts.size == 1)
+    val pgVals = InsertParser.parse(pgStmts.head.text, pgStrings = true)
+      .get.values.collect { case InsertParser.SqlString(v) => v }
+    assert(pgVals == Vector("a\\", "x\\'y"), pgVals)
+  }
+
+  test("string dialect: 0x hex blobs pass through verbatim, mysql control escapes decode") {
+    import graft.ingest.InsertParser
+    val ins = InsertParser.parse(
+      "INSERT INTO t (a, b) VALUES (0xDEADBEEF, '\\Z\\0\\t');").get
+    assert(ins.values.head == InsertParser.SqlRaw("0xDEADBEEF"))
+    assert(ins.values(1) == InsertParser.SqlString("\u001a\u0000\t"))
+  }
 }

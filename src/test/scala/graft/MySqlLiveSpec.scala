@@ -28,12 +28,15 @@ class MySqlLiveSpec extends SparkSpec {
       |  `id` int NOT NULL,
       |  `email` varchar(64) DEFAULT NULL,
       |  `bal` decimal(10,2) DEFAULT NULL,
+      |  `note` text,
       |  PRIMARY KEY (`id`)
       |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
       |LOCK TABLES `users` WRITE;
       |/*!40000 ALTER TABLE `users` DISABLE KEYS */;
-      |INSERT INTO `users` (`id`, `email`, `bal`) VALUES (1,'alice@real.test',12.50);
-      |INSERT INTO `users` (`id`, `email`, `bal`) VALUES (2,'bob''s@real.test',NULL);
+      |INSERT INTO `users` (`id`, `email`, `bal`, `note`) VALUES (1,'alice@real.test',12.50,'plain');
+      |INSERT INTO `users` (`id`, `email`, `bal`, `note`) VALUES (2,'bob\'s@real.test',NULL,'it\'s escaped');
+      |INSERT INTO `users` (`id`, `email`, `bal`, `note`) VALUES (3,'c@real.test',0.01,'trail\\');
+      |INSERT INTO `users` (`id`, `email`, `bal`, `note`) VALUES (4,'d@real.test',NULL,'line\nbreak');
       |/*!40000 ALTER TABLE `users` ENABLE KEYS */;
       |UNLOCK TABLES;
       |DROP TABLE IF EXISTS `events`;
@@ -106,6 +109,15 @@ class MySqlLiveSpec extends SparkSpec {
       assert(printed.exists(_.contains("restored: users")))
       assert(Files.readString(restArgsF).trim == "-h otherhost -P 3307 -u graft livedb")
       val restored = Files.readString(restoredF)
+      // mysql-dialect string fidelity through the WHOLE pipe: \'
+      // decodes to a logical quote (re-rendered as '' — valid in both
+      // dialects), a string ENDING in an escaped backslash no longer
+      // swallows its closing quote (the r17 parity fix), \n becomes a
+      // real newline in the frame and re-escapes as \\-free raw LF in
+      // the literal while the logical backslash re-encodes as \\
+      assert(restored.contains("'it''s escaped'"), restored)
+      assert(restored.contains("'trail\\\\'"), restored)
+      assert(restored.contains("'line\nbreak'"), restored)
       assert(restored.contains("DROP TABLE IF EXISTS livedb.users;"))
       // the dump's ORIGINAL DDL is stored with the data and replayed on
       // wipe restore (r17 type-fidelity fix) — engine/charset clauses

@@ -434,8 +434,11 @@ object Cli {
           // column types: bytea stays bytea, timestamps stay
           // timestamps — the reference pipes the dump's own DDL the
           // same way), else DDL synthesized from the frame schema;
-          // then the INSERT stream one partition at a time
+          // then the data as COPY blocks one partition at a time
           // (toLocalIterator; never the whole dump on the driver).
+          // COPY, not per-row INSERTs (r17 verdict #2): it is psql's
+          // native bulk path and pg_dump's own default data layout —
+          // one statement parse per table instead of one per row.
           // wipe=true is the reference's DROP SCHEMA public CASCADE
           // re-create; false appends (synthesized IF NOT EXISTS only —
           // original DDL would collide with the surviving table).
@@ -447,13 +450,30 @@ object Cli {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
               tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
-                w.write(storedDdl.get(t).filter(_ => wipePg)
-                  .map(_.stripSuffix(";") + ";")
+                // stored DDL only when its dialect can run under psql
+                // (ADVICE r17: a mysql-sourced dump carries backticked
+                // ENGINE= DDL that dies under ON_ERROR_STOP) — a
+                // confirmed mismatch falls back to synthesized DDL
+                val stored = storedDdl.get(t).filter(_ => wipePg)
+                  .filter(d => graft.ingest.Ddl.dialect(d).forall(_ == "pg"))
+                // the data stream follows the stored DDL's OWN schema
+                // qualifier (ADVICE r17: hardcoding public broke
+                // non-public pg schemas after the public-only wipe);
+                // synthesized DDL targets public
+                val ns = stored.flatMap(d => graft.ingest.StatementSplitter
+                  .tableRefExplicit(d).flatMap(_._1)).getOrElse("public")
+                if (ns != "public")
+                  // the wipe only drops public — recreate the foreign
+                  // schema and clear the table so re-runs stay
+                  // idempotent there too
+                  w.write(s"CREATE SCHEMA IF NOT EXISTS $ns;\n" +
+                    s"DROP TABLE IF EXISTS $ns.$t;\n")
+                w.write(stored.map(_.stripSuffix(";") + ";")
                   .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
-                  .toInsertStatements(df, "public", t).toLocalIterator()
+                  .toCopyText(df, ns, t).toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
               }
@@ -463,10 +483,12 @@ object Cli {
 
           // live-MySQL TOOL restore (reference destination/mysql.rs:
           // 59-79): SQL text streamed into the mysql client's stdin,
-          // same partition-at-a-time bound as the psql leg. wipe=true
-          // emits DROP TABLE IF EXISTS before each CREATE (the
-          // reference gets the same idempotency from mysqldump's
-          // --add-drop-table); false appends.
+          // same partition-at-a-time bound as the psql leg, as
+          // EXTENDED INSERTs (mysqldump's own default data layout —
+          // one statement per ~1000 rows instead of per row, r17
+          // verdict #2). wipe=true emits DROP TABLE IF EXISTS before
+          // each CREATE (the reference gets the same idempotency from
+          // mysqldump's --add-drop-table); false appends.
           case Some(conn) if mysqlToolsMode(spark, conn.url) =>
             val mc = mysqlConn(conn)
             val wipe = dest.wipe.getOrElse(true)
@@ -475,15 +497,25 @@ object Cli {
             // psql under standard_conforming_strings), so backslashes
             // and NULs must re-encode on the way out — raw newlines and
             // other control chars are legal inside a literal and pass
-            // through the pipe untouched
-            def mysqlEscape(df: org.apache.spark.sql.DataFrame) = {
-              import org.apache.spark.sql.functions.{col, regexp_replace}
+            // through the pipe untouched. Non-finite floats become NULL
+            // (ADVICE r17): MySQL's DOUBLE has no NaN/Infinity
+            // representation, so the quoted-pg rendering fails
+            // mid-stream on a real server.
+            def mysqlSafe(df: org.apache.spark.sql.DataFrame) = {
+              import org.apache.spark.sql.functions.{abs, col, isnan, lit, regexp_replace, when}
+              import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
               df.select(df.schema.fields.map { f =>
-                if (f.dataType == org.apache.spark.sql.types.StringType)
-                  regexp_replace(
-                    regexp_replace(col(f.name), "\\\\", "\\\\\\\\"),
-                    "\u0000", "\\\\0").as(f.name)
-                else col(f.name)
+                f.dataType match {
+                  case StringType =>
+                    regexp_replace(
+                      regexp_replace(col(f.name), "\\\\", "\\\\\\\\"),
+                      "\u0000", "\\\\0").as(f.name)
+                  case DoubleType | FloatType =>
+                    when(isnan(col(f.name)) ||
+                        abs(col(f.name)) === lit(Double.PositiveInfinity),
+                      lit(null)).otherwise(col(f.name)).as(f.name)
+                  case _ => col(f.name)
+                }
               }.toIndexedSeq: _*)
             }
             graft.ingest.MySqlLive.restore(mc, o => {
@@ -491,15 +523,22 @@ object Cli {
                 java.nio.charset.StandardCharsets.UTF_8)
               tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
                 if (wipe) w.write(s"DROP TABLE IF EXISTS ${mc.db}.$t;\n")
-                // stored source DDL when available (same dialect as the
-                // dump), else synthesized from the frame schema
-                w.write(storedDdl.get(t).filter(_ => wipe)
-                  .map(_.stripSuffix(";") + ";")
+                // stored source DDL when its dialect can run under the
+                // mysql client AND it doesn't qualify a foreign
+                // namespace (mysql resolves `public.t` as database
+                // `public` — ADVICE r17); else synthesized from the
+                // frame schema. mysqldump's own DDL is unqualified, so
+                // the r17 type-fidelity path is unaffected.
+                val stored = storedDdl.get(t).filter(_ => wipe)
+                  .filter(d => graft.ingest.Ddl.dialect(d).forall(_ == "mysql"))
+                  .filter(d => graft.ingest.StatementSplitter
+                    .tableRefExplicit(d).flatMap(_._1).forall(_ == mc.db))
+                w.write(stored.map(_.stripSuffix(";") + ";")
                   .getOrElse(graft.ingest.MySqlLive.createTableSql(s"${mc.db}.$t", df.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
-                  .toInsertStatements(mysqlEscape(df), mc.db, t).toLocalIterator()
+                  .toExtendedInsertStatements(mysqlSafe(df), mc.db, t).toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
               }
@@ -739,7 +778,13 @@ object Cli {
     url.startsWith(scheme) && (
       spark.conf.getOption(confKey) match {
         case Some("tools") => true
-        case Some(_) => false
+        case Some("jdbc") => false
+        // a typo ('tool', 'auto') must not silently force the JDBC
+        // path — on a driver-less install that fails later with an
+        // unrelated driver error instead of naming the bad conf
+        // (ADVICE r17)
+        case Some(other) => throw new IllegalArgumentException(
+          s"$confKey must be 'tools' or 'jdbc' (or unset for auto), got '$other'")
         case None =>
           try { java.sql.DriverManager.getDriver(url); false }
           catch { case _: java.sql.SQLException => true }
@@ -760,13 +805,22 @@ object Cli {
   private def mysqlConn(conn: graft.config.JdbcConnection): graft.ingest.MySqlLive.Conn =
     graft.ingest.MySqlLive.Conn.fromJdbcUrl(conn.url, conn.user, conn.password)
 
-  /** Best-effort eager removal of a [[mongoSpool]] file. */
+  /** Best-effort eager removal of a live-leg spool file. A failed
+    * delete must not fail the (already complete) command, but it must
+    * be LOUD: the spool holds unmasked pre-transform data, and the
+    * eager-delete rationale on [[liveSpool]] is void if the file
+    * silently lingers (ADVICE r17).
+    */
   private def deleteSpool(path: String, spark: SparkSession): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
       ()
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable => Console.err.println(
+        s"WARNING: failed to delete spool $path — it holds UNMASKED " +
+          s"pre-transform data; remove it manually (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
 
   private def datastoreUri(c: GraftConfig): String =
     c.datastore.map(_.rootUri).getOrElse(

@@ -73,6 +73,32 @@ object Ddl {
     }
   }
 
+  private val MysqlMarkers =
+    """(?i)ENGINE\s*=|AUTO_INCREMENT|DEFAULT\s+CHARSET|CHARACTER\s+SET\s|COLLATE\s*=|\bunsigned\b""".r
+  private val PgMarkers =
+    ("""(?i)\bbytea\b|\bjsonb\b|\buuid\b|\btimestamp\s+with(out)?\s+time\s+zone\b""" +
+      """|\b(big|small)?serial\b|::|\bnextval\s*\(""").r
+
+  /** Best-effort SQL dialect of a stored CREATE TABLE statement —
+    * Some("mysql") / Some("pg") only on unambiguous markers, None
+    * otherwise. Live restore legs replay the dump's ORIGINAL DDL for
+    * type fidelity (r17), which is only valid when the DDL's dialect
+    * matches the destination: backticked ENGINE=InnoDB DDL dies under
+    * psql's ON_ERROR_STOP, pg DDL feeds mysql types it lacks. A
+    * CONFIRMED mismatch falls back to the synthesized frame-schema DDL;
+    * ambiguity keeps the fidelity default (plain `CREATE TABLE t (a
+    * integer)` is valid in both).
+    */
+  def dialect(ddl: String): Option[String] = {
+    val mysql = ddl.contains('`') || MysqlMarkers.findFirstIn(ddl).isDefined
+    val pg = PgMarkers.findFirstIn(ddl).isDefined
+    (mysql, pg) match {
+      case (true, false) => Some("mysql")
+      case (false, true) => Some("pg")
+      case _ => None
+    }
+  }
+
   private val FkPattern =
     ("""(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w"`.]+)\s+.*?FOREIGN\s+KEY\s*\(([^)]+)\)""" +
       """\s*REFERENCES\s+([\w"`.]+)\s*\(([^)]+)\)""").r

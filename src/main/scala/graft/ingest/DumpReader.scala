@@ -62,8 +62,19 @@ object DumpReader {
 
   def statements(spark: SparkSession, path: String): Dataset[Statement] = {
     import spark.implicits._
-    val files = rankedFiles(spark, path).map(_._1)
+    val ranked = rankedFiles(spark, path)
+    val files = ranked.map(_._1)
     val rank = spark.sparkContext.broadcast(files.zipWithIndex.toMap)
+    // the dialect marker lives in the dump's HEADER, which a chunked
+    // multi-file dump carries only in its FIRST part (a pg dump split
+    // at 100 MB boundaries leaves every later chunk headerless) — so
+    // the first-ranked file's header decides the ingest-wide floor and
+    // per-file detection can only turn pg ON (a later file with its
+    // own header is pg regardless). Driver-side head read: the SET
+    // block sits in the first KBs. (ADVICE r17)
+    val firstPg = ranked.headOption.exists { case (_, full) =>
+      StatementSplitter.pgStrings(readHead(spark, full, 1 << 16))
+    }
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
@@ -74,14 +85,33 @@ object DumpReader {
         val base = r.toLong << ChunkShift
         // per-file dialect: pg_dump declares standard_conforming_strings
         // in every dump file's header; its absence means MySQL escape
-        // rules (mysqldump emits no such marker)
-        val pg = StatementSplitter.pgStrings(blob)
-        StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
+        // rules (mysqldump emits no such marker) — unless the ingest's
+        // first file declared pg for the whole chunked set
+        val pg = firstPg || StatementSplitter.pgStrings(blob)
+        StatementSplitter.split(blob, Some(pg)).iterator.zipWithIndex.map { case (raw, i) =>
           val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
           else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
           Statement(base | i.toLong, raw.kind, db, table, raw.text, pg)
         }
       }
+  }
+
+  /** First `max` bytes of a file as UTF-8 text (driver-side, for header
+    * sniffing only). Shared with the DSv2 scan, whose dialect rule must
+    * match this one.
+    */
+  private[ingest] def readHead(spark: SparkSession, path: String, max: Int): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](max)
+      var off = 0
+      var n = in.read(buf, 0, max)
+      while (n > 0 && off + n < max) { off += n; n = in.read(buf, off, max - off) }
+      if (n > 0) off += n
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Split already-isolated statement strings (one per row) — used when
@@ -109,7 +139,7 @@ object DumpReader {
       val base = pid.toLong << ChunkShift
       val blob = it.mkString("\n")
       val pg = forced.getOrElse(StatementSplitter.pgStrings(blob))
-      StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
+      StatementSplitter.split(blob, Some(pg)).iterator.zipWithIndex.map { case (raw, i) =>
         val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
         else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
         Statement(base | i.toLong, raw.kind, db, table, raw.text, pg)

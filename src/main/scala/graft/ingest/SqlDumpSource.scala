@@ -98,8 +98,15 @@ private class SqlDumpScan(path: String, required: StructType) extends Scan with 
     // listing DumpReader.statements uses, so both ingestion paths
     // assign identical file ranks (and therefore identical idx values)
     val spark = org.apache.spark.sql.SparkSession.active
-    DumpReader.rankedFiles(spark, path).zipWithIndex.map { case ((_, f), rank) =>
-      SqlDumpPartition(f, rank): InputPartition
+    val ranked = DumpReader.rankedFiles(spark, path)
+    // chunked-dump dialect floor, same rule as DumpReader.statements:
+    // only the first part carries the header, so its declared dialect
+    // propagates to every (headerless) later chunk
+    val firstPg = ranked.headOption.exists { case (_, full) =>
+      StatementSplitter.pgStrings(DumpReader.readHead(spark, full, 1 << 16))
+    }
+    ranked.zipWithIndex.map { case ((_, f), rank) =>
+      SqlDumpPartition(f, rank, firstPg): InputPartition
     }.toArray
   }
 
@@ -115,7 +122,8 @@ private class SqlDumpScan(path: String, required: StructType) extends Scan with 
   }
 }
 
-private case class SqlDumpPartition(file: String, rank: Int) extends InputPartition
+private case class SqlDumpPartition(file: String, rank: Int,
+                                    firstPg: Boolean) extends InputPartition
 
 private class SqlDumpReaderFactory(
     required: StructType,
@@ -154,9 +162,10 @@ private class SqlDumpPartitionReader(
     val base = part.rank.toLong << SqlDumpSource.ChunkShift
     // per-file string-literal dialect, same rule as DumpReader
     // .statements: pg_dump declares standard_conforming_strings in
-    // every file's header; absence means MySQL escape rules
-    val pg = StatementSplitter.pgStrings(blob)
-    StatementSplitter.split(blob).iterator.zipWithIndex.map { case (raw, i) =>
+    // every file's header; absence means MySQL escape rules — unless
+    // the ingest's FIRST part declared pg for the whole chunked set
+    val pg = part.firstPg || StatementSplitter.pgStrings(blob)
+    StatementSplitter.split(blob, Some(pg)).iterator.zipWithIndex.map { case (raw, i) =>
       val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
       else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))
       (base | i.toLong, raw.kind, db, table, raw.text, pg)

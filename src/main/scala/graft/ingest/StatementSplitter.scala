@@ -46,8 +46,24 @@ object StatementSplitter {
   private val PgStringsMarker =
     """(?im)^\s*SET\s+standard_conforming_strings\s*=\s*'?on'?\s*;""".r
 
-  def pgStrings(text: String): Boolean =
-    PgStringsMarker.findFirstIn(text).isDefined
+  /** Position of the first DATA statement (INSERT / COPY … FROM stdin)
+    * — the end of the header region where dialect declarations live.
+    */
+  private val FirstDataStmt =
+    """(?im)^\s*(INSERT\s+INTO\b|COPY\s+\S+.*\bFROM\s+stdin)""".r
+
+  /** The marker is only honored in the PRE-DATA header (ADVICE r17):
+    * pg_dump emits its SET block before any data, so a match inside or
+    * after a data statement is dump CONTENT (e.g. a MySQL string
+    * literal that happens to contain the marker text), not a dialect
+    * declaration — honoring it there would flip a whole MySQL blob to
+    * pg escape rules.
+    */
+  def pgStrings(text: String): Boolean = {
+    val headerEnd = FirstDataStmt.findFirstMatchIn(text)
+      .map(_.start).getOrElse(text.length)
+    PgStringsMarker.findFirstMatchIn(text).exists(_.start < headerEnd)
+  }
 
   /** True when an ODD number of consecutive backslashes immediately
     * precedes position `i` — under MySQL escape rules that means the
@@ -63,8 +79,15 @@ object StatementSplitter {
     (c & 1) == 1
   }
 
-  def split(text: String): Vector[Raw] = {
-    val pg = pgStrings(text)
+  def split(text: String): Vector[Raw] = split(text, None)
+
+  /** `dialect`: Some(pg) when the caller KNOWS the string-literal
+    * dialect (e.g. a chunked dump whose first part declared it — a
+    * headerless later chunk must not default to MySQL rules); None
+    * detects from this blob's own header.
+    */
+  def split(text: String, dialect: Option[Boolean]): Vector[Raw] = {
+    val pg = dialect.getOrElse(pgStrings(text))
     val out = Vector.newBuilder[Raw]
     var inQuote = false
     var dollarTag: String = null // inside $tag$ … $tag$ when non-null
@@ -241,6 +264,33 @@ object StatementSplitter {
       val name = raw.takeWhile(ch => ch != '(' && ch != ';')
       val parts = name.split('.').map(unquoteIdent)
       if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
+    }
+  }
+
+  /** Like [[tableRef]] but reports whether the statement EXPLICITLY
+    * schema-qualified the name: `CREATE TABLE public.t` → (Some(public),
+    * t) while the unqualified `CREATE TABLE t` (mysqldump's shape — the
+    * session database decides) → (None, t). Restore legs need the
+    * distinction: an unqualified name follows the destination's
+    * default namespace, an explicit foreign one must not be replayed
+    * verbatim into a destination that resolves it differently.
+    */
+  def tableRefExplicit(stmt: String): Option[(Option[String], String)] = {
+    val words = firstWords(stmt, 6)
+    val upper = words.map(_.toUpperCase)
+    val nameIdx = upper match {
+      case Seq("INSERT", "INTO", _*) => Some(2)
+      case Seq("CREATE", "TABLE", "IF", "NOT", "EXISTS", _*) => Some(5)
+      case Seq("CREATE", "TABLE", _*) => Some(2)
+      case Seq("ALTER", "TABLE", "ONLY", _*) => Some(3)
+      case Seq("ALTER", "TABLE", _*) => Some(2)
+      case Seq("COPY", _*) => Some(1)
+      case _ => None
+    }
+    nameIdx.flatMap(words.lift).map { raw =>
+      val name = raw.takeWhile(ch => ch != '(' && ch != ';')
+      val parts = name.split('.').map(unquoteIdent)
+      if (parts.length >= 2) (Some(parts(0)), parts(1)) else (None, parts(0))
     }
   }
 

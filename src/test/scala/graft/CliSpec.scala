@@ -1703,4 +1703,179 @@ class CliSpec extends SparkSpec {
       spark.conf.unset("spark.graft.mongorestoreCmd")
     }
   }
+  test("tool-mode conf validation: a typo'd spark.graft.pgMode fails loudly instead of silently forcing JDBC") {
+    val store = Files.createTempDirectory("graft-pgmode-store-").toString
+    val conf = Files.createTempFile("graft-pgmode-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  connection_uri: postgres://u@localhost/db
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |""".stripMargin)
+    spark.conf.set("spark.graft.pgMode", "tool") // typo: not tools/jdbc
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Cli.run(Seq("-c", conf.toString, "dump", "create", "x"), spark, _ => ())
+      }
+      assert(e.getMessage.contains("spark.graft.pgMode"), e.getMessage)
+      assert(e.getMessage.contains("'tool'"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
+  test("pg tool restore: COPY-block stream; foreign-dialect stored DDL falls back to synthesized pg DDL (stubbed psql)") {
+    val dir = Files.createTempDirectory("graft-pgcopyleg-")
+    val store = Files.createTempDirectory("graft-pgcopyleg-store-").toString
+    val argsF = dir.resolve("psql.args"); val restoredF = dir.resolve("restored.sql")
+    val psqlStub = dir.resolve("psql.sh")
+    Files.writeString(psqlStub, s"#!/bin/sh\necho \"$$@\" >> $argsF\ncat >> $restoredF\n")
+    psqlStub.toFile.setExecutable(true)
+    // a MYSQL-flavored dump (no dialect marker, backticked ENGINE= DDL)
+    // stored, then restored into a POSTGRES destination: replaying the
+    // stored DDL verbatim would die under ON_ERROR_STOP (ADVICE r17) —
+    // the leg must fall back to synthesized pg DDL; and the data must
+    // flow as COPY blocks (psql's bulk path), not per-row INSERTs
+    val dump = dir.resolve("mysql.sql")
+    Files.writeString(dump,
+      """CREATE TABLE `users` (`id` int NOT NULL, `note` text) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+        |INSERT INTO `users` (`id`, `note`) VALUES (1,'tab\there');
+        |INSERT INTO `users` (`id`, `note`) VALUES (2,NULL);
+        |""".stripMargin)
+    val conf = Files.createTempFile("graft-pgcopyleg-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  tables_dir: /unused
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  connection_uri: postgres://graft@localhost/restdb
+         |""".stripMargin)
+    spark.conf.set("spark.graft.pgMode", "tools")
+    spark.conf.set("spark.graft.psqlCmd", psqlStub.toString)
+    try {
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "x-dialect",
+        "--file", dump.toString), spark, printed += _) == 0, printed.mkString("\n"))
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "x-dialect"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val restored = Files.readString(restoredF)
+      // synthesized pg DDL, NOT the backticked mysql original
+      assert(!restored.contains("`"), restored.take(400))
+      assert(!restored.contains("ENGINE="), restored.take(400))
+      assert(restored.contains("CREATE TABLE IF NOT EXISTS public.users"), restored.take(400))
+      // one COPY block per partition, never per-row INSERTs; the
+      // mysql-decoded TAB re-encodes per the COPY text format
+      assert(restored.contains("COPY public.users (id, note) FROM stdin;"), restored.take(600))
+      assert(!restored.contains("INSERT INTO public.users"), restored.take(600))
+      assert(restored.contains("tab\\there"), restored)
+      assert(restored.contains("\\N"), restored)
+      assert(restored.linesIterator.contains("\\."), restored)
+    } finally {
+      spark.conf.unset("spark.graft.pgMode")
+      spark.conf.unset("spark.graft.psqlCmd")
+    }
+  }
+
+  test("pg tool restore: stored DDL's own schema is recreated and targeted after the public-only wipe (stubbed psql)") {
+    val dir = Files.createTempDirectory("graft-pgschema-")
+    val store = Files.createTempDirectory("graft-pgschema-store-").toString
+    val restoredF = dir.resolve("restored.sql")
+    val psqlStub = dir.resolve("psql.sh")
+    Files.writeString(psqlStub, s"#!/bin/sh\ncat >> $restoredF\n")
+    psqlStub.toFile.setExecutable(true)
+    // a pg dump whose tables live in a NON-public schema: the wipe only
+    // drops public, so the leg must CREATE SCHEMA IF NOT EXISTS, clear
+    // the table for idempotent re-runs, and stream COPY into app.users
+    // (the pre-r18 leg hardcoded public and failed — ADVICE r17)
+    val dump = dir.resolve("app.sql")
+    Files.writeString(dump,
+      """SET standard_conforming_strings = on;
+        |CREATE TABLE app.users (id integer, note text);
+        |INSERT INTO app.users (id, note) VALUES (1, 'x');
+        |""".stripMargin)
+    val conf = Files.createTempFile("graft-pgschema-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  tables_dir: /unused
+         |  database: app
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  connection_uri: postgres://graft@localhost/restdb
+         |""".stripMargin)
+    spark.conf.set("spark.graft.pgMode", "tools")
+    spark.conf.set("spark.graft.psqlCmd", psqlStub.toString)
+    try {
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "x-schema",
+        "--file", dump.toString), spark, printed += _) == 0, printed.mkString("\n"))
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "x-schema"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val restored = Files.readString(restoredF)
+      assert(restored.contains("CREATE SCHEMA IF NOT EXISTS app;"), restored.take(400))
+      assert(restored.contains("DROP TABLE IF EXISTS app.users;"), restored.take(400))
+      assert(restored.contains("CREATE TABLE app.users"), restored.take(400))
+      assert(restored.contains("COPY app.users (id, note) FROM stdin;"), restored)
+    } finally {
+      spark.conf.unset("spark.graft.pgMode")
+      spark.conf.unset("spark.graft.psqlCmd")
+    }
+  }
+
+  test("mysql tool restore: pg-qualified stored DDL falls back; special floats restore as NULL (stubbed mysql)") {
+    val dir = Files.createTempDirectory("graft-mysqlfallback-")
+    val store = Files.createTempDirectory("graft-mysqlfallback-store-").toString
+    val restoredF = dir.resolve("restored.sql")
+    val mysqlStub = dir.resolve("mysql.sh")
+    Files.writeString(mysqlStub, s"#!/bin/sh\ncat >> $restoredF\n")
+    mysqlStub.toFile.setExecutable(true)
+    // a POSTGRES dump (marker, public-qualified DDL, a bytea column and
+    // quoted special floats) restored into a MYSQL destination: the
+    // stored DDL must NOT replay (mysql would resolve `public.t` as
+    // database `public`, and bytea is not a mysql type — ADVICE r17);
+    // NaN/Infinity have no mysql representation and become NULL
+    val dump = dir.resolve("pg.sql")
+    Files.writeString(dump,
+      """SET standard_conforming_strings = on;
+        |CREATE TABLE public.m (id integer, v double precision, b bytea);
+        |INSERT INTO public.m (id, v, b) VALUES (1, 1.5, '\x41');
+        |INSERT INTO public.m (id, v, b) VALUES (2, 'NaN', NULL);
+        |INSERT INTO public.m (id, v, b) VALUES (3, 'Infinity', NULL);
+        |""".stripMargin)
+    val conf = Files.createTempFile("graft-mysqlfallback-conf-", ".yaml")
+    Files.writeString(conf,
+      s"""source:
+         |  tables_dir: /unused
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  connection_uri: mysql://graft@localhost/restdb
+         |""".stripMargin)
+    spark.conf.set("spark.graft.mysqlMode", "tools")
+    spark.conf.set("spark.graft.mysqlCmd", mysqlStub.toString)
+    try {
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "x-mfb",
+        "--file", dump.toString), spark, printed += _) == 0, printed.mkString("\n"))
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "x-mfb"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val restored = Files.readString(restoredF)
+      // synthesized mysql DDL under the destination database, not the
+      // stored pg DDL
+      assert(!restored.contains("public.m"), restored.take(500))
+      assert(!restored.contains("bytea"), restored.take(500))
+      assert(restored.contains("CREATE TABLE IF NOT EXISTS restdb.m"), restored.take(500))
+      // extended INSERT (mysqldump's default shape), one statement
+      assert(restored.contains("INSERT INTO restdb.m (id, v, b) VALUES"), restored)
+      // special floats became NULL; the finite value survived
+      assert(!restored.contains("NaN") && !restored.contains("Infinity"), restored)
+      assert(restored.contains("1.5"), restored)
+    } finally {
+      spark.conf.unset("spark.graft.mysqlMode")
+      spark.conf.unset("spark.graft.mysqlCmd")
+    }
+  }
 }

@@ -506,4 +506,54 @@ class IngestSpec extends SparkSpec {
     assert(ins.values.head == InsertParser.SqlRaw("0xDEADBEEF"))
     assert(ins.values(1) == InsertParser.SqlString("\u001a\u0000\t"))
   }
+  test("string dialect: marker honored pre-data only; chunked multi-file dumps inherit the first part's dialect") {
+    import graft.ingest.{DumpReader, StatementSplitter}
+    // a MySQL string literal CONTAINING the marker text must not flip
+    // the blob to pg rules — the marker is a header declaration, and
+    // here it sits inside the first DATA statement (ADVICE r17)
+    val trojan =
+      "INSERT INTO t (a) VALUES ('x\nSET standard_conforming_strings = on;\ny');\n" +
+        "INSERT INTO t (b) VALUES ('it\\'s');"
+    assert(!StatementSplitter.pgStrings(trojan))
+    // a real header (marker before any data statement) still declares pg
+    assert(StatementSplitter.pgStrings(
+      "SET standard_conforming_strings = on;\nINSERT INTO t (a) VALUES ('x');"))
+    // chunked dump: only part 0 carries the header. The pg-dialect
+    // trailing-backslash literal in the HEADERLESS part 1 must scan
+    // under pg rules — per-blob detection gave it MySQL rules, which
+    // swallow the closing quote and mis-split the statement
+    val dir = java.nio.file.Files.createTempDirectory("graft-dialect-multi-")
+    java.nio.file.Files.writeString(dir.resolve("part-000.sql"),
+      "SET standard_conforming_strings = on;\n" +
+        "CREATE TABLE public.t (a text);\n" +
+        "INSERT INTO public.t (a) VALUES ('first');\n")
+    java.nio.file.Files.writeString(dir.resolve("part-001.sql"),
+      "INSERT INTO public.t (a) VALUES ('a\\');\n" +
+        "INSERT INTO public.t (a) VALUES ('second');\n")
+    val stmts = DumpReader.statements(spark, dir.toString)
+    val vals = DumpReader.tableFromDump(stmts, "public", "t")
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("first", "a\\", "second"), vals)
+    // the DSv2 path applies the identical floor
+    val viaDsv2 = spark.read.format("graft.ingest.SqlDumpSource")
+      .load(dir.toString)
+    assert(viaDsv2.filter(viaDsv2("kind") === "insert_into")
+      .select("pgStrings").collect().forall(_.getBoolean(0)))
+  }
+
+  test("ddl: dialect detection and explicit-namespace extraction for restore-leg replay") {
+    import graft.ingest.{Ddl, StatementSplitter}
+    assert(Ddl.dialect("CREATE TABLE `users` (\n  `id` int NOT NULL\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;")
+      .contains("mysql"))
+    assert(Ddl.dialect("CREATE TABLE public.exotic (b bytea, js jsonb, uid uuid);")
+      .contains("pg"))
+    // valid in both dialects -> ambiguous -> fidelity default applies
+    assert(Ddl.dialect("CREATE TABLE t (a integer, b text);").isEmpty)
+    assert(StatementSplitter.tableRefExplicit("CREATE TABLE public.t (a int);")
+      .contains((Some("public"), "t")))
+    assert(StatementSplitter.tableRefExplicit("CREATE TABLE `users` (a int);")
+      .contains((None: Option[String], "users")))
+    assert(StatementSplitter.tableRefExplicit("CREATE TABLE IF NOT EXISTS s.t (a int);")
+      .contains((Some("s"), "t")))
+  }
 }

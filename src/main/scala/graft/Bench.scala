@@ -212,13 +212,32 @@ object Bench {
     //                real compute (artifact/layout build, pay-once);
     //   wall-stall — extra wall with ~no extra CPU (host/IO stall;
     //                min-of-2 already reports the true cost);
-    //   pass2-work — extra COMPUTE on the second pass: nothing should
-    //                get slower when warm, so this one merits a look.
+    //   env-churn  — extra CPU on EITHER pass while the executed plan
+    //                hash AND the input/shuffle byte deltas are
+    //                identical across passes: no extra data was read
+    //                or moved, so the inflation is the JVM/host (GC
+    //                threads, JIT recompilation, host steal — process
+    //                CPU counts them all), not query compute. This
+    //                automates the adjudication PLANS.md has applied
+    //                by hand since r15 ("bytes and plans identical ⇒
+    //                environment"); r17's driver artifact flagged five
+    //                such queries, every one with byte-identical
+    //                fingerprints.
+    //   pass2-work — extra COMPUTE on the second pass WITH a moved
+    //                fingerprint: warm recomputation or plan
+    //                divergence — merits a look.
+    def sameData(x: QRun, y: QRun): Boolean = {
+      def close(a: Double, b: Double) =
+        (a - b).abs <= math.max(8.0, 0.1 * math.max(a, b))
+      x.plan.nonEmpty && x.plan == y.plan &&
+        close(x.inMb, y.inMb) && close(x.shMb, y.shMb)
+    }
     val spreadKind = passes.head.zip(passes(1)).collect {
       case (a, b) if spread.exists(_._1 == a.name) =>
         val (slow, fast) = if (a.wall >= b.wall) (a, b) else (b, a)
         val kind =
           if (slow.cpu - fast.cpu < 0.15 * (slow.wall - fast.wall)) "wall-stall"
+          else if (sameData(a, b)) "env-churn"
           else if (slow eq a) "pass1-work"
           else "pass2-work"
         a.name -> kind
@@ -230,6 +249,8 @@ object Bench {
     //   wall-stall — extra wall with ~no extra CPU is the host, not the
     //     plan; min-of-2 already reports the true cost and the flag +
     //     kind stay visible above; not actionable for the builder.
+    //   env-churn — identical plan + identical byte deltas: the
+    //     environment, not the plan; kind stays visible above.
     //   everything else — undeclared pass-1 compute or ANY pass-2-work
     //     (warm must never be slower) — actionable.
     val actionable = spreadKind.filter { case (name, kind) =>
@@ -269,7 +290,9 @@ object Bench {
     // BENCH_r16.json parsed as null for exactly that reason), so the
     // headline — total / errs / leaks / the historically-unstable LSH
     // query's CPU / actionable spread — must also exist in a line no
-    // capture window can cut. Printed FIRST; the full line (and the
+    // capture window can cut. Printed LAST (r17 verdict #4: the
+    // capture keeps the TAIL of stdout, so summary-first was truncated
+    // away with the rest of the head); the full line (and the
     // authoritative file copy) carries the per-query detail.
     val lshCpu = results.find(_.name == "x_minhash_lsh_precision").map(_.cpu).getOrElse(-1.0)
     val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":${errs.length},"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"sf":"$sfDir"}"""
@@ -279,8 +302,8 @@ object Bench {
     // depend on the printed line surviving intact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
-    println(summary)
     println(json)
+    println(summary)
     spark.stop()
   }
 }

@@ -462,18 +462,19 @@ object Cli {
                 // synthesized DDL targets public
                 val ns = stored.flatMap(d => graft.ingest.StatementSplitter
                   .tableRefExplicit(d).flatMap(_._1)).getOrElse("public")
+                val qi = graft.ingest.PgLive.quoteIdent _
                 if (ns != "public")
                   // the wipe only drops public — recreate the foreign
                   // schema and clear the table so re-runs stay
                   // idempotent there too
-                  w.write(s"CREATE SCHEMA IF NOT EXISTS $ns;\n" +
-                    s"DROP TABLE IF EXISTS $ns.$t;\n")
+                  w.write(s"CREATE SCHEMA IF NOT EXISTS ${qi(ns)};\n" +
+                    s"DROP TABLE IF EXISTS ${qi(ns)}.${qi(t)};\n")
                 w.write(stored.map(_.stripSuffix(";") + ";")
                   .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
-                  .toCopyText(df, ns, t).toLocalIterator()
+                  .toCopyText(df, ns, t, quoted = true).toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
               }
@@ -522,7 +523,8 @@ object Cli {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
               tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
-                if (wipe) w.write(s"DROP TABLE IF EXISTS ${mc.db}.$t;\n")
+                val qi = graft.ingest.MySqlLive.quoteIdent _
+                if (wipe) w.write(s"DROP TABLE IF EXISTS ${qi(mc.db)}.${qi(t)};\n")
                 // stored source DDL when its dialect can run under the
                 // mysql client AND it doesn't qualify a foreign
                 // namespace (mysql resolves `public.t` as database
@@ -538,7 +540,8 @@ object Cli {
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
-                  .toExtendedInsertStatements(mysqlSafe(df), mc.db, t).toLocalIterator()
+                  .toExtendedInsertStatements(mysqlSafe(df), mc.db, t, quoted = true)
+                  .toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
               }

@@ -49,17 +49,24 @@ object DumpSink {
       df: DataFrame,
       database: String,
       table: String,
-      rowsPerStatement: Int = 1000): Dataset[String] = {
+      rowsPerStatement: Int = 1000,
+      quoted: Boolean = false): Dataset[String] = {
     require(rowsPerStatement > 0, "rowsPerStatement must be positive")
     import df.sparkSession.implicits._
     val schema = df.schema
-    val cols = schema.fieldNames.mkString(", ")
+    // `quoted` backtick-quotes every identifier (mysqldump's own
+    // convention) — the restore legs need it so camelCase or
+    // reserved-word source columns survive the server's parser;
+    // default false keeps engine-written dump bytes unchanged
+    def bt(s: String) = if (quoted) "`" + s.replace("`", "``") + "`" else s
+    val cols = schema.fieldNames.map(bt).mkString(", ")
+    val target = s"${bt(database)}.${bt(table)}"
     df.mapPartitions { rows =>
       rows.grouped(rowsPerStatement).map { batch =>
         val tuples = batch.iterator
           .map(r => rowValues(r, schema).map(_.render).mkString("(", ", ", ")"))
           .mkString(", ")
-        s"INSERT INTO $database.$table ($cols) VALUES $tuples;"
+        s"INSERT INTO $target ($cols) VALUES $tuples;"
       }
     }
   }
@@ -72,10 +79,17 @@ object DumpSink {
     * independently restorable), and the splitter reassembles any number
     * of blocks back into one table.
     */
-  def toCopyText(df: DataFrame, database: String, table: String): Dataset[String] = {
+  def toCopyText(df: DataFrame, database: String, table: String,
+                 quoted: Boolean = false): Dataset[String] = {
     import df.sparkSession.implicits._
     val schema = df.schema
-    val header = s"COPY $database.$table (${schema.fieldNames.mkString(", ")}) FROM stdin;"
+    // `quoted` double-quotes every identifier in the header — the psql
+    // restore leg needs it (an unquoted camelCase column case-folds on
+    // the server and misses the DDL's quoted column); default false
+    // keeps engine-written dump bytes unchanged
+    def q(s: String) = if (quoted) "\"" + s.replace("\"", "\"\"") + "\"" else s
+    val header =
+      s"COPY ${q(database)}.${q(table)} (${schema.fieldNames.map(q).mkString(", ")}) FROM stdin;"
     df.map { row =>
       schema.fields.indices.map { i =>
         if (row.isNullAt(i)) "\\N"

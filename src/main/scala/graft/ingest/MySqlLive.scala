@@ -86,8 +86,18 @@ object MySqlLive {
     ()
   }
 
+  /** Backtick-quoted identifier (`` ` `` doubling) — mysqldump's own
+    * convention; the restore stream quotes every identifier it
+    * synthesizes so reserved-word source columns survive the server's
+    * parser.
+    */
+  def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** `CREATE TABLE` DDL from a frame schema, MySQL dialect (BLOB not
-    * bytea, DATETIME not timestamp-without-zone).
+    * bytea, DATETIME not timestamp-without-zone). Identifiers are
+    * backtick-quoted — see [[quoteIdent]]; the extended-INSERT stream
+    * quotes the same way.
     */
   def createTableSql(table: String, schema: StructType): String = {
     def my(dt: DataType): String = dt match {
@@ -103,7 +113,8 @@ object MySqlLive {
       case BinaryType => "blob"
       case _ => "text"
     }
-    schema.fields.map(f => s"${f.name} ${my(f.dataType)}")
-      .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ");")
+    val target = table.split('.').map(quoteIdent).mkString(".")
+    schema.fields.map(f => s"${quoteIdent(f.name)} ${my(f.dataType)}")
+      .mkString(s"CREATE TABLE IF NOT EXISTS $target (", ", ", ");")
   }
 }

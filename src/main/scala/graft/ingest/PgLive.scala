@@ -112,10 +112,21 @@ object PgLive {
     ()
   }
 
+  /** Double-quoted identifier (`""` doubling) — the restore stream
+    * quotes every identifier it synthesizes so camelCase or
+    * reserved-word source columns (which pg_dump emits quoted and the
+    * parser unquotes into the frame) survive the server's case-folding
+    * parser on the way back.
+    */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   /** `CREATE TABLE` DDL from a frame schema — the psql leg restores
     * into a freshly wiped schema, so the tables must be declared before
-    * the INSERT stream (the JDBC leg gets this from Spark's writer; the
-    * type mapping below mirrors it).
+    * the COPY stream (the JDBC leg gets this from Spark's writer; the
+    * type mapping below mirrors it). Identifiers are quoted — see
+    * [[quoteIdent]]; the COPY header quotes the same way, so the
+    * declared and targeted column names always agree.
     */
   def createTableSql(table: String, schema: StructType): String = {
     def pg(dt: DataType): String = dt match {
@@ -134,7 +145,8 @@ object PgLive {
     // IF NOT EXISTS so a wipe=false restore APPENDS into existing
     // tables (the JDBC leg's SaveMode.Append analog) instead of dying
     // on the DDL under ON_ERROR_STOP
-    schema.fields.map(f => s"${f.name} ${pg(f.dataType)}")
-      .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ");")
+    val target = table.split('.').map(quoteIdent).mkString(".")
+    schema.fields.map(f => s"${quoteIdent(f.name)} ${pg(f.dataType)}")
+      .mkString(s"CREATE TABLE IF NOT EXISTS $target (", ", ", ");")
   }
 }

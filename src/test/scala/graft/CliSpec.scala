@@ -1763,11 +1763,11 @@ class CliSpec extends SparkSpec {
       // synthesized pg DDL, NOT the backticked mysql original
       assert(!restored.contains("`"), restored.take(400))
       assert(!restored.contains("ENGINE="), restored.take(400))
-      assert(restored.contains("CREATE TABLE IF NOT EXISTS public.users"), restored.take(400))
+      assert(restored.contains("CREATE TABLE IF NOT EXISTS \"public\".\"users\""), restored.take(400))
       // one COPY block per partition, never per-row INSERTs; the
       // mysql-decoded TAB re-encodes per the COPY text format
-      assert(restored.contains("COPY public.users (id, note) FROM stdin;"), restored.take(600))
-      assert(!restored.contains("INSERT INTO public.users"), restored.take(600))
+      assert(restored.contains("COPY \"public\".\"users\" (\"id\", \"note\") FROM stdin;"), restored.take(600))
+      assert(!restored.contains("INSERT INTO"), restored.take(600))
       assert(restored.contains("tab\\there"), restored)
       assert(restored.contains("\\N"), restored)
       assert(restored.linesIterator.contains("\\."), restored)
@@ -1814,10 +1814,10 @@ class CliSpec extends SparkSpec {
       assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "x-schema"),
         spark, printed += _) == 0, printed.mkString("\n"))
       val restored = Files.readString(restoredF)
-      assert(restored.contains("CREATE SCHEMA IF NOT EXISTS app;"), restored.take(400))
-      assert(restored.contains("DROP TABLE IF EXISTS app.users;"), restored.take(400))
+      assert(restored.contains("CREATE SCHEMA IF NOT EXISTS \"app\";"), restored.take(400))
+      assert(restored.contains("DROP TABLE IF EXISTS \"app\".\"users\";"), restored.take(400))
       assert(restored.contains("CREATE TABLE app.users"), restored.take(400))
-      assert(restored.contains("COPY app.users (id, note) FROM stdin;"), restored)
+      assert(restored.contains("COPY \"app\".\"users\" (\"id\", \"note\") FROM stdin;"), restored)
     } finally {
       spark.conf.unset("spark.graft.pgMode")
       spark.conf.unset("spark.graft.psqlCmd")
@@ -1867,9 +1867,9 @@ class CliSpec extends SparkSpec {
       // stored pg DDL
       assert(!restored.contains("public.m"), restored.take(500))
       assert(!restored.contains("bytea"), restored.take(500))
-      assert(restored.contains("CREATE TABLE IF NOT EXISTS restdb.m"), restored.take(500))
+      assert(restored.contains("CREATE TABLE IF NOT EXISTS `restdb`.`m`"), restored.take(500))
       // extended INSERT (mysqldump's default shape), one statement
-      assert(restored.contains("INSERT INTO restdb.m (id, v, b) VALUES"), restored)
+      assert(restored.contains("INSERT INTO `restdb`.`m` (`id`, `v`, `b`) VALUES"), restored)
       // special floats became NULL; the finite value survived
       assert(!restored.contains("NaN") && !restored.contains("Infinity"), restored)
       assert(restored.contains("1.5"), restored)

@@ -118,13 +118,13 @@ class MySqlLiveSpec extends SparkSpec {
       assert(restored.contains("'it''s escaped'"), restored)
       assert(restored.contains("'trail\\\\'"), restored)
       assert(restored.contains("'line\nbreak'"), restored)
-      assert(restored.contains("DROP TABLE IF EXISTS livedb.users;"))
+      assert(restored.contains("DROP TABLE IF EXISTS `livedb`.`users`;"))
       // the dump's ORIGINAL DDL is stored with the data and replayed on
       // wipe restore (r17 type-fidelity fix) — engine/charset clauses
       // and the declared decimal survive verbatim
       assert(restored.contains("CREATE TABLE `users` ("))
       assert(restored.contains("`bal` decimal(10,2) DEFAULT NULL"))
-      assert(restored.contains("INSERT INTO livedb.users "))
+      assert(restored.contains("INSERT INTO `livedb`.`users` "))
       // masked, skip honored, quote-escape and NULL survive
       assert(!restored.contains("real.test"), restored.take(500))
       assert(!restored.contains("events"))

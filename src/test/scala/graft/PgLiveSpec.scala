@@ -605,4 +605,44 @@ class PgLiveSpec extends SparkSpec {
     assert(copySec < insertSec,
       f"COPY ($copySec%.2f s) not faster than INSERTs ($insertSec%.2f s)")
   }
+  test("pg live: camelCase and reserved-word identifiers survive dump -> restore (quoted stream)") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE camedb")
+      c.psql("postgres", "CREATE DATABASE camerest")
+      // pg_dump emits these QUOTED; the parser unquotes them into the
+      // frame — the restore stream must re-quote both the DDL it
+      // synthesizes/replays AND the COPY header, or the server
+      // case-folds "Id" to id / chokes on the reserved words
+      c.psql("camedb",
+        """CREATE TABLE "Users"("Id" int PRIMARY KEY, "order" text, "select" int);
+          |INSERT INTO "Users" VALUES (1, 'first order', 10), (2, 'it''s', 20);
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgcamel-store-").toString
+      val conf = Files.createTempFile("graft-pgcamel-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "camedb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |destination:
+           |  connection_uri: ${uri(c, "camerest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-camel"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-camel"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(printed.exists(_.contains("restored: Users")), printed.mkString("\n"))
+      assert(c.psql("camerest", "SELECT count(*) FROM \"Users\"") == "2")
+      assert(c.psql("camerest",
+        "SELECT \"order\" FROM \"Users\" WHERE \"Id\" = 2") == "it's")
+      assert(c.psql("camerest",
+        "SELECT sum(\"select\") FROM \"Users\"") == "30")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
 }

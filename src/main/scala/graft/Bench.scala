@@ -137,6 +137,52 @@ object Bench {
     n
   }
 
+  /** Classify one query's two measured passes. None = no flag (clean).
+    * Some(kind) for a >3× wall spread above the 1 s floor:
+    *   pass1-work — slow pass came FIRST and its extra wall was real
+    *                compute with a MOVED fingerprint (extra bytes read
+    *                or shuffled): an artifact/layout build, pay-once;
+    *   wall-stall — extra wall with ~no extra CPU (host/IO stall;
+    *                min-of-2 already reports the true cost);
+    *   env-churn  — extra CPU on EITHER pass while the executed-plan
+    *                hash AND the input/shuffle byte deltas agree
+    *                (within max(1 MB, 5%)): no extra data was read or
+    *                moved, so the inflation is the JVM/host (GC
+    *                threads, JIT recompilation, host steal all land in
+    *                process CPU), not query compute. Automates the
+    *                "bytes and plans identical ⇒ environment"
+    *                adjudication PLANS.md applied by hand since r15;
+    *                all five r17 driver-artifact flags had
+    *                byte-identical fingerprints. A real recompute
+    *                cannot hide here — re-deriving an input re-reads
+    *                and re-shuffles it, so its fingerprint moves.
+    *   pass2-work — extra compute on the SECOND pass with a moved
+    *                fingerprint: warm recomputation or plan
+    *                divergence — merits a look.
+    */
+  private[graft] def spreadKindOf(a: QRun, b: QRun): Option[String] = {
+    val flagged = a.err.isEmpty && b.err.isEmpty &&
+      math.max(a.wall, b.wall) > 1.0 &&
+      math.max(a.wall, b.wall) > 3.0 * math.min(a.wall, b.wall)
+    if (!flagged) None
+    else {
+      val (slow, fast) = if (a.wall >= b.wall) (a, b) else (b, a)
+      def close(x: Double, y: Double) =
+        (x - y).abs <= math.max(1.0, 0.05 * math.max(x, y))
+      val sameData = slow.plan.nonEmpty && slow.plan == fast.plan &&
+        close(slow.inMb, fast.inMb) && close(slow.shMb, fast.shMb)
+      Some(
+        if (slow.cpu - fast.cpu < 0.15 * (slow.wall - fast.wall)) "wall-stall"
+        else if (sameData) "env-churn"
+        else if (slow eq a) "pass1-work"
+        else "pass2-work")
+    }
+  }
+
+  private[graft] def isActionable(name: String, kind: String): Boolean =
+    kind == "pass2-work" ||
+      (kind == "pass1-work" && !SparkEntry.expectedPass1Work.contains(name))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
@@ -199,49 +245,12 @@ object Bench {
     // of silently reporting the flattering min. Sub-second queries are
     // exempt (JIT/GC jitter dominates below the measurement floor).
     val spread = passes.head.zip(passes(1)).collect {
-      case (a, b) if a.err.isEmpty && b.err.isEmpty &&
-        math.max(a.wall, b.wall) > 1.0 &&
-        math.max(a.wall, b.wall) > 3.0 * math.min(a.wall, b.wall) =>
+      case (a, b) if spreadKindOf(a, b).isDefined =>
         a.name -> BigDecimal(math.max(a.wall, b.wall) / math.min(a.wall, b.wall))
           .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    // Classify each flag by its measured SHAPE so the artifact
-    // distinguishes the designed pay-once pattern from trouble without
-    // a hand-maintained list:
-    //   pass1-work — the slow pass came first and its extra wall was
-    //                real compute (artifact/layout build, pay-once);
-    //   wall-stall — extra wall with ~no extra CPU (host/IO stall;
-    //                min-of-2 already reports the true cost);
-    //   env-churn  — extra CPU on EITHER pass while the executed plan
-    //                hash AND the input/shuffle byte deltas are
-    //                identical across passes: no extra data was read
-    //                or moved, so the inflation is the JVM/host (GC
-    //                threads, JIT recompilation, host steal — process
-    //                CPU counts them all), not query compute. This
-    //                automates the adjudication PLANS.md has applied
-    //                by hand since r15 ("bytes and plans identical ⇒
-    //                environment"); r17's driver artifact flagged five
-    //                such queries, every one with byte-identical
-    //                fingerprints.
-    //   pass2-work — extra COMPUTE on the second pass WITH a moved
-    //                fingerprint: warm recomputation or plan
-    //                divergence — merits a look.
-    def sameData(x: QRun, y: QRun): Boolean = {
-      def close(a: Double, b: Double) =
-        (a - b).abs <= math.max(8.0, 0.1 * math.max(a, b))
-      x.plan.nonEmpty && x.plan == y.plan &&
-        close(x.inMb, y.inMb) && close(x.shMb, y.shMb)
-    }
-    val spreadKind = passes.head.zip(passes(1)).collect {
-      case (a, b) if spread.exists(_._1 == a.name) =>
-        val (slow, fast) = if (a.wall >= b.wall) (a, b) else (b, a)
-        val kind =
-          if (slow.cpu - fast.cpu < 0.15 * (slow.wall - fast.wall)) "wall-stall"
-          else if (sameData(a, b)) "env-churn"
-          else if (slow eq a) "pass1-work"
-          else "pass2-work"
-        a.name -> kind
-    }
+    val spreadKind = passes.head.zip(passes(1))
+      .flatMap { case (a, b) => spreadKindOf(a, b).map(a.name -> _) }
     // Actionable spread = flags minus the designed exceptions (r16
     // verdict #3), so a clean sweep is machine-checkable as 0:
     //   pass1-work on a query DECLARED in SparkEntry.expectedPass1Work
@@ -254,8 +263,7 @@ object Bench {
     //   everything else — undeclared pass-1 compute or ANY pass-2-work
     //     (warm must never be slower) — actionable.
     val actionable = spreadKind.filter { case (name, kind) =>
-      kind == "pass2-work" ||
-        (kind == "pass1-work" && !SparkEntry.expectedPass1Work.contains(name))
+      isActionable(name, kind)
     }
     // 0.1 ms resolution keeps the JSON line short enough that log
     // capture never truncates the query map (r02's did at full

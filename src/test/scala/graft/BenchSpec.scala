@@ -57,4 +57,63 @@ class BenchSpec extends SparkSpec {
     assert(r.gc > 0.0, "GC-heavy allocation burst recorded zero gc_sec")
     assert(r.gc <= r.wall + 0.5, s"gc ${r.gc} implausibly exceeds wall ${r.wall}")
   }
+  test("spread classifier: the r17 driver-artifact flags replay to 0 actionable, real builds keep their kind") {
+    import Bench.{QRun, spreadKindOf, isActionable}
+    def q(name: String, wall: Double, cpu: Double, plan: String,
+          inMb: Double, shMb: Double) =
+      QRun(name, wall, cpu, None, plan = plan, inMb = inMb, shMb = shMb)
+
+    // the five r17 BENCH_out.json actionable flags, per-pass numbers
+    // verbatim: identical plan hashes, identical byte deltas — every
+    // one must classify env-churn (JVM/host CPU, not query compute)
+    val r17 = Seq(
+      (q("x_ann_lsh", 2.7054, 8.0, "0ac65061f94c", 0.0, 0.1),
+        q("x_ann_lsh", 0.4803, 1.0, "0ac65061f94c", 0.0, 0.1)),
+      (q("x_ann_lsh_precision", 2.0656, 6.0, "8ec991aef00a", 0.0, 0.1),
+        q("x_ann_lsh_precision", 0.4755, 1.0, "8ec991aef00a", 0.0, 0.1)),
+      (q("x_ann_ivfpq_refined", 4.0602, 12.0, "f2e31abefca7", 0.0, 0.0),
+        q("x_ann_ivfpq_refined", 0.7235, 1.0, "f2e31abefca7", 0.0, 0.0)),
+      (q("x_ann_ivfpq_refined_precision", 13.2347, 40.0, "6533ef5a1ede", 0.0, 0.1),
+        q("x_ann_ivfpq_refined_precision", 1.0697, 2.0, "6533ef5a1ede", 0.0, 0.1)),
+      // pass2-work shape: slow pass came SECOND, byte-identical
+      (q("x_unigram_logprob", 0.5376, 0.5, "700d8b9d6de3", 0.0, 0.0),
+        q("x_unigram_logprob", 2.3513, 4.0, "700d8b9d6de3", 0.0, 0.0)))
+    r17.foreach { case (a, b) =>
+      assert(spreadKindOf(a, b).contains("env-churn"), s"${a.name}: ${spreadKindOf(a, b)}")
+      assert(!isActionable(a.name, spreadKindOf(a, b).get), a.name)
+    }
+
+    // j6's bucketed-layout build is a REAL pass-1 artifact build: its
+    // shuffle bytes MOVE (6.3 -> 0.0 MB), so it keeps the honest
+    // pass1-work kind — declared, hence still not actionable
+    val j6a = q("j6_bucketed_join", 2.8049, 5.0, "823fc7fa31d0", 0.1, 6.3)
+    val j6b = q("j6_bucketed_join", 0.8032, 1.0, "823fc7fa31d0", 0.1, 0.0)
+    assert(spreadKindOf(j6a, j6b).contains("pass1-work"))
+    assert(!isActionable("j6_bucketed_join", "pass1-work"))
+
+    // an UNDECLARED build with moved bytes is actionable...
+    assert(Bench.isActionable("some_new_query", "pass1-work"))
+    // ...and so is true warm recomputation: pass 2 slower AND its
+    // fingerprint moved (re-read the input it should have had pinned)
+    val rec1 = q("recompute", 1.2, 3.0, "aaaa", 100.0, 10.0)
+    val rec2 = q("recompute", 4.5, 14.0, "aaaa", 200.0, 20.0)
+    assert(spreadKindOf(rec1, rec2).contains("pass2-work"))
+    assert(isActionable("recompute", "pass2-work"))
+
+    // a plan-divergent pair never classifies env-churn even with equal bytes
+    val pd1 = q("plan_div", 1.2, 3.0, "aaaa", 50.0, 5.0)
+    val pd2 = q("plan_div", 4.5, 14.0, "bbbb", 50.0, 5.0)
+    assert(spreadKindOf(pd1, pd2).contains("pass2-work"))
+
+    // host stall: extra wall with ~no extra CPU stays wall-stall
+    val st1 = q("stall", 9.0, 2.2, "cccc", 50.0, 5.0)
+    val st2 = q("stall", 2.0, 2.0, "cccc", 50.0, 5.0)
+    assert(spreadKindOf(st1, st2).contains("wall-stall"))
+
+    // sub-second spreads and clean pairs never flag
+    assert(spreadKindOf(q("tiny", 0.9, 3.0, "d", 0.0, 0.0),
+      q("tiny", 0.1, 0.1, "d", 0.0, 0.0)).isEmpty)
+    assert(spreadKindOf(q("clean", 2.0, 4.0, "e", 1.0, 1.0),
+      q("clean", 1.9, 3.8, "e", 1.0, 1.0)).isEmpty)
+  }
 }

@@ -645,4 +645,45 @@ class PgLiveSpec extends SparkSpec {
         "SELECT sum(\"select\") FROM \"Users\"") == "30")
     } finally spark.conf.unset("spark.graft.pgMode")
   }
+  test("pg live: wipe=false restore APPENDS through the COPY path (synthesized IF NOT EXISTS DDL)") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE appenddb")
+      c.psql("postgres", "CREATE DATABASE appendrest")
+      c.psql("appenddb",
+        """CREATE TABLE items(id int, name text);
+          |INSERT INTO items VALUES (1, 'one'), (2, 'two'), (3, 'three');
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgappend-store-").toString
+      def conf(wipe: Boolean): String = {
+        val f = Files.createTempFile("graft-pgappend-conf-", ".yaml")
+        Files.writeString(f,
+          s"""source:
+             |  connection_uri: ${uri(c, "appenddb")}
+             |datastore:
+             |  local_disk:
+             |    dir: $store
+             |destination:
+             |  connection_uri: ${uri(c, "appendrest")}
+             |  wipe: $wipe
+             |""".stripMargin)
+        f.toString
+      }
+      assert(Cli.run(Seq("-c", conf(true), "dump", "create", "pg-append"),
+        spark, _ => ()) == 0)
+      // first restore wipes and loads 3; the second APPENDS (no wipe,
+      // synthesized CREATE TABLE IF NOT EXISTS survives the existing
+      // table under ON_ERROR_STOP, COPY appends) -> 6
+      assert(Cli.run(Seq("-c", conf(true), "dump", "restore", "pg-append"),
+        spark, _ => ()) == 0)
+      assert(c.psql("appendrest", "SELECT count(*) FROM items") == "3")
+      assert(Cli.run(Seq("-c", conf(false), "dump", "restore", "pg-append"),
+        spark, _ => ()) == 0)
+      assert(c.psql("appendrest", "SELECT count(*) FROM items") == "6")
+      assert(c.psql("appendrest",
+        "SELECT count(*) FROM items WHERE name = 'two'") == "2")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
 }

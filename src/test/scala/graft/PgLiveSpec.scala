@@ -686,4 +686,90 @@ class PgLiveSpec extends SparkSpec {
         "SELECT count(*) FROM items WHERE name = 'two'") == "2")
     } finally spark.conf.unset("spark.graft.pgMode")
   }
+  test("pg live: encrypted + compressed datastore round-trips to a live server; chunks hold no plaintext") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE encdb")
+      c.psql("postgres", "CREATE DATABASE encrest")
+      c.psql("encdb",
+        """CREATE TABLE vault(id int, secret text);
+          |INSERT INTO vault VALUES (1, 'plaintext-canary-alpha'), (2, 'plaintext-canary-beta');
+          |""".stripMargin)
+      val store = Files.createTempDirectory("graft-pgenc-store-")
+      val conf = Files.createTempFile("graft-pgenc-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "encdb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |  compression: true
+           |encryption_key: r18-live-e2e-key
+           |destination:
+           |  connection_uri: ${uri(c, "encrest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-enc"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      // X1/X2 actually engaged: no stored byte sequence contains the
+      // canary (zlib alone could leave short strings visible; AES-GCM
+      // must not)
+      val canary = "plaintext-canary".getBytes("UTF-8")
+      def containsSeq(hay: Array[Byte], needle: Array[Byte]): Boolean =
+        hay.indices.exists(i => i + needle.length <= hay.length &&
+          needle.indices.forall(j => hay(i + j) == needle(j)))
+      val walk = java.nio.file.Files.walk(store)
+      val leaked = try {
+        val it = walk.iterator()
+        var acc = List.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (java.nio.file.Files.isRegularFile(f) &&
+              containsSeq(java.nio.file.Files.readAllBytes(f), canary)) acc ::= f
+        }
+        acc
+      } finally walk.close()
+      assert(leaked.isEmpty, s"plaintext canary found in stored chunks: $leaked")
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-enc"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      assert(c.psql("encrest", "SELECT secret FROM vault WHERE id=1") ==
+        "plaintext-canary-alpha")
+      assert(c.psql("encrest", "SELECT count(*) FROM vault") == "2")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
+
+  test("pg live: a psql failure mid-restore surfaces loudly with the tool's stderr") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      // restore into a database that DOES NOT EXIST: psql exits nonzero
+      // with its own error text; the leg must throw carrying it (the
+      // reference's loud-failure behavior), never report success
+      c.psql("postgres", "CREATE DATABASE pgfaildb")
+      c.psql("pgfaildb",
+        """CREATE TABLE t(id int); INSERT INTO t VALUES (1);""")
+      val store = Files.createTempDirectory("graft-pgfail-store-").toString
+      val conf = Files.createTempFile("graft-pgfail-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "pgfaildb")}
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |destination:
+           |  connection_uri: ${uri(c, "graft_no_such_db")}
+           |""".stripMargin)
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "pg-fail"),
+        spark, _ => ()) == 0)
+      val e = intercept[IllegalStateException] {
+        Cli.run(Seq("-c", conf.toString, "dump", "restore", "pg-fail"), spark, _ => ())
+      }
+      assert(e.getMessage.contains("graft_no_such_db") ||
+        e.getMessage.toLowerCase.contains("does not exist"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
 }

@@ -27,9 +27,50 @@ object DumpSink {
           case DoubleType => SqlDouble(row.getDouble(i))
           case _: DecimalType => SqlDecimal(row.getDecimal(i))
           case BooleanType => SqlBool(row.getBoolean(i))
+          // defense in depth — [[sqlSafe]] normalizes binary columns
+          // before serialization, but a direct caller must still get a
+          // valid pg hex literal, never JVM Array.toString garbage
+          case BinaryType => SqlString(hexLiteral(row.getAs[Array[Byte]](i)))
           case _ => SqlString(String.valueOf(row.get(i)))
         }
     }
+
+  /** pg_dump's bytea text form: `\x` + lowercase hex. */
+  private def hexLiteral(b: Array[Byte]): String = {
+    val sb = new StringBuilder(2 + b.length * 2)
+    sb.append("\\x")
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Normalize a source frame for SQL-statement serialization: types a
+    * SQL literal cannot self-describe become their canonical TEXT
+    * forms — binary → pg-style `\x` hex (what pg_dump itself emits,
+    * and what the typed ingestion + live restore already round-trip),
+    * arrays/structs/maps (Mongo-inferred schemas) → JSON. Without
+    * this, [[rowValues]]'s fallthrough stringified `Array[Byte]` as
+    * `[B@1a2b3c` and nested rows as Scala `toString` — silent
+    * corruption on the JDBC/Mongo source paths (the dump-file and
+    * pg_dump tool paths never see these types: bytea arrives as a hex
+    * STRING literal). Runs as codegen'd Column expressions, no UDFs.
+    */
+  def sqlSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, hex, lit, lower, to_json}
+    val needsWork = df.schema.fields.exists(f => f.dataType match {
+      case BinaryType | _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    })
+    if (!needsWork) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case BinaryType =>
+          concat(lit("\\x"), lower(hex(col(f.name)))).as(f.name)
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 
   def toInsertStatements(df: DataFrame, database: String, table: String): Dataset[String] = {
     import df.sparkSession.implicits._
@@ -93,6 +134,9 @@ object DumpSink {
     df.map { row =>
       schema.fields.indices.map { i =>
         if (row.isNullAt(i)) "\\N"
+        // same binary defense as rowValues — never Array.toString
+        else if (schema.fields(i).dataType == BinaryType)
+          escapeCopy(hexLiteral(row.getAs[Array[Byte]](i)))
         else escapeCopy(String.valueOf(row.get(i)))
       }.mkString("\t")
     }.mapPartitions { it =>

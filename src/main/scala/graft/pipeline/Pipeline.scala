@@ -112,14 +112,30 @@ object Pipeline {
       config: DumpJobConfig): Unit = {
     import spark.implicits._
     val plan = dumpPlan(load, config)
+    // sqlSafe: binary → pg hex-literal text, nested (Mongo-inferred)
+    // → JSON — types a SQL literal can't self-describe, which the raw
+    // row stringifier would otherwise corrupt (JDBC/Mongo sources)
     val inserts = plan.map { case (t, df) =>
-      DumpSink.toInsertStatements(df, config.database, t)
+      DumpSink.toInsertStatements(DumpSink.sqlSafe(df), config.database, t)
     }.reduce(_.unionByName(_))
     // the source's own CREATE TABLE statements (only for tables that
     // made the plan) ride along in the stored dump — restore parsing
     // filters by statement kind, so data consumers are unaffected and
-    // live restores regain the true column types
-    val ddl = plan.keys.toSeq.sorted.flatMap(config.ddl.get)
+    // live restores regain the true column types. A table WITHOUT
+    // source DDL whose frame carries binary columns gets one
+    // synthesized from the ORIGINAL schema: the stored hex text then
+    // restores as true bytea on a live server instead of degrading to
+    // text (the DDL-typed ingestion keeps the literal as a string
+    // either way, so parquet consumers are unchanged).
+    val ddl = plan.keys.toSeq.sorted.flatMap { t =>
+      config.ddl.get(t).orElse {
+        val schema = plan(t).schema
+        if (schema.fields.exists(_.dataType ==
+            org.apache.spark.sql.types.BinaryType))
+          Some(graft.ingest.PgLive.createTableSql(s"${config.database}.$t", schema))
+        else None
+      }
+    }
     // every engine-written dump declares its string-literal dialect up
     // front, exactly like pg_dump does: DumpSink synthesis is
     // pg-semantics ('' doubling, backslashes literal), and the marker

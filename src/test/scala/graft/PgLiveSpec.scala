@@ -772,4 +772,52 @@ class PgLiveSpec extends SparkSpec {
         e.getMessage.toLowerCase.contains("does not exist"), e.getMessage)
     } finally spark.conf.unset("spark.graft.pgMode")
   }
+  test("pg live: a BINARY-typed source frame restores as true bytea via the synthesized DDL + COPY hex text") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    spark.conf.set("spark.graft.pgMode", "tools")
+    try {
+      c.psql("postgres", "CREATE DATABASE binrest")
+      // the JDBC/Mongo source shape the dump-file path never produces:
+      // a frame whose column IS BinaryType (incl. a NUL byte, which no
+      // pg text value can carry). Pipeline.dump hex-encodes the data
+      // and synthesizes a bytea DDL; the live restore must hand the
+      // server REAL bytea, not text
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(1L, Array[Byte](0x41, 0x00, 0xff.toByte)),
+          Row(2L, null)), 2), schema)
+      val storeDir = Files.createTempDirectory("graft-pgbin-store-").toString
+      val store = new graft.store.Datastore(s"file://$storeDir", spark)
+      graft.pipeline.Pipeline.dump(spark, (_: String) => df, store, "bin-live",
+        graft.pipeline.Pipeline.DumpJobConfig(tables = Seq("blobby")))
+      val conf = Files.createTempFile("graft-pgbin-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  tables_dir: /unused
+           |datastore:
+           |  local_disk:
+           |    dir: $storeDir
+           |destination:
+           |  connection_uri: ${uri(c, "binrest")}
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "bin-live"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      // the server's OWN type introspection adjudicates: bytea, with
+      // the exact bytes (NUL included) and the NULL intact
+      assert(c.psql("binrest",
+        "SELECT data_type FROM information_schema.columns " +
+          "WHERE table_name='blobby' AND column_name='payload'") == "bytea")
+      assert(c.psql("binrest",
+        "SELECT encode(payload,'hex') FROM blobby WHERE id=1") == "4100ff")
+      assert(c.psql("binrest",
+        "SELECT payload IS NULL FROM blobby WHERE id=2") == "t")
+    } finally spark.conf.unset("spark.graft.pgMode")
+  }
 }

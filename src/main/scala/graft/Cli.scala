@@ -330,7 +330,22 @@ object Cli {
           compressed = c.datastore.flatMap(_.compression).getOrElse(true),
           encryptionKey = c.encryptionKey)
         try {
-          Pipeline.dump(spark, load, store, name, job)
+          if (c.sourceMongo.isDefined) {
+            // Mongo sources store the TRANSFORMED ARCHIVE itself (the
+            // reference's flow, tasks/full_dump.rs + source/mongodb.rs)
+            // rather than re-synthesized SQL text: BSON types — dates,
+            // Decimal128, BinData, nested documents — survive
+            // byte-exactly through the datastore. The frames below are
+            // already filtered/masked/subsetted (dumpPlan); writeTables
+            // encodes them back to BSON on the executors.
+            val plan = Pipeline.dumpPlan(load, job)
+            store.writeBlob(name,
+              o => { graft.ingest.MongoArchive.writeTables(
+                o, c.defaultDb, plan.toSeq.sortBy(_._1)); () },
+              format = "mongo-archive",
+              compressed = job.compressed,
+              encryptionKey = job.encryptionKey)
+          } else Pipeline.dump(spark, load, store, name, job)
           out(s"dump created: $name")
         } finally spoolPath.foreach(deleteSpool(_, spark))
         0
@@ -380,8 +395,8 @@ object Cli {
           else nameArg
         val dbDir = java.nio.file.Files.createTempDirectory("graft-ephemeral-").resolve("db")
         val url = s"jdbc:derby:$dbDir;create=true"
-        val tables = Pipeline.restore(spark, store, name, c.encryptionKey)
-        tables.foreach { case (t, df) =>
+        val (tables, _, ephSpool) = restoreFrames(c, store, name, spark)
+        try tables.foreach { case (t, df) =>
           // persist: the restore pipeline (datastore read + parse +
           // typing) would otherwise run twice — once for the JDBC
           // write, once for the count
@@ -390,7 +405,7 @@ object Cli {
             graft.ingest.Jdbc.writeTable(df, url, t)
             out(s"restored: $t (${df.count()} rows)")
           } finally df.unpersist()
-        }
+        } finally ephSpool.foreach(deleteSpool(_, spark))
         out(s"ephemeral database ready: $url")
         out(s"teardown: delete $dbDir")
         0
@@ -406,12 +421,35 @@ object Cli {
           else nameArg
         val dest = c.destination.getOrElse(
           throw new IllegalArgumentException("config requires a destination section"))
-        val (tables, storedDdl) = Pipeline.restoreWithDdl(spark, store, name, c.encryptionKey)
+        val isArchive = store.catalogOps.byName(name)
+          .exists(_.format.contains("mongo-archive"))
+        // archive-format dump → LIVE MONGO destination: the stored
+        // (already transformed) archive bytes stream STRAIGHT THROUGH
+        // decode → mongorestore stdin — byte-exact, no frame decode,
+        // the reference's own restore shape (destination/mongodb.rs)
+        if (isArchive) c.destinationMongo match {
+          case Some((uri, db)) =>
+            graft.ingest.MongoLive.restore(uri, db,
+              (o: java.io.OutputStream) => store.readBlobTo(name, o, c.encryptionKey),
+              wipe = dest.wipe.getOrElse(true),
+              cmd = toolCmd(spark, "mongorestore"))
+            out(s"restored: $name (archive passthrough)")
+            return 0
+          case None => ()
+        }
+        // archive-format dump → any other destination: spool the
+        // decoded archive once (same owner-only convention as the live
+        // sources) and decode it into typed frames on the executors;
+        // statement dumps parse as before. The spool is read LAZILY by
+        // the frames, so its delete sits after the destination writes.
+        val (tables, storedDdl, restoreSpool) = restoreFrames(c, store, name, spark)
+        try {
         c.destinationMongo match {
-          // live MongoDB restore (D3 live leg): archive bytes piped
-          // into mongorestore's stdin (reference destination/mongodb.
-          // rs:31-52); encoding runs distributed (MongoArchive
-          // .writeTables), the pipe itself is the tool's own bound
+          // live MongoDB restore (D3 live leg) of a STATEMENT dump:
+          // frames re-encode to archive bytes piped into mongorestore's
+          // stdin (reference destination/mongodb.rs:31-52); encoding
+          // runs distributed (MongoArchive.writeTables), the pipe
+          // itself is the tool's own bound
           case Some((uri, db)) =>
             // streamed straight into the tool's stdin (never the whole
             // archive on the driver); wipe → --drop, same idempotent-
@@ -449,7 +487,14 @@ object Cli {
             graft.ingest.PgLive.restore(pgConn(conn), o => {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
-              tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+              tables.toSeq.sortBy(_._1).foreach { case (t, df0) =>
+                // archive-sourced frames can carry true binary/nested
+                // columns: the data stream hex/JSON-encodes them
+                // (sqlSafe — identity for statement-dump frames) while
+                // the synthesized DDL keeps the ORIGINAL schema, so a
+                // binary column declares bytea and the COPY hex text
+                // restores as real bytea on the server
+                val df = graft.ingest.DumpSink.sqlSafe(df0)
                 // stored DDL only when its dialect can run under psql
                 // (ADVICE r17: a mysql-sourced dump carries backticked
                 // ENGINE= DDL that dies under ON_ERROR_STOP) — a
@@ -470,7 +515,7 @@ object Cli {
                   w.write(s"CREATE SCHEMA IF NOT EXISTS ${qi(ns)};\n" +
                     s"DROP TABLE IF EXISTS ${qi(ns)}.${qi(t)};\n")
                 w.write(stored.map(_.stripSuffix(";") + ";")
-                  .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df.schema)))
+                  .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df0.schema)))
                 w.write("\n")
                 w.flush()
                 val it = graft.ingest.DumpSink
@@ -522,7 +567,13 @@ object Cli {
             graft.ingest.MySqlLive.restore(mc, o => {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
-              tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+              tables.toSeq.sortBy(_._1).foreach { case (t, df0) =>
+                // archive-sourced binary/nested columns degrade to hex
+                // text / JSON on the mysql leg (documented: mysql has
+                // no server to verify a blob-literal path against);
+                // the synthesized DDL follows the SAFE schema so the
+                // declared and streamed types agree
+                val df = graft.ingest.DumpSink.sqlSafe(df0)
                 val qi = graft.ingest.MySqlLive.quoteIdent _
                 if (wipe) w.write(s"DROP TABLE IF EXISTS ${qi(mc.db)}.${qi(t)};\n")
                 // stored source DDL when its dialect can run under the
@@ -578,6 +629,7 @@ object Cli {
               out(s"restored: $t")
             }
         }
+        } finally restoreSpool.foreach(deleteSpool(_, spark))
         0
 
       case other =>
@@ -693,6 +745,29 @@ object Cli {
     }
     tmp
   }
+
+  /** Dump frames for a restore, by stored format: statement dumps
+    * parse via [[Pipeline.restoreWithDdl]]; `mongo-archive` dumps
+    * spool the decoded archive once (owner-only, same convention as
+    * the live sources) and decode into TYPED frames on the executors.
+    * Returns (tables, storedDdl, spoolToDeleteAfterUse) — the frames
+    * read the spool LAZILY, so callers delete it only after the last
+    * action that consumes them.
+    */
+  private def restoreFrames(c: GraftConfig, store: Datastore, name: String,
+                            spark: SparkSession)
+      : (Map[String, org.apache.spark.sql.DataFrame], Map[String, String], Option[String]) =
+    if (store.catalogOps.byName(name).exists(_.format.contains("mongo-archive"))) {
+      val spool = liveSpool(spark, c.datastore.map(_.rootUri),
+        "archive-restore", ".archive")(o =>
+        store.readBlobTo(name, o, c.encryptionKey))
+      (graft.ingest.MongoArchive.readDistributed(spark, spool)
+        .map { case (prefix, df) => prefix.split("\\.", 2).last -> df },
+        Map.empty[String, String], Some(spool))
+    } else {
+      val (t, d) = Pipeline.restoreWithDdl(spark, store, name, c.encryptionKey)
+      (t, d, None)
+    }
 
   /** Tool invocation for the live Mongo legs: `spark.graft.<tool>Cmd`
     * overrides the binary (space-split — tests point it at stub

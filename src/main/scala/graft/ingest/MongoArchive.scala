@@ -600,7 +600,13 @@ object MongoArchive {
     case (b: Array[Byte], BinaryType)     => BBin(0x00, b)
     case (t: java.sql.Timestamp, TimestampType) => BDateTime(t.getTime)
     case (d: java.sql.Date, DateType)     => BDateTime(d.getTime)
-    case (s: Seq[_], ArrayType(et, _))    => BArr(s.toVector.map(toBson(_, et)))
+    // collection.Seq, NOT the default (immutable.Seq) alias: catalyst
+    // hands array values back as mutable.ArraySeq, which the immutable
+    // pattern silently misses — arrays in frames built from BSON
+    // restore (immutable Vectors) matched, arrays in frames that went
+    // through Spark row conversion did not
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      BArr(s.toVector.map(toBson(_, et)))
     case (r: Row, st: StructType)         => rowToDoc(r, st)
     case (other, t) => throw new IllegalArgumentException(s"cannot map Spark $other: $t to BSON")
   }

@@ -74,7 +74,14 @@ final case class DumpMeta(
     size: Long,
     createdAt: Long, // epoch millis
     compressed: Boolean,
-    encrypted: Boolean)
+    encrypted: Boolean,
+    // payload format: None / Some("sql") = re-synthesized statement
+    // chunks (the SQL-source flow); Some("mongo-archive") = the
+    // TRANSFORMED mongodump archive itself (the reference's Mongo flow
+    // stores the archive, never a text re-encoding — BSON types
+    // survive byte-exactly). Absent in pre-r18 catalogs; the Catalog
+    // migration normalizes it to None (= sql).
+    format: Option[String] = None)
 
 /** The datastore index (`metadata.json`).
   * Reference `IndexFile`, `replibyte/src/datastore/mod.rs:120-160`.

@@ -48,8 +48,14 @@ class Catalog(rootUri: String, hadoopConf: Configuration) {
     * `rename_backups_to_dumps`) happen via jackson field tolerance +
     * the version bump.
     */
-  def migrate(index: IndexFile): IndexFile =
-    if (index.v == null || index.v < CurrentVersion) index.copy(v = CurrentVersion) else index
+  def migrate(index: IndexFile): IndexFile = {
+    // pre-r18 catalogs predate DumpMeta.format — jackson leaves the
+    // absent Option field null; normalize to None (= statement dump)
+    val dumps = index.dumps.map(d =>
+      if (d.format == null) d.copy(format = None) else d)
+    val v = if (index.v == null || index.v < CurrentVersion) CurrentVersion else index.v
+    IndexFile(v, dumps)
+  }
 
   def register(dump: DumpMeta): IndexFile = {
     val idx = read()

@@ -101,5 +101,98 @@ class Datastore(rootUri: String, spark: SparkSession) {
       }
   }
 
+  /** Write a BINARY dump artifact, chunked at `chunkBytes` with each
+    * chunk independently compressed/encrypted — the same part layout
+    * the statement path uses, but the payload is an opaque byte
+    * stream. The Mongo source stores its TRANSFORMED mongodump archive
+    * this way (the reference pipes the transformed archive into its
+    * datastore, `tasks/full_dump.rs` + `source/mongodb.rs`): BSON
+    * types — dates, Decimal128, BinData, nested documents — survive
+    * byte-exactly, where re-synthesizing SQL statements would degrade
+    * them to text. Document ENCODING is distributed
+    * (`MongoArchive.writeTables` feeds this from executor-encoded
+    * chunks); the byte stream itself is one archive, hence
+    * driver-framed — the reference's own bound on this path.
+    */
+  def writeBlob(
+      dumpName: String,
+      write: java.io.OutputStream => Unit,
+      format: String,
+      compressed: Boolean = true,
+      encryptionKey: Option[String] = None,
+      chunkBytes: Int = 100 * 1024 * 1024): DumpMeta = {
+    val fs = new Path(rootUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var chunkIdx = 0
+    var total = 0L
+    val buf = new ByteArrayOutputStream(64 * 1024)
+    def flushChunk(): Unit = if (buf.size() > 0) {
+      val encoded = Codecs.encode(buf.toByteArray, compressed, encryptionKey)
+      val p = new Path(new Path(rootUri, dumpName), f"00000-$chunkIdx%03d.dump")
+      val out = fs.create(p, true)
+      try out.write(encoded) finally out.close()
+      total += encoded.length.toLong
+      chunkIdx += 1
+      buf.reset()
+    }
+    val chunking = new java.io.OutputStream {
+      override def write(b: Int): Unit = {
+        buf.write(b)
+        if (buf.size() >= chunkBytes) flushChunk()
+      }
+      override def write(bs: Array[Byte], off: Int, len: Int): Unit = {
+        var o = off
+        var l = len
+        while (l > 0) {
+          val n = math.min(l, chunkBytes - buf.size())
+          buf.write(bs, o, n)
+          o += n
+          l -= n
+          if (buf.size() >= chunkBytes) flushChunk()
+        }
+      }
+    }
+    write(chunking)
+    flushChunk()
+    val meta = DumpMeta(
+      directoryName = dumpName,
+      size = total,
+      createdAt = System.currentTimeMillis(),
+      compressed = compressed,
+      encrypted = encryptionKey.isDefined,
+      format = Some(format))
+    catalog.register(meta)
+    meta
+  }
+
+  /** Stream a blob dump's raw payload into `out`, parts in name order
+    * (the write side numbers them sequentially). Driver-side, O(one
+    * chunk) memory — the consumer is a tool pipe or a spool file.
+    */
+  def readBlobTo(
+      dumpName: String,
+      out: java.io.OutputStream,
+      encryptionKey: Option[String] = None): Unit = {
+    val meta = catalog.byName(dumpName)
+      .getOrElse(throw new IllegalArgumentException(s"dump not found in catalog: $dumpName"))
+    val dir = new Path(rootUri, dumpName)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".dump"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val bytes =
+          try {
+            val bos = new ByteArrayOutputStream(math.min(st.getLen, 1L << 20).toInt)
+            val b = new Array[Byte](1 << 16)
+            var n = in.read(b)
+            while (n >= 0) { bos.write(b, 0, n); n = in.read(b) }
+            bos.toByteArray
+          } finally in.close()
+        out.write(Codecs.decode(bytes, meta.compressed, encryptionKey))
+      }
+    out.flush()
+  }
+
   def catalogOps: Catalog = catalog
 }

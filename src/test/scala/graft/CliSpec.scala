@@ -1878,4 +1878,107 @@ class CliSpec extends SparkSpec {
       spark.conf.unset("spark.graft.mysqlCmd")
     }
   }
+  test("mongo source dumps store the TRANSFORMED ARCHIVE: BSON types survive the datastore exactly (stubbed tools)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-mongotyped-")
+    // a TYPED collection — date, binary, decimal, array, nested doc —
+    // the shapes the old SQL-statement intermediate degraded to text
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("joined", TimestampType, nullable = true),
+      StructField("avatar", BinaryType, nullable = true),
+      StructField("bal", DecimalType(10, 2), nullable = true),
+      StructField("tags", ArrayType(StringType), nullable = true),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType), StructField("zip", LongType))), nullable = true)))
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05")
+    val rows = Seq(
+      Row(1L, "adaline", ts, Array[Byte](1, 0, -1), new java.math.BigDecimal("12.34"),
+        Seq("a", "b"), Row("Paris", 75001L)),
+      Row(2L, "bobbert", null, null, null, null, null))
+    val users = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.ingest.MongoArchive.writeTables(bos, "livedb", Seq("users" -> users))
+    val archivePath = dir.resolve("dump.archive")
+    Files.write(archivePath, bos.toByteArray)
+    val restoredF = dir.resolve("restored.bin")
+    val dumpStub = dir.resolve("mongodump.sh")
+    Files.writeString(dumpStub, s"#!/bin/sh\ncat $archivePath\n")
+    val restStub = dir.resolve("mongorestore.sh")
+    Files.writeString(restStub, s"#!/bin/sh\ncat > $restoredF\n")
+    Seq(dumpStub, restStub).foreach(_.toFile.setExecutable(true))
+    val store = Files.createTempDirectory("graft-mongotyped-store-").toString
+    val parquetOut = Files.createTempDirectory("graft-mongotyped-out-").toString
+    def conf(dest: String): String = {
+      val f = Files.createTempFile("graft-mongotyped-conf-", ".yaml")
+      Files.writeString(f,
+        s"""source:
+           |  connection_uri: mongodb://localhost:27017/livedb
+           |  transformers:
+           |    - table: users
+           |      columns:
+           |        - name: name
+           |          transformer_name: redacted
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |encryption_key: mongo-typed-key
+           |$dest
+           |""".stripMargin)
+      f.toString
+    }
+    val mongoConf = conf("destination:\n  connection_uri: mongodb://otherhost:27017/livedb")
+    spark.conf.set("spark.graft.mongodumpCmd", dumpStub.toString)
+    spark.conf.set("spark.graft.mongorestoreCmd", restStub.toString)
+    val printed = collection.mutable.Buffer[String]()
+    try {
+      assert(Cli.run(Seq("-c", mongoConf, "dump", "create", "mongo-typed"), spark,
+        printed += _) == 0, printed.mkString("\n"))
+      // the datastore holds an ARCHIVE blob, not SQL statements
+      val ds = new graft.store.Datastore(store, spark)
+      assert(ds.catalogOps.byName("mongo-typed").flatMap(_.format)
+        .contains("mongo-archive"))
+      // restore to a mongo destination: the stored (transformed)
+      // archive streams through BYTE-EXACTLY — decode it and check
+      // every BSON-typed value survived, with the mask applied
+      assert(Cli.run(Seq("-c", mongoConf, "dump", "restore", "mongo-typed"), spark,
+        printed += _) == 0, printed.mkString("\n"))
+      val back = graft.ingest.MongoArchive.read(Files.readAllBytes(restoredF))
+      val restoredUsers = graft.ingest.MongoArchive.restore(spark, back)("livedb.users")
+      val s2 = restoredUsers.schema
+      def dt(n: String) = s2.fields(s2.fieldIndex(n)).dataType
+      assert(dt("joined") == TimestampType, s2.treeString)
+      assert(dt("avatar") == BinaryType, s2.treeString)
+      assert(dt("bal").isInstanceOf[DecimalType], s2.treeString)
+      assert(dt("tags").isInstanceOf[ArrayType], s2.treeString)
+      assert(dt("addr").isInstanceOf[StructType], s2.treeString)
+      val r1 = restoredUsers.filter(restoredUsers("id") === 1L).collect().head
+      assert(r1.getAs[java.sql.Timestamp]("joined") == ts)
+      assert(r1.getAs[Array[Byte]]("avatar").toSeq == Seq[Byte](1, 0, -1))
+      assert(r1.getAs[java.math.BigDecimal]("bal").compareTo(
+        new java.math.BigDecimal("12.34")) == 0)
+      assert(r1.getSeq[String](r1.fieldIndex("tags")) == Seq("a", "b"))
+      assert(r1.getAs[Row]("addr").getAs[String]("city") == "Paris")
+      assert(r1.getAs[String]("name") != "adaline", "mask not applied")
+      // restore the SAME stored dump to a parquet destination: the
+      // archive decodes into typed frames (spool -> distributed decode)
+      printed.clear()
+      val pqConf = conf(s"destination:\n  output_dir: $parquetOut")
+      assert(Cli.run(Seq("-c", pqConf, "dump", "restore", "mongo-typed"), spark,
+        printed += _) == 0, printed.mkString("\n"))
+      val pq = spark.read.parquet(s"$parquetOut/users")
+      assert(pq.schema.fields(pq.schema.fieldIndex("joined")).dataType == TimestampType)
+      assert(pq.schema.fields(pq.schema.fieldIndex("addr")).dataType.isInstanceOf[StructType])
+      assert(pq.count() == 2)
+      // the lazy-read restore spool was eagerly deleted after the write
+      val spoolDir = new java.io.File(s"$store/.spool")
+      assert(!spoolDir.exists() || spoolDir.listFiles().isEmpty,
+        "archive-restore spool left behind")
+    } finally {
+      spark.conf.unset("spark.graft.mongodumpCmd")
+      spark.conf.unset("spark.graft.mongorestoreCmd")
+    }
+  }
 }

@@ -355,7 +355,8 @@ object Cli {
         val store = new Datastore(datastoreUri(config), spark)
         store.catalogOps.list().foreach { d =>
           out(s"${d.directoryName}\t${d.size}\t${d.createdAt}\t" +
-            s"compressed=${d.compressed}\tencrypted=${d.encrypted}")
+            s"compressed=${d.compressed}\tencrypted=${d.encrypted}\t" +
+            s"format=${d.format.getOrElse("sql")}")
         }
         0
 

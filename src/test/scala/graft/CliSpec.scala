@@ -1981,4 +1981,53 @@ class CliSpec extends SparkSpec {
       spark.conf.unset("spark.graft.mongorestoreCmd")
     }
   }
+  test("mongo source: subset + passthrough apply before the archive is stored (stubbed tools)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mongosubset-")
+    val users = (1L to 40L).map(i => (i, s"user-$i")).toDF("id", "name")
+    val events = (1L to 7L).map(i => (i, "evt")).toDF("event_id", "kind")
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.ingest.MongoArchive.writeTables(bos, "livedb",
+      Seq("events" -> events, "users" -> users))
+    val archivePath = dir.resolve("dump.archive")
+    Files.write(archivePath, bos.toByteArray)
+    val dumpStub = dir.resolve("mongodump.sh")
+    Files.writeString(dumpStub, s"#!/bin/sh\ncat $archivePath\n")
+    dumpStub.toFile.setExecutable(true)
+    val store = Files.createTempDirectory("graft-mongosubset-store-").toString
+    val outDir = Files.createTempDirectory("graft-mongosubset-out-").toString
+    val conf = Files.createTempFile("graft-mongosubset-conf-", ".yaml")
+    // reference subset semantics through the ARCHIVE store path: the
+    // seed collection samples at percent, passthrough copies whole,
+    // everything else contributes zero rows (r17 dumpPlan fix)
+    Files.writeString(conf,
+      s"""source:
+         |  connection_uri: mongodb://localhost:27017/livedb
+         |subset:
+         |  table: users
+         |  seed_key: id
+         |  percent: 50
+         |  passthrough_tables: [events]
+         |datastore:
+         |  local_disk:
+         |    dir: $store
+         |destination:
+         |  output_dir: $outDir
+         |""".stripMargin)
+    spark.conf.set("spark.graft.mongodumpCmd", dumpStub.toString)
+    val printed = collection.mutable.Buffer[String]()
+    try {
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "mongo-subset"), spark,
+        printed += _) == 0, printed.mkString("\n"))
+      assert(new graft.store.Datastore(store, spark).catalogOps
+        .byName("mongo-subset").flatMap(_.format).contains("mongo-archive"))
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "mongo-subset"), spark,
+        printed += _) == 0, printed.mkString("\n"))
+      val subsetUsers = spark.read.parquet(s"$outDir/users")
+      val n = subsetUsers.count()
+      assert(n > 0 && n < 40, s"expected a strict user subset, got $n/40")
+      assert(spark.read.parquet(s"$outDir/events").count() == 7)
+    } finally spark.conf.unset("spark.graft.mongodumpCmd")
+  }
 }

@@ -144,18 +144,29 @@ object Bench {
     *                or shuffled): an artifact/layout build, pay-once;
     *   wall-stall — extra wall with ~no extra CPU (host/IO stall;
     *                min-of-2 already reports the true cost);
-    *   env-churn  — extra CPU on EITHER pass while the executed-plan
+    *   env-churn  — extra CPU on the FIRST pass while the executed-plan
     *                hash AND the input/shuffle byte deltas agree
     *                (within max(1 MB, 5%)): no extra data was read or
     *                moved, so the inflation is the JVM/host (GC
     *                threads, JIT recompilation, host steal all land in
     *                process CPU), not query compute. Automates the
     *                "bytes and plans identical ⇒ environment"
-    *                adjudication PLANS.md applied by hand since r15;
-    *                all five r17 driver-artifact flags had
-    *                byte-identical fingerprints. A real recompute
-    *                cannot hide here — re-deriving an input re-reads
-    *                and re-shuffles it, so its fingerprint moves.
+    *                adjudication PLANS.md applied by hand since r15.
+    *                A real recompute normally cannot hide here —
+    *                re-deriving an input re-reads and re-shuffles it,
+    *                so its fingerprint moves.
+    *   warm-churn — the same byte-identical shape but the slow pass
+    *                came SECOND (ADVICE r18): a recompute from data
+    *                already pinned in memory would also be pure CPU
+    *                with an unmoved fingerprint, so this variant gets
+    *                its own VISIBLE kind instead of folding into
+    *                env-churn — a warm-churn that repeats on the same
+    *                query across artifacts is a warm regression, not
+    *                noise. Not actionable as a one-off: one of the
+    *                five r17 driver-artifact flags
+    *                (x_unigram_logprob 0.54→2.35 s) was exactly this
+    *                shape and was hand-adjudicated JVM churn — gating
+    *                on it would re-flag measured driver noise.
     *   pass2-work — extra compute on the SECOND pass with a moved
     *                fingerprint: warm recomputation or plan
     *                divergence — merits a look.
@@ -173,7 +184,8 @@ object Bench {
         close(slow.inMb, fast.inMb) && close(slow.shMb, fast.shMb)
       Some(
         if (slow.cpu - fast.cpu < 0.15 * (slow.wall - fast.wall)) "wall-stall"
-        else if (sameData) "env-churn"
+        else if (sameData && (slow eq a)) "env-churn"
+        else if (sameData) "warm-churn"
         else if (slow eq a) "pass1-work"
         else "pass2-work")
     }
@@ -258,10 +270,15 @@ object Bench {
     //   wall-stall — extra wall with ~no extra CPU is the host, not the
     //     plan; min-of-2 already reports the true cost and the flag +
     //     kind stay visible above; not actionable for the builder.
-    //   env-churn — identical plan + identical byte deltas: the
-    //     environment, not the plan; kind stays visible above.
+    //   env-churn — identical plan + identical byte deltas, slow pass
+    //     first: the environment, not the plan; kind stays visible.
+    //   warm-churn — same byte-identical shape, slow pass SECOND: a
+    //     one-off is JVM churn (the r17 x_unigram_logprob flag), but
+    //     the distinct kind keeps it visible so a REPEAT on the same
+    //     query across artifacts reads as a warm regression.
     //   everything else — undeclared pass-1 compute or ANY pass-2-work
-    //     (warm must never be slower) — actionable.
+    //     with a moved fingerprint (warm must never be slower) —
+    //     actionable.
     val actionable = spreadKind.filter { case (name, kind) =>
       isActionable(name, kind)
     }

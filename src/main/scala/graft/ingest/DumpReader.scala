@@ -86,8 +86,13 @@ object DumpReader {
         // per-file dialect: pg_dump declares standard_conforming_strings
         // in every dump file's header; its absence means MySQL escape
         // rules (mysqldump emits no such marker) — unless the ingest's
-        // first file declared pg for the whole chunked set
-        val pg = firstPg || StatementSplitter.pgStrings(blob)
+        // first file declared pg for the whole chunked set. The floor
+        // only covers HEADERLESS files (pg chunk siblings): a file that
+        // carries mysqldump's own banner is a standalone MySQL dump in
+        // a mixed-source directory, not a chunk of the pg dump, and
+        // keeps MySQL escape rules (ADVICE r18).
+        val pg = StatementSplitter.pgStrings(blob) ||
+          (firstPg && !StatementSplitter.mysqlHeader(blob))
         StatementSplitter.split(blob, Some(pg)).iterator.zipWithIndex.map { case (raw, i) =>
           val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
           else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))

@@ -163,8 +163,11 @@ private class SqlDumpPartitionReader(
     // per-file string-literal dialect, same rule as DumpReader
     // .statements: pg_dump declares standard_conforming_strings in
     // every file's header; absence means MySQL escape rules — unless
-    // the ingest's FIRST part declared pg for the whole chunked set
-    val pg = part.firstPg || StatementSplitter.pgStrings(blob)
+    // the ingest's FIRST part declared pg for the whole chunked set.
+    // Floor scoped to headerless files: a file carrying mysqldump's
+    // own banner keeps MySQL rules (ADVICE r18).
+    val pg = StatementSplitter.pgStrings(blob) ||
+      (part.firstPg && !StatementSplitter.mysqlHeader(blob))
     StatementSplitter.split(blob, Some(pg)).iterator.zipWithIndex.map { case (raw, i) =>
       val (db, table) = if (raw.kind == StatementKind.CommentLine) ("", "")
       else StatementSplitter.tableRef(raw.text).getOrElse(("", ""))

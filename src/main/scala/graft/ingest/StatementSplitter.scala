@@ -65,6 +65,26 @@ object StatementSplitter {
     PgStringsMarker.findFirstMatchIn(text).exists(_.start < headerEnd)
   }
 
+  /** mysqldump's own header signature: the `-- MySQL dump` banner or a
+    * bang-versioned conditional comment (slash-star-bang-NNNNN),
+    * honored only in the PRE-DATA region
+    * (same rule as [[pgStrings]] — a chunk that starts mid-data
+    * can only match on content, which is ignored). Used to scope the
+    * chunked-dump dialect floor (ADVICE r18): a directory mixing dumps
+    * from different sources must not force pg string rules onto a file
+    * that declares ITSELF a MySQL dump — the floor exists for
+    * headerless pg chunk siblings, and a mysqldump file is never
+    * headerless.
+    */
+  private val MySqlHeaderMarker =
+    """(?m)^(--\s+MySQL dump\b|/\*!\d{4,6}\s)""".r
+
+  def mysqlHeader(text: String): Boolean = {
+    val headerEnd = FirstDataStmt.findFirstMatchIn(text)
+      .map(_.start).getOrElse(text.length)
+    MySqlHeaderMarker.findFirstMatchIn(text).exists(_.start < headerEnd)
+  }
+
   /** True when an ODD number of consecutive backslashes immediately
     * precedes position `i` — under MySQL escape rules that means the
     * char at `i` is escaped; an even count is escaped backslashes and
@@ -262,7 +282,7 @@ object StatementSplitter {
     }
     nameIdx.flatMap(words.lift).map { raw =>
       val name = raw.takeWhile(ch => ch != '(' && ch != ';')
-      val parts = name.split('.').map(unquoteIdent)
+      val parts = splitQualified(name).map(unquoteIdent)
       if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
     }
   }
@@ -289,9 +309,32 @@ object StatementSplitter {
     }
     nameIdx.flatMap(words.lift).map { raw =>
       val name = raw.takeWhile(ch => ch != '(' && ch != ';')
-      val parts = name.split('.').map(unquoteIdent)
+      val parts = splitQualified(name).map(unquoteIdent)
       if (parts.length >= 2) (Some(parts(0)), parts(1)) else (None, parts(0))
     }
+  }
+
+  /** Split a possibly-qualified identifier on dots OUTSIDE quotes only:
+    * `CREATE TABLE "my.schema"."t"` names schema `my.schema`, not `my`
+    * — a dot inside `"…"`/`` `…` `` is part of the identifier. A
+    * doubled closing quote (`"a""b"`) re-enters the quoted state at the
+    * reopening quote, so its inner dots stay protected too.
+    */
+  private[ingest] def splitQualified(name: String): Vector[String] = {
+    val parts = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var q: Char = 0
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (q != 0) { cur.append(c); if (c == q) q = 0 }
+      else if (c == '"' || c == '`') { cur.append(c); q = c }
+      else if (c == '.') { parts += cur.result(); cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    parts += cur.result()
+    parts.result()
   }
 
   def unquoteIdent(s: String): String = {
@@ -309,15 +352,15 @@ object StatementSplitter {
     while (i < n && count < k) {
       while (i < n && s.charAt(i).isWhitespace) i += 1
       val start = i
-      // a quoted identifier counts as one word even with inner spaces
-      if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '`')) {
-        val q = s.charAt(i); i += 1
-        while (i < n && s.charAt(i) != q) i += 1
-        if (i < n) i += 1
-        // swallow trailing non-space chars (e.g. `.table`)
-        while (i < n && !s.charAt(i).isWhitespace) i += 1
-      } else {
-        while (i < n && !s.charAt(i).isWhitespace) i += 1
+      // a word ends at whitespace OUTSIDE quotes: a quoted identifier
+      // counts as one word even with inner spaces, including a quoted
+      // segment entered mid-word (`"my.schema"."my table"` is ONE word)
+      var q: Char = 0
+      while (i < n && (q != 0 || !s.charAt(i).isWhitespace)) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '"' || c == '`') q = c
+        i += 1
       }
       if (i > start) { b += s.substring(start, i); count += 1 }
     }

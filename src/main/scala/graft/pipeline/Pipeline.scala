@@ -126,13 +126,20 @@ object Pipeline {
     // synthesized from the ORIGINAL schema: the stored hex text then
     // restores as true bytea on a live server instead of degrading to
     // text (the DDL-typed ingestion keeps the literal as a string
-    // either way, so parquet consumers are unchanged).
+    // either way, so parquet consumers are unchanged). Synthesized DDL
+    // is deliberately UNQUALIFIED: config.database is the SOURCE's
+    // database/catalog name, not a namespace the destination should
+    // recreate — a pg restore of a dump from JDBC database "mydb" must
+    // land in the destination's default schema (public), exactly like
+    // r17 did, not in a freshly created schema "mydb". Namespace
+    // qualifiers are reserved for DDL that actually came from the
+    // source dump (config.ddl), where the schema is real.
     val ddl = plan.keys.toSeq.sorted.flatMap { t =>
       config.ddl.get(t).orElse {
         val schema = plan(t).schema
         if (schema.fields.exists(_.dataType ==
             org.apache.spark.sql.types.BinaryType))
-          Some(graft.ingest.PgLive.createTableSql(s"${config.database}.$t", schema))
+          Some(graft.ingest.PgLive.createTableSql(t, schema))
         else None
       }
     }

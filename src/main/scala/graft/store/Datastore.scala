@@ -47,7 +47,7 @@ class Datastore(rootUri: String, spark: SparkSession) {
         def flush(): Unit = if (buf.size() > 0) {
           val raw = buf.toByteArray
           val encoded = Codecs.encode(raw, compressed, encryptionKey)
-          val partName = f"$pid%05d-$chunkIdx%03d.dump"
+          val partName = f"$pid%05d-$chunkIdx%05d.dump"
           val p = new Path(new Path(root, dumpName), partName)
           val out = fs.create(p, true)
           try out.write(encoded) finally out.close()
@@ -127,7 +127,7 @@ class Datastore(rootUri: String, spark: SparkSession) {
     val buf = new ByteArrayOutputStream(64 * 1024)
     def flushChunk(): Unit = if (buf.size() > 0) {
       val encoded = Codecs.encode(buf.toByteArray, compressed, encryptionKey)
-      val p = new Path(new Path(rootUri, dumpName), f"00000-$chunkIdx%03d.dump")
+      val p = new Path(new Path(rootUri, dumpName), f"00000-$chunkIdx%05d.dump")
       val out = fs.create(p, true)
       try out.write(encoded) finally out.close()
       total += encoded.length.toLong
@@ -164,9 +164,14 @@ class Datastore(rootUri: String, spark: SparkSession) {
     meta
   }
 
-  /** Stream a blob dump's raw payload into `out`, parts in name order
-    * (the write side numbers them sequentially). Driver-side, O(one
-    * chunk) memory — the consumer is a tool pipe or a spool file.
+  /** Stream a blob dump's raw payload into `out`, parts in write order
+    * (the write side numbers them `<partition>-<chunk>.dump`).
+    * Ordering parses the NUMERIC indexes out of the name rather than
+    * sorting lexicographically, so a blob with >10^pad chunks — or a
+    * pre-r19 dump whose chunk index was padded narrower — still
+    * reassembles in sequence ('…-1000.dump' must follow '…-999.dump').
+    * Driver-side, O(one chunk) memory — the consumer is a tool pipe or
+    * a spool file.
     */
   def readBlobTo(
       dumpName: String,
@@ -178,7 +183,7 @@ class Datastore(rootUri: String, spark: SparkSession) {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir)
       .filter(_.getPath.getName.endsWith(".dump"))
-      .sortBy(_.getPath.getName)
+      .sortBy(st => Datastore.partOrder(st.getPath.getName))
       .foreach { st =>
         val in = fs.open(st.getPath)
         val bytes =
@@ -195,4 +200,20 @@ class Datastore(rootUri: String, spark: SparkSession) {
   }
 
   def catalogOps: Catalog = catalog
+}
+
+object Datastore {
+  /** Reassembly order of a `<partition>-<chunk>.dump` part name: the
+    * parsed numeric (partition, chunk) pair. Unparseable names sort
+    * after all parseable ones, by name — never silently interleaved.
+    */
+  private[graft] def partOrder(name: String): (Long, Long, String) = {
+    val stem = name.stripSuffix(".dump")
+    val dash = stem.indexOf('-')
+    if (dash > 0) {
+      try return (stem.substring(0, dash).toLong, stem.substring(dash + 1).toLong, "")
+      catch { case _: NumberFormatException => () }
+    }
+    (Long.MaxValue, Long.MaxValue, name)
+  }
 }

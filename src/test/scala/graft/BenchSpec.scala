@@ -64,8 +64,9 @@ class BenchSpec extends SparkSpec {
       QRun(name, wall, cpu, None, plan = plan, inMb = inMb, shMb = shMb)
 
     // the five r17 BENCH_out.json actionable flags, per-pass numbers
-    // verbatim: identical plan hashes, identical byte deltas — every
-    // one must classify env-churn (JVM/host CPU, not query compute)
+    // verbatim: identical plan hashes, identical byte deltas — the
+    // four slow-pass-FIRST ones classify env-churn (JVM/host CPU, not
+    // query compute)
     val r17 = Seq(
       (q("x_ann_lsh", 2.7054, 8.0, "0ac65061f94c", 0.0, 0.1),
         q("x_ann_lsh", 0.4803, 1.0, "0ac65061f94c", 0.0, 0.1)),
@@ -74,14 +75,21 @@ class BenchSpec extends SparkSpec {
       (q("x_ann_ivfpq_refined", 4.0602, 12.0, "f2e31abefca7", 0.0, 0.0),
         q("x_ann_ivfpq_refined", 0.7235, 1.0, "f2e31abefca7", 0.0, 0.0)),
       (q("x_ann_ivfpq_refined_precision", 13.2347, 40.0, "6533ef5a1ede", 0.0, 0.1),
-        q("x_ann_ivfpq_refined_precision", 1.0697, 2.0, "6533ef5a1ede", 0.0, 0.1)),
-      // pass2-work shape: slow pass came SECOND, byte-identical
-      (q("x_unigram_logprob", 0.5376, 0.5, "700d8b9d6de3", 0.0, 0.0),
-        q("x_unigram_logprob", 2.3513, 4.0, "700d8b9d6de3", 0.0, 0.0)))
+        q("x_ann_ivfpq_refined_precision", 1.0697, 2.0, "6533ef5a1ede", 0.0, 0.1)))
     r17.foreach { case (a, b) =>
       assert(spreadKindOf(a, b).contains("env-churn"), s"${a.name}: ${spreadKindOf(a, b)}")
       assert(!isActionable(a.name, spreadKindOf(a, b).get), a.name)
     }
+
+    // the fifth r17 flag was slow-pass-SECOND with a byte-identical
+    // fingerprint: since ADVICE r18 that is its own VISIBLE kind
+    // (warm-churn) so a repeat across artifacts reads as a warm
+    // regression — still not actionable as a one-off (this exact flag
+    // was hand-adjudicated JVM churn in r17)
+    val u1 = q("x_unigram_logprob", 0.5376, 0.5, "700d8b9d6de3", 0.0, 0.0)
+    val u2 = q("x_unigram_logprob", 2.3513, 4.0, "700d8b9d6de3", 0.0, 0.0)
+    assert(spreadKindOf(u1, u2).contains("warm-churn"))
+    assert(!isActionable("x_unigram_logprob", "warm-churn"))
 
     // j6's bucketed-layout build is a REAL pass-1 artifact build: its
     // shuffle bytes MOVE (6.3 -> 0.0 MB), so it keeps the honest

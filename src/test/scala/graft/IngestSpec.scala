@@ -556,4 +556,70 @@ class IngestSpec extends SparkSpec {
     assert(StatementSplitter.tableRefExplicit("CREATE TABLE IF NOT EXISTS s.t (a int);")
       .contains((Some("s"), "t")))
   }
+
+  test("tableRef: quoted identifiers containing dots and spaces name the right namespace/table (ADVICE r18)") {
+    import graft.ingest.StatementSplitter.{tableRef, tableRefExplicit}
+    // a dot INSIDE quotes is part of the identifier, not a qualifier
+    assert(tableRef("CREATE TABLE \"my.schema\".\"t\" (a int);")
+      .contains(("my.schema", "t")))
+    assert(tableRefExplicit("CREATE TABLE \"my.schema\".\"my table\" (a int);")
+      .contains((Some("my.schema"), "my table")))
+    // a space inside the SECOND quoted segment stays one word
+    assert(tableRef("INSERT INTO \"s\".\"order lines\" (a) VALUES (1);")
+      .contains(("s", "order lines")))
+    assert(tableRef("INSERT INTO `w.x`.`y` (a) VALUES (1);")
+      .contains(("w.x", "y")))
+    assert(tableRef("COPY \"a.b\".\"c d\" (x) FROM stdin;")
+      .contains(("a.b", "c d")))
+    // a single quoted name with a dot is a TABLE in the default schema
+    assert(tableRefExplicit("CREATE TABLE \"dotted.name\" (a int);")
+      .contains((None: Option[String], "dotted.name")))
+    // unquoted behavior unchanged
+    assert(tableRef("ALTER TABLE ONLY public.orders ADD CONSTRAINT c PRIMARY KEY (id);")
+      .contains(("public", "orders")))
+  }
+
+  test("dialect floor is scoped to headerless files: a mysqldump in a mixed directory keeps MySQL rules (ADVICE r18)") {
+    import graft.ingest.{DumpReader, StatementSplitter}
+    // banner recognition: mysqldump's own header, pre-data only
+    assert(StatementSplitter.mysqlHeader(
+      "-- MySQL dump 10.13  Distrib 8.0.28, for macos10.15 (x86_64)\nINSERT INTO t (a) VALUES (1);"))
+    assert(StatementSplitter.mysqlHeader(
+      "/*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;\nINSERT INTO t (a) VALUES (1);"))
+    assert(!StatementSplitter.mysqlHeader(
+      "INSERT INTO t (a) VALUES ('x');\n-- MySQL dump 10.13 inside data"))
+
+    // directory mixing a pg dump (ranked first, carries the pg marker)
+    // with a standalone mysqldump: the pg floor must NOT force pg
+    // string rules onto the file that declares itself MySQL, while a
+    // genuinely headerless chunk still inherits the floor
+    val dir = java.nio.file.Files.createTempDirectory("graft-dialect-mixed-")
+    java.nio.file.Files.writeString(dir.resolve("a-pg.sql"),
+      "SET standard_conforming_strings = on;\n" +
+        "CREATE TABLE public.t (a text);\n" +
+        "INSERT INTO public.t (a) VALUES ('first');\n")
+    java.nio.file.Files.writeString(dir.resolve("b-mysql.sql"),
+      "-- MySQL dump 10.13  Distrib 8.0.28\n" +
+        "/*!40101 SET NAMES utf8mb4 */;\n" +
+        "INSERT INTO m (a) VALUES ('it\\'s');\n")
+    java.nio.file.Files.writeString(dir.resolve("c-headerless.sql"),
+      "INSERT INTO public.t (a) VALUES ('a\\');\n")
+    val stmts = DumpReader.statements(spark, dir.toString)
+    // under pg rules 'it\'s' mis-scans (backslash is literal, the
+    // string closes at \') — MySQL rules decode it to it's
+    val mysqlVals = DumpReader.tableFromDump(stmts, "public", "m")
+      .collect().map(_.getString(0)).toSet
+    assert(mysqlVals == Set("it's"), mysqlVals)
+    // the headerless chunk sibling keeps the pg floor: trailing
+    // backslash literal survives
+    val pgVals = DumpReader.tableFromDump(stmts, "public", "t")
+      .collect().map(_.getString(0)).toSet
+    assert(pgVals == Set("first", "a\\"), pgVals)
+    // DSv2 applies the identical scoping
+    val viaDsv2 = spark.read.format("graft.ingest.SqlDumpSource").load(dir.toString)
+    val byTable = viaDsv2.filter(viaDsv2("kind") === "insert_into")
+      .select("table", "pgStrings").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(byTable == Set(("t", true), ("m", false)), byTable)
+  }
 }

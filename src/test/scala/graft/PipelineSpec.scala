@@ -474,4 +474,33 @@ class PipelineSpec extends SparkSpec {
     assert(byId(1L) == (("\\x4100ff", "[\"a\",\"b\"]")), byId)
     assert(byId(2L) == ((null, null)), byId)
   }
+
+  test("synthesized ride-along DDL is UNQUALIFIED: the source database name is not a destination namespace (ADVICE r18)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-ddl-ns").toString
+    val store = new Datastore(s"file://$dir", spark)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Array[Byte](0x01))), 1), schema)
+    // a pg JDBC source configured with database "mydb": the synthesized
+    // DDL must NOT qualify with it — a live pg restore would otherwise
+    // CREATE SCHEMA mydb and land the table there instead of public
+    val config = Pipeline.DumpJobConfig(tables = Seq("blobby"), database = "mydb")
+    Pipeline.dump(spark, (_: String) => df, store, "ns-dump", config)
+    val ddl = store.read("ns-dump").collect()
+      .filter(_.toUpperCase.startsWith("CREATE TABLE"))
+    assert(ddl.length == 1, ddl.toSeq)
+    assert(ddl.head.startsWith("CREATE TABLE IF NOT EXISTS \"blobby\""), ddl.head)
+    assert(!ddl.head.contains("mydb"), ddl.head)
+    // DDL that actually CAME from the source keeps its own namespace
+    val srcDdl = "CREATE TABLE mydb.blobby (id bigint, payload bytea);"
+    Pipeline.dump(spark, (_: String) => df, store, "ns-dump-src",
+      config.copy(ddl = Map("blobby" -> srcDdl)))
+    val kept = store.read("ns-dump-src").collect()
+      .filter(_.toUpperCase.startsWith("CREATE TABLE"))
+    assert(kept.toSeq == Seq(srcDdl))
+  }
 }

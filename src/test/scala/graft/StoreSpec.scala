@@ -122,6 +122,32 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("blob parts: reassembly is NUMERIC chunk order, so the 1000th chunk follows the 999th (ADVICE r18)") {
+    // unit: mixed pad widths (a pre-r19 dump used %03d) and an
+    // unparseable name all order correctly — lexicographic sorting put
+    // '…-1000.dump' BEFORE '…-999.dump' and interleaved the payload
+    val names = Seq("00000-1000.dump", "00000-999.dump", "00000-00002.dump",
+      "00001-00000.dump", "00000-00000.dump", "junk.dump")
+    assert(names.sortBy(Datastore.partOrder) == Seq(
+      "00000-00000.dump", "00000-00002.dump", "00000-999.dump",
+      "00000-1000.dump", "00001-00000.dump", "junk.dump"))
+
+    // e2e: a blob spanning >1000 chunks round-trips byte-exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob-many-").toString
+    val ds = new Datastore(dir, spark)
+    val rnd = new java.util.Random(7)
+    val payload = new Array[Byte](1100 * 8)
+    rnd.nextBytes(payload)
+    ds.writeBlob("blob-many", o => o.write(payload), format = "mongo-archive",
+      compressed = false, chunkBytes = 8)
+    val parts = new java.io.File(s"$dir/blob-many").listFiles()
+      .count(_.getName.endsWith(".dump"))
+    assert(parts == 1100, s"expected 1100 chunk parts, got $parts")
+    val bos = new java.io.ByteArrayOutputStream()
+    ds.readBlobTo("blob-many", bos)
+    assert(java.util.Arrays.equals(bos.toByteArray, payload))
+  }
+
   test("catalog migration: a pre-r18 metadata.json without the format field reads as a statement dump") {
     val dir = java.nio.file.Files.createTempDirectory("graft-oldcat-").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/metadata.json"),

@@ -209,6 +209,14 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
+    // ANN-family shared artifact build at the MEASURED SF, timed as its
+    // own line item (r18 verdict #3): previously the train-once IVF-PQ
+    // codebook + codes build landed inside whichever family member ran
+    // first cold, so that query's per-pass numbers shifted round over
+    // round. Prebuilding here makes every family member measure warm
+    // and keeps the build cost visible as ann_artifact_build_sec.
+    val annBuild = timeQuery("ann_artifact_build",
+      () => graft.queries.OpsQueries.prebuildAnnArtifacts(spark, sfDir))
     // Process CPU time alongside wall time, per query: loadavg sampled
     // between passes missed r10's contention entirely (quiet samples,
     // 8× slow queries). cpu≈wall×parallelism means real work; a
@@ -320,8 +328,8 @@ object Bench {
     // away with the rest of the head); the full line (and the
     // authoritative file copy) carries the per-query detail.
     val lshCpu = results.find(_.name == "x_minhash_lsh_precision").map(_.cpu).getOrElse(-1.0)
-    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":${errs.length},"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"n_spread_actionable":${actionable.length},"spread_actionable":$actionableJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
+    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":${errs.length},"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"ann_artifact_build_sec":${r4(annBuild.wall)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"ann_artifact_build_sec":${r4(annBuild.wall)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"n_spread_actionable":${actionable.length},"spread_actionable":$actionableJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

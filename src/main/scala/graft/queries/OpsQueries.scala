@@ -1977,6 +1977,19 @@ object OpsQueries {
     s.read.parquet(codesDir)
   }
 
+  /** Force the ANN family's shared pay-once artifacts at `dir` — the
+    * in-process IVF-PQ codebook training and the persisted PQ-codes
+    * parquet. The bench calls this ONCE at the measured SF and times it
+    * as its own line item (r18 verdict #3), so which family member runs
+    * first no longer decides where the build cost lands and per-query
+    * numbers compare cleanly round over round. Idempotent: a complete
+    * on-disk codes artifact short-circuits to a metadata check.
+    */
+  def prebuildAnnArtifacts(s: SparkSession, dir: String): Unit = {
+    cachedPqCodes(s, dir).count()
+    ()
+  }
+
   /** Span length of the `x_exact_substr_scrub` query — shared by the
     * Spark call and the SQL mirror.
     */

@@ -194,8 +194,13 @@ object InsertParser {
       val c = s.charAt(i)
       if (inQuote) {
         if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 // '' stays in
-          else if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
+          // ORDER MATTERS (r19): a MySQL backslash-escaped quote must
+          // be recognized BEFORE the ''-doubling rule — in `'a\''` the
+          // `\'` is an escaped quote and the NEXT quote CLOSES the
+          // string; treating the `''` pair as doubling overshoots the
+          // string end and the parse fails
+          if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
+          else if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 // '' stays in
           else inQuote = false
         }
       } else c match {
@@ -222,8 +227,9 @@ object InsertParser {
       val c = s.charAt(i)
       if (inQuote) {
         if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1
-          else if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
+          // same ordering as splitTop: backslash escape before doubling
+          if (!pgStrings && StatementSplitter.oddBackslashesBefore(s, i)) ()
+          else if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1
           else inQuote = false
         }
       } else c match {

@@ -129,6 +129,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunked split == unchunked split for any statements × dialect × chunk boundaries (r18 verdict #7)") {
+    // statement BOUNDARIES depend on the string-literal dialect (a pg
+    // string ending in a backslash is complete; MySQL reads on through
+    // the escaped quote), so the r18 dialect-floor fix must guarantee:
+    // splitting a dump cut into chunks at statement boundaries, each
+    // chunk under the FLOOR dialect, reassembles to exactly the
+    // unchunked split. Values are generated to stress the boundary
+    // cases: trailing backslashes, embedded quotes, semicolons,
+    // newlines, comment dashes.
+    def mysqlEscape(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def pgEscape(s: String): String =
+      "'" + s.replace("'", "''") + "'"
+    val boundaryString: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('\'', '\\', ';', '\n', '-', ' ', '"'),
+      1 -> Gen.oneOf('ü', '中'))).map(_.mkString)
+    val caseGen = Gen.zip(
+      Gen.oneOf(true, false), // pg dialect?
+      Gen.listOfN(6, boundaryString),
+      Gen.listOfN(5, Gen.chooseNum(0, 6)))
+    samples(caseGen, 150).foreach { case (pg, vals, cutsRaw) =>
+      val header =
+        if (pg) "SET standard_conforming_strings = on;"
+        else "-- MySQL dump 10.13  Distrib 8.0.28"
+      val stmts = vals.map { v =>
+        val lit = if (pg) pgEscape(v) else mysqlEscape(v)
+        s"INSERT INTO t (a) VALUES ($lit);"
+      }
+      val all = header +: stmts
+      val whole = all.mkString("\n") + "\n"
+      val expected = StatementSplitter.split(whole, Some(pg))
+        .map(r => (r.kind, r.text))
+      // cut the statement list at arbitrary boundaries; chunk 0 keeps
+      // the header, later chunks are headerless (the pg_dump 100 MB
+      // chunking shape)
+      val cuts = cutsRaw.map(c => math.min(c, stmts.length)).distinct.sorted
+      val pieces = (0 +: cuts :+ stmts.length).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => stmts.slice(a, b) }.toVector
+      val chunks = (header +: pieces.head).mkString("\n") + "\n" ::
+        pieces.tail.filter(_.nonEmpty).map(_.mkString("\n") + "\n").toList
+      // the floor: chunk 0's own header decides (detection, not fiat),
+      // exactly what DumpReader.statements / the DSv2 reader compute
+      val floor = StatementSplitter.pgStrings(chunks.head) &&
+        !StatementSplitter.mysqlHeader(chunks.head)
+      assert(floor == pg, s"floor detection diverged: $floor vs $pg")
+      val reassembled = chunks.flatMap(c =>
+        StatementSplitter.split(c, Some(floor)).map(r => (r.kind, r.text)))
+      assert(reassembled == expected.toList,
+        s"chunked split diverged (pg=$pg, cuts=$cuts):\n$reassembled\nvs\n$expected")
+      // and the parsed VALUES survive the chunked path exactly
+      val parsed = reassembled.collect { case (StatementKind.InsertInto, text) =>
+        InsertParser.parse(text, pgStrings = floor).get.values.head
+      }
+      assert(parsed == vals.map(InsertParser.SqlString(_)), s"values diverged (pg=$pg)")
+    }
+  }
+
+  test("property: the chunked-dump e2e (files on disk, floor via DumpReader) matches the generated values") {
+    // a thinner END-TO-END slice of the property above: real files,
+    // real ranking, the production floor propagation in
+    // DumpReader.statements — 6 sampled cases per dialect
+    def mysqlEscape(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def pgEscape(s: String): String =
+      "'" + s.replace("'", "''") + "'"
+    val boundaryString: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('\'', '\\', ';', '\n', ' '))).map(_.mkString)
+    samples(Gen.zip(Gen.oneOf(true, false), Gen.listOfN(8, boundaryString),
+        Gen.chooseNum(1, 7)), 12)
+      .zipWithIndex.foreach { case ((pg, vals, cut), i) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-prop-chunks-$i-")
+        val header =
+          if (pg) "SET standard_conforming_strings = on;\n"
+          else "-- MySQL dump 10.13  Distrib 8.0.28\n"
+        val stmts = vals.zipWithIndex.map { case (v, j) =>
+          val lit = if (pg) pgEscape(v) else mysqlEscape(v)
+          s"INSERT INTO t (id, a) VALUES ($j, $lit);"
+        }
+        java.nio.file.Files.writeString(dir.resolve("part-000.sql"),
+          header + stmts.take(cut).mkString("\n") + "\n")
+        java.nio.file.Files.writeString(dir.resolve("part-001.sql"),
+          stmts.drop(cut).mkString("\n") + "\n")
+        val back = graft.ingest.DumpReader
+          .tableFromDump(graft.ingest.DumpReader.statements(spark, dir.toString), "public", "t")
+          .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+            r.getString(r.fieldIndex("a"))).toMap
+        val expected = vals.zipWithIndex.map { case (v, j) => j.toLong -> v }.toMap
+        assert(back == expected, s"e2e diverged (pg=$pg, cut=$cut)")
+      }
+  }
+
   test("property: T5 random preserves length, T8 redacted preserves prefix") {
     import graft.transform.Transformers
     val inputs = samples(trickyString, 80).filter(_.nonEmpty)

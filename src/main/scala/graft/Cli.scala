@@ -170,7 +170,8 @@ object Cli {
           // identical stream, source/postgres.rs:85-110 /
           // source/mysql.rs:60-98)
           case Some(conn) if sqlToolsMode(spark, conn.url) =>
-            val spool = liveSpool(spark, c.datastore.map(_.rootUri), "sqldump", ".sql")(o =>
+            val spool = chunkedSqlSpool(spark, c.datastore.map(_.rootUri),
+              pgToolsMode(spark, conn.url))(o =>
               if (pgToolsMode(spark, conn.url))
                 graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
                   cmd = toolCmd(spark, "pg_dump"))
@@ -284,7 +285,8 @@ object Cli {
           // reference's --table=/--ignore-table= args (the downstream
           // filters still enforce them exactly).
           case Some(conn) if sqlToolsMode(spark, conn.url) =>
-            val spool = liveSpool(spark, Some(datastoreUri(c)), "sqldump", ".sql")(o =>
+            val spool = chunkedSqlSpool(spark, Some(datastoreUri(c)),
+              pgToolsMode(spark, conn.url))(o =>
               if (pgToolsMode(spark, conn.url))
                 graft.ingest.PgLive.dumpToStream(pgConn(conn), o,
                   // schema-qualified patterns, exactly the reference's
@@ -807,6 +809,59 @@ object Cli {
     * where a driver-local temp path would be a silent per-task
     * FileNotFoundException — or fail fast with no datastore to reach.
     */
+  /** Spool a live SQL-tool dump (pg_dump / mysqldump stdout) as a
+    * DIRECTORY of statement-boundary chunk parts
+    * ([[graft.ingest.ChunkedSpool]]) instead of one file: a single-file
+    * spool parses as ONE whole-file task, so a large dump would funnel
+    * the entire parse through one executor thread — chunk parts parse
+    * one task per part (the r18 verdict's dump-create throughput seam).
+    * Placement + permissions follow [[liveSpool]]: owner-only temp dir
+    * on a local master, the datastore's `.spool` dir on a cluster.
+    * `spark.graft.spoolChunkMb` overrides the 100 MB default (tests).
+    */
+  private def chunkedSqlSpool(spark: SparkSession, storeRoot: Option[String],
+                              pg: Boolean)(
+                              writeTo: java.io.OutputStream => Unit): String = {
+    val chunkBytes = spark.conf.getOption("spark.graft.spoolChunkMb")
+      .map(m => (m.toDouble * 1024 * 1024).toInt)
+      .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
+    if (spark.sparkContext.isLocal) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqldump-")
+      var ok = false
+      try {
+        graft.ingest.ChunkedSpool.write(i => {
+          val p = dir.resolve(f"part-$i%05d.sql")
+          java.nio.file.Files.createFile(p,
+            java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+              java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")))
+          new java.io.FileOutputStream(p.toFile)
+        }, pg, chunkBytes)(writeTo)
+        ok = true
+        dir.toString
+      } finally if (!ok) deleteSpool(dir.toString, spark) // partial UNMASKED spool
+    } else storeRoot match {
+      case Some(root) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, ".spool"),
+          s"graft-sqldump-${java.util.UUID.randomUUID()}")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var ok = false
+        try {
+          graft.ingest.ChunkedSpool.write(i =>
+            org.apache.hadoop.fs.FileSystem.create(fs,
+              new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
+              new org.apache.hadoop.fs.permission.FsPermission("600")),
+            pg, chunkBytes)(writeTo)
+          ok = true
+          dir.toString
+        } finally if (!ok) fs.delete(dir, true)
+      case None =>
+        throw new IllegalStateException(
+          "live sqldump source on a non-local master needs a datastore to spool " +
+          "under: executors cannot open a driver-local temp file")
+    }
+  }
+
   private def liveSpool(spark: SparkSession, storeRoot: Option[String],
                         tag: String, suffix: String)(
                         writeTo: java.io.OutputStream => Unit): String =
@@ -893,7 +948,8 @@ object Cli {
   private def deleteSpool(path: String, spark: SparkSession): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+      // recursive: a chunked SQL spool is a directory of parts
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     } catch {
       case e: Throwable => Console.err.println(

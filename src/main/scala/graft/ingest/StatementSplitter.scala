@@ -107,8 +107,39 @@ object StatementSplitter {
     * detects from this blob's own header.
     */
   def split(text: String, dialect: Option[Boolean]): Vector[Raw] = {
-    val pg = dialect.getOrElse(pgStrings(text))
     val out = Vector.newBuilder[Raw]
+    scanStatements(text, dialect) { (kind, s, e, valid, _) =>
+      emit(out, kind, text.substring(s, e), valid)
+    }
+    out.result()
+  }
+
+  /** Offset just past the LAST complete statement in `text` (a
+    * top-level `;`, a terminated COPY block, or a full comment line) —
+    * 0 when no statement has completed yet. This is the safe cut point
+    * for rolling a streamed dump into chunk files: everything before it
+    * splits identically on its own, everything after carries over.
+    * Runs the same scan as [[split]], so the two can never disagree on
+    * where statements end.
+    */
+  def lastCompleteBoundary(text: String, dialect: Option[Boolean]): Int = {
+    var last = 0
+    scanStatements(text, dialect) { (_, _, e, _, terminated) =>
+      if (terminated) last = e
+    }
+    last
+  }
+
+  /** The one statement-boundary state machine behind [[split]] and
+    * [[lastCompleteBoundary]]: walks `text` under the string-literal
+    * `dialect` rules and reports every statement span as
+    * `sink(kind, start, end, valid, terminated)` — `terminated` is
+    * false only for the trailing unfinished span (no `;`, unterminated
+    * COPY block, or comment line with no newline).
+    */
+  private def scanStatements(text: String, dialect: Option[Boolean])(
+      sink: (String, Int, Int, Boolean, Boolean) => Unit): Unit = {
+    val pg = dialect.getOrElse(pgStrings(text))
     var inQuote = false
     var dollarTag: String = null // inside $tag$ … $tag$ when non-null
     var parenDepth = 0
@@ -135,7 +166,7 @@ object StatementSplitter {
       val c = text.charAt(i)
       if (commentLine) {
         if (c == '\n') {
-          emit(out, StatementKind.CommentLine, text.substring(start, i), valid = true)
+          sink(StatementKind.CommentLine, start, i, true, true)
           start = i + 1
           commentLine = false
           statementComplete = true
@@ -197,12 +228,12 @@ object StatementSplitter {
           while (term >= 0 && term + 3 < n && text.charAt(term + 3) != '\n' && text.charAt(term + 3) != '\r')
             term = text.indexOf("\n\\.", term + 1)
           val end = if (term < 0) n else term + 3
-          emit(out, StatementKind.CopyBlock, text.substring(start, end), valid = term >= 0)
+          sink(StatementKind.CopyBlock, start, end, term >= 0, term >= 0)
           start = end
           i = end - 1
         } else {
-          emit(out, StatementKind.Other, stmtText,
-            valid = parenDepth == 0 && !unbalanced)
+          sink(StatementKind.Other, start, i + 1,
+            parenDepth == 0 && !unbalanced, true)
           start = i + 1
         }
         parenDepth = 0; unbalanced = false
@@ -217,14 +248,12 @@ object StatementSplitter {
       i += 1
     }
     if (start < n) {
-      val tail = text.substring(start, n)
-      if (commentLine) emit(out, StatementKind.CommentLine, tail, valid = true)
+      if (commentLine) sink(StatementKind.CommentLine, start, n, true, false)
       else if (!statementComplete)
-        emit(out, StatementKind.Other, tail,
-          valid = parenDepth == 0 && !unbalanced && !inQuote && dollarTag == null)
+        sink(StatementKind.Other, start, n,
+          parenDepth == 0 && !unbalanced && !inQuote && dollarTag == null, false)
       // trailing whitespace-only → nothing
     }
-    out.result()
   }
 
   private def emit(

@@ -579,6 +579,63 @@ class IngestSpec extends SparkSpec {
       .contains(("public", "orders")))
   }
 
+  test("chunked spool: parts concatenate byte-exactly, cut only at statement boundaries, and re-split identically (r19)") {
+    import graft.ingest.{ChunkedSpool, DumpReader, StatementSplitter}
+    // statements chosen to make a NAIVE byte/line cut wrong: multiline
+    // string literals containing ';' at line ends, pg dialect marker in
+    // the header, a trailing comment
+    val stmts = Seq(
+      "SET standard_conforming_strings = on;",
+      "CREATE TABLE public.t (a text);",
+      "INSERT INTO public.t (a) VALUES ('line one;\nline two;\nand ''three''');",
+      "INSERT INTO public.t (a) VALUES ('x');",
+      "INSERT INTO public.t (a) VALUES ('trail\\');",
+      "INSERT INTO public.t (a) VALUES ('ümlaut 中文 value;\nstill inside');",
+      "-- trailing comment")
+    val whole = stmts.mkString("\n") + "\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkspool-")
+    val written = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    val parts = ChunkedSpool.write(i => {
+      val p = dir.resolve(f"part-$i%05d.sql"); written += p
+      new java.io.FileOutputStream(p.toFile)
+    }, pg = true, chunkBytes = 48) { o =>
+      // dribble bytes in odd-sized slices so multibyte chars and
+      // statement boundaries straddle write() calls
+      val bytes = whole.getBytes("UTF-8")
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(7, bytes.length - off)
+        o.write(bytes, off, n); off += n
+      }
+    }
+    assert(parts > 2, s"expected multiple parts, got $parts")
+    // byte-exact concatenation
+    val cat = written.flatMap(p => java.nio.file.Files.readAllBytes(p).toSeq)
+    assert(cat == whole.getBytes("UTF-8").toSeq)
+    // every part splits on its own to complete statements (no part ends
+    // mid-statement except possibly the last, which here is complete)
+    val viaParts = written.flatMap(p =>
+      StatementSplitter.split(java.nio.file.Files.readString(p), Some(true)))
+    val viaWhole = StatementSplitter.split(whole, Some(true))
+    assert(viaParts.map(r => (r.kind, r.text)) == viaWhole.map(r => (r.kind, r.text)))
+    // and the production reader over the spool DIRECTORY agrees; each
+    // part is its own whole-file parse unit (the idx high bits carry
+    // the file rank — Spark may pack small files into fewer tasks, but
+    // 100 MB production parts get one task each)
+    val ds = DumpReader.statements(spark, dir.toString)
+    val fileRanks = ds.collect().map(_.idx >> 40).distinct.length
+    assert(fileRanks == parts, s"expected $parts parse units, got $fileRanks")
+    val vals = DumpReader.tableFromDump(ds, "public", "t")
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("line one;\nline two;\nand 'three'", "x", "trail\\",
+      "ümlaut 中文 value;\nstill inside"), vals)
+    // an empty stream still spools one (empty) part — listing finds it
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-chunkspool-empty-")
+    val p2 = ChunkedSpool.write(i => new java.io.FileOutputStream(
+      dir2.resolve(f"part-$i%05d.sql").toFile), pg = true, chunkBytes = 48)(_ => ())
+    assert(p2 == 1)
+  }
+
   test("dialect floor is scoped to headerless files: a mysqldump in a mixed directory keeps MySQL rules (ADVICE r18)") {
     import graft.ingest.{DumpReader, StatementSplitter}
     // banner recognition: mysqldump's own header, pre-data only

@@ -605,6 +605,119 @@ class PgLiveSpec extends SparkSpec {
     assert(copySec < insertSec,
       f"COPY ($copySec%.2f s) not faster than INSERTs ($insertSec%.2f s)")
   }
+  test("pg live: dump-create throughput at 1M rows — chunked spool parses executor-parallel (r18 verdict #6)") {
+    assume(cluster.isDefined, "postgres toolchain unavailable")
+    val c = cluster.get
+    c.psql("postgres", "CREATE DATABASE dumpbench")
+    c.psql("dumpbench",
+      """CREATE TABLE big(id int PRIMARY KEY, email text, amount numeric(10,2), note text);
+        |INSERT INTO big SELECT g, 'user'||g||'@real.test', (g % 997) * 3.25,
+        |  'note-'||g||' it''s row '||g FROM generate_series(1, 1000000) g;
+        |""".stripMargin)
+    val n = 1000000L
+
+    // the source bound: pg_dump itself, streamed to the chunked spool
+    // (this is the single stream the reference ALSO pays — its one CPU
+    // then parses it serially; ours fans the parts out to executors)
+    val spoolDir = Files.createTempDirectory("graft-dumpbench-spool-")
+    val conn = graft.ingest.PgLive.Conn(c.sock, 5432, "dumpbench", Some("graft"), None)
+    val t0 = System.nanoTime()
+    val parts = graft.ingest.ChunkedSpool.write(i => {
+      new java.io.FileOutputStream(spoolDir.resolve(f"part-$i%05d.sql").toFile)
+    }, pg = true, chunkBytes = 8 * 1024 * 1024)(o =>
+      graft.ingest.PgLive.dumpToStream(conn, o))
+    val dumpSec = (System.nanoTime() - t0) / 1e9
+    assert(parts > 4, s"1M-row dump should roll several 8 MB parts, got $parts")
+
+    // the CLI flow end-to-end (pg_dump -> chunked spool -> distributed
+    // parse -> mask -> re-synthesize -> datastore), the headline rows/s
+    // — run FIRST so every parse path is JIT-warm before the
+    // parallel-vs-serial comparison below (both sides share the code)
+    spark.conf.set("spark.graft.pgMode", "tools")
+    spark.conf.set("spark.graft.spoolChunkMb", "8")
+    try {
+      val store = Files.createTempDirectory("graft-dumpbench-store-").toString
+      val conf = Files.createTempFile("graft-dumpbench-conf-", ".yaml")
+      Files.writeString(conf,
+        s"""source:
+           |  connection_uri: ${uri(c, "dumpbench")}
+           |  transformers:
+           |    - database: public
+           |      table: big
+           |      columns:
+           |        - name: email
+           |          transformer_name: email
+           |datastore:
+           |  local_disk:
+           |    dir: $store
+           |""".stripMargin)
+      val printed = collection.mutable.Buffer[String]()
+      val t3 = System.nanoTime()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "bench-1m"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val createSec = (System.nanoTime() - t3) / 1e9
+
+      // distributed parse in isolation, the exact dumpCreateFromFile
+      // shape: persisted statements + the dump's own DDL (single typed
+      // pass, no inference)
+      // min-of-2 (the bench's own convention) so one GC hiccup can't
+      // flip the comparison
+      val parSec = (1 to 2).map { _ =>
+        val t1 = System.nanoTime()
+        val stmts = graft.ingest.DumpReader.statements(spark, spoolDir.toString)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ddl = stmts.filter(_.kind == graft.model.StatementKind.CreateTable)
+          .collect().find(_.table == "big").map(_.sql)
+        assert(ddl.isDefined, "pg_dump stream carried no CREATE TABLE big")
+        val parsed = graft.ingest.DumpReader
+          .tableFromDump(stmts, "public", "big", ddl).count()
+        val sec = (System.nanoTime() - t1) / 1e9
+        stmts.unpersist()
+        assert(parsed == n)
+        sec
+      }.min
+
+      // single-thread baseline: the SAME work (split + row parse +
+      // value render) over one part, extrapolated linearly by byte
+      // share — the reference's architecture does all of this on one
+      // CPU (512 MB / 1 CPU envelope, docs/DESIGN.md)
+      val partFiles = spoolDir.toFile.listFiles().filter(_.getName.endsWith(".sql"))
+      val totalBytes = partFiles.map(_.length).sum
+      val one = partFiles.sortBy(_.getName).apply(1) // a headerless mid part
+      val text = java.nio.file.Files.readString(one.toPath)
+      val t2 = System.nanoTime()
+      var rows1 = 0L
+      graft.ingest.StatementSplitter.split(text, Some(true)).foreach { r =>
+        if (r.kind == graft.model.StatementKind.InsertInto)
+          graft.ingest.InsertParser.parseMulti(r.text, pgStrings = true).foreach { v =>
+            rows1 += v.size
+            v.foreach(_.values.foreach(x => if (x != graft.ingest.InsertParser.SqlNull) x.render))
+          }
+      }
+      val oneSec = (System.nanoTime() - t2) / 1e9
+      val serialSec = oneSec * totalBytes.toDouble / one.length
+      assert(rows1 > 0)
+
+      println(f"PGDUMPCREATE rows=$n parts=$parts pg_dump=$dumpSec%.1fs " +
+        f"par_parse=$parSec%.1fs serial_parse_est=$serialSec%.1fs " +
+        f"cli_total=$createSec%.1fs rate=${n / createSec}%.0f rows/s")
+      // the scale claim: the distributed typed parse beats the
+      // single-thread parse estimate (at 4 local cores; executor
+      // counts scale it — each 100 MB part is an independent task)
+      assert(parSec < serialSec,
+        f"distributed parse $parSec%.1fs not faster than single-thread $serialSec%.1fs")
+      // and the store holds all 1M rows, masked
+      val back = graft.pipeline.Pipeline.restore(
+        spark, new graft.store.Datastore(store, spark), "bench-1m")("big")
+      assert(back.count() == n)
+      assert(back.filter(back("email").contains("real.test")).count() == 0)
+    } finally {
+      spark.conf.unset("spark.graft.pgMode")
+      spark.conf.unset("spark.graft.spoolChunkMb")
+      org.apache.commons.io.FileUtils.deleteDirectory(spoolDir.toFile)
+    }
+  }
+
   test("pg live: camelCase and reserved-word identifiers survive dump -> restore (quoted stream)") {
     assume(cluster.isDefined, "postgres toolchain unavailable")
     val c = cluster.get

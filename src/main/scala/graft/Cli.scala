@@ -230,7 +230,7 @@ object Cli {
         val spooled = spoolStdin(stdin, spark, datastoreUri(c))
         val fs = spooled.getFileSystem(spark.sparkContext.hadoopConfiguration)
         try dumpCreateFromFile(name, spooled.toString, c, spark, out)
-        finally fs.delete(spooled, false)
+        finally fs.delete(spooled, true)
 
       // reference `dump create -f <dump file>` (`cli.rs:100-114`): the
       // primary flow — ingest a SQL dump file, transform, store. The
@@ -723,30 +723,38 @@ object Cli {
     */
   private[graft] def spoolStdin(in: java.io.InputStream, spark: SparkSession,
                                 rootUri: String): org.apache.hadoop.fs.Path = {
-    val dir = new org.apache.hadoop.fs.Path(rootUri, ".spool")
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(rootUri, ".spool"),
+      s"graft-stdin-${java.util.UUID.randomUUID()}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dir, s"graft-stdin-${java.util.UUID.randomUUID()}.sql")
-    val os = fs.create(tmp, true)
     var ok = false
     try {
-      val buf = new Array[Byte](1 << 20)
-      var n = in.read(buf)
-      while (n >= 0) {
-        os.write(buf, 0, n)
-        n = in.read(buf)
+      // chunk parts at statement boundaries so the downstream parse is
+      // one task per part (same seam as the live tool legs); the
+      // dialect is detected from the piped dump's own header, since a
+      // pipe doesn't say which tool wrote it. Part streams close inside
+      // ChunkedSpool.write — on object stores the close completes the
+      // upload, so a close failure is a failed copy and lands here.
+      val chunkBytes = spark.conf.getOption("spark.graft.spoolChunkMb")
+        .map(m => (m.toDouble * 1024 * 1024).toInt)
+        .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
+      graft.ingest.ChunkedSpool.write(i =>
+        org.apache.hadoop.fs.FileSystem.create(fs,
+          new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
+          new org.apache.hadoop.fs.permission.FsPermission("600")),
+        pg = None, chunkBytes = chunkBytes) { o =>
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) {
+          o.write(buf, 0, n)
+          n = in.read(buf)
+        }
       }
-      // close INSIDE the try: object-store streams (s3a) complete the
-      // upload at close, so a close failure is a failed copy
-      os.close()
       ok = true
     } finally {
-      if (!ok) {
-        try os.close() catch { case _: Throwable => () } // keep the root cause
-        fs.delete(tmp, false)
-      }
+      if (!ok) fs.delete(dir, true) // partial UNMASKED spool
     }
-    tmp
+    dir
   }
 
   /** Dump frames for a restore, by stored format: statement dumps
@@ -835,7 +843,7 @@ object Cli {
             java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
               java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")))
           new java.io.FileOutputStream(p.toFile)
-        }, pg, chunkBytes)(writeTo)
+        }, Some(pg), chunkBytes)(writeTo)
         ok = true
         dir.toString
       } finally if (!ok) deleteSpool(dir.toString, spark) // partial UNMASKED spool
@@ -851,7 +859,7 @@ object Cli {
             org.apache.hadoop.fs.FileSystem.create(fs,
               new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
               new org.apache.hadoop.fs.permission.FsPermission("600")),
-            pg, chunkBytes)(writeTo)
+            Some(pg), chunkBytes)(writeTo)
           ok = true
           dir.toString
         } finally if (!ok) fs.delete(dir, true)

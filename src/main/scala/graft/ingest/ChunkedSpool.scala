@@ -15,7 +15,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Memory bound: O(chunkBytes + largest statement). The tool legs force
   * per-row statements (`pg_dump --column-inserts`, reference-exact —
-  * `source/postgres.rs:85-95`), so "largest statement" is one row.
+  * `source/postgres.rs:85-95`), so "largest statement" is one row. A
+  * COPY-format dump piped through `dump create -i` counts each whole
+  * `COPY … FROM stdin` block as one statement (boundaries only between
+  * blocks), so its bound is the largest single table's block — the
+  * same bound the whole-file splitter has, just per part.
   *
   * Boundary discipline: cuts only at [[StatementSplitter
   * .lastCompleteBoundary]] under the TOOL's declared dialect, and only
@@ -35,10 +39,16 @@ object ChunkedSpool {
     * opened via `newPart(index)` (the caller owns naming/placement).
     * Returns the number of parts written (≥1 — an empty dump still
     * writes one empty part so downstream listing finds the spool).
+    * `pg`: the string-literal dialect when the caller knows the tool
+    * (pg_dump/mysqldump legs); None detects it from the stream's own
+    * header at the first roll — the same pre-data-marker rule
+    * DumpReader's dialect floor applies on read (`dump create -i`
+    * pipes, where the tool is unknown).
     */
-  def write(newPart: Int => OutputStream, pg: Boolean,
+  def write(newPart: Int => OutputStream, pg: Option[Boolean],
             chunkBytes: Int = DefaultChunkBytes)(
             writeTo: OutputStream => Unit): Int = {
+    var dialect = pg
     val buf = new ByteArrayOutputStream(64 * 1024)
     var parts = 0
     // a failed boundary scan (statement still open at chunkBytes) must
@@ -58,7 +68,13 @@ object ChunkedSpool {
       var rolled = false
       if (nl > 0) {
         val text = new String(bytes, 0, nl + 1, UTF_8)
-        val b = StatementSplitter.lastCompleteBoundary(text, Some(pg))
+        val d = dialect.getOrElse {
+          val v = StatementSplitter.pgStrings(text) &&
+            !StatementSplitter.mysqlHeader(text)
+          dialect = Some(v)
+          v
+        }
+        val b = StatementSplitter.lastCompleteBoundary(text, Some(d))
         if (b > 0) {
           val cut = text.substring(0, b).getBytes(UTF_8)
           val o = openPart()

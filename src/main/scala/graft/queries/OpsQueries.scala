@@ -1986,6 +1986,11 @@ object OpsQueries {
     * on-disk codes artifact short-circuits to a metadata check.
     */
   def prebuildAnnArtifacts(s: SparkSession, dir: String): Unit = {
+    // force the in-process codebook EXPLICITLY: when the codes parquet
+    // already exists on disk (unchanged testdata across sessions),
+    // cachedPqCodes alone would skip training and the Lloyd fit would
+    // land back inside the first family query
+    cachedIvfPqIndex(s, dir)
     cachedPqCodes(s, dir).count()
     ()
   }

@@ -164,6 +164,22 @@ class GoldenFixtureSpec extends SparkSpec {
       val viaCopy = matrix(DumpReader.tableFromCopy(stmts, "public", "us_states"))
       val viaInserts = matrix(DumpReader.tableFromDump(nwStmts, "public", "us_states"))
       assert(viaCopy == viaInserts)
+
+      // the chunked spool on REAL pg_dump COPY bytes: rolled at 16 KB
+      // statement boundaries, the parts re-split to exactly the
+      // unchunked statements (COPY blocks never cut mid-block) and the
+      // per-table stats are unchanged
+      val dir = java.nio.file.Files.createTempDirectory("graft-golden-chunks-")
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(nwCopy))
+      val parts = graft.ingest.ChunkedSpool.write(i => new java.io.FileOutputStream(
+        dir.resolve(f"part-$i%05d.sql").toFile), pg = None, chunkBytes = 16 * 1024)(
+        o => o.write(bytes))
+      assert(parts > 5, s"181 KB dump at 16 KB chunks should roll many parts, got $parts")
+      val chunkedStats = DumpReader.tableStats(
+          DumpReader.statements(spark, dir.toString)).collect()
+        .map(r => r.getString(r.fieldIndex("table")) -> r.getLong(r.fieldIndex("total_rows")))
+        .toMap
+      assert(chunkedStats == northwindCounts, chunkedStats)
     } finally stmts.unpersist()
   }
 

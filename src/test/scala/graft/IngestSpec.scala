@@ -598,7 +598,7 @@ class IngestSpec extends SparkSpec {
     val parts = ChunkedSpool.write(i => {
       val p = dir.resolve(f"part-$i%05d.sql"); written += p
       new java.io.FileOutputStream(p.toFile)
-    }, pg = true, chunkBytes = 48) { o =>
+    }, pg = Some(true), chunkBytes = 48) { o =>
       // dribble bytes in odd-sized slices so multibyte chars and
       // statement boundaries straddle write() calls
       val bytes = whole.getBytes("UTF-8")
@@ -632,8 +632,31 @@ class IngestSpec extends SparkSpec {
     // an empty stream still spools one (empty) part — listing finds it
     val dir2 = java.nio.file.Files.createTempDirectory("graft-chunkspool-empty-")
     val p2 = ChunkedSpool.write(i => new java.io.FileOutputStream(
-      dir2.resolve(f"part-$i%05d.sql").toFile), pg = true, chunkBytes = 48)(_ => ())
+      dir2.resolve(f"part-$i%05d.sql").toFile), pg = Some(true), chunkBytes = 48)(_ => ())
     assert(p2 == 1)
+
+    // pg = None (the stdin pipe, tool unknown): the dialect comes from
+    // the stream's own header at the first roll. A MySQL stream whose
+    // value ends in an escaped quote ('…\'') cuts correctly only under
+    // MySQL rules — a pg-rules scan would place the boundary INSIDE the
+    // string and the parts would re-split differently
+    val myStmts = Seq(
+      "-- MySQL dump 10.13  Distrib 8.0.28",
+      "INSERT INTO t (a) VALUES ('it\\'s a long-ish mysql value');",
+      "INSERT INTO t (a) VALUES ('ends escaped\\'');",
+      "INSERT INTO t (a) VALUES ('plain');")
+    val myWhole = myStmts.mkString("\n") + "\n"
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-chunkspool-my-")
+    val myWritten = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    val myParts = ChunkedSpool.write(i => {
+      val p = dir3.resolve(f"part-$i%05d.sql"); myWritten += p
+      new java.io.FileOutputStream(p.toFile)
+    }, pg = None, chunkBytes = 40)(o => o.write(myWhole.getBytes("UTF-8")))
+    assert(myParts > 1)
+    val myViaParts = myWritten.flatMap(p =>
+      StatementSplitter.split(java.nio.file.Files.readString(p), Some(false)))
+    assert(myViaParts.map(r => (r.kind, r.text)) ==
+      StatementSplitter.split(myWhole, Some(false)).map(r => (r.kind, r.text)))
   }
 
   test("dialect floor is scoped to headerless files: a mysqldump in a mixed directory keeps MySQL rules (ADVICE r18)") {

@@ -624,7 +624,7 @@ class PgLiveSpec extends SparkSpec {
     val t0 = System.nanoTime()
     val parts = graft.ingest.ChunkedSpool.write(i => {
       new java.io.FileOutputStream(spoolDir.resolve(f"part-$i%05d.sql").toFile)
-    }, pg = true, chunkBytes = 8 * 1024 * 1024)(o =>
+    }, pg = Some(true), chunkBytes = 8 * 1024 * 1024)(o =>
       graft.ingest.PgLive.dumpToStream(conn, o))
     val dumpSec = (System.nanoTime() - t0) / 1e9
     assert(parts > 4, s"1M-row dump should roll several 8 MB parts, got $parts")

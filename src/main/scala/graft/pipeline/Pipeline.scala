@@ -121,27 +121,26 @@ object Pipeline {
     // the source's own CREATE TABLE statements (only for tables that
     // made the plan) ride along in the stored dump — restore parsing
     // filters by statement kind, so data consumers are unaffected and
-    // live restores regain the true column types. A table WITHOUT
-    // source DDL whose frame carries binary columns gets one
-    // synthesized from the ORIGINAL schema: the stored hex text then
-    // restores as true bytea on a live server instead of degrading to
-    // text (the DDL-typed ingestion keeps the literal as a string
-    // either way, so parquet consumers are unchanged). Synthesized DDL
-    // is deliberately UNQUALIFIED: config.database is the SOURCE's
+    // live restores regain the true column types. EVERY table without
+    // source DDL gets one synthesized from the ORIGINAL frame schema
+    // (r19; r18 synthesized only for binary-bearing tables): restores
+    // then take the single-pass DDL-typed parse instead of the 2-pass
+    // whole-dump type inference — at scale that halves restore parse
+    // CPU — and the restored types are SOURCE-exact (a decimal(10,2)
+    // column comes back decimal(10,2), not a re-inferred double; a
+    // text column holding digit strings stays text instead of widening
+    // to bigint). Live restores get true server types for all tables,
+    // binary included (hex text -> true bytea). Synthesized DDL is
+    // deliberately UNQUALIFIED: config.database is the SOURCE's
     // database/catalog name, not a namespace the destination should
     // recreate — a pg restore of a dump from JDBC database "mydb" must
     // land in the destination's default schema (public), exactly like
     // r17 did, not in a freshly created schema "mydb". Namespace
     // qualifiers are reserved for DDL that actually came from the
     // source dump (config.ddl), where the schema is real.
-    val ddl = plan.keys.toSeq.sorted.flatMap { t =>
-      config.ddl.get(t).orElse {
-        val schema = plan(t).schema
-        if (schema.fields.exists(_.dataType ==
-            org.apache.spark.sql.types.BinaryType))
-          Some(graft.ingest.PgLive.createTableSql(t, schema))
-        else None
-      }
+    val ddl = plan.keys.toSeq.sorted.map { t =>
+      config.ddl.getOrElse(t,
+        graft.ingest.PgLive.createTableSql(t, plan(t).schema))
     }
     // every engine-written dump declares its string-literal dialect up
     // front, exactly like pg_dump does: DumpSink synthesis is

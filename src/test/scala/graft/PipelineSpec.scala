@@ -475,6 +475,36 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) == ((null, null)), byId)
   }
 
+  test("universal ride-along DDL (r19): restored types are SOURCE-exact, not re-inferred") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-typed-e2e").toString
+    val store = new Datastore(s"file://$dir", spark)
+    // the two cases inference gets WRONG: a decimal column (inference
+    // re-reads the rendered literal as double) and a text column whose
+    // values happen to be digit strings (inference widens to bigint)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = true),
+      StructField("zip", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, new java.math.BigDecimal("12.50"), "02134"),
+        Row(2L, new java.math.BigDecimal("99.99"), "90210")), 2), schema)
+    Pipeline.dump(spark, (_: String) => df, store, "typed-dump",
+      Pipeline.DumpJobConfig(tables = Seq("prices")))
+    val back = Pipeline.restore(spark, store, "typed-dump")("prices")
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("price") == DecimalType(10, 2), types)
+    assert(types("zip") == StringType, types)
+    val rows = back.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      (r.getDecimal(r.fieldIndex("price")).toPlainString,
+        r.getString(r.fieldIndex("zip")))).toMap
+    assert(rows(1L) == (("12.50", "02134")), rows)
+    // leading zero preserved — the bigint widening would have eaten it
+    assert(rows(2L) == (("99.99", "90210")), rows)
+  }
+
   test("synthesized ride-along DDL is UNQUALIFIED: the source database name is not a destination namespace (ADVICE r18)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -146,18 +146,34 @@ class PropertySpec extends SparkSpec {
       6 -> Gen.alphaNumChar,
       3 -> Gen.oneOf('\'', '\\', ';', '\n', '-', ' ', '"'),
       1 -> Gen.oneOf('ü', '中'))).map(_.mkString)
+    // statement SHAPES beyond plain INSERTs: full-line comments, CREATE
+    // TABLE, COPY blocks (whose data lines are opaque — quotes and
+    // semicolons inside must not move a boundary), and pg dollar-quoted
+    // bodies; each generated case interleaves them with value INSERTs
+    val copyBlock =
+      "COPY public.t (a) FROM stdin;\nraw\tline;'with\\junk\nmore ' data\n\\."
+    val dollarStmt =
+      "CREATE FUNCTION f() RETURNS int AS $fn$ SELECT 1; -- not a split\n$fn$ LANGUAGE sql;"
     val caseGen = Gen.zip(
       Gen.oneOf(true, false), // pg dialect?
       Gen.listOfN(6, boundaryString),
-      Gen.listOfN(5, Gen.chooseNum(0, 6)))
-    samples(caseGen, 150).foreach { case (pg, vals, cutsRaw) =>
+      Gen.listOfN(5, Gen.chooseNum(0, 9)),
+      Gen.listOfN(3, Gen.chooseNum(0, 3))) // shape picks
+    samples(caseGen, 150).foreach { case (pg, vals, cutsRaw, shapes) =>
       val header =
         if (pg) "SET standard_conforming_strings = on;"
         else "-- MySQL dump 10.13  Distrib 8.0.28"
+      val extras = shapes.map {
+        case 0 => "-- a full-line comment"
+        case 1 => "CREATE TABLE public.t (a text);"
+        case 2 => copyBlock
+        case _ if pg => dollarStmt
+        case _ => "CREATE TABLE other (b int);"
+      }
       val stmts = vals.map { v =>
         val lit = if (pg) pgEscape(v) else mysqlEscape(v)
         s"INSERT INTO t (a) VALUES ($lit);"
-      }
+      } ++ extras
       val all = header +: stmts
       val whole = all.mkString("\n") + "\n"
       val expected = StatementSplitter.split(whole, Some(pg))

@@ -90,8 +90,16 @@ object Ddl {
     * integer)` is valid in both).
     */
   def dialect(ddl: String): Option[String] = {
-    val mysql = ddl.contains('`') || MysqlMarkers.findFirstIn(ddl).isDefined
-    val pg = PgMarkers.findFirstIn(ddl).isDefined
+    // identifier quoting is itself a dialect marker: backticks are
+    // MySQL, double quotes are pg/ANSI (MySQL's default sql_mode
+    // rejects "ident") — without this vote, the engine's own
+    // synthesized DDL (double-quoted idents, no type markers) read as
+    // ambiguous and the mysql restore leg would replay it verbatim
+    // (r19). Quote chars are counted OUTSIDE single-quoted string
+    // literals so a DEFAULT '"' or DEFAULT '`' can't vote.
+    val noStrings = ddl.replaceAll("'(?:[^']|'')*'", "''")
+    val mysql = noStrings.contains('`') || MysqlMarkers.findFirstIn(noStrings).isDefined
+    val pg = noStrings.contains('"') || PgMarkers.findFirstIn(noStrings).isDefined
     (mysql, pg) match {
       case (true, false) => Some("mysql")
       case (false, true) => Some("pg")

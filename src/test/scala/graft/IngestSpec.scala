@@ -549,6 +549,16 @@ class IngestSpec extends SparkSpec {
       .contains("pg"))
     // valid in both dialects -> ambiguous -> fidelity default applies
     assert(Ddl.dialect("CREATE TABLE t (a integer, b text);").isEmpty)
+    // identifier quoting votes (r19): the engine's own synthesized DDL
+    // (double-quoted idents, no type markers) must read as pg so the
+    // mysql restore leg falls back to mysql-synthesized DDL instead of
+    // replaying "ident" quoting MySQL rejects
+    assert(Ddl.dialect(
+      "CREATE TABLE IF NOT EXISTS \"prices\" (\"id\" bigint, \"zip\" text);")
+      .contains("pg"))
+    assert(Ddl.dialect("CREATE TABLE `t2` (a int);").contains("mysql"))
+    // quote chars inside string DEFAULTS don't vote
+    assert(Ddl.dialect("CREATE TABLE t (a text DEFAULT '\"', b text DEFAULT '`');").isEmpty)
     assert(StatementSplitter.tableRefExplicit("CREATE TABLE public.t (a int);")
       .contains((Some("public"), "t")))
     assert(StatementSplitter.tableRefExplicit("CREATE TABLE `users` (a int);")

@@ -77,6 +77,10 @@ class GoldenFixtureSpec extends SparkSpec {
     val od = DumpReader.tableFromDump(nwStmts, "public", "order_details")
     assert(od.count() == 2155L)
     assert(od.filter(col("product_id") === 11).count() == 38L)
+    // the DSv2 scale path over the same fixture agrees on the counts
+    val dsv2 = spark.read.format("graft.ingest.SqlDumpSource").load(nwInserts)
+    assert(dsv2.filter(col("kind") === StatementKind.InsertInto).count() == 3362L)
+    assert(dsv2.filter(col("kind") === StatementKind.CreateTable).count() == 14L)
   }
 
   test("northwind dump: header and footer are nonempty and INSERT-free (reference subset/src/postgres.rs:876-915)") {

@@ -711,6 +711,27 @@ class PgLiveSpec extends SparkSpec {
         spark, new graft.store.Datastore(store, spark), "bench-1m")("big")
       assert(back.count() == n)
       assert(back.filter(back("email").contains("real.test")).count() == 0)
+
+      // close the cycle at 1M: restore the stored dump into a live
+      // database through the COPY leg and let the SERVER count it
+      c.psql("postgres", "CREATE DATABASE benchrest")
+      Files.writeString(conf, Files.readString(conf) +
+        s"""destination:
+           |  connection_uri: ${uri(c, "benchrest")}
+           |""".stripMargin)
+      val t4 = System.nanoTime()
+      printed.clear()
+      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "bench-1m"),
+        spark, printed += _) == 0, printed.mkString("\n"))
+      val restoreSec = (System.nanoTime() - t4) / 1e9
+      assert(c.psql("benchrest", "SELECT count(*) FROM big") == n.toString)
+      assert(c.psql("benchrest",
+        "SELECT count(*) FROM big WHERE email LIKE '%real.test%'") == "0")
+      // the universal ride-along DDL gives the server source-exact types
+      assert(c.psql("benchrest",
+        "SELECT data_type FROM information_schema.columns " +
+          "WHERE table_name='big' AND column_name='amount'") == "numeric")
+      println(f"PGRESTORE1M rows=$n sec=$restoreSec%.1f rate=${n / restoreSec}%.0f rows/s")
     } finally {
       spark.conf.unset("spark.graft.pgMode")
       spark.conf.unset("spark.graft.spoolChunkMb")

@@ -203,6 +203,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: extended multi-row INSERTs roundtrip every row under both dialects (r19 — the \\'' bug's family)") {
+    // the r19 scanner-ordering bug ('a\'' parsed to None) lived in the
+    // value scanners that ALSO drive extended-INSERT row splitting —
+    // fuzz parseMulti with N rows of boundary values per statement
+    def mysqlEscape(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def pgEscape(s: String): String =
+      "'" + s.replace("'", "''") + "'"
+    val boundaryString: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      4 -> Gen.oneOf('\'', '\\', ';', ',', '(', ')', '\n', ' '))).map(_.mkString)
+    samples(Gen.zip(Gen.oneOf(true, false),
+        Gen.chooseNum(1, 6), Gen.listOfN(6, boundaryString)), 200)
+      .foreach { case (pg, nRows, pool) =>
+        val rows = (0 until nRows).map(i => pool(i % pool.length) + s"#$i")
+        val groups = rows.zipWithIndex.map { case (v, i) =>
+          s"($i, ${if (pg) pgEscape(v) else mysqlEscape(v)})"
+        }
+        val stmt = s"INSERT INTO t (id, a) VALUES ${groups.mkString(", ")};"
+        val parsed = InsertParser.parseMulti(stmt, pgStrings = pg)
+        assert(parsed.isDefined, s"parseMulti None (pg=$pg): ${stmt.take(120)}")
+        val got = parsed.get.map(_.values)
+        assert(got.length == nRows, s"row count ${got.length} != $nRows (pg=$pg)")
+        got.zip(rows).zipWithIndex.foreach { case ((vs, want), i) =>
+          assert(vs(0) == InsertParser.SqlLong(i.toLong))
+          assert(vs(1) == InsertParser.SqlString(want), s"row $i (pg=$pg)")
+        }
+      }
+  }
+
   test("property: the chunked-dump e2e (files on disk, floor via DumpReader) matches the generated values") {
     // a thinner END-TO-END slice of the property above: real files,
     // real ranking, the production floor propagation in

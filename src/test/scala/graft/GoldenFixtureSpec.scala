@@ -225,6 +225,31 @@ class GoldenFixtureSpec extends SparkSpec {
     } finally stmts.unpersist()
   }
 
+  test("mongodump archive golden hex: parse extracts test2.Users {name: John, age: 42}; rewrite is byte-exact (reference dump-parser/src/mongodb/mod.rs:256-289)") {
+    // the reference pins its archive codec to one golden hex fixture (a
+    // real mongodump archive). Read the hex OUT OF the reference's own
+    // test source at runtime — no fixture bytes live in this repo —
+    // and hold our codec to the same two assertions.
+    val src = "/root/reference/dump-parser/src/mongodb/mod.rs"
+    assume(readable(src), s"reference fixture unavailable: $src")
+    val hex = """"6de29981[0-9a-f]+"""".r
+      .findFirstIn(java.nio.file.Files.readString(java.nio.file.Paths.get(src)))
+      .getOrElse(fail("golden hex fixture not found in reference test source"))
+      .stripPrefix("\"").stripSuffix("\"")
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val archive = graft.ingest.MongoArchive.read(bytes)
+    // reference mongo_archive_parsing: single collection test2.Users,
+    // one document {name: "John", age: 42}
+    assert(archive.collections.keySet == Set("test2.Users"))
+    val doc = archive.collections("test2.Users").head
+    assert(doc.fields.exists { case (k, v) =>
+      k == "name" && v == graft.ingest.Bson.BStr("John") })
+    assert(doc.fields.exists { case (k, v) =>
+      k == "age" && v == graft.ingest.Bson.BInt32(42) })
+    // reference mongo_archive_to_bytes: into_bytes reproduces the hex
+    assert(graft.ingest.MongoArchive.write(archive).toSeq == bytes.toSeq)
+  }
+
   override def afterAll(): Unit = {
     try if (readable(nwInserts)) nwStmts.unpersist() finally super.afterAll()
   }

@@ -313,7 +313,14 @@ object Bench {
     val inMbJson = passes.map(p => qmap(p.map(r => r.name -> r.inMb))).mkString("[", ",", "]")
     val shMbJson = passes.map(p => qmap(p.map(r => r.name -> r.shMb))).mkString("[", ",", "]")
     val loadsJson = loads.map(r4).mkString("[", ",", "]")
-    val errsJson = errs.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"").mkString("{", ",", "}")
+    // a failed ANN prebuild must be LOUD (r19 review): the build cost
+    // would otherwise land back inside the first family query with
+    // ann_artifact_build_sec reading as a fast successful build
+    val errPairs = errs.map(r => r.name -> r.err.get) ++
+      annBuild.err.map(e => "ann_artifact_build" -> e)
+    val nErrs = errPairs.length
+    val errsJson = errPairs.map { case (n, e) => s"\"" + n + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
     val leaksJson = leaks.map(r => s"\"" + r.name + "\":" + r.leaked).mkString("{", ",", "}")
     val spreadJson = spread.map { case (n, x) => s"\"" + n + "\":" + x }.mkString("{", ",", "}")
     val spreadKindJson = qmapS(spreadKind)
@@ -328,8 +335,8 @@ object Bench {
     // away with the rest of the head); the full line (and the
     // authoritative file copy) carries the per-query detail.
     val lshCpu = results.find(_.name == "x_minhash_lsh_precision").map(_.cpu).getOrElse(-1.0)
-    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":${errs.length},"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"ann_artifact_build_sec":${r4(annBuild.wall)},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"ann_artifact_build_sec":${r4(annBuild.wall)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":${errs.length},"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"n_spread_actionable":${actionable.length},"spread_actionable":$actionableJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
+    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"summary":true,"detail":"BENCH_out.json","n_queries":${results.length},"n_errs":$nErrs,"n_leaks":${leaks.length},"lsh_cpu_sec":${r4(lshCpu)},"n_spread_flagged":${spread.length},"n_spread_actionable":${actionable.length},"ann_artifact_build_sec":${r4(annBuild.wall)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"ann_artifact_build_sec":${r4(annBuild.wall)},"queries":$qs,"cpu_sec":$cpus,"gc_sec":$gcs,"n_errs":$nErrs,"errs":$errsJson,"n_leaks":${leaks.length},"leaks":$leaksJson,"n_spread_flagged":${spread.length},"spread_flagged":$spreadJson,"spread_kind":$spreadKindJson,"n_spread_actionable":${actionable.length},"spread_actionable":$actionableJson,"sf":"$sfDir","n_passes":${passes.length},"passes":$passesJson,"plan_hash":$planJson,"input_mb":$inMbJson,"shuffle_mb":$shMbJson,"loadavg_1m":$loadsJson}"""
     // The authoritative copy goes to a FILE — log capture truncated the
     // stdout tail in r02/r03, so round-over-round comparison must never
     // depend on the printed line surviving intact.

@@ -735,14 +735,8 @@ object Cli {
       // pipe doesn't say which tool wrote it. Part streams close inside
       // ChunkedSpool.write — on object stores the close completes the
       // upload, so a close failure is a failed copy and lands here.
-      val chunkBytes = spark.conf.getOption("spark.graft.spoolChunkMb")
-        .map(m => (m.toDouble * 1024 * 1024).toInt)
-        .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
-      graft.ingest.ChunkedSpool.write(i =>
-        org.apache.hadoop.fs.FileSystem.create(fs,
-          new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
-          new org.apache.hadoop.fs.permission.FsPermission("600")),
-        pg = None, chunkBytes = chunkBytes) { o =>
+      graft.ingest.ChunkedSpool.write(hadoopPartWriter(fs, dir),
+        pg = None, chunkBytes = spoolChunkBytes(spark)) { o =>
         val buf = new Array[Byte](1 << 20)
         var n = in.read(buf)
         while (n >= 0) {
@@ -830,9 +824,7 @@ object Cli {
   private def chunkedSqlSpool(spark: SparkSession, storeRoot: Option[String],
                               pg: Boolean)(
                               writeTo: java.io.OutputStream => Unit): String = {
-    val chunkBytes = spark.conf.getOption("spark.graft.spoolChunkMb")
-      .map(m => (m.toDouble * 1024 * 1024).toInt)
-      .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
+    val chunkBytes = spoolChunkBytes(spark)
     if (spark.sparkContext.isLocal) {
       val dir = java.nio.file.Files.createTempDirectory("graft-sqldump-")
       var ok = false
@@ -855,10 +847,7 @@ object Cli {
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         var ok = false
         try {
-          graft.ingest.ChunkedSpool.write(i =>
-            org.apache.hadoop.fs.FileSystem.create(fs,
-              new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
-              new org.apache.hadoop.fs.permission.FsPermission("600")),
+          graft.ingest.ChunkedSpool.write(hadoopPartWriter(fs, dir),
             Some(pg), chunkBytes)(writeTo)
           ok = true
           dir.toString
@@ -946,6 +935,24 @@ object Cli {
 
   private def mysqlConn(conn: graft.config.JdbcConnection): graft.ingest.MySqlLive.Conn =
     graft.ingest.MySqlLive.Conn.fromJdbcUrl(conn.url, conn.user, conn.password)
+
+  /** `spark.graft.spoolChunkMb` override of the 100 MB chunked-spool
+    * part size (tests set it small) — one parse for the three spool
+    * writers.
+    */
+  private def spoolChunkBytes(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.spoolChunkMb")
+      .map(m => (m.toDouble * 1024 * 1024).toInt)
+      .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
+
+  /** Part-file opener for Hadoop-FS chunked spools: owner-only
+    * `part-%05d.sql` under `dir`.
+    */
+  private def hadoopPartWriter(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Int => java.io.OutputStream =
+    i => org.apache.hadoop.fs.FileSystem.create(fs,
+      new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.sql"),
+      new org.apache.hadoop.fs.permission.FsPermission("600"))
 
   /** Best-effort eager removal of a live-leg spool file. A failed
     * delete must not fail the (already complete) command, but it must

@@ -22,9 +22,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * same bound the whole-file splitter has, just per part.
   *
   * Boundary discipline: cuts only at [[StatementSplitter
-  * .lastCompleteBoundary]] under the TOOL's declared dialect, and only
-  * after a byte that ends a line (ASCII `\n`, so a UTF-8 multibyte
-  * sequence is never split); every part therefore re-splits
+  * .lastCompleteBoundary]] under the TOOL's declared dialect, computed
+  * over an ISO-8859-1 view so the offset is a BYTE offset and the
+  * original bytes pass through verbatim (any encoding, valid UTF-8 or
+  * not); a cut lands right after an ASCII terminator byte, so a UTF-8
+  * multibyte sequence is never split; every part therefore re-splits
   * independently to exactly the statements of the unchunked stream —
   * the invariant PropertySpec pins for the chunk/dialect floor. The
   * first part carries the dump's own header (the dialect marker for
@@ -67,7 +69,16 @@ object ChunkedSpool {
       while (nl >= 0 && bytes(nl) != '\n') nl -= 1
       var rolled = false
       if (nl > 0) {
-        val text = new String(bytes, 0, nl + 1, UTF_8)
+        // scan on an ISO-8859-1 decode: one byte == one char, so the
+        // boundary offset IS a byte offset and the original bytes are
+        // written verbatim — a UTF-8 decode would map invalid bytes
+        // (latin1/SQL_ASCII dumps, raw blob bytes) to U+FFFD and the
+        // re-encoded cut would shift/drop real bytes (r19 review). The
+        // scan itself only keys on ASCII chars (quotes, backslash,
+        // semicolon, newline, '$'), which ISO-8859-1 maps identically;
+        // multibyte UTF-8 sequences decode to high chars the state
+        // machine treats as opaque content, same as a UTF-8 decode.
+        val text = new String(bytes, 0, nl + 1, java.nio.charset.StandardCharsets.ISO_8859_1)
         val d = dialect.getOrElse {
           val v = StatementSplitter.pgStrings(text) &&
             !StatementSplitter.mysqlHeader(text)
@@ -76,11 +87,10 @@ object ChunkedSpool {
         }
         val b = StatementSplitter.lastCompleteBoundary(text, Some(d))
         if (b > 0) {
-          val cut = text.substring(0, b).getBytes(UTF_8)
           val o = openPart()
-          try o.write(cut) finally o.close()
+          try o.write(bytes, 0, b) finally o.close()
           buf.reset()
-          buf.write(bytes, cut.length, bytes.length - cut.length)
+          buf.write(bytes, b, bytes.length - b)
           rolled = true
         }
       }

@@ -95,11 +95,23 @@ object Ddl {
     // rejects "ident") — without this vote, the engine's own
     // synthesized DDL (double-quoted idents, no type markers) read as
     // ambiguous and the mysql restore leg would replay it verbatim
-    // (r19). Quote chars are counted OUTSIDE single-quoted string
-    // literals so a DEFAULT '"' or DEFAULT '`' can't vote.
-    val noStrings = ddl.replaceAll("'(?:[^']|'')*'", "''")
-    val mysql = noStrings.contains('`') || MysqlMarkers.findFirstIn(noStrings).isDefined
-    val pg = noStrings.contains('"') || PgMarkers.findFirstIn(noStrings).isDefined
+    // (r19). Markers count only OUTSIDE single-quoted string literals
+    // (a DEFAULT '"' or COMMENT '`' must not vote) — but where a
+    // string ENDS itself depends on the dialect being detected
+    // (pg: '' doubling only; MySQL: \' escapes too), so each probe
+    // strips under BOTH rules and a marker votes only when it
+    // survives BOTH interpretations. A desynced single-rule strip
+    // leaked string content into the vote (r19 review: a MySQL
+    // COMMENT 'don\'t use "raw"' flipped a confirmed-mysql DDL to
+    // ambiguous and the pg leg replayed it).
+    val strips = Seq(
+      ddl.replaceAll("'(?:[^']|'')*'", "''"),          // pg string rules
+      ddl.replaceAll("'(?:[^'\\\\]|\\\\.|'')*'", "''")) // mysql string rules
+    def inBoth(probe: String => Boolean) = strips.forall(probe)
+    val mysql = inBoth(_.contains('`')) ||
+      inBoth(s => MysqlMarkers.findFirstIn(s).isDefined)
+    val pg = inBoth(_.contains('"')) ||
+      inBoth(s => PgMarkers.findFirstIn(s).isDefined)
     (mysql, pg) match {
       case (true, false) => Some("mysql")
       case (false, true) => Some("pg")
@@ -125,7 +137,12 @@ object Ddl {
     }
 
   private def splitQualified(name: String): (String, String) = {
-    val parts = name.split('.').map(StatementSplitter.unquoteIdent)
+    // quote-aware (r19): dots INSIDE quoted identifiers are part of the
+    // name — same rule as StatementSplitter.tableRef, so FK edges and
+    // table refs agree on ("my.schema", "orders") and the subset
+    // engine's joins line up
+    val parts = StatementSplitter.splitQualified(name)
+      .map(StatementSplitter.unquoteIdent)
     if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
   }
 }

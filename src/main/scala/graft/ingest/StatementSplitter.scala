@@ -310,7 +310,7 @@ object StatementSplitter {
       case _ => None
     }
     nameIdx.flatMap(words.lift).map { raw =>
-      val name = raw.takeWhile(ch => ch != '(' && ch != ';')
+      val name = truncAtTerminator(raw)
       val parts = splitQualified(name).map(unquoteIdent)
       if (parts.length >= 2) (parts(0), parts(1)) else ("public", parts(0))
     }
@@ -337,10 +337,27 @@ object StatementSplitter {
       case _ => None
     }
     nameIdx.flatMap(words.lift).map { raw =>
-      val name = raw.takeWhile(ch => ch != '(' && ch != ';')
+      val name = truncAtTerminator(raw)
       val parts = splitQualified(name).map(unquoteIdent)
       if (parts.length >= 2) (Some(parts(0)), parts(1)) else (None, parts(0))
     }
+  }
+
+  /** Cut a name token at the first '(' or ';' OUTSIDE quotes — a
+    * quoted identifier may itself contain parens (`"items(2024)"`),
+    * which must stay part of the name (r19 review).
+    */
+  private def truncAtTerminator(raw: String): String = {
+    var q: Char = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '"' || c == '`') q = c
+      else if (c == '(' || c == ';') return raw.substring(0, i)
+      i += 1
+    }
+    raw
   }
 
   /** Split a possibly-qualified identifier on dots OUTSIDE quotes only:

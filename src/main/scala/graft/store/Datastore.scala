@@ -90,8 +90,19 @@ class Datastore(rootUri: String, spark: SparkSession) {
       // binaryFile sorts its splits by SIZE (bin-packing), not name —
       // the range sort restores part order so downstream consumers that
       // derive statement positions from partition order (DumpReader
-      // .statementsFromStrings) see chunks in dump order
-      .orderBy("path")
+      // .statementsFromStrings) see chunks in dump order. Ordering is
+      // the NUMERIC (partition, chunk) pair parsed from the part name
+      // (same rule as readBlobTo): lexicographic path order breaks the
+      // moment a chunk index outgrows its zero-pad ('…-100000' sorts
+      // before '…-99999'); unparseable names sort last, by path.
+      .orderBy(
+        org.apache.spark.sql.functions.expr(
+          "CAST(coalesce(nullif(regexp_extract(path, '([0-9]+)-[0-9]+\\\\.dump$', 1), '')" +
+            ", '9223372036854775807') AS BIGINT)"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(coalesce(nullif(regexp_extract(path, '-([0-9]+)\\\\.dump$', 1), '')" +
+            ", '9223372036854775807') AS BIGINT)"),
+        org.apache.spark.sql.functions.col("path"))
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
         val raw = Codecs.decode(bytes, compressed, encryptionKey)

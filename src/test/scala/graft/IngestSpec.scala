@@ -669,6 +669,52 @@ class IngestSpec extends SparkSpec {
       StatementSplitter.split(myWhole, Some(false)).map(r => (r.kind, r.text)))
   }
 
+  test("r19 review fixes: non-UTF-8 chunk streams, string-desync dialect votes, quoted FK names, parens in quoted idents") {
+    import graft.ingest.{ChunkedSpool, Ddl, StatementSplitter}
+    // (1) a latin1/SQL_ASCII dump stream (invalid UTF-8 bytes) chunks
+    // byte-exactly — a UTF-8 scan would decode 0xE9 to U+FFFD and the
+    // re-encoded cut would shift real bytes
+    val latin1Stmts = Seq(
+      "SET standard_conforming_strings = on;",
+      "INSERT INTO t (a) VALUES ('café latin1');", // é as ONE byte below
+      "INSERT INTO t (a) VALUES ('plain');",
+      "INSERT INTO t (a) VALUES ('more éè');")
+    val latin1Bytes = (latin1Stmts.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(latin1Bytes.exists(b => (b & 0xff) == 0xe9)) // genuinely invalid UTF-8
+    val dir = java.nio.file.Files.createTempDirectory("graft-latin1-spool-")
+    val written = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    val parts = ChunkedSpool.write(i => {
+      val p = dir.resolve(f"part-$i%05d.sql"); written += p
+      new java.io.FileOutputStream(p.toFile)
+    }, pg = None, chunkBytes = 40)(o => o.write(latin1Bytes))
+    assert(parts > 1)
+    val cat = written.flatMap(p => java.nio.file.Files.readAllBytes(p).toSeq)
+    assert(cat == latin1Bytes.toSeq, "non-UTF-8 stream must pass through byte-exactly")
+
+    // (2) dialect votes survive string-rule desync: a MySQL \' inside a
+    // COMMENT must not leak a double quote into the pg vote
+    assert(Ddl.dialect(
+      "CREATE TABLE `t` (a varchar(20) COMMENT 'don\\'t use \"raw\"') ENGINE=InnoDB;")
+      .contains("mysql"))
+    // engine-synthesized DDL still votes pg
+    assert(Ddl.dialect("CREATE TABLE IF NOT EXISTS \"prices\" (\"id\" bigint);")
+      .contains("pg"))
+
+    // (3) FK extraction agrees with tableRef on dotted quoted names
+    val fk = Ddl.foreignKey(
+      "ALTER TABLE ONLY \"my.schema\".\"orders\" ADD CONSTRAINT c " +
+        "FOREIGN KEY (uid) REFERENCES \"my.schema\".\"users\" (id);").get
+    assert(fk.fromDatabase == "my.schema" && fk.fromTable == "orders")
+    assert(fk.toDatabase == "my.schema" && fk.toTable == "users" && fk.toCol == "id")
+
+    // (4) parens inside a quoted identifier stay part of the name
+    assert(StatementSplitter.tableRef("CREATE TABLE \"items(2024)\" (a int);")
+      .contains(("public", "items(2024)")))
+    assert(StatementSplitter.tableRef("CREATE TABLE t(a int);")
+      .contains(("public", "t")))
+  }
+
   test("dialect floor is scoped to headerless files: a mysqldump in a mixed directory keeps MySQL rules (ADVICE r18)") {
     import graft.ingest.{DumpReader, StatementSplitter}
     // banner recognition: mysqldump's own header, pre-data only

@@ -487,30 +487,30 @@ object Cli {
           // loudly.
           case Some(conn) if pgToolsMode(spark, conn.url) =>
             val wipePg = dest.wipe.getOrElse(true)
-            graft.ingest.PgLive.restore(pgConn(conn), o => {
+            val qi = graft.ingest.PgLive.quoteIdent _
+            // per-table resolution (rules unchanged from the
+            // single-pipe leg):
+            //  - stored DDL only when its dialect can run under psql
+            //    (ADVICE r17: a mysql-sourced dump carries backticked
+            //    ENGINE= DDL that dies under ON_ERROR_STOP) — a
+            //    confirmed mismatch falls back to synthesized DDL
+            //  - the data stream follows the stored DDL's OWN schema
+            //    qualifier (ADVICE r17: hardcoding public broke
+            //    non-public pg schemas after the public-only wipe);
+            //    synthesized DDL targets public
+            val resolved = tables.toSeq.sortBy(_._1).map { case (t, df0) =>
+              val stored = storedDdl.get(t).filter(_ => wipePg)
+                .filter(d => graft.ingest.Ddl.dialect(d).forall(_ == "pg"))
+              val ns = stored.flatMap(d => graft.ingest.StatementSplitter
+                .tableRefExplicit(d).flatMap(_._1)).getOrElse("public")
+              (t, df0, stored, ns)
+            }
+            // phase A (one pipe): every table's DDL, declared before any
+            // data pipe opens
+            val ddlWriter = (o: java.io.OutputStream) => {
               val w = new java.io.OutputStreamWriter(o,
                 java.nio.charset.StandardCharsets.UTF_8)
-              tables.toSeq.sortBy(_._1).foreach { case (t, df0) =>
-                // archive-sourced frames can carry true binary/nested
-                // columns: the data stream hex/JSON-encodes them
-                // (sqlSafe — identity for statement-dump frames) while
-                // the synthesized DDL keeps the ORIGINAL schema, so a
-                // binary column declares bytea and the COPY hex text
-                // restores as real bytea on the server
-                val df = graft.ingest.DumpSink.sqlSafe(df0)
-                // stored DDL only when its dialect can run under psql
-                // (ADVICE r17: a mysql-sourced dump carries backticked
-                // ENGINE= DDL that dies under ON_ERROR_STOP) — a
-                // confirmed mismatch falls back to synthesized DDL
-                val stored = storedDdl.get(t).filter(_ => wipePg)
-                  .filter(d => graft.ingest.Ddl.dialect(d).forall(_ == "pg"))
-                // the data stream follows the stored DDL's OWN schema
-                // qualifier (ADVICE r17: hardcoding public broke
-                // non-public pg schemas after the public-only wipe);
-                // synthesized DDL targets public
-                val ns = stored.flatMap(d => graft.ingest.StatementSplitter
-                  .tableRefExplicit(d).flatMap(_._1)).getOrElse("public")
-                val qi = graft.ingest.PgLive.quoteIdent _
+              resolved.foreach { case (t, df0, stored, ns) =>
                 if (ns != "public")
                   // the wipe only drops public — recreate the foreign
                   // schema and clear the table so re-runs stay
@@ -520,14 +520,34 @@ object Cli {
                 w.write(stored.map(_.stripSuffix(";") + ";")
                   .getOrElse(graft.ingest.PgLive.createTableSql(s"public.$t", df0.schema)))
                 w.write("\n")
-                w.flush()
+              }
+              w.flush()
+            }
+            // phase B (one pipe PER TABLE, parallel — r19 verdict #5):
+            // tables are row-independent and no FK constraint exists
+            // yet (this leg replays per-table CREATEs only), so the
+            // single psql pipe's throughput — the reference's bound —
+            // multiplies by the concurrent pipe count
+            val dataWriters = resolved.map { case (t, df0, _, ns) =>
+              t -> ((o: java.io.OutputStream) => {
+                val w = new java.io.OutputStreamWriter(o,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                // archive-sourced frames can carry true binary/nested
+                // columns: the data stream hex/JSON-encodes them
+                // (sqlSafe — identity for statement-dump frames) while
+                // the synthesized DDL keeps the ORIGINAL schema, so a
+                // binary column declares bytea and the COPY hex text
+                // restores as real bytea on the server
+                val df = graft.ingest.DumpSink.sqlSafe(df0)
                 val it = graft.ingest.DumpSink
                   .toCopyText(df, ns, t, quoted = true).toLocalIterator()
                 while (it.hasNext) { w.write(it.next()); w.write("\n") }
                 w.flush()
-              }
-              w.flush()
-            }, wipe = wipePg, cmd = toolCmd(spark, "psql"))
+              })
+            }
+            graft.ingest.PgLive.restoreParallel(pgConn(conn), ddlWriter, dataWriters,
+              wipe = wipePg, cmd = toolCmd(spark, "psql"),
+              parallelism = restoreParallelism(spark))
             tables.keys.toSeq.sorted.foreach(t => out(s"restored: $t"))
 
           // live-MySQL TOOL restore (reference destination/mysql.rs:
@@ -938,12 +958,32 @@ object Cli {
 
   /** `spark.graft.spoolChunkMb` override of the 100 MB chunked-spool
     * part size (tests set it small) — one parse for the three spool
-    * writers.
+    * writers. Clamped to Int.MaxValue and required positive (ADVICE
+    * r19): 2048+ MB used to overflow to a negative Int, which made
+    * `ChunkedSpool.rollIfDue` fire on every byte — full-buffer rescans
+    * and one part per statement instead of 100 MB parts.
     */
-  private def spoolChunkBytes(spark: SparkSession): Int =
+  private[graft] def spoolChunkBytes(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.spoolChunkMb")
-      .map(m => (m.toDouble * 1024 * 1024).toInt)
+      .map { m =>
+        val bytes = math.min(m.toDouble * 1024 * 1024, Int.MaxValue.toDouble).toInt
+        require(bytes > 0, s"spark.graft.spoolChunkMb must be > 0, got: $m")
+        bytes
+      }
       .getOrElse(graft.ingest.ChunkedSpool.DefaultChunkBytes)
+
+  /** `spark.graft.restoreParallelism` — concurrent per-table psql data
+    * pipes in the tool restore leg (r19 verdict #5). Default 4: the
+    * pipes contend on the destination server's write path, not on
+    * Spark, so a small constant captures most of the multiple before
+    * the server saturates; 1 restores the single-pipe shape.
+    */
+  private[graft] def restoreParallelism(spark: SparkSession): Int = {
+    val n = spark.conf.getOption("spark.graft.restoreParallelism")
+      .map(_.toInt).getOrElse(4)
+    require(n > 0, s"spark.graft.restoreParallelism must be > 0, got: $n")
+    n
+  }
 
   /** Part-file opener for Hadoop-FS chunked spools: owner-only
     * `part-%05d.sql` under `dir`.

@@ -115,11 +115,18 @@ object ChunkedSpool {
       }
     }
     writeTo(chunking)
-    // the tail (and an empty stream's zero bytes) always lands as the
-    // final part, complete or not — the consumer's splitter sees the
-    // same trailing bytes it would have seen in a single file
-    val o = openPart()
-    try o.write(buf.toByteArray) finally o.close()
+    // the tail (and an empty stream's zero bytes) lands as the final
+    // part, complete or not — the consumer's splitter sees the same
+    // trailing bytes it would have seen in a single file. A stream
+    // that ended exactly on a roll boundary has nothing buffered: skip
+    // the part then (ADVICE r19 — the unconditional open wrote a
+    // zero-byte trailing part, inflating part/parse-task counts). The
+    // parts ≥ 1 guarantee stays for the truly empty stream, so
+    // downstream listing still finds the spool.
+    if (parts == 0 || buf.size() > 0) {
+      val o = openPart()
+      try o.write(buf.toByteArray) finally o.close()
+    }
     parts
   }
 }

@@ -103,10 +103,17 @@ object Ddl {
     // survives BOTH interpretations. A desynced single-rule strip
     // leaked string content into the vote (r19 review: a MySQL
     // COMMENT 'don\'t use "raw"' flipped a confirmed-mysql DDL to
-    // ambiguous and the pg leg replayed it).
+    // ambiguous and the pg leg replayed it). The strip is a scanner
+    // that also tracks "…"/`…` QUOTED-IDENTIFIER spans (ADVICE r19):
+    // the earlier regex strip treated an apostrophe inside CREATE
+    // TABLE "it's" or `don't` as a string-literal start, desyncing
+    // both strips so real quote markers could be swallowed. Both
+    // strips recognize the same ident-quoting union (the DDL's true
+    // dialect is exactly what's being decided); only the
+    // string-literal ESCAPE rule differs between them.
     val strips = Seq(
-      ddl.replaceAll("'(?:[^']|'')*'", "''"),          // pg string rules
-      ddl.replaceAll("'(?:[^'\\\\]|\\\\.|'')*'", "''")) // mysql string rules
+      stripStrings(ddl, mysqlRules = false), // pg string rules
+      stripStrings(ddl, mysqlRules = true))  // mysql string rules
     def inBoth(probe: String => Boolean) = strips.forall(probe)
     val mysql = inBoth(_.contains('`')) ||
       inBoth(s => MysqlMarkers.findFirstIn(s).isDefined)
@@ -117,6 +124,51 @@ object Ddl {
       case (false, true) => Some("pg")
       case _ => None
     }
+  }
+
+  /** Dialect-probe strip: string literals collapse to `''` and quoted
+    * identifiers to bare `""`/`` `` `` (delimiters kept — they ARE the
+    * vote; content dropped — it must never vote or open a string).
+    * `mysqlRules` selects the string-literal escape rule: MySQL honors
+    * backslash escapes inside `'…'` (and treats `"…"` as a string with
+    * the same escapes); pg doubles quotes only. Both rules scan `"…"`
+    * and `` `…` `` as quoted spans with doubled-delimiter escapes.
+    */
+  private[graft] def stripStrings(s: String, mysqlRules: Boolean): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    // skip a quoted span: cursor starts just after the opening `q`;
+    // returns the index just after the closing delimiter. `qq` doubling
+    // always escapes; backslash escapes only when the rule says so.
+    def skip(from: Int, q: Char, backslash: Boolean): Int = {
+      var j = from
+      while (j < n) {
+        val c = s.charAt(j)
+        if (backslash && c == '\\' && j + 1 < n) j += 2
+        else if (c == q && j + 1 < n && s.charAt(j + 1) == q) j += 2
+        else if (c == q) return j + 1
+        else j += 1
+      }
+      n
+    }
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          out.append("''")
+          i = skip(i + 1, '\'', backslash = mysqlRules)
+        case '"' =>
+          out.append("\"\"")
+          i = skip(i + 1, '"', backslash = mysqlRules)
+        case '`' =>
+          out.append("``")
+          i = skip(i + 1, '`', backslash = false)
+        case c =>
+          out.append(c)
+          i += 1
+      }
+    }
+    out.toString
   }
 
   private val FkPattern =

@@ -379,6 +379,16 @@ object Similarity {
     * thinning for spread, ordered limit so the driver never holds more
     * than `maxTrainRows` vectors regardless of corpus size.
     */
+  /** Public handle on the spherical-k-means coarse fit [[ivfTopK]]
+    * trains by default — callers that manage the index lifecycle
+    * (pay-once prebuild, persisted artifacts) train here once and pass
+    * the result as `centroids0`. Defaults mirror [[ivfTopK]]'s.
+    */
+  def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
+                        nCentroids: Int = 16, sampleMod: Int = 10, iters: Int = 3,
+                        maxTrainRows: Int = 10000): Array[Array[Double]] =
+    trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
+
   private def trainOnCorpus(corpus: DataFrame, id: String, vec: String,
                             nCentroids: Int, sampleMod: Int, iters: Int,
                             maxTrainRows: Int): Array[Array[Double]] = {
@@ -499,9 +509,17 @@ object Similarity {
       nProbe: Int = 4,
       sampleMod: Int = 10,
       iters: Int = 3,
-      maxTrainRows: Int = 10000): DataFrame = {
+      maxTrainRows: Int = 10000,
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows)
+    // `centroids0`: a pre-trained coarse quantizer — the train-once
+    // artifact lifecycle (same placement as the IVF-PQ codebook): the
+    // Lloyd fit collects a driver sample, so paying it per query is
+    // neither the production shape nor bench-stable (r19 verdict #3).
+    // Training is deterministic, so passing the prebuilt fit changes
+    // WHERE the cost lands, not the result or the plan.
+    val centroids = centroids0.getOrElse(
+      trainOnCorpus(corpus, id, vec, nCentroids, sampleMod, iters, maxTrainRows))
     val assigned = assignCells(corpus, id, vec, centroids)
       .select(col("doc").as("neighbor_id"), col("v").as("cv"), col("cell"))
     // queries: nProbe nearest cells each, best first, ties to the lower

@@ -180,11 +180,15 @@ object OpsQueries {
         .withColumnRenamed("doc", "vec_id")),
 
     // IVF ANN: coarse k-means cells + nProbe probing (no oracle —
-    // recall vs brute force in OpsSpec)
+    // recall vs brute force in OpsSpec). The coarse fit comes from the
+    // shared pay-once cache (r19 verdict #3): training is
+    // deterministic, so the result and plan are identical to an
+    // in-query fit — only the cost placement moves to prebuild.
     "x_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
-        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5)
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), "vec_id", "embedding", 5,
+        centroids0 = Some(cachedIvfCentroids(s, dir)))
     }),
 
     // IVF-PQ ANN: coarse cells + product-quantized ADC ranking — the
@@ -350,7 +354,8 @@ object OpsQueries {
     "x_ann_ivf_precision" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          centroids0 = Some(cachedIvfCentroids(s, dir)))
         .select(col("query_id"), col("neighbor_id"))
         .union(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", AnnOracleKPrime)
           .select(col("query_id"), col("neighbor_id")))
@@ -1953,6 +1958,23 @@ object OpsQueries {
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
 
+  /** Plain-IVF coarse quantizer cache (r19 verdict #3): the spherical
+    * Lloyd fit `x_ann_ivf`/`x_ann_ivf_precision` share — same
+    * train-once lifecycle as [[cachedIvfPqIndex]] (which canNOT be
+    * reused here: IVF-PQ's coarse cells are Euclidean, plain IVF's are
+    * spherical). Keyed by source identity + every training knob; a
+    * re-provisioned testdata dir retrains.
+    */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def cachedIvfCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = graft.store.ArtifactCache.sourceIdentity(s, s"$dir/embeddings.parquet") +
+      "|ivf,c=16,mod=10,it=3,n=10000,v1"
+    ivfCentroidCache.computeIfAbsent(key, _ =>
+      Similarity.trainIvfCentroids(Tables.embeddings(s, dir), "vec_id", "embedding"))
+  }
+
   private def cachedIvfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
     val key = graft.store.ArtifactCache.sourceIdentity(s, s"$dir/embeddings.parquet") +
       "|ivfpq,c=16,m=16,k=16,v1"
@@ -1992,6 +2014,9 @@ object OpsQueries {
     // land back inside the first family query
     cachedIvfPqIndex(s, dir)
     cachedPqCodes(s, dir).count()
+    // plain IVF's spherical coarse fit (r19 verdict #3 — it trained
+    // in-query, so x_ann_ivf paid it on whichever pass ran first)
+    cachedIvfCentroids(s, dir)
     ()
   }
 

@@ -95,13 +95,12 @@ class Datastore(rootUri: String, spark: SparkSession) {
       // (same rule as readBlobTo): lexicographic path order breaks the
       // moment a chunk index outgrows its zero-pad ('…-100000' sorts
       // before '…-99999'); unparseable names sort last, by path.
-      .orderBy(
-        org.apache.spark.sql.functions.expr(
-          "CAST(coalesce(nullif(regexp_extract(path, '([0-9]+)-[0-9]+\\\\.dump$', 1), '')" +
-            ", '9223372036854775807') AS BIGINT)"),
-        org.apache.spark.sql.functions.expr(
-          "CAST(coalesce(nullif(regexp_extract(path, '-([0-9]+)\\\\.dump$', 1), '')" +
-            ", '9223372036854775807') AS BIGINT)"),
+      // Built with the functions API, NOT expr() string literals: the
+      // regex pattern must never pass through the SQL parser, where
+      // spark.sql.parser.escapedStringLiterals would change what
+      // '\\.dump' means and silently break the match (ADVICE r19).
+      .orderBy(Datastore.partOrderCol("([0-9]+)-[0-9]+\\.dump$"),
+        Datastore.partOrderCol("-([0-9]+)\\.dump$"),
         org.apache.spark.sql.functions.col("path"))
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
@@ -214,6 +213,19 @@ class Datastore(rootUri: String, spark: SparkSession) {
 }
 
 object Datastore {
+  /** Numeric sort key for one component of a part name: the captured
+    * group of `pattern` against the `path` column as a BIGINT, with
+    * non-matching paths sorting last. The pattern string goes straight
+    * into the expression tree (never through the SQL parser), so
+    * parser-level escaping modes can't reinterpret it.
+    */
+  private[store] def partOrderCol(pattern: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(
+      nullif(regexp_extract(col("path"), pattern, 1), lit("")).cast("bigint"),
+      lit(Long.MaxValue))
+  }
+
   /** Reassembly order of a `<partition>-<chunk>.dump` part name: the
     * parsed numeric (partition, chunk) pair. Unparseable names sort
     * after all parseable ones, by name — never silently interleaved.

@@ -124,4 +124,38 @@ class BenchSpec extends SparkSpec {
     assert(spreadKindOf(q("clean", 2.0, 4.0, "e", 1.0, 1.0),
       q("clean", 1.9, 3.8, "e", 1.0, 1.0)).isEmpty)
   }
+
+  test("plan normalization masks JVM lambda-class indices (r19 verdict #2 — the media-family hash churn)") {
+    // the r18→r19 churn: same plan, different classloader history —
+    // only the $$Lambda$ counter moved
+    val a = "MapPartitions graft.ops.Multimodal$$Lambda$3775/0x00000008016a1040@4b8b2d57, obj#123"
+    val b = "MapPartitions graft.ops.Multimodal$$Lambda$4112/0x00000008019e2c38@77fe1fca, obj#99"
+    assert(Bench.normalizePlan(a) == Bench.normalizePlan(b))
+    assert(Bench.normalizePlan(a)
+      == "MapPartitions graft.ops.Multimodal$$Lambda$_/0x_@_, obj#_")
+    // a genuinely different function is still distinguished
+    val c = "MapPartitions graft.ops.Dedup$$Lambda$3775/0x00000008016a1040@4b8b2d57, obj#123"
+    assert(Bench.normalizePlan(a) != Bench.normalizePlan(c))
+  }
+
+  test("warm-churn repeating across consecutive artifacts promotes to actionable (ADVICE r19)") {
+    import Bench.{isActionable, warmChurnNames}
+    // prior artifact: one warm-churn, one env-churn
+    val prior = """{"metric":"total","value":120.5,"spread_kind":""" +
+      """{"x_dsir_weights":"warm-churn","x_quality_logit_trained":"env-churn"},""" +
+      """"n_spread_actionable":0}"""
+    assert(warmChurnNames(prior) == Set("x_dsir_weights"))
+    // a repeat on the SAME query gates; a one-off or another query doesn't
+    assert(isActionable("x_dsir_weights", "warm-churn", Set("x_dsir_weights")))
+    assert(!isActionable("x_dsir_weights", "warm-churn", Set.empty))
+    assert(!isActionable("x_other", "warm-churn", Set("x_dsir_weights")))
+    // env-churn never promotes, whatever the prior artifact said
+    assert(!isActionable("x_quality_logit_trained", "env-churn",
+      Set("x_quality_logit_trained")))
+    // artifacts without the map / with an empty map parse to no names
+    assert(warmChurnNames("""{"metric":"total","value":1.0}""").isEmpty)
+    assert(warmChurnNames("""{"spread_kind":{}}""").isEmpty)
+    // the 2-arg form keeps its meaning (no prior artifact)
+    assert(!isActionable("x_dsir_weights", "warm-churn"))
+  }
 }

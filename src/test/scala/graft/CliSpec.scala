@@ -2030,4 +2030,19 @@ class CliSpec extends SparkSpec {
       assert(spark.read.parquet(s"$outDir/events").count() == 7)
     } finally spark.conf.unset("spark.graft.mongodumpCmd")
   }
+
+  test("spoolChunkMb: 2 GB+ clamps instead of overflowing Int; non-positive values are rejected (ADVICE r19)") {
+    try {
+      // 4096 MB used to overflow to a negative Int, making the spool
+      // roll on every byte (one part per statement)
+      spark.conf.set("spark.graft.spoolChunkMb", "4096")
+      assert(Cli.spoolChunkBytes(spark) == Int.MaxValue)
+      spark.conf.set("spark.graft.spoolChunkMb", "0.25")
+      assert(Cli.spoolChunkBytes(spark) == 256 * 1024)
+      spark.conf.set("spark.graft.spoolChunkMb", "0")
+      intercept[IllegalArgumentException](Cli.spoolChunkBytes(spark))
+      spark.conf.set("spark.graft.spoolChunkMb", "-3")
+      intercept[IllegalArgumentException](Cli.spoolChunkBytes(spark))
+    } finally spark.conf.unset("spark.graft.spoolChunkMb")
+  }
 }

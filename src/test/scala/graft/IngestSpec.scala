@@ -758,4 +758,46 @@ class IngestSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getBoolean(1))).toSet
     assert(byTable == Set(("t", true), ("m", false)), byTable)
   }
+
+  test("r19 ADVICE: apostrophe inside a quoted identifier never opens a string in the dialect probe") {
+    import graft.ingest.Ddl
+    // the strip scanner drops ident content but keeps the delimiters —
+    // they ARE the vote
+    assert(Ddl.stripStrings("CREATE TABLE \"it's\" (a text DEFAULT 'v');",
+      mysqlRules = false) == "CREATE TABLE \"\" (a text DEFAULT '');")
+    assert(Ddl.stripStrings("CREATE TABLE `don't` (a text DEFAULT 'v\\'s');",
+      mysqlRules = true) == "CREATE TABLE `` (a text DEFAULT '');")
+    // quoted-ident apostrophes vote their own dialect cleanly
+    assert(Ddl.dialect("CREATE TABLE \"it's\" (\"id\" bigint);").contains("pg"))
+    assert(Ddl.dialect("CREATE TABLE `don't` (`id` int) ENGINE=InnoDB;")
+      .contains("mysql"))
+    // the regex strip desynced HERE: under pg string rules the ident's
+    // apostrophe opened a literal that swallowed up to DEFAULT's quote,
+    // leaking 'x "y"' into the text so the double quote voted pg and a
+    // confirmed-mysql DDL flipped to ambiguous
+    assert(Ddl.dialect("CREATE TABLE `don't` (a int, b text DEFAULT 'x \"y\"');")
+      .contains("mysql"))
+  }
+
+  test("r19 ADVICE: a stream ending exactly on a roll boundary writes no zero-byte trailing part") {
+    import graft.ingest.ChunkedSpool
+    val stmt = "SELECT 1;\n" // 10 bytes — exactly one chunk below
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool-exact-")
+    val written = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    val parts = ChunkedSpool.write(i => {
+      val p = dir.resolve(f"part-$i%05d.sql"); written += p
+      new java.io.FileOutputStream(p.toFile)
+    }, pg = Some(true), chunkBytes = stmt.length) { o =>
+      o.write(stmt.getBytes("UTF-8")); o.write(stmt.getBytes("UTF-8"))
+    }
+    assert(parts == 2, s"expected 2 parts (no empty tail), got $parts")
+    assert(written.forall(p => java.nio.file.Files.size(p) > 0))
+    assert(written.flatMap(p => java.nio.file.Files.readAllBytes(p).toSeq)
+      == (stmt + stmt).getBytes("UTF-8").toSeq)
+    // the truly empty stream still spools exactly one (empty) part
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-spool-empty-")
+    val p2 = ChunkedSpool.write(i => new java.io.FileOutputStream(
+      dir2.resolve(f"part-$i%05d.sql").toFile), pg = Some(true))(_ => ())
+    assert(p2 == 1)
+  }
 }

@@ -418,6 +418,14 @@ class OpsSpec extends SparkSpec {
     assert(ivf == run(), "ivfTopK is not deterministic across runs")
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall too low — cell assignment or probing is broken")
+    // a PREBUILT coarse fit (the pay-once artifact placement, r19
+    // verdict #3) returns the identical result: training is
+    // deterministic, so only the cost placement moves
+    val prebuilt = Similarity.trainIvfCentroids(e, "vec_id", "embedding", nCentroids = 8)
+    val viaArtifact = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4, centroids0 = Some(prebuilt))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaArtifact == ivf, "prebuilt-centroid IVF diverged from the in-query fit")
   }
 
   test("spherical k-means: centroids are unit-norm and stable on a fixed sample") {

@@ -161,4 +161,31 @@ class StoreSpec extends SparkSpec {
     assert(cat.byName("old-dump").get.size == 11)
     assert(cat.byName("old-dump").get.format == None)
   }
+
+  test("statement-dump read order: numeric under legacy narrow pads, immune to escapedStringLiterals (ADVICE r19)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-ord").toString
+    val store = new Datastore(s"file://$dir", spark)
+    // one partition, one statement per chunk → parts 0..29 in dump order
+    val statements = (0 until 30).map(i =>
+      s"INSERT INTO public.o (i) VALUES ($i);").toDS().coalesce(1)
+    store.write("dump-ord", statements, compressed = false, chunkBytes = 1)
+    val d = new java.io.File(s"$dir/dump-ord")
+    val parts = d.listFiles().filter(_.getName.endsWith(".dump"))
+    assert(parts.length == 30, s"expected 30 one-statement parts, got ${parts.length}")
+    // rename to a pre-r19 NARROW chunk pad: lexicographic path order
+    // now reads 0,1,10,11,…,2,20,… — only numeric ordering survives
+    parts.foreach { f =>
+      val m = "\\d+-0*(\\d+)\\.dump".r.findFirstMatchIn(f.getName).get
+      assert(f.renameTo(new java.io.File(d, s"00000-${m.group(1)}.dump")))
+    }
+    // escapedStringLiterals must not change what the ordering regex
+    // means — the pattern never passes through the SQL parser
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      val back = store.read("dump-ord").collect().toSeq
+      assert(back == (0 until 30).map(i => s"INSERT INTO public.o (i) VALUES ($i);"),
+        s"order degraded: ${back.take(5)}…")
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+  }
 }

@@ -695,8 +695,18 @@ object Dedup {
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Fused round 1 (r20 optimization): from the identity labeling, the
+    // first loop round always computes exactly min(id, min neighbor id)
+    // — the grand-label lookup degenerates (label(label(i)) == i) — so
+    // initialize with that directly from ONE groupBy over sym instead of
+    // paying the full round's two joins + aggregation + barrier + probe.
+    // The remaining label sequence is identical (round r here == round
+    // r+1 before), so the fixpoint — and the output — is unchanged;
+    // the round budget buys the same reachable diameter one doubling
+    // earlier.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -1055,6 +1065,31 @@ object Dedup {
     cg.join(bg, Seq("gram"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[contaminationHits]] that also emits each contaminated doc's
+    * distinct-gram count `g` — for FRACTIONAL decontamination rules
+    * (n_hits / g >= f). The count rides the existing explode (8 bytes
+    * per exploded row, folded back as `max` — it is constant per doc)
+    * instead of a second gram pass over the corpus joined back on the
+    * doc key, which is what the capstone pipelines paid before r20:
+    * one join + one full gram-extraction subtree removed per run.
+    * Rows/values are identical to joining [[contaminationHits]] with a
+    * separately computed size-of-distinct-grams frame.
+    */
+  private[graft] def contaminationHitsWithSize(
+      corpus: DataFrame, id: String, corpusText: Column,
+      benchmark: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val cg = corpus
+      .select(col(id).as("doc"),
+        array_distinct(TextAnalysis.wordNgrams(corpusText, n)).as("gs"))
+      .select(col("doc"), size(col("gs")).as("g"), explode(col("gs")).as("gram"))
+    val bg = benchmark
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .distinct()
+    cg.join(bg, Seq("gram"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"), max(col("g")).as("g"))
   }
 
   /** [[contaminationHits]] with a map-side Bloom prefilter — the

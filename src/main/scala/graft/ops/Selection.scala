@@ -135,6 +135,64 @@ object Selection {
   private[graft] def gumbelQSql(idSql: String): String =
     s"CAST(floor(1000000 * -ln(-ln((CAST(${TextAnalysis.md5PrefixLongSql(s"CAST($idSql AS VARCHAR)", 8)} AS DOUBLE) + 0.5) / 4294967296.0))) AS BIGINT)"
 
+  /** One-pass fit+score for the common SUBSET-target case (target =
+    * `df.filter(isTarget)`): the md5 feature hashing — the dominant
+    * cost of the DSIR family — runs ONCE over the corpus instead of
+    * three times (raw fit, target fit, scoring). The per-doc bucket
+    * arrays are pinned as a SKINNY frame (id + flag + int array — the
+    * guide-§8 proxy, never the text payload); the dual bucket counts
+    * come from one aggregation over it (`count` + `count_if`), and
+    * scoring reads the same pinned arrays. Values are bit-identical to
+    * [[fitDsir]] + [[dsirWeightQ]]: same counts, same quantized
+    * arithmetic, same order of operations. The general two-frame API
+    * below remains for targets that are not a predicate of `df`
+    * (e.g. a separate benchmark table).
+    *
+    * Returns (`idName`, dsir_wq) for every row of `df`.
+    */
+  def dsirWeightsSubset(df: DataFrame, idName: String, text: Column,
+                        isTarget: Column, buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20), "buckets must be in (0, 2^20]")
+    val bucketed = df.select(col(idName), isTarget.as("__tgt"),
+        featureBuckets(text, buckets).as("__bs"))
+      .localCheckpoint(true)
+    val agg = bucketed
+      .select(col("__tgt"), explode(col("__bs")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rc"), count_if(col("__tgt")).as("tc"))
+      .collect()
+    val rc = agg.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = agg.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rt = rc.valuesIterator.sum
+    val tt = tc.valuesIterator.sum
+    require(rt > 0 && tt > 0, "raw and target must both contain at least one token")
+    def q(num: Long, den: Long): Long =
+      math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong
+    val offq = q(rt + buckets, tt + buckets)
+    val lam = Array.tabulate(buckets) { b =>
+      q(tc.getOrElse(b.toLong, 0L) + 1, rc.getOrElse(b.toLong, 0L) + 1) + offq
+    }
+    bucketed.select(col(idName),
+      bound(col("__bs")) { bs =>
+        aggregate(bs, lit(0L), (acc, b) => acc + element_at(typedLit(lam.toSeq), (b + 1).cast("int")))
+      }.as("dsir_wq"))
+  }
+
+  /** [[dsirWeightsSubset]] + the Gumbel top-k tail of [[dsirSelect]]:
+    * identical output to `dsirSelect(df, df.filter(isTarget), …)`
+    * restricted to (id, dsir_wq, gumbel_score), computed from one
+    * corpus hashing pass.
+    */
+  def dsirSelectSubset(df: DataFrame, idName: String, text: Column,
+                       isTarget: Column, k: Int,
+                       buckets: Int = DefaultBuckets): DataFrame = {
+    require(k > 0, "k must be positive")
+    dsirWeightsSubset(df, idName, text, isTarget, buckets)
+      .withColumn("gumbel_score", col("dsir_wq") + gumbelQ(col(idName)))
+      .orderBy(col("gumbel_score").desc, col(idName).asc)
+      .limit(k)
+  }
+
   /** DSIR selection: fit on (raw=df, target), weight every raw doc,
     * take the Gumbel top-k — sampling k docs without replacement with
     * probability proportional to their importance weight (temperature 1

@@ -93,10 +93,16 @@ object Vocab {
       else {
         val (pair, n) = top(0)
         merges += ((round, pair, n))
-        corpus = corpus.select(
-            replace(col("s"), lit(" " + pair.replace(" ", "  ") + " "),
-              lit(" " + pair.replace(" ", MergeJoiner) + " ")).as("s"))
-          .localCheckpoint(true)
+        // the round-k rewrite feeds nothing (the trainer returns only the
+        // merge table) — materializing it was a full wasted corpus pass
+        // per training run (r20 optimization; measured as one eager
+        // checkpoint job removed from x_bpe_merges_k AND x_bpe_encode)
+        if (round < k) {
+          corpus = corpus.select(
+              replace(col("s"), lit(" " + pair.replace(" ", "  ") + " "),
+                lit(" " + pair.replace(" ", MergeJoiner) + " ")).as("s"))
+            .localCheckpoint(true)
+        }
         round += 1
       }
     }

@@ -933,8 +933,13 @@ object OpsQueries {
     // data; rates derive from the measured counts, the only driver
     // materialization being the ≤|shares|-row stratum list
     "x_corpus_mixture" -> ((s, dir) => {
+      // r20: the mixture operators scan their input twice (stratum
+      // counts, then the per-row verdict); pin the SKINNY
+      // (doc_id, lang_guess) projection once so the langId regex pass
+      // over the text runs once, not twice — the §8 proxy move
       val docs = Tables.documents(s, dir)
-        .withColumn("lang_guess", TA.langId(col("text")))
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"))
+        .localCheckpoint(true)
       Sampling.mixtureSample(docs, col("doc_id"), col("lang_guess"),
           Map("en" -> 0.7, "und" -> 0.3))
         .select(col("doc_id"), col("lang_guess"))
@@ -946,8 +951,10 @@ object OpsQueries {
     // dominant one downsamples; output is the (doc, copy) manifest a
     // training loader consumes
     "x_epoch_mixture" -> ((s, dir) => {
+      // r20: skinny pin — see x_corpus_mixture
       val docs = Tables.documents(s, dir)
-        .withColumn("lang_guess", TA.langId(col("text")))
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"))
+        .localCheckpoint(true)
       Sampling.epochMixture(docs, col("doc_id"), col("lang_guess"),
           Map("en" -> 0.5, "und" -> 0.5))
         .select(col("doc_id"), col("stratum"), col("copy_idx"))
@@ -957,10 +964,14 @@ object OpsQueries {
     // training mix actually specifies: each stratum's repeat factor
     // derives from its token share, not its doc share
     "x_epoch_mixture_tokens" -> ((s, dir) => {
+      // r20: skinny pin (langId + tokenCount evaluated once) — see
+      // x_corpus_mixture
       val docs = Tables.documents(s, dir)
-        .withColumn("lang_guess", TA.langId(col("text")))
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
+          TA.tokenCount(col("text")).as("__w"))
+        .localCheckpoint(true)
       Sampling.epochMixture(docs, col("doc_id"), col("lang_guess"),
-          Map("en" -> 0.5, "und" -> 0.5), weight = TA.tokenCount(col("text")))
+          Map("en" -> 0.5, "und" -> 0.5), weight = col("__w"))
         .select(col("doc_id"), col("stratum"), col("copy_idx"))
     }),
 
@@ -969,8 +980,10 @@ object OpsQueries {
     // strata (α→0); smallest stratum kept whole, larger ones
     // downsampled by (c_min/c)^(1-α)
     "x_temperature_mixture" -> ((s, dir) => {
+      // r20: skinny pin — see x_corpus_mixture
       val docs = Tables.documents(s, dir)
-        .withColumn("lang_guess", TA.langId(col("text")))
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"))
+        .localCheckpoint(true)
       Sampling.temperatureMixture(docs, col("doc_id"), col("lang_guess"), alpha = 0.5)
         .select(col("doc_id"), col("lang_guess"))
     }),
@@ -979,9 +992,17 @@ object OpsQueries {
     // first — whole per-mille quality buckets while they fit, the
     // boundary bucket cut by a deterministic hash rate, lower buckets
     // dropped; the corpus-side verdict is a stateless narrow filter
-    "x_budget_select" -> ((s, dir) =>
-      Sampling.budgetSelect(Tables.documents(s, dir), col("doc_id"),
-        TA.qualityScore(col("text")), TA.tokenCount(col("text")), BudgetSelectTokens)),
+    "x_budget_select" -> ((s, dir) => {
+      // r20: budgetSelect scans its input twice (bucket stats + verdict
+      // join); pin the skinny (id, score, tokens) projection so the
+      // quality/token expressions over text evaluate once
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("__q"),
+          TA.tokenCount(col("text")).as("__n"))
+        .localCheckpoint(true)
+      Sampling.budgetSelect(base, col("doc_id"), col("__q"), col("__n"),
+        BudgetSelectTokens)
+    }),
 
     // UniMax language sampling (Chung et al., ICLR 2023): waterfill a
     // 90%-of-corpus token budget uniformly over the declared languages
@@ -1007,23 +1028,21 @@ object OpsQueries {
     // long sum; fit = two skinny bucket aggregations, scoring = pure
     // narrow HOF over the broadcast 4096-long model — zero corpus
     // shuffle
-    "x_dsir_weights" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val lam = Selection.fitDsir(docs, docs.filter(col("lang") === "en"),
-        col("text"), DsirBuckets)
-      docs.select(col("doc_id"), Selection.dsirWeightQ(col("text"), lam).as("dsir_wq"))
-    }),
+    // r20: one-pass subset-target path — the corpus is md5-hashed into
+    // feature buckets ONCE (skinny pinned arrays), not once for the fit
+    // and again for the scoring; values identical (same oracle)
+    "x_dsir_weights" -> ((s, dir) =>
+      Selection.dsirWeightsSubset(Tables.documents(s, dir), "doc_id",
+        col("text"), col("lang") === "en", DsirBuckets)),
 
     // DSIR selection: Gumbel top-k over the importance weights —
     // sampling without replacement proportional to the weight, with
     // the Gumbel draw deterministic from the doc-id md5; distributed
     // TakeOrdered, not a global sort
-    "x_dsir_select" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Selection.dsirSelect(docs, docs.filter(col("lang") === "en"),
-          col("doc_id"), col("text"), DsirSelectK, DsirBuckets)
-        .select(col("doc_id"), col("dsir_wq"), col("gumbel_score"))
-    }),
+    "x_dsir_select" -> ((s, dir) =>
+      Selection.dsirSelectSubset(Tables.documents(s, dir), "doc_id",
+        col("text"), col("lang") === "en", DsirSelectK, DsirBuckets)
+        .select(col("doc_id"), col("dsir_wq"), col("gumbel_score"))),
 
     // corpus snapshot diff: the output-regression check between two
     // pipeline runs — fingerprint-compare under the shared id, report
@@ -1056,9 +1075,13 @@ object OpsQueries {
     // local index + a ≤P-row broadcast offset table, never the
     // single-partition window the textbook row_number would plan
     "x_curriculum_rank" -> ((s, dir) =>
+      // r20: pin the skinny (id, quality) projection — globalRank's
+      // range sampler executes its input once for bounds and the
+      // shuffle executes it again; unpinned, the quality regex ran 2×
       Sampling.globalRank(
         Tables.documents(s, dir)
-          .select(col("doc_id"), TA.qualityScore(col("text")).as("quality")),
+          .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+          .localCheckpoint(true),
         Seq(col("quality").desc, col("doc_id").asc))
         .select(col("doc_id"), col("rank"))),
 
@@ -1430,20 +1453,24 @@ object OpsQueries {
     val gated = if (persistGated)
       gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else gated0
     val bench = docs.filter(col("source") === "src0")
-    val gramCounts = gated.select(col("doc_id").as("doc"),
-      size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
-    val contaminated = Dedup.contaminationHits(
+    // fused n_hits+g (r20): the per-doc distinct-gram count rides the
+    // contamination explode instead of a second gram subtree joined back
+    val contaminated = Dedup.contaminationHitsWithSize(
         gated, "doc_id", col("text"), bench, col("text"), 3)
-      .join(gramCounts, Seq("doc"))
       .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
       .select(col("doc").as("doc_id"))
+    // r20: `clean` feeds BOTH the jaccard-pair build (pinned eagerly
+    // inside it) and the final anti-join — unpersisted, the second
+    // consumer replayed the whole contamination join; one
+    // MEMORY_AND_DISK pin removes the replay (released by the caller)
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8,
         eager = true)))
     val result = clean.join(dropList, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
-    (result, if (persistGated) Seq(gated) else Nil)
+    (result, clean +: (if (persistGated) Seq(gated) else Nil))
   }
 
   /** Shared v2/v3 prefix: PII scrub → Gopher gate → fractional
@@ -1463,19 +1490,21 @@ object OpsQueries {
       case _ => gated0
     }
     val bench = docs.filter(col("source") === "src0")
-    val gramCounts = gated.select(col("doc_id").as("doc"),
-      size(array_distinct(TA.wordNgrams(col("text"), 3))).as("g"))
-    val contaminated = Dedup.contaminationHits(
+    // fused n_hits+g (r20): see pipelineV1Parts — one join + one gram
+    // subtree removed from the live v2 chain and the v2/v3 artifact build
+    val contaminated = Dedup.contaminationHitsWithSize(
         gated, "doc_id", col("text"), bench, col("text"), 3)
-      .join(gramCounts, Seq("doc"))
       .filter(col("n_hits").cast("double") / col("g").cast("double") >= 0.5)
       .select(col("doc").as("doc_id"))
+    // r20: pin `clean` — see pipelineV1Parts (kills the contamination-
+    // join replay in the final anti-join consumer)
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(clean, "doc_id", col("text"), 3, 0.8,
         eager = true)))
     val deduped = clean.join(dropList, Seq("doc_id"), "left_anti")
-    (deduped, if (gatedReuse == "persist") Seq(gated) else Nil)
+    (deduped, clean +: (if (gatedReuse == "persist") Seq(gated) else Nil))
   }
 
   /** The shared pipeline tail: stratified corpus mixing (en → 20%) then
@@ -1613,19 +1642,29 @@ object OpsQueries {
     val dropList = Dedup.clusterDropList(Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(desp, "doc_id", col("text"), 3, 0.8,
         eager = true)))
-    val deduped = desp.join(dropList, Seq("doc_id"), "left_anti")
+    // r20: pin the tagged frame — temperatureMixture scans its input
+    // twice (stratum counts, then the verdict join), and unpinned each
+    // scan replayed the anti-join AND the langId regex pass
+    val tagged = desp.join(dropList, Seq("doc_id"), "left_anti")
+      .withColumn("lang_guess", TA.langId(col("text")))
+      .persist(lvl)
     val mixed = Sampling.temperatureMixture(
-        deduped.withColumn("lang_guess", TA.langId(col("text"))),
-        col("doc_id"), col("lang_guess"), 0.5)
+        tagged, col("doc_id"), col("lang_guess"), 0.5)
       .select(col("doc_id"), col("text"))
       .persist(lvl)
-    val selected = Sampling.budgetSelect(mixed, col("doc_id"),
-      TA.qualityScore(col("text")), TA.tokenCount(col("text")), PipelineV4Budget)
+    // r20: budgetSelect also scans ITS input twice — hand it the pinned
+    // skinny (id, score, tokens) projection so the quality/token
+    // expressions evaluate once (the x_budget_select move)
+    val baseSel = mixed.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("__q"), TA.tokenCount(col("text")).as("__n"))
+      .localCheckpoint(true)
+    val selected = Sampling.budgetSelect(baseSel, col("doc_id"),
+      col("__q"), col("__n"), PipelineV4Budget)
     val curated = mixed.join(selected.select(col("doc_id")), Seq("doc_id"))
     val chunks = Sampling.chunkTokens(curated, col("doc_id"), col("text"),
         ChunkWindow, ChunkStride)
       .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
-    (chunks, Seq(desp, mixed))
+    (chunks, Seq(desp, tagged, mixed))
   }
 
   /** Token budget of capstone v4's curation stage: below the sf0.01
@@ -1665,8 +1704,13 @@ object OpsQueries {
       desp.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
       "doc_id", "q")
     val dropped = labeled.filter(col("doc_id") =!= col("rep_id")).select(col("doc_id"))
+    // r20: pin survivors — globalRank's range partitioner runs a
+    // SAMPLING pass over its input before the shuffle executes it
+    // again; unpinned, the anti-join + quality-regex chain (and the
+    // representative groupBy behind it) computed twice per run
     val survivors = desp.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), TA.qualityScore(col("text")).as("quality"))
+      .persist(lvl)
     val ranked = Sampling.globalRank(survivors,
         Seq(col("quality").desc, col("doc_id").asc))
       .filter(col("rank") <= PipelineV5Keep)
@@ -1675,7 +1719,7 @@ object OpsQueries {
         ChunkWindow, ChunkStride)
       .join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
       .select(col("doc_id"), col("rank"), col("chunk_idx"), col("n_chunk_tokens"))
-    (out, Seq(desp, ranked))
+    (out, Seq(desp, survivors, ranked))
   }
 
   /** The synthetic crawl as a PERSISTED `.warc.gz` artifact (real

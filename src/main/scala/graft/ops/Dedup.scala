@@ -1111,9 +1111,13 @@ object Dedup {
       corpus: DataFrame, id: String, corpusText: Column,
       benchmark: DataFrame, benchText: Column, n: Int,
       fpp: Double = 0.01): DataFrame = {
+    // r20: bg drives THREE actions (the sizing count, the Bloom build,
+    // the exact confirm join) — unpinned, the benchmark gram explode +
+    // distinct shuffle ran three times; the pin is benchmark-gram-sized
     val bg = benchmark
       .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
       .distinct()
+      .localCheckpoint(true)
     // the benchmark side is small by contract (it broadcast-joins in
     // the plain form); counting it exactly sizes the filter
     val expected = math.max(1024L, bg.count())

@@ -128,7 +128,12 @@ object Vocab {
   def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
     val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
+    // r20: the (token, c) model feeds BOTH the totals aggregate and the
+    // scoring join — unpinned, each consumer re-ran the corpus explode
+    // + wordcount shuffle (AQE exchange reuse is a runtime gamble, the
+    // r14/r15 lesson); the pin is vocabulary-sized, not corpus-sized
     val model = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = model.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
     val scored = toks.join(model, Seq("token"))
       .crossJoin(broadcast(totals))
@@ -207,7 +212,10 @@ object Vocab {
           i => concat_ws(" ", element_at(a, i), element_at(a, i + 1))))
     }
     val docBi = df.select(col(id), explode(bigr).as("bigram"))
+    // r20: model feeds the context-count derivation AND the scoring
+    // join — pin once (vocabulary-sized), see unigramLogProb
     val model = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ctx = model
       .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c"))
       .groupBy(col("w1")).agg(sum(col("c")).as("cc"))
@@ -267,7 +275,11 @@ object Vocab {
     }
     val docBi = df.select(col(id), explode(pairs).as("bg"))
       .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // r20: model feeds FOUR consumers (ctx, cont, tot, scoring join) —
+    // unpinned, each re-ran the corpus bigram explode + count shuffle;
+    // one vocabulary-sized pin replaces three redundant corpus passes
     val model = docBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ctx = model.groupBy(col("w1"))
       .agg(sum(col("c")).as("cc"), count(lit(1)).as("n1f"))
     val cont = model.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
@@ -355,7 +367,10 @@ object Vocab {
     require(k > 0, "k must be positive")
     val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
+    // r20: tf feeds the document-frequency derivation AND the scoring
+    // join — pin once ((doc, term)-sized, the explode already collapsed)
     val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(col(id)).distinct().agg(count(lit(1)).as("n_docs"))
     // scale-3 rounding, same rationale as unigramLogProb: the rank is
@@ -414,10 +429,16 @@ object Vocab {
     * structure is the contract — [[bm25TopKSql]] mirrors it literally,
     * so live-scan and indexed paths both hash-match the same oracle.
     */
-  private def bm25ScoreTopK(tf: DataFrame, dl: DataFrame, id: String,
+  private def bm25ScoreTopK(tf0: DataFrame, dl0: DataFrame, id: String,
                             k: Int, k1: Double, b: Double): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
+    // r20: tf feeds the df derivation AND the contribution join; dl
+    // feeds the corpus stats AND the same join — unpinned, the live
+    // path re-tokenized the corpus once per consumer. Both pins are
+    // skinny (term-filtered hits; (id, dl) pairs).
+    val tf = tf0.localCheckpoint(true)
+    val dl = dl0.localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(18,0)")).cast("double")
         / count(lit(1)).cast("double")).as("avgdl"))

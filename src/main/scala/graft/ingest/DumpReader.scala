@@ -333,14 +333,21 @@ object DumpReader {
         }
         typedProjection(aligned.toDF("vals"), names, colTypes.map(_._2), sqlQuoted)
       case None =>
+        // r20: the inference path drives FOUR consumers over the parsed
+        // rows (the no-column-list check, the first-row probe, the
+        // type-bounds aggregation, and the final typed projection) —
+        // unpinned, each re-ran the INSERT/COPY parse over the whole
+        // dump. One eager pin parses once; the DDL branch has a single
+        // consumer and stays lazy.
+        val pinned = rows.localCheckpoint(true)
         // without DDL, rows lacking a column list are unusable (names
         // unknown) — fail loudly instead of returning a partial frame.
         // This check is EXACT (a cheap distributed filter with an
         // early-out limit), not sample-bounded: a positional row hiding
         // past a sample would land values in the wrong columns.
-        if (!rows.filter(_._1.isEmpty).isEmpty) throw new IllegalArgumentException(
+        if (!pinned.filter(_._1.isEmpty).isEmpty) throw new IllegalArgumentException(
           s"$database.$table has $noColsHint")
-        val first = rows.limit(1).collect()
+        val first = pinned.limit(1).collect()
         if (first.isEmpty) return spark.emptyDataFrame
         val columns = first(0)._1
         // Sample-free inference: min/max non-null tag per column over
@@ -349,7 +356,7 @@ object DumpReader {
         // makes the type decidable from the (lo, hi) bounds alone:
         // all-numeric iff the bounds sit inside [Long, Double], and hi
         // is then the widest numeric seen.
-        val bounds: Map[Int, (Int, Int)] = rows
+        val bounds: Map[Int, (Int, Int)] = pinned
           .flatMap(_._3.iterator.zipWithIndex
             .collect { case (t, i) if t != TagNull => (i, t) })
           .toDF("i", "tag")
@@ -369,7 +376,7 @@ object DumpReader {
             case _ => StringType
           }
         }.toVector
-        typedProjection(rows.map(_._2).toDF("vals"), columns, types, sqlQuoted)
+        typedProjection(pinned.map(_._2).toDF("vals"), columns, types, sqlQuoted)
     }
   }
 

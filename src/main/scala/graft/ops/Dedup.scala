@@ -867,11 +867,15 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxDocFreq: Long = WinnowDefaultMaxDocFreq): DataFrame = {
-    // no doc-keyed repartition here (unlike docGramArrays): every
-    // consumer joins/aggregates on "print", and the self-join's two
-    // identical print-keyed exchanges already collapse via ReusedExchange
+    // r20: pinned — the print frame feeds the hot-print aggregation,
+    // the anti-join, and BOTH self-join sides; relying on ReusedExchange
+    // to collapse the identical subtrees is the same runtime gamble the
+    // FK-closure audit measured NOT firing (executed plan, zero reuse),
+    // and each replay re-runs the rolling-hash fingerprint pass. The
+    // pin is skinny: (doc, 64-bit print) rows.
     val prints = df.select(col(id).as("doc"),
-      explode(TextAnalysis.winnowFingerprints(text, k, w)).as("print"))
+        explode(TextAnalysis.winnowFingerprints(text, k, w)).as("print"))
+      .localCheckpoint(true)
     val filtered =
       if (maxDocFreq <= 0) prints
       else {
@@ -915,9 +919,13 @@ object Dedup {
       k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k > 0, "span length k must be positive")
     require(minCount >= 2, "minCount < 2 would scrub every token")
+    // r20: pinned — grams feeds the duplication count AND the coverage
+    // join; unpinned, the md5-per-gram hash pass over the corpus ran
+    // twice (ReusedExchange does not cover the agg-vs-join split)
     val grams = df.select(col(id).as("doc"),
         posexplode(TextAnalysis.wordNgrams(text, k)).as(Seq("i", "gram")))
       .select(col("doc"), col("i"), TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
+      .localCheckpoint(true)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select(col("h"))
     val covered = grams.join(dup, Seq("h"))

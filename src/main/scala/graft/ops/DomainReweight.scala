@@ -57,7 +57,10 @@ object DomainReweight {
     val toks = df.select(domain.as("domain"),
         explode(split(lower(trim(text)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
+    // r20: model feeds the totals aggregate AND the scoring join — pin
+    // once (vocabulary-sized), same as Vocab.unigramLogProb
     val model = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = model.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
     toks.join(model, Seq("token"))
       .crossJoin(broadcast(totals))

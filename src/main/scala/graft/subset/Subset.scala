@@ -113,7 +113,19 @@ object Subset {
         seed.get(t).toSeq ++
           edges.filter(_.toTable == t).flatMap { e =>
             selected.get(e.fromTable).map { src =>
+              // r20: pin each level's key set (skinny distinct FK
+              // values). The single-plan design bet on ReuseExchange
+              // deduplicating the shared closure prefix across the
+              // several consumers that count it — measured on the
+              // executed (post-AQE) plan, that reuse does NOT fire
+              // (j1's 5-table count fan-out rescanned lineitem/orders
+              // per branch). With keys pinned, each level's selection
+              // is one scan + one semi-join against materialized keys,
+              // so total work tracks the selected rows again — at lake
+              // scale the difference is rescanning the fact table once
+              // per consumer vs once.
               val keys = src.select(col(e.fromCol).as(e.toCol)).distinct()
+                .localCheckpoint(true)
               load(t).join(keys, Seq(e.toCol), "left_semi")
             }
           }

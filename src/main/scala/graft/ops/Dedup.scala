@@ -1172,12 +1172,14 @@ object Dedup {
     * are config, not code changes).
     */
   def simhashPairs(df: DataFrame, id: String, text: Column, maxDistance: Int): DataFrame = {
-    // Shuffle boundary: the simhash is computed once per doc; the
-    // identical bucketed subplan on both self-join sides becomes a
-    // ReusedExchange instead of two signature passes.
+    // r20: pinned — the bucketed frame feeds both self-join sides, and
+    // the ReusedExchange this repartition bet on is the runtime gamble
+    // the executed-plan audit measured not firing; unpinned, each side
+    // re-ran the signature pass. Skinny rows (doc, sh, bucket).
     val sigs = df.select(col(id).as("doc"), simhash64(text).as("sh"))
       .repartition(col("doc"))
     val buckets = sigs.withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+      .localCheckpoint(true)
     buckets.as("l").join(buckets.as("r"), Seq("bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .withColumn("hamming", hamming64(col("l.sh"), col("r.sh")))

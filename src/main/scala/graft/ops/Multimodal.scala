@@ -346,7 +346,11 @@ object Multimodal {
                             maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 3,
       s"banding is exhaustive only for maxDistance <= 3, got $maxDistance")
-    val batchBands = buildPhashIndex(batchHashes, id).localCheckpoint(true)
+    // r20: pin the batch hash frame itself — it feeds the band build
+    // AND the within-batch pair join, and unpinned each consumer re-ran
+    // the media decode + hash mapPartitions pass over the batch
+    val bh = batchHashes.localCheckpoint(true)
+    val batchBands = buildPhashIndex(bh, id).localCheckpoint(true)
     val probed = Dedup.probeIndex(
       corpusIndex.select(col("doc"), col("band"), col("key"),
         col("ph_hi"), col("ph_lo")),
@@ -359,7 +363,7 @@ object Multimodal {
       .filter(col("hamming") <= maxDistance)
       .select(least(col("l.doc"), col("r.doc")).as("id_a"),
         greatest(col("l.doc"), col("r.doc")).as("id_b"), col("hamming"))
-    val within = phashPairs(batchHashes, id, maxDistance)
+    val within = phashPairs(bh, id, maxDistance)
     cross.unionByName(within).dropDuplicates("id_a", "id_b")
   }
 
@@ -382,9 +386,15 @@ object Multimodal {
     // explode buildPhashIndex persists, so the "exhaustive at ≤ 3"
     // invariant can't drift between the live join and the index it
     // probes
+    // r20: pinned — both self-join sides hang off this frame, and the
+    // exchange-reuse the repartition was betting on is the same runtime
+    // gamble measured NOT firing elsewhere (executed-plan audit); each
+    // replay re-ran the media decode + hash pass upstream. Skinny rows
+    // (id, band, key, two longs).
     val banded = buildPhashIndex(
       hashes.select(col(id).as("media_id"), col("ph_hi"), col("ph_lo"))
         .repartition(col("media_id")))
+      .localCheckpoint(true)
     banded.as("l").join(banded.as("r"), Seq("band", "key"))
       .filter(col("l.doc") < col("r.doc"))
       .withColumn("hamming",

@@ -133,10 +133,15 @@ object Similarity {
       dim: Int = 64,
       seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L)): DataFrame = {
     // All seeds ride ONE exchange: explode (seed, bucket) per vector and
-    // self-join on the composite key — k seeds cost one shuffle, not k,
-    // and the identical bucketed subplan on both sides is a
-    // ReusedExchange.
+    // self-join on the composite key — k seeds cost one shuffle, not k.
+    // r20: the bucketed frame is pinned BEFORE the key exchange — the
+    // two self-join sides were betting on ReusedExchange collapsing
+    // their identical subplans, which the executed-plan audit measured
+    // not firing; unpinned, each side re-ran the vector scan + LSH
+    // bucket hashing. The pin holds the exploded rows once; the join's
+    // key exchange still moves them.
     val b = seedBucketRows(df, id, vec, numPlanes, dim, seeds, keepVec = true)
+      .localCheckpoint(true)
       .repartition(col("seed"), col("bucket"))
     // Order of operations matters at scale: the exact cosine runs
     // map-side straight off the join (no shuffle touches the vectors),
@@ -1070,11 +1075,15 @@ object Similarity {
       landmarkCentroids(df, id, vec, k, landmarkMod)))
 
   private def clusterBalance(assigned: DataFrame): DataFrame = {
-    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    // r20: the assignment feeds the cell-count aggregation AND the
+    // verdict join — pin the skinny (doc, cell) projection so the
+    // nearest-centroid argmax over the vectors runs once, not twice
+    val a = assigned.select(col("doc"), col("cell")).localCheckpoint(true)
+    val counts = a.groupBy(col("cell")).agg(count(lit(1)).as("c"))
     val cmin = counts.agg(min(col("c")).as("cmin"))
     val rates = counts.crossJoin(broadcast(cmin))
       .select(col("cell"), (col("cmin").cast("double") / col("c")).as("__rate"))
-    assigned.join(broadcast(rates), Seq("cell"))
+    a.join(broadcast(rates), Seq("cell"))
       .filter(Sampling.hashPermille(col("doc")).cast("double") < col("__rate") * 1000.0)
       .select(col("doc"), col("cell"))
   }

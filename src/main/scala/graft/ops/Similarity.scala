@@ -461,7 +461,14 @@ object Similarity {
         math.max(16L, math.min(maxTrainRows.toLong, n / targetCellSize)).toInt
       }
     val centroids = trainOnCorpus(df, id, vec, k, sampleMod, iters, maxTrainRows)
-    val assigned = assignCells(df, id, vec, centroids)
+    // r20: pinned — the assignment feeds the shard-count aggregation
+    // and (via the explode) BOTH block-join sides; unpinned, the
+    // scan→assign chain replayed once per consumer (the design accepted
+    // that as "narrow", but the executed-plan audit shows exchange
+    // reuse never collapses the duplicated subtrees, and in the v3
+    // capstones the chain's input is itself a join). One vector-frame
+    // copy (doc, v, cell) buys three replays back.
+    val assigned = assignCells(df, id, vec, centroids).localCheckpoint(true)
     // per-cell shard count from a skinny count agg; broadcast k rows back
     val cellShards = assigned.groupBy(col("cell"))
       .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).cast("int").as("m"))

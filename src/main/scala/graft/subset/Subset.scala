@@ -123,9 +123,13 @@ object Subset {
               // is one scan + one semi-join against materialized keys,
               // so total work tracks the selected rows again — at lake
               // scale the difference is rescanning the fact table once
-              // per consumer vs once.
+              // per consumer vs once. LAZY checkpoint: every consumer
+              // branch then shares ONE RDD (one ShuffleMapStage, one
+              // computation, blocks persisted at first use) without
+              // paying a serialized job barrier per level at
+              // construction time.
               val keys = src.select(col(e.fromCol).as(e.toCol)).distinct()
-                .localCheckpoint(true)
+                .localCheckpoint(false)
               load(t).join(keys, Seq(e.toCol), "left_semi")
             }
           }

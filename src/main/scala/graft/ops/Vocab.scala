@@ -417,10 +417,18 @@ object Vocab {
     val terms = queryTerms.map(_.toLowerCase).distinct
     // narrow per-row doc length: the filtered split, no explode
     val dlExpr = size(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))
-    val dl = df.select(col(id), dlExpr.as("dl"))
+    // r20: pinned — tf and dl each feed two scoring-tail consumers
+    // (dfreq + the contribution join; corpus stats + the same join),
+    // and unpinned each consumer re-tokenized the corpus. The pins are
+    // skinny (term-filtered hits; (id, dl) pairs) and live HERE, not in
+    // the shared tail: the indexed path's inputs are pruned parquet
+    // artifact scans whose IN-pushdown a pin would hide (PlanSpec) —
+    // re-reading a pruned postings scan twice is the cheaper shape.
+    val dl = df.select(col(id), dlExpr.as("dl")).localCheckpoint(true)
     val tf = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     bm25ScoreTopK(tf, dl, id, k, k1, b)
   }
 
@@ -433,12 +441,9 @@ object Vocab {
                             k: Int, k1: Double, b: Double): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
-    // r20: tf feeds the df derivation AND the contribution join; dl
-    // feeds the corpus stats AND the same join — unpinned, the live
-    // path re-tokenized the corpus once per consumer. Both pins are
-    // skinny (term-filtered hits; (id, dl) pairs).
-    val tf = tf0.localCheckpoint(true)
-    val dl = dl0.localCheckpoint(true)
+    // (pinning decisions belong to the callers — see bm25TopK)
+    val tf = tf0
+    val dl = dl0
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(18,0)")).cast("double")
         / count(lit(1)).cast("double")).as("avgdl"))

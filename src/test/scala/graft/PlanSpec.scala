@@ -35,12 +35,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in an equi-join plan")
   }
 
-  test("acyclic FK closure is one declarative semi-join chain (J1)") {
+  test("acyclic FK closure: semi-joins against pinned key sets (J1)") {
     val p = plan("j1_fk_closure")
     assert(p.contains("LeftSemi"))
-    // the DAG path must not materialize levels through localCheckpoint
-    // (which would show up as ExistingRDD scans cutting the lineage)
-    assert(!p.contains("ExistingRDD"), "FK closure materialized a level — DAG fast path regressed")
+    // r20: each closure level's distinct-key set is PINNED (lazy
+    // localCheckpoint → ExistingRDD leaves). The former fully-lazy
+    // single plan bet on ReuseExchange deduplicating the shared chain
+    // prefix across the count fan-out's branches; measured on the
+    // executed (post-AQE) plan that reuse never fired, and every
+    // branch re-scanned the chain (15 scans, lineitem read 5×). With
+    // pinned keys each table appears ONCE per consumer: the 5-table
+    // count fan-out plans exactly 5 parquet scans (formatted explain
+    // prints each scan node twice — tree + details).
+    assert(p.contains("ExistingRDD"),
+      "closure key sets are no longer pinned — the count fan-out will re-scan the chain")
+    assert("Scan parquet".r.findAllIn(p).size <= 10,
+      "count fan-out re-scans the closure chain")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("aggregations are map-side partial and codegen'd (Q1/G1)") {

@@ -55,6 +55,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => BloomContainsExpr(children.head, children(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "graft_token_count"),
+      (children: Seq[Expression]) => TokenCountExpr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_gopher_pass"),
+      new ExpressionInfo(classOf[GopherPassExpr].getName, "graft_gopher_pass"),
+      (children: Seq[Expression]) => GopherPassExpr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
+      (children: Seq[Expression]) => LangIdExpr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[QualityScoreExpr].getName, "graft_quality_score"),
+      (children: Seq[Expression]) => QualityScoreExpr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_scrub_pii"),
+      new ExpressionInfo(classOf[ScrubPiiExpr].getName, "graft_scrub_pii"),
+      (children: Seq[Expression]) => ScrubPiiExpr(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_rep_ratio"),
+      new ExpressionInfo(classOf[RepetitionRatioExpr].getName, "graft_rep_ratio"),
+      (children: Seq[Expression]) => RepetitionRatioExpr(
+        children.head,
+        literal("graft_rep_ratio", children, 1, "n").intValue)))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineExpr(children.head, children(1))))

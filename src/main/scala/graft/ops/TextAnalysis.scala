@@ -44,8 +44,21 @@ object TextAnalysis {
   private[graft] def md5PrefixLongSql(x: String, hexChars: Int): String =
     s"CAST(('0x' || substr(md5($x), 1, $hexChars)) AS BIGINT)"
 
-  /** Whitespace token count. */
+  /** Whitespace token count.
+    *
+    * Dispatches to the native codegen'd `TokenCountExpr` (r21, guide
+    * §4: `size(split(...))` recompiles the `\s+` pattern and
+    * materializes the token array per row); [[tokenCountHof]] is the
+    * pure-Column reference it is parity-tested against in
+    * TextExprsSpec. Same pattern for [[gopherPass]], [[langId]],
+    * [[qualityScore]], [[scrubPii]] and [[repetitionRatio]] below —
+    * the SQL mirrors are unchanged, so the DuckDB oracle still gates
+    * every value.
+    */
   def tokenCount(text: Column): Column =
+    call_function("graft_token_count", text)
+
+  private[graft] def tokenCountHof(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
   def tokenCountSql(x: String): String =
@@ -105,7 +118,10 @@ object TextAnalysis {
   /** Language ID: argmax of per-language stopword hits; "und"
     * (undetermined) when no list scores.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    call_function("graft_lang_id", text)
+
+  private[graft] def langIdHof(text: Column): Column = {
     val en = stopwordHits(text, stopwords("en"))
     val de = stopwordHits(text, stopwords("de"))
     val fr = stopwordHits(text, stopwords("fr"))
@@ -128,8 +144,11 @@ object TextAnalysis {
     * + punctuation sanity. Same integer/double operation order on both
     * engines → bit-reproducible.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+  def qualityScore(text: Column): Column =
+    call_function("graft_quality_score", text)
+
+  private[graft] def qualityScoreHof(text: Column): Column = {
+    val nTok = greatest(tokenCountHof(text), lit(1)).cast("double")
     val avgTokLen = length(text).cast("double") / nTok
     val lenOk = when(avgTokLen >= 3.0 && avgTokLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(
@@ -283,6 +302,9 @@ object TextAnalysis {
 
   /** Overall Gopher pass: every rule holds. */
   def gopherPass(text: Column): Column =
+    call_function("graft_gopher_pass", text)
+
+  private[graft] def gopherPassHof(text: Column): Column =
     gopherRules(text).map(_._2).reduce(_ && _)
 
   def gopherRulesSql(x: String): Seq[(String, String)] = {
@@ -357,7 +379,7 @@ object TextAnalysis {
     * card number is not half-eaten by the phone pattern.
     */
   private val PiiOctet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-  private val PiiPatterns: Seq[(String, String)] = Seq(
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b" -> "<CC>",
     // three phone shapes: (NNN) NNN-NNNN, NNN-NNN(N)-NNNN (dot or dash),
@@ -382,6 +404,9 @@ object TextAnalysis {
     * regexp_replace chain — a pure narrow expression at any scale).
     */
   def scrubPii(text: Column): Column =
+    call_function("graft_scrub_pii", text)
+
+  private[graft] def scrubPiiHof(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (acc, (pat, rep)) =>
       regexp_replace(acc, pat, rep)
     }
@@ -437,6 +462,9 @@ object TextAnalysis {
     * bit-reproducible.
     */
   def repetitionRatio(text: Column, n: Int): Column =
+    call_function("graft_rep_ratio", text, lit(n))
+
+  private[graft] def repetitionRatioHof(text: Column, n: Int): Column =
     bound(wordNgrams(text, n)) { gs =>
       when(size(gs) <= 0, lit(0.0)).otherwise(
         (size(gs) - size(array_distinct(gs))).cast("double") / size(gs).cast("double"))

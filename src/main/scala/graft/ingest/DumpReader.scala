@@ -339,6 +339,13 @@ object DumpReader {
         // unpinned, each re-ran the INSERT/COPY parse over the whole
         // dump. One eager pin parses once; the DDL branch has a single
         // consumer and stays lazy.
+        // r21 (ADVICE r20): probe emptiness on the UNPINNED rows first —
+        // limit(1) early-outs after the first parsed row, so an empty
+        // dump returns without paying the full parse+materialization the
+        // pin below commits to.
+        val first = rows.limit(1).collect()
+        if (first.isEmpty) return spark.emptyDataFrame
+        val columns = first(0)._1
         val pinned = rows.localCheckpoint(true)
         // without DDL, rows lacking a column list are unusable (names
         // unknown) — fail loudly instead of returning a partial frame.
@@ -347,9 +354,6 @@ object DumpReader {
         // past a sample would land values in the wrong columns.
         if (!pinned.filter(_._1.isEmpty).isEmpty) throw new IllegalArgumentException(
           s"$database.$table has $noColsHint")
-        val first = pinned.limit(1).collect()
-        if (first.isEmpty) return spark.emptyDataFrame
-        val columns = first(0)._1
         // Sample-free inference: min/max non-null tag per column over
         // ALL rows, one distributed aggregation (the shuffle carries at
         // most #columns rows after map-side combine). The tag order

@@ -1178,11 +1178,14 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: Column, maxDistance: Int): DataFrame = {
     // r20: pinned — the bucketed frame feeds both self-join sides, and
-    // the ReusedExchange this repartition bet on is the runtime gamble
-    // the executed-plan audit measured not firing; unpinned, each side
+    // the ReusedExchange this relied on is the runtime gamble the
+    // executed-plan audit measured not firing; unpinned, each side
     // re-ran the signature pass. Skinny rows (doc, sh, bucket).
+    // r21: the doc-keyed repartition that fed the old reuse bet is gone
+    // — the join keys on `bucket`, so it was a dead full exchange paid
+    // once before the pin (ADVICE r20); the scan's own partitioning
+    // balances the checkpoint blocks.
     val sigs = df.select(col(id).as("doc"), simhash64(text).as("sh"))
-      .repartition(col("doc"))
     val buckets = sigs.withColumn("bucket", shiftrightunsigned(col("sh"), 48))
       .localCheckpoint(true)
     buckets.as("l").join(buckets.as("r"), Seq("bucket"))

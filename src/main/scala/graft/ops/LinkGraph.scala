@@ -69,6 +69,18 @@ object LinkGraph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = edges.join(deg, Seq("src")).persist(lvl)
+    // Scale-adaptive shuffle-partition advisory for the K rounds (r21,
+    // guide §1.2 config tier / §2.2): every per-round exchange carries
+    // skinny (id, long) rows, so the session default (sized for corpus
+    // work) over-partitions the rank frame into per-task floors at
+    // small n — derive the count from the measured node count and cap
+    // at the session setting so cluster-scale runs keep their
+    // configured parallelism. Restored in `finally`; fixed-point
+    // arithmetic is partitioning-independent, so results are unchanged.
+    val sess = nodes.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val advisory = math.max(1L, math.min(prevParts.toLong, (n + 999999L) / 1000000L))
+    sess.conf.set("spark.sql.shuffle.partitions", advisory.toString)
     try {
       // Lazy K-round composition with ONE terminal materialization (r20
       // optimization): iters is fixed — there is no convergence probe —
@@ -82,7 +94,7 @@ object LinkGraph {
       // grows linearly in K — the per-round checkpoint guarded against
       // exponential growth that a linear chain never had.
       var r = ids.select(col("id"), lit(Scale / n).as("rank"))
-      for (_ <- 1 to iters) {
+      for (t <- 1 to iters) {
         val inflow = ed.join(r, ed("src") === r("id"))
           .select(ed("dst").as("id"),
             expr(s"rank * $dampNum div ($dampDen * outdeg)").as("c"))
@@ -90,9 +102,16 @@ object LinkGraph {
         r = ids.join(inflow, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        // bound plan/analysis depth for large K (ADVICE r20): one
+        // mid-chain barrier every 8 rounds keeps the composed self-join
+        // chain's optimizer cost linear; the bench K=5 stays barrier-free
+        if (t % 8 == 0 && t < iters) r = r.localCheckpoint(true)
       }
       if (iters > 0) r.localCheckpoint(true) else r
-    } finally { ed.unpersist(); () }
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ed.unpersist(); ()
+    }
   }
 
   /** The oracle mirror: K rounds unrolled as CTEs over any `nodesRel`

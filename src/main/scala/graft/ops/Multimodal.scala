@@ -391,9 +391,11 @@ object Multimodal {
     // gamble measured NOT firing elsewhere (executed-plan audit); each
     // replay re-ran the media decode + hash pass upstream. Skinny rows
     // (id, band, key, two longs).
+    // r21: the media_id-keyed repartition is gone — the join keys on
+    // (band, key), so it was a dead full exchange ahead of the pin
+    // (ADVICE r20).
     val banded = buildPhashIndex(
-      hashes.select(col(id).as("media_id"), col("ph_hi"), col("ph_lo"))
-        .repartition(col("media_id")))
+      hashes.select(col(id).as("media_id"), col("ph_hi"), col("ph_lo")))
       .localCheckpoint(true)
     banded.as("l").join(banded.as("r"), Seq("band", "key"))
       .filter(col("l.doc") < col("r.doc"))

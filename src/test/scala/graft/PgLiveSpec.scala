@@ -20,6 +20,34 @@ class PgLiveSpec extends SparkSpec {
 
   private val pgBin = PgTestCluster.DefaultBin
 
+  /** Paired wall-clock comparison with retry (r21, VERDICT r20 #1): the
+    * suite's three throughput claims (COPY vs INSERT stream, parallel
+    * vs serial parse, parallel vs single-pipe restore) are architectural
+    * — the fast leg wins by integer factors on a quiet host — but a
+    * single paired measurement can flip under a one-off host stall
+    * (the driver's runner executes this suite after 25 other suites,
+    * under whatever else the machine is doing). Re-measuring BOTH legs
+    * and comparing per-leg minima keeps the claim honest (the fast leg
+    * must actually measure faster) while absorbing transient
+    * contention — the same min-of-N discipline the bench applies.
+    */
+  private def assertFasterWithRetry(name: String, attempts: Int = 3)(
+      fast: () => Double, slow: () => Double): (Double, Double) = {
+    var fastMin = Double.MaxValue
+    var slowMin = Double.MaxValue
+    var tries = 0
+    while (tries < attempts && fastMin >= slowMin) {
+      if (tries > 0)
+        println(f"$name: retry ${tries} (fast=$fastMin%.2f s not under slow=$slowMin%.2f s)")
+      slowMin = math.min(slowMin, slow())
+      fastMin = math.min(fastMin, fast())
+      tries += 1
+    }
+    assert(fastMin < slowMin,
+      f"$name: fast leg $fastMin%.2f s not faster than slow leg $slowMin%.2f s after $tries paired attempts")
+    (fastMin, slowMin)
+  }
+
   /** One scratch cluster per suite — see [[PgTestCluster]] (extracted
     * r20 so the spool scale probe can drive the same real server).
     */
@@ -535,24 +563,24 @@ class PgLiveSpec extends SparkSpec {
       sec
     }
     // the pre-r18 restore stream: one INSERT statement per row
-    val insertSec = timed("insert-per-row") { o =>
+    def insertLeg(): Double = timed("insert-per-row") { o =>
       val w = new java.io.OutputStreamWriter(o, java.nio.charset.StandardCharsets.UTF_8)
       val it = graft.ingest.DumpSink.toInsertStatements(df, "public", "bench").toLocalIterator()
       while (it.hasNext) { w.write(it.next()); w.write("\n") }
       w.flush()
     }
     // the r18 restore stream: one COPY block per partition
-    val copySec = timed("copy-blocks") { o =>
+    def copyLeg(): Double = timed("copy-blocks") { o =>
       val w = new java.io.OutputStreamWriter(o, java.nio.charset.StandardCharsets.UTF_8)
       val it = graft.ingest.DumpSink.toCopyText(df, "public", "bench").toLocalIterator()
       while (it.hasNext) { w.write(it.next()); w.write("\n") }
       w.flush()
     }
-    df.unpersist()
     // COPY is psql's native bulk path — it must not be slower; the
-    // measured ratio goes into PLANS.md (r17 verdict #2 done criterion)
-    assert(copySec < insertSec,
-      f"COPY ($copySec%.2f s) not faster than INSERTs ($insertSec%.2f s)")
+    // measured ratio goes into PLANS.md (r17 verdict #2 done criterion).
+    // Paired min-of-N retry absorbs one-off host stalls (r21).
+    try assertFasterWithRetry("copy-vs-insert")(copyLeg _, insertLeg _)
+    finally df.unpersist()
   }
   test("pg live: dump-create throughput at 1M rows — chunked spool parses executor-parallel (r18 verdict #6)") {
     assume(cluster.isDefined, "postgres toolchain unavailable")
@@ -609,9 +637,10 @@ class PgLiveSpec extends SparkSpec {
       // distributed parse in isolation, the exact dumpCreateFromFile
       // shape: persisted statements + the dump's own DDL (single typed
       // pass, no inference)
-      // min-of-2 (the bench's own convention) so one GC hiccup can't
-      // flip the comparison
-      val parSec = (1 to 2).map { _ =>
+      // one measured distributed pass; the paired retry below applies
+      // the bench's min-of-N convention so one GC hiccup can't flip the
+      // comparison
+      def parLeg(): Double = {
         val t1 = System.nanoTime()
         val stmts = graft.ingest.DumpReader.statements(spark, spoolDir.toString)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -624,7 +653,7 @@ class PgLiveSpec extends SparkSpec {
         stmts.unpersist()
         assert(parsed == n)
         sec
-      }.min
+      }
 
       // single-thread baseline: the SAME work (split + row parse +
       // value render) over one part, extrapolated linearly by byte
@@ -634,27 +663,30 @@ class PgLiveSpec extends SparkSpec {
       val totalBytes = partFiles.map(_.length).sum
       val one = partFiles.sortBy(_.getName).apply(1) // a headerless mid part
       val text = java.nio.file.Files.readString(one.toPath)
-      val t2 = System.nanoTime()
-      var rows1 = 0L
-      graft.ingest.StatementSplitter.split(text, Some(true)).foreach { r =>
-        if (r.kind == graft.model.StatementKind.InsertInto)
-          graft.ingest.InsertParser.parseMulti(r.text, pgStrings = true).foreach { v =>
-            rows1 += v.size
-            v.foreach(_.values.foreach(x => if (x != graft.ingest.InsertParser.SqlNull) x.render))
-          }
+      def serialLeg(): Double = {
+        val t2 = System.nanoTime()
+        var rows1 = 0L
+        graft.ingest.StatementSplitter.split(text, Some(true)).foreach { r =>
+          if (r.kind == graft.model.StatementKind.InsertInto)
+            graft.ingest.InsertParser.parseMulti(r.text, pgStrings = true).foreach { v =>
+              rows1 += v.size
+              v.foreach(_.values.foreach(x => if (x != graft.ingest.InsertParser.SqlNull) x.render))
+            }
+        }
+        val oneSec = (System.nanoTime() - t2) / 1e9
+        assert(rows1 > 0)
+        oneSec * totalBytes.toDouble / one.length
       }
-      val oneSec = (System.nanoTime() - t2) / 1e9
-      val serialSec = oneSec * totalBytes.toDouble / one.length
-      assert(rows1 > 0)
 
+      // the scale claim: the distributed typed parse beats the
+      // single-thread parse estimate (at 4 local cores; executor
+      // counts scale it — each 100 MB part is an independent task).
+      // Paired min-of-N retry absorbs one-off host stalls (r21).
+      val (parSec, serialSec) =
+        assertFasterWithRetry("par-vs-serial-parse")(parLeg _, serialLeg _)
       println(f"PGDUMPCREATE rows=$n parts=$parts pg_dump=$dumpSec%.1fs " +
         f"par_parse=$parSec%.1fs serial_parse_est=$serialSec%.1fs " +
         f"cli_total=$createSec%.1fs rate=${n / createSec}%.0f rows/s")
-      // the scale claim: the distributed typed parse beats the
-      // single-thread parse estimate (at 4 local cores; executor
-      // counts scale it — each 100 MB part is an independent task)
-      assert(parSec < serialSec,
-        f"distributed parse $parSec%.1fs not faster than single-thread $serialSec%.1fs")
       // and the store holds all 1M rows, masked
       val back = graft.pipeline.Pipeline.restore(
         spark, new graft.store.Datastore(store, spark), "bench-1m")("big")
@@ -930,40 +962,41 @@ class PgLiveSpec extends SparkSpec {
     spark.conf.set("spark.graft.pgMode", "tools")
     try {
       val printed = collection.mutable.Buffer[String]()
-      Files.writeString(conf, confText("parrest1"))
+      Files.writeString(conf, confText("parrest0"))
       assert(Cli.run(Seq("-c", conf.toString, "dump", "create", "par-bench"),
         spark, printed += _) == 0, printed.mkString("\n"))
-      // single-pipe baseline — the reference's restore shape and the
-      // r19-measured ~58k rows/s bound
-      c.psql("postgres", "CREATE DATABASE parrest1")
-      spark.conf.set("spark.graft.restoreParallelism", "1")
-      val t1 = System.nanoTime()
-      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "par-bench"),
-        spark, printed += _) == 0, printed.mkString("\n"))
-      val serSec = (System.nanoTime() - t1) / 1e9
-      // four concurrent per-table pipes into a fresh database
-      c.psql("postgres", "CREATE DATABASE parrest4")
-      Files.writeString(conf, confText("parrest4"))
-      spark.conf.set("spark.graft.restoreParallelism", "4")
-      val t2 = System.nanoTime()
-      assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "par-bench"),
-        spark, printed += _) == 0, printed.mkString("\n"))
-      val parSec = (System.nanoTime() - t2) / 1e9
-      // the SERVER adjudicates exactness on both destinations: full
-      // counts and per-table values (no cross-pipe interleave)
-      for (db <- Seq("parrest1", "parrest4"); t <- tables) {
-        assert(c.psql(db, s"SELECT count(*) FROM $t") == nPer.toString, s"$db.$t")
-        assert(c.psql(db, s"SELECT count(*) FROM $t WHERE v LIKE '$t-row-%'")
-          == nPer.toString, s"$db.$t values")
+      // one restore leg into a FRESH database, at the given pipe count;
+      // the SERVER adjudicates exactness on every attempt (full counts
+      // and per-table values — no cross-pipe interleave)
+      var attempt = 0
+      def restoreLeg(parallelism: Int): Double = {
+        attempt += 1
+        val db = s"parrest${parallelism}_$attempt"
+        c.psql("postgres", s"CREATE DATABASE $db")
+        Files.writeString(conf, confText(db))
+        spark.conf.set("spark.graft.restoreParallelism", parallelism.toString)
+        val t1 = System.nanoTime()
+        assert(Cli.run(Seq("-c", conf.toString, "dump", "restore", "par-bench"),
+          spark, printed += _) == 0, printed.mkString("\n"))
+        val sec = (System.nanoTime() - t1) / 1e9
+        for (t <- tables) {
+          assert(c.psql(db, s"SELECT count(*) FROM $t") == nPer.toString, s"$db.$t")
+          assert(c.psql(db, s"SELECT count(*) FROM $t WHERE v LIKE '$t-row-%'")
+            == nPer.toString, s"$db.$t values")
+        }
+        // ride-along DDL type fidelity holds through the pipes
+        assert(c.psql(db,
+          "SELECT data_type FROM information_schema.columns " +
+            "WHERE table_name='t_a' AND column_name='amt'") == "numeric")
+        sec
       }
-      // ride-along DDL type fidelity holds through the parallel pipes
-      assert(c.psql("parrest4",
-        "SELECT data_type FROM information_schema.columns " +
-          "WHERE table_name='t_a' AND column_name='amt'") == "numeric")
+      // single-pipe baseline — the reference's restore shape and the
+      // r19-measured ~58k rows/s bound — vs four concurrent per-table
+      // pipes. Paired min-of-N retry absorbs one-off host stalls (r21).
+      val (parSec, serSec) = assertFasterWithRetry("par4-vs-single-restore")(
+        () => restoreLeg(4), () => restoreLeg(1))
       println(f"PGPARRESTORE tables=4 rows=${nPer * 4} single=$serSec%.1fs " +
         f"par4=$parSec%.1fs speedup=${serSec / parSec}%.2fx")
-      assert(parSec < serSec,
-        f"parallel restore $parSec%.1fs not faster than the single pipe $serSec%.1fs")
     } finally {
       spark.conf.unset("spark.graft.pgMode")
       spark.conf.unset("spark.graft.restoreParallelism")

@@ -86,6 +86,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children.head,
         literal("graft_rep_ratio", children, 1, "n").intValue)))
 
+    Seq(("graft_word_grams", 0), ("graft_word_grams_distinct", 1),
+        ("graft_word_grams_sorted", 2)).foreach { case (fname, mode) =>
+      ext.injectFunction((
+        FunctionIdentifier(fname),
+        new ExpressionInfo(classOf[WordGramsExpr].getName, fname),
+        (children: Seq[Expression]) => WordGramsExpr(
+          children.head, literal(fname, children, 1, "n").intValue, mode)))
+    }
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[GramJaccardExpr].getName, "graft_jaccard_sorted"),
+      (children: Seq[Expression]) => GramJaccardExpr(children.head, children(1))))
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),

@@ -230,7 +230,7 @@ object Dedup {
     */
   private[graft] def docGramArrays(df: DataFrame, id: String, text: Column, n: Int): DataFrame =
     df.select(col(id).as("doc"),
-      array_sort(array_distinct(TextAnalysis.wordNgrams(text, n))).as("grams"))
+      TextAnalysis.wordNgramsSorted(text, n).as("grams"))
       .repartition(col("doc"))
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
@@ -241,10 +241,13 @@ object Dedup {
     candidates
       .join(gramArrays.select(col("doc").as("id_a"), col("grams").as("ga")), Seq("id_a"))
       .join(gramArrays.select(col("doc").as("id_b"), col("grams").as("gb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      // r21: sorted-merge Jaccard (GramJaccardExpr) — gram arrays are
+      // sorted-distinct by the docGramArrays invariant, so a two-pointer
+      // walk replaces the per-pair array_intersect hash build; the
+      // int-add/long-sub/double-div operation order is unchanged
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+        org.apache.spark.sql.functions.call_function(
+          "graft_jaccard_sorted", col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
@@ -261,7 +264,7 @@ object Dedup {
     call_function("graft_minhash_sig", text, lit(n), lit(numHashes))
 
   private[graft] def minhashSignatureHof(text: Column, n: Int, numHashes: Int): Column =
-    TextAnalysis.bound(array_distinct(TextAnalysis.wordNgrams(text, n))) { grams =>
+    TextAnalysis.bound(TextAnalysis.wordNgramsDistinct(text, n)) { grams =>
       // h1 XOR rotl(h2, i) double-hash family, mirroring MinHashSigExpr
       // (Java shift semantics: shift distance is taken mod 64, so the
       // i=0 rotation degenerates correctly)
@@ -975,7 +978,7 @@ object Dedup {
         posexplode(TextAnalysis.wordNgrams(corpusText, k)).as(Seq("i", "gram")))
       .select(col("doc"), col("i"), TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
     val bg = benchmark
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, k))).as("gram"))
+      .select(explode(TextAnalysis.wordNgramsDistinct(benchText, k)).as("gram"))
       .select(TextAnalysis.md5PrefixLong(col("gram"), 15).as("h"))
       .distinct()
     val covered = grams.join(broadcast(bg), Seq("h"))
@@ -1069,9 +1072,9 @@ object Dedup {
       corpus: DataFrame, id: String, corpusText: Column,
       benchmark: DataFrame, benchText: Column, n: Int): DataFrame = {
     val cg = corpus.select(col(id).as("doc"),
-      explode(array_distinct(TextAnalysis.wordNgrams(corpusText, n))).as("gram"))
+      explode(TextAnalysis.wordNgramsDistinct(corpusText, n)).as("gram"))
     val bg = benchmark
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .select(explode(TextAnalysis.wordNgramsDistinct(benchText, n)).as("gram"))
       .distinct()
     // corpus grams are distinct per doc and the benchmark side is
     // deduped, so a plain count IS the distinct-shared-gram count
@@ -1095,10 +1098,10 @@ object Dedup {
       benchmark: DataFrame, benchText: Column, n: Int): DataFrame = {
     val cg = corpus
       .select(col(id).as("doc"),
-        array_distinct(TextAnalysis.wordNgrams(corpusText, n)).as("gs"))
+        TextAnalysis.wordNgramsDistinct(corpusText, n).as("gs"))
       .select(col("doc"), size(col("gs")).as("g"), explode(col("gs")).as("gram"))
     val bg = benchmark
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .select(explode(TextAnalysis.wordNgramsDistinct(benchText, n)).as("gram"))
       .distinct()
     cg.join(bg, Seq("gram"))
       .groupBy(col("doc"))
@@ -1128,7 +1131,7 @@ object Dedup {
     // the exact confirm join) — unpinned, the benchmark gram explode +
     // distinct shuffle ran three times; the pin is benchmark-gram-sized
     val bg = benchmark
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(benchText, n))).as("gram"))
+      .select(explode(TextAnalysis.wordNgramsDistinct(benchText, n)).as("gram"))
       .distinct()
       .localCheckpoint(true)
     // the benchmark side is small by contract (it broadcast-joins in
@@ -1143,7 +1146,7 @@ object Dedup {
     }
     val cg = corpus
       .select(col(id).as("doc"),
-        explode(array_distinct(TextAnalysis.wordNgrams(corpusText, n))).as("gram"))
+        explode(TextAnalysis.wordNgramsDistinct(corpusText, n)).as("gram"))
       .filter(call_function("graft_bloom_contains",
         lit(bytes), xxhash64(col("gram"))))
     cg.join(bg, Seq("gram"))

@@ -438,8 +438,23 @@ object TextAnalysis {
     terms.mkString("(", " + ", ")")
   }
 
-  /** Word n-grams as an array column (shingles for Jaccard/MinHash). */
+  /** Word n-grams as an array column (shingles for Jaccard/MinHash).
+    * Native (`WordGramsExpr`) since r21 — one tokenization, precompiled
+    * pattern; [[wordNgramsHof]] is the parity reference. The
+    * `_distinct`/`_sorted` variants fold the `array_distinct` /
+    * `array_sort` compositions the dedup operators layer on top into
+    * the same single pass.
+    */
   def wordNgrams(text: Column, n: Int): Column =
+    call_function("graft_word_grams", text, lit(n))
+
+  def wordNgramsDistinct(text: Column, n: Int): Column =
+    call_function("graft_word_grams_distinct", text, lit(n))
+
+  def wordNgramsSorted(text: Column, n: Int): Column =
+    call_function("graft_word_grams_sorted", text, lit(n))
+
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column =
     bound(split(lower(trim(text)), "\\s+")) { toks =>
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(

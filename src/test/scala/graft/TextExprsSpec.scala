@@ -100,6 +100,44 @@ class TextExprsSpec extends SparkSpec {
       TA.repetitionRatio(col("text"), 3), TA.repetitionRatioHof(col("text"), 3))
   }
 
+  test("wordNgrams native == HOF reference (raw, distinct, sorted) for n=1..3") {
+    for (n <- 1 to 3) {
+      assertParity(s"wordNgrams($n)")(
+        TA.wordNgrams(col("text"), n), TA.wordNgramsHof(col("text"), n))
+      assertParity(s"wordNgramsDistinct($n)")(
+        TA.wordNgramsDistinct(col("text"), n),
+        array_distinct(TA.wordNgramsHof(col("text"), n)))
+      assertParity(s"wordNgramsSorted($n)")(
+        TA.wordNgramsSorted(col("text"), n),
+        array_sort(array_distinct(TA.wordNgramsHof(col("text"), n))))
+    }
+  }
+
+  test("sorted-merge Jaccard == array_intersect formula on sorted-distinct arrays") {
+    val ga = TA.wordNgramsSorted(col("text"), 3)
+    // a deterministic second doc derived from the first so pairs vary
+    val gb = TA.wordNgramsSorted(upper(col("text")), 3)
+    val native = call_function("graft_jaccard_sorted", ga, gb)
+    val inter = size(array_intersect(ga, gb)).cast("long")
+    val ref = inter.cast("double") / (size(ga) + size(gb) - inter).cast("double")
+    // the 0/0 case is unreachable in production (empty gram sets never
+    // become candidates: they have no prefix rows and no bands) and ANSI
+    // mode makes the REFERENCE division throw there, so parity runs on
+    // the reachable domain; the native NaN edge is asserted below
+    val rows = corpus
+      .filter(size(ga) + size(gb) > 0)
+      .select(native.as("nat"), ref.as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+      .limit(5).collect()
+    assert(rows.isEmpty, s"jaccardSorted diverged: ${rows.mkString("; ")}")
+    import spark.implicits._
+    val nan = Seq(("a", "b")).toDF("x", "y")
+      .select(call_function("graft_jaccard_sorted",
+        TA.wordNgramsSorted(col("x"), 3), TA.wordNgramsSorted(col("y"), 3)))
+      .head().getDouble(0)
+    assert(nan.isNaN, s"0/0 must stay NaN (filtered out downstream), got $nan")
+  }
+
   test("native expressions stay inside whole-stage codegen (no CodegenFallback)") {
     val df = Tables.documents(spark, sfDir).select(
       TA.tokenCount(col("text")), TA.gopherPass(col("text")), TA.langId(col("text")),

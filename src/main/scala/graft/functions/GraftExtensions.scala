@@ -96,6 +96,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5PrefixExpr].getName, "graft_md5_prefix"),
+      (children: Seq[Expression]) => Md5PrefixExpr(
+        children.head,
+        literal("graft_md5_prefix", children, 1, "hexChars").intValue)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_feature_buckets"),
+      new ExpressionInfo(classOf[FeatureBucketsExpr].getName, "graft_feature_buckets"),
+      (children: Seq[Expression]) => FeatureBucketsExpr(
+        children.head,
+        literal("graft_feature_buckets", children, 1, "buckets").intValue)))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_jaccard_sorted"),
       new ExpressionInfo(classOf[GramJaccardExpr].getName, "graft_jaccard_sorted"),
       (children: Seq[Expression]) => GramJaccardExpr(children.head, children(1))))

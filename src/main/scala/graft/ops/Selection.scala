@@ -52,6 +52,9 @@ object Selection {
     * counts matter, this is a bag not a set.
     */
   private[graft] def featureBuckets(text: Column, buckets: Int): Column =
+    call_function("graft_feature_buckets", text, lit(buckets))
+
+  private[graft] def featureBucketsHof(text: Column, buckets: Int): Column =
     bound(concat(TextAnalysis.wordNgrams(text, 1), TextAnalysis.wordNgrams(text, 2))) { gs =>
       transform(gs, g => TextAnalysis.md5PrefixLong(g, 8) % buckets)
     }

@@ -38,6 +38,15 @@ object TextAnalysis {
     */
   private[graft] def md5PrefixLong(c: Column, hexChars: Int): Column = {
     require(hexChars > 0 && hexChars <= 15, "hexChars must be in [1, 15]")
+    // r21: native (Md5PrefixExpr) — the first hexChars hex digits ARE
+    // the digest's top 4*hexChars bits, assembled from the digest bytes
+    // without the hex-string encode/substring/conv parse detour
+    // (VERDICT r20 #3); [[md5PrefixLongHof]] is the parity reference.
+    call_function("graft_md5_prefix", c, lit(hexChars))
+  }
+
+  private[graft] def md5PrefixLongHof(c: Column, hexChars: Int): Column = {
+    require(hexChars > 0 && hexChars <= 15, "hexChars must be in [1, 15]")
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
   }
 

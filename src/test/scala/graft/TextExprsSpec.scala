@@ -138,6 +138,22 @@ class TextExprsSpec extends SparkSpec {
     assert(nan.isNaN, s"0/0 must stay NaN (filtered out downstream), got $nan")
   }
 
+  test("md5 prefix: digest-byte assembly == conv(substring(md5(...))) for 1/8/15 hex chars") {
+    for (hc <- Seq(1, 8, 15)) {
+      assertParity(s"md5PrefixLong($hc)")(
+        TA.md5PrefixLong(col("text"), hc), TA.md5PrefixLongHof(col("text"), hc))
+    }
+  }
+
+  test("DSIR feature buckets: native == HOF reference") {
+    assertParity("featureBuckets")(
+      graft.ops.Selection.featureBuckets(col("text"), 4096),
+      graft.ops.Selection.featureBucketsHof(col("text"), 4096))
+    assertParity("featureBuckets(7)")(
+      graft.ops.Selection.featureBuckets(col("text"), 7),
+      graft.ops.Selection.featureBucketsHof(col("text"), 7))
+  }
+
   test("native expressions stay inside whole-stage codegen (no CodegenFallback)") {
     val df = Tables.documents(spark, sfDir).select(
       TA.tokenCount(col("text")), TA.gopherPass(col("text")), TA.langId(col("text")),

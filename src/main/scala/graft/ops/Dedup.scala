@@ -948,7 +948,7 @@ object Dedup {
   private def scrubCoveredSpans(
       df: DataFrame, id: String, text: Column,
       covered: DataFrame, k: Int): DataFrame =
-    df.select(col(id).as("doc"), split(lower(trim(text)), "\\s+").as("toks"))
+    df.select(col(id).as("doc"), TextAnalysis.tokens(text).as("toks"))
       .join(covered, Seq("doc"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("kept", filter(col("toks"),
@@ -1166,7 +1166,7 @@ object Dedup {
   def simhashPortable(text: Column, bits: Int = 60): Column = {
     require(bits % 4 == 0 && bits > 0 && bits <= 60, "bits must be in (0, 60] and hex-aligned")
     simhashFromHashes(
-      transform(split(lower(trim(text)), "\\s+"),
+      transform(TextAnalysis.tokens(text),
         t => TextAnalysis.md5PrefixLong(t, bits / 4)), bits)
   }
 

@@ -55,7 +55,7 @@ object DomainReweight {
     */
   def domainStats(df: DataFrame, domain: Column, text: Column): DataFrame = {
     val toks = df.select(domain.as("domain"),
-        explode(split(lower(trim(text)), "\\s+")).as("token"))
+        explode(TextAnalysis.tokens(text)).as("token"))
       .filter(col("token") =!= "")
     // r20: model feeds the totals aggregate AND the scoring join — pin
     // once (vocabulary-sized), same as Vocab.unigramLogProb

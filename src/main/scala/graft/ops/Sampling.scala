@@ -472,7 +472,7 @@ object Sampling {
                   window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     require(stride <= window, s"stride=$stride > window=$window would drop tokens")
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = TextAnalysis.tokens(text)
     df.select(id.as("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))

@@ -457,6 +457,12 @@ object TextAnalysis {
   def wordNgrams(text: Column, n: Int): Column =
     call_function("graft_word_grams", text, lit(n))
 
+  /** `split(lower(trim(text)), "\\s+")` as one native pass — the
+    * 1-gram case of [[wordNgrams]]; the Column spelling recompiles the
+    * pattern per row (String.split → Pattern.compile).
+    */
+  def tokens(text: Column): Column = wordNgrams(text, 1)
+
   def wordNgramsDistinct(text: Column, n: Int): Column =
     call_function("graft_word_grams_distinct", text, lit(n))
 

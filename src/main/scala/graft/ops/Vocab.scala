@@ -18,7 +18,7 @@ object Vocab {
   /** Top-`k` whitespace tokens (lowercased) by count. */
   def topTokens(df: DataFrame, text: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.select(explode(split(lower(trim(text)), "\\s+")).as("token"))
+    df.select(explode(TextAnalysis.tokens(text)).as("token"))
       // empty/whitespace-only docs split to [""] — not a vocabulary entry
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -126,7 +126,7 @@ object Vocab {
     * ulp differences between engines can't flip the DuckDB hash.
     */
   def unigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
-    val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+    val toks = df.select(col(id), explode(TextAnalysis.tokens(text)).as("token"))
       .filter(col("token") =!= "")
     // r20: the (token, c) model feeds BOTH the totals aggregate and the
     // scoring join — unpinned, each consumer re-ran the corpus explode
@@ -205,7 +205,7 @@ object Vocab {
     * see the comment there for why each is load-bearing.
     */
   def bigramLogProb(df: DataFrame, id: String, text: Column): DataFrame = {
-    val toksA = split(lower(trim(text)), "\\s+")
+    val toksA = TextAnalysis.tokens(text)
     val bigr = TextAnalysis.bound(toksA) { a =>
       when(size(a) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(a) - 1),
@@ -267,7 +267,7 @@ object Vocab {
   def knBigramLogProb(df: DataFrame, id: String, text: Column,
                       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
-    val toksA = split(lower(trim(text)), "\\s+")
+    val toksA = TextAnalysis.tokens(text)
     val pairs = TextAnalysis.bound(toksA) { a =>
       when(size(a) < 2, array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(1), size(a) - 1),
@@ -365,7 +365,7 @@ object Vocab {
     */
   def tfIdfTopTerms(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val toks = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+    val toks = df.select(col(id), explode(TextAnalysis.tokens(text)).as("token"))
       .filter(col("token") =!= "")
     // r20: tf feeds the document-frequency derivation AND the scoring
     // join — pin once ((doc, term)-sized, the explode already collapsed)
@@ -416,7 +416,7 @@ object Vocab {
     require(queryTerms.nonEmpty, "at least one query term required")
     val terms = queryTerms.map(_.toLowerCase).distinct
     // narrow per-row doc length: the filtered split, no explode
-    val dlExpr = size(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))
+    val dlExpr = size(filter(TextAnalysis.tokens(text), t => t =!= ""))
     // r20: pinned — tf and dl each feed two scoring-tail consumers
     // (dfreq + the contribution join; corpus stats + the same join),
     // and unpinned each consumer re-tokenized the corpus. The pins are
@@ -425,7 +425,7 @@ object Vocab {
     // artifact scans whose IN-pushdown a pin would hide (PlanSpec) —
     // re-reading a pruned postings scan twice is the cheaper shape.
     val dl = df.select(col(id), dlExpr.as("dl")).localCheckpoint(true)
-    val tf = df.select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+    val tf = df.select(col(id), explode(TextAnalysis.tokens(text)).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -476,11 +476,11 @@ object Vocab {
     */
   def buildBm25Index(df: DataFrame, id: String, text: Column): (DataFrame, DataFrame) = {
     val postings = df
-      .select(col(id), explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .select(col(id), explode(TextAnalysis.tokens(text)).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"), col(id)).agg(count(lit(1)).as("tf"))
     val doclens = df.select(col(id),
-      size(filter(split(lower(trim(text)), "\\s+"), t => t =!= "")).as("dl"))
+      size(filter(TextAnalysis.tokens(text), t => t =!= "")).as("dl"))
     (postings, doclens)
   }
 

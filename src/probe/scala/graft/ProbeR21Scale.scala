@@ -45,11 +45,21 @@ object ProbeR21Scale {
       spark.sparkContext.setJobDescription(null)
     }
     // narrow compute stages (should track the core ratio): the capstone
-    // regex prefix and the mixture/quality metric passes
+    // regex prefix and the mixture/quality metric passes. These need
+    // tens of CPU-seconds of uniform per-row work to rise above the
+    // per-job floor, so the copy set is 24×mult (one narrow explode —
+    // no giant union plan) spread across a FIXED 256 partitions so both
+    // core counts schedule identical compute tasks
+    val wideFactor = 24 * mult
+    val docsWide = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(wideFactor - 1))).as("c"))
+      .select((col("doc_id") * wideFactor + col("c")).as("doc_id"), col("text"))
+      .repartition(256).localCheckpoint(true)
     time("scrub_gate_narrow")(
-      docs.filter(TA.gopherPass(TA.scrubPii(col("text")))).count())
+      docsWide.filter(TA.gopherPass(TA.scrubPii(col("text")))).count())
     time("lang_quality_narrow")(
-      docs.select(TA.langId(col("text")).as("l"),
+      docsWide.select(TA.langId(col("text")).as("l"),
           (TA.qualityScore(col("text")) * TA.tokenCount(col("text"))).as("w"))
         .groupBy(col("l")).agg(sum(col("w"))).count())
     // join/shuffle-carrying stages (show the §2.2 shuffle fraction)
